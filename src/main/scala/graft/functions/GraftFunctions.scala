@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+
+/** Column-API and SQL surface for graft's custom Catalyst expressions.
+  *
+  * These are native `Expression`s (not Scala UDFs): they evaluate on
+  * `InternalRow`/`ArrayData` directly with no serialization round-trip, and
+  * the hot-path ones implement `doGenCode` so they stay inside whole-stage
+  * codegen (SURVEY.md §2.8 preference order: built-ins > native Expression
+  * > UDF).
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Cosine similarity between two float/double array columns (codegen'd). */
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Dot product of two float/double array columns (codegen'd). */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** L2 norm of a float/double array column (codegen'd). */
+  def l2_norm(a: Column): Column = col(L2Norm(expr(a)))
+
+  /** 60-bit SimHash of a token array (md5-derived, so independently
+    * reproducible in any engine with md5 — the DuckDB oracle recomputes it).
+    */
+  def simhash60(tokens: Column): Column = col(SimHash60(expr(tokens)))
+
+  /** MinHash signature (array of k minima) of a token/shingle array. */
+  def minhash_signature(tokens: Column, k: Int, seed: Long = 42L): Column =
+    col(MinHashSignature(expr(tokens), k, seed))
+
+  /** 64-bit FNV-1a content hash of a string (stable across JVMs/engines). */
+  def fnv64(s: Column): Column = col(Fnv64(expr(s)))
+
+  /** SQL registrations for [[graft.GraftExtensions]]. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    reg("cosine_sim", "cosine similarity of two numeric arrays",
+      es => CosineSimilarity(es.head, es(1))),
+    reg("dot_product", "dot product of two numeric arrays",
+      es => DotProduct(es.head, es(1))),
+    reg("l2_norm", "l2 norm of a numeric array", es => L2Norm(es.head)),
+    reg("simhash60", "60-bit md5-derived simhash of a token array",
+      es => SimHash60(es.head)),
+    reg("fnv64", "64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
+
+  private def reg(name: String, usage: String,
+      b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), b)
+}

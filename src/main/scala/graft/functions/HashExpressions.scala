@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Stable, engine-independent hashing primitives for dedup operators.
+  *
+  * Deliberately NOT Spark's murmur3 `hash()` / `xxhash64()`: simhash here is
+  * md5-derived so an external oracle (DuckDB, any engine with md5) can
+  * recompute identical fingerprints, and fnv64 is a 10-line spec any system
+  * can reimplement. These run once per document (not per candidate pair),
+  * so CodegenFallback is fine — they are off the pairwise hot path.
+  */
+object HashUtil {
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer (Steele et al.) — used to derive the k MinHash
+    * functions from one base hash.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = md5Local.get(); d.reset()
+    val out = d.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < out.length) {
+      sb.append(HexDigits((out(i) >> 4) & 0xf)); sb.append(HexDigits(out(i) & 0xf)); i += 1
+    }
+    sb.toString
+  }
+
+  /** 60-bit token hash: first 15 hex chars of md5, parsed base-16. The
+    * 15-char (not 16) width keeps the value inside a signed 64-bit long so
+    * SQL engines without unsigned types reproduce it exactly.
+    */
+  def md5Hash60(tokenUtf8: Array[Byte]): Long =
+    java.lang.Long.parseLong(md5Hex(tokenUtf8).substring(0, 15), 16)
+
+  /** 60-bit SimHash over all token occurrences (weight = occurrence count;
+    * tie on a bit-majority of exactly 0 → bit 0).
+    */
+  def simhash60(tokens: Iterator[Array[Byte]]): Long = {
+    val acc = new Array[Int](60)
+    while (tokens.hasNext) {
+      val h = md5Hash60(tokens.next())
+      var j = 0
+      while (j < 60) { acc(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** k-minima MinHash signature over a token set. Empty input → all
+    * Long.MaxValue (matches nothing).
+    */
+  def minhashSignature(tokens: Iterator[Array[Byte]], k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    while (tokens.hasNext) {
+      val base = fnv64(tokens.next())
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ mix64(seed + i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+}
+
+/** simhash60(array<string>) → long. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val it = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).getBytes)
+    HashUtil.simhash60(it)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_signature(array<string>, k, seed) → array<long>. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "minhash_signature: k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val it = (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).getBytes)
+    new GenericArrayData(HashUtil.minhashSignature(it, k, seed))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** fnv64(string) → long. */
+case class Fnv64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.fnv64(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

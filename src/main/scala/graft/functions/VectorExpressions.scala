@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector (numeric-array) expressions for the similarity-search operators.
+  *
+  * Implemented as native Catalyst expressions with `doGenCode` so the
+  * pairwise hot path (N² candidate pairs × vector dim) stays inside
+  * whole-stage codegen: no UDF serialization, no boxing, a tight primitive
+  * loop over `ArrayData`. At 100 TB this is the difference between the
+  * scan being compute-bound on SIMD-friendly loops vs. GC-bound on boxed
+  * `WrappedArray[Float]`.
+  *
+  * Accepts `array<float>` or `array<double>`; computes in double. Null
+  * elements count as 0. Mismatched lengths or zero norms yield NULL
+  * (defensive — upstream data should not produce them).
+  */
+trait VectorArrayCodegen { self: Expression =>
+  protected def elemType(t: DataType): DataType =
+    t.asInstanceOf[ArrayType].elementType
+
+  protected def getter(elem: DataType, arr: String, i: String): String = elem match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other => throw new IllegalStateException(s"unsupported vector element type $other")
+  }
+
+  protected def evalGet(elem: DataType, arr: ArrayData, i: Int): Double =
+    if (arr.isNullAt(i)) 0.0
+    else elem match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case other => throw new IllegalStateException(s"unsupported vector element type $other")
+    }
+
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with VectorArrayCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (et1, et2) = (elemType(left.dataType), elemType(right.dataType))
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = evalGet(et1, x, i); val yv = evalGet(et2, y, i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (et1, et2) = (elemType(left.dataType), elemType(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = $a.isNullAt($i) ? 0.0 : ${getter(et1, a, i)};
+         |    final double $yv = $b.isNullAt($i) ? 0.0 : ${getter(et2, b, i)};
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  final double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorArrayCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (et1, et2) = (elemType(left.dataType), elemType(right.dataType))
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += evalGet(et1, x, i) * evalGet(et2, y, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (et1, et2) = (elemType(left.dataType), elemType(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ($a.isNullAt($i) ? 0.0 : ${getter(et1, a, i)})
+         |          * ($b.isNullAt($i) ? 0.0 : ${getter(et2, b, i)});
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression)
+    extends UnaryExpression with VectorArrayCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val et = elemType(child.dataType)
+    var s = 0.0; var i = 0
+    while (i < x.numElements()) { val v = evalGet(et, x, i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = elemType(child.dataType)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  final double $v = $a.isNullAt($i) ? 0.0 : ${getter(et, a, i)};
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

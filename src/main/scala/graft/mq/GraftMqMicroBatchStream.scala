@@ -1,0 +1,154 @@
+package graft.mq
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+
+/** Driver-side micro-batch planner for `graft-mq`.
+  *
+  * Re-expresses the reference's CustomMicroBatchStream
+  * (/root/reference/src/main/java/org/example/CustomMicroBatchStream.java:21-84)
+  * with the Kafka-grade semantics its README specifies:
+  * per-partition offset maps (README.md:337-344), admission control via
+  * `ReadLimit.maxRows` (README.md:399-422), range-exact partition planning
+  * (README.md:427-446), and checkpoint-replayable offsets (README.md:699-712).
+  * `commit` stays a no-op, as in Kafka (README.md:462-463) — durability
+  * lives in the engine's checkpoint, not the connector.
+  */
+class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl with Logging {
+
+  // Generated backend: the virtual log head advances rowsPerBatch per
+  // partition on each latestOffset poll. Tracked driver-side only; replay
+  // of an already-planned range is pure-function deterministic.
+  private var generatedHead: Option[GraftMqOffset] = None
+
+  private def availableEnds: Map[Int, Long] =
+    if (opts.isGenerated) {
+      val prev = generatedHead.getOrElse(startingPoint)
+      val next = prev.ends.map { case (p, o) => p -> (o + opts.rowsPerBatch) }
+      generatedHead = Some(GraftMqOffset(next))
+      next
+    } else {
+      InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
+    }
+
+  private def startingPoint: GraftMqOffset =
+    if (opts.startingOffsets == "latest" && !opts.isGenerated)
+      GraftMqOffset(InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets)
+    else GraftMqOffset.initial(opts.numPartitions)
+
+  override def initialOffset(): Offset = startingPoint
+
+  override def deserializeOffset(json: String): Offset = GraftMqOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxRowsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** MicroBatchStream's 1-arg form — the engine calls the admission-control
+    * overload when SupportsAdmissionControl is implemented; mirror Kafka and
+    * delegate rather than throw (the mock throws, CustomMicroBatchStream.java:38-41).
+    */
+  override def latestOffset(): Offset =
+    latestOffset(startingPoint, ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startEnds = start.asInstanceOf[GraftMqOffset].ends
+    val avail = availableEnds
+    GraftMqOffset(applyLimit(startEnds, avail, limit))
+  }
+
+  /** Clamp available ends so total new rows ≤ maxRows, distributing the
+    * budget across partitions proportionally to their backlog — the
+    * `rateLimit` algorithm the reference README walks through for Kafka
+    * (README.md:412-422).
+    */
+  private def applyLimit(start: Map[Int, Long], avail: Map[Int, Long],
+      limit: ReadLimit): Map[Int, Long] = limit match {
+    case _: ReadAllAvailable => avail
+    case mr: ReadMaxRows =>
+      val backlog = avail.map { case (p, end) =>
+        p -> math.max(0L, end - start.getOrElse(p, 0L))
+      }
+      val total = backlog.values.sum
+      if (total <= mr.maxRows) avail
+      else {
+        val budget = mr.maxRows.toDouble / total
+        avail.map { case (p, _) =>
+          val from = start.getOrElse(p, 0L)
+          p -> (from + math.floor(backlog(p) * budget).toLong)
+        }
+      }
+    case composite: CompositeReadLimit =>
+      composite.getReadLimits.foldLeft(avail) { (acc, l) => applyLimit(start, acc, l) }
+    case _ => avail // minRows/maxBytes/maxFiles: not meaningful for this source
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftMqOffset].ends
+    val e = end.asInstanceOf[GraftMqOffset].ends
+    GraftMqPlanner.plan(opts, s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftMqPartitionReaderFactory(opts)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftMqStream[topic=${opts.topic},backend=${opts.backend}]"
+}
+
+/** Shared planning: offset ranges → Spark tasks. Used by both the
+  * micro-batch and batch paths so the range-exactness invariant (every
+  * offset in [start,end) covered exactly once; README.md:424-446) is
+  * tested in one place.
+  */
+object GraftMqPlanner {
+  def plan(opts: GraftMqOptions, start: Map[Int, Long],
+      end: Map[Int, Long]): Array[InputPartition] = {
+    val ranges = end.keys.toSeq.sorted.flatMap { p =>
+      val from = start.getOrElse(p, 0L)
+      val until = end(p)
+      if (until > from) Some((p, from, until)) else None
+    }
+    // minPartitions: split large ranges into more tasks (README.md:431-433),
+    // proportionally to range size so tasks stay balanced.
+    val target = opts.minPartitions.getOrElse(0)
+    val totalRows = ranges.map { case (_, f, u) => u - f }.sum
+    val parts =
+      if (target <= ranges.size || totalRows == 0) ranges
+      else ranges.flatMap { case (p, from, until) =>
+        val rows = until - from
+        val pieces = math.max(1L, math.round(target.toDouble * rows / totalRows)).toInt
+        val step = math.max(1L, math.ceil(rows.toDouble / pieces).toLong)
+        (from until until by step).map(f => (p, f, math.min(until, f + step)))
+      }
+    parts.map { case (p, f, u) =>
+      GraftMqInputPartition(opts.topic, p, f, u, opts): InputPartition
+    }.toArray
+  }
+}
+
+/** Batch (non-streaming) read over a snapshot of the topic — the `toBatch`
+  * parity Kafka has (/root/reference/README.md:268-278). Snapshot end is
+  * captured at Batch construction; generated backend reads one synthetic
+  * batch of rowsPerBatch per partition.
+  */
+class GraftMqBatch(opts: GraftMqOptions) extends Batch {
+  private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) =
+    if (opts.isGenerated) {
+      val s = (0 until opts.numPartitions).map(_ -> 0L).toMap
+      (s, s.map { case (p, _) => p -> opts.rowsPerBatch })
+    } else {
+      val t = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
+      (t.earliestOffsets, t.endOffsets)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftMqPlanner.plan(opts, startEnds, endEnds)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftMqPartitionReaderFactory(opts)
+}

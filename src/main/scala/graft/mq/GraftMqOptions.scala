@@ -1,0 +1,96 @@
+package graft.mq
+
+import org.apache.spark.sql.types._
+
+import java.util.Locale
+
+/** Parsed reader/writer options for the `graft-mq` source.
+  *
+  * Option surface (all case-insensitive, per DSv2 convention):
+  *
+  *  - `topic`              — topic name (default "default")
+  *  - `backend`            — "broker" (in-memory broker logs) or "generated"
+  *                           (pure-function deterministic payloads; nothing
+  *                           materialized — models an unbounded firehose)
+  *  - `numPartitions`      — MQ partition count (default 4)
+  *  - `rowsPerBatch`       — generated backend: rows appended per partition
+  *                           per trigger (default 10)
+  *  - `maxRowsPerBatch`    — admission control: cap on TOTAL rows per
+  *                           micro-batch (→ ReadLimit.maxRows; the
+  *                           `maxOffsetsPerTrigger` analogue from
+  *                           /root/reference/README.md:399-422)
+  *  - `minPartitions`      — split offset ranges into at least this many
+  *                           Spark tasks (README.md:431-433)
+  *  - `seed`               — generated backend determinism seed (default 42)
+  *  - `wordsPerMessage`    — generated backend payload length (default 4)
+  *  - `failOnDataLoss`     — abort vs warn when requested offsets were
+  *                           truncated (README.md:618-631)
+  *  - `includeMetadata`    — emit the Kafka-grade 7-field schema instead of
+  *                           the minimal `value: binary` (README.md:225-234)
+  *  - `startingOffsets`    — "earliest" (default) or "latest"
+  */
+final case class GraftMqOptions(
+    topic: String,
+    backend: String,
+    numPartitions: Int,
+    rowsPerBatch: Long,
+    maxRowsPerBatch: Option[Long],
+    minPartitions: Option[Int],
+    seed: Long,
+    wordsPerMessage: Int,
+    failOnDataLoss: Boolean,
+    includeMetadata: Boolean,
+    startingOffsets: String) extends Serializable {
+  def isGenerated: Boolean = backend == "generated"
+  def schema: StructType =
+    if (includeMetadata) GraftMqOptions.kafkaGradeSchema else GraftMqOptions.minimalSchema
+}
+
+object GraftMqOptions {
+  /** The reference's intended minimal schema — `value: binary`
+    * (/root/reference/src/main/java/org/example/CustomTableProvider.java:14-18,
+    * fixing the discarded-StructType.add defect, SURVEY.md §2.9-1).
+    */
+  val minimalSchema: StructType = StructType(Seq(StructField("value", BinaryType)))
+
+  /** Kafka-grade schema per /root/reference/README.md:225-234. */
+  val kafkaGradeSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  def from(options: java.util.Map[String, String]): GraftMqOptions = {
+    def get(k: String): Option[String] = {
+      val lower = k.toLowerCase(Locale.ROOT)
+      val it = options.entrySet().iterator()
+      var res: Option[String] = None
+      while (it.hasNext && res.isEmpty) {
+        val e = it.next()
+        if (e.getKey.toLowerCase(Locale.ROOT) == lower) res = Some(e.getValue)
+      }
+      res
+    }
+    val backend = get("backend").map(_.toLowerCase(Locale.ROOT)).getOrElse("broker")
+    require(backend == "broker" || backend == "generated",
+      s"graft-mq: unknown backend '$backend' (expected broker|generated)")
+    val starting = get("startingOffsets").map(_.toLowerCase(Locale.ROOT)).getOrElse("earliest")
+    require(starting == "earliest" || starting == "latest",
+      s"graft-mq: unknown startingOffsets '$starting' (expected earliest|latest)")
+    GraftMqOptions(
+      topic = get("topic").getOrElse("default"),
+      backend = backend,
+      numPartitions = get("numPartitions").map(_.toInt).getOrElse(4),
+      rowsPerBatch = get("rowsPerBatch").map(_.toLong).getOrElse(10L),
+      maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
+      minPartitions = get("minPartitions").map(_.toInt),
+      seed = get("seed").map(_.toLong).getOrElse(42L),
+      wordsPerMessage = get("wordsPerMessage").map(_.toInt).getOrElse(4),
+      failOnDataLoss = get("failOnDataLoss").map(_.toBoolean).getOrElse(true),
+      includeMetadata = get("includeMetadata").map(_.toBoolean).getOrElse(false),
+      startingOffsets = starting)
+  }
+}

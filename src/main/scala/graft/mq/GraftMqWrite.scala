@@ -1,0 +1,78 @@
+package graft.mq
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+
+/** Append sink for `graft-mq` — the surface the reference spec names
+  * (/root/reference/README.md:250-259) but its mock refuses
+  * (CustomTable.java:52-54 throws).
+  *
+  * Accepts rows with a `value` column (binary or string; string is UTF-8
+  * encoded) and optional `key`. Rows append round-robin-by-task to the
+  * topic's partitions. Like the Kafka sink, delivery is at-least-once:
+  * writers publish as they go and `commit` is a metadata no-op — a replayed
+  * task re-appends (README.md:462-471 semantics applied to the write side).
+  */
+class GraftMqWriteBuilder(opts: GraftMqOptions, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new GraftMqWrite(opts, schema)
+}
+
+class GraftMqWrite(opts: GraftMqOptions, schema: StructType) extends Write {
+  override def toBatch: BatchWrite = new GraftMqBatchWrite(opts, schema)
+  override def toStreaming: StreamingWrite = new GraftMqStreamingWrite(opts, schema)
+}
+
+class GraftMqBatchWrite(opts: GraftMqOptions, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftMqWriterFactory(opts, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftMqStreamingWrite(opts: GraftMqOptions, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftMqWriterFactory(opts, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GraftMqWriterFactory(opts: GraftMqOptions, schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftMqDataWriter(opts, schema, partitionId)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftMqDataWriter(opts, schema, partitionId)
+}
+
+case class GraftMqCommitMessage(rows: Long) extends WriterCommitMessage
+
+class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val topic = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
+  private val valueIdx = schema.fieldIndex("value")
+  private val valueIsString = schema(valueIdx).dataType == StringType
+  private val keyIdx = if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1
+  private var written = 0L
+
+  require(valueIsString || schema(valueIdx).dataType == BinaryType,
+    s"graft-mq sink: 'value' must be string or binary, got ${schema(valueIdx).dataType}")
+
+  override def write(row: InternalRow): Unit = {
+    val value =
+      if (row.isNullAt(valueIdx)) null
+      else if (valueIsString) row.getUTF8String(valueIdx).toString.getBytes("UTF-8")
+      else row.getBinary(valueIdx)
+    val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
+    topic.append((partitionId % opts.numPartitions + opts.numPartitions) % opts.numPartitions,
+      MqMessage(key, value, written))
+    written += 1
+  }
+
+  override def commit(): WriterCommitMessage = GraftMqCommitMessage(written)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,100 @@
+package graft.mq
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+
+/** A single MQ message. `timestamp` is epoch micros (Spark's native
+  * TimestampType resolution).
+  */
+final case class MqMessage(key: Array[Byte], value: Array[Byte], timestamp: Long)
+
+/** Deterministic, JVM-local message-queue broker backing the `graft-mq`
+  * source and sink in tests and local runs.
+  *
+  * Models the surface of the reference's mock MQ
+  * (/root/reference/src/main/java/org/example/MockInputPartitionReader.java:14-34)
+  * upgraded to real semantics: per-partition append-only logs with
+  * monotonically increasing offsets, exclusive end offsets ("1 + last
+  * available", the Kafka convention the reference README specifies at
+  * README.md:337-344), and optional retention truncation so
+  * `failOnDataLoss` paths are testable.
+  *
+  * Scale note: this broker is intentionally process-local — the unit under
+  * test is the Spark connector (offset math, planning, bounded reads,
+  * recovery), not a network broker. On a real cluster the same connector
+  * classes would speak to a remote MQ; nothing in the planner or reader
+  * assumes broker locality except `BrokerBackend` in
+  * [[GraftMqPartitionReader]].
+  */
+object InMemoryMqBroker {
+
+  final class TopicState(val numPartitions: Int) {
+    private val logs: Array[ArrayBuffer[MqMessage]] =
+      Array.fill(numPartitions)(new ArrayBuffer[MqMessage])
+    /** Offset of the first retained message per partition (grows on truncate). */
+    private val logStart: Array[Long] = Array.fill(numPartitions)(0L)
+
+    def append(partition: Int, msg: MqMessage): Long = synchronized {
+      val log = logs(partition)
+      log += msg
+      logStart(partition) + log.size - 1
+    }
+
+    /** Exclusive end offset per partition. */
+    def endOffsets: Map[Int, Long] = synchronized {
+      (0 until numPartitions).map(p => p -> (logStart(p) + logs(p).size)).toMap
+    }
+
+    def earliestOffsets: Map[Int, Long] = synchronized {
+      (0 until numPartitions).map(p => p -> logStart(p)).toMap
+    }
+
+    /** Read [from, until). Throws [[MqOffsetOutOfRangeException]] if the
+      * range precedes retention (the `failOnDataLoss=true` path).
+      */
+    def read(partition: Int, from: Long, until: Long): IndexedSeq[MqMessage] = synchronized {
+      val start = logStart(partition)
+      if (from < start)
+        throw new MqOffsetOutOfRangeException(
+          s"partition=$partition requested from=$from but earliest retained=$start")
+      val log = logs(partition)
+      val lo = math.max(0L, from - start).toInt
+      val hi = math.min(log.size.toLong, until - start).toInt
+      if (hi <= lo) IndexedSeq.empty else log.slice(lo, hi).toIndexedSeq
+    }
+
+    /** Drop messages below `newStart` on every partition (retention). */
+    def truncateTo(newStart: Long): Unit = synchronized {
+      var p = 0
+      while (p < numPartitions) {
+        val drop = math.max(0L, newStart - logStart(p)).toInt
+        if (drop > 0) {
+          logs(p).remove(0, math.min(drop, logs(p).size))
+          logStart(p) = math.max(logStart(p), newStart)
+        }
+        p += 1
+      }
+    }
+  }
+
+  private val topics = new ConcurrentHashMap[String, TopicState]()
+
+  def getOrCreate(topic: String, numPartitions: Int): TopicState =
+    topics.computeIfAbsent(topic, _ => new TopicState(numPartitions))
+
+  def get(topic: String): Option[TopicState] = Option(topics.get(topic))
+
+  def drop(topic: String): Unit = topics.remove(topic)
+
+  /** Convenience for tests: append UTF-8 string payloads round-robin. */
+  def produceStrings(topic: String, numPartitions: Int, payloads: Seq[String],
+      timestampMicros: Long = 0L): Unit = {
+    val t = getOrCreate(topic, numPartitions)
+    payloads.zipWithIndex.foreach { case (s, i) =>
+      t.append(i % numPartitions,
+        MqMessage(null, s.getBytes("UTF-8"), timestampMicros + i * 1000L))
+    }
+  }
+}
+
+class MqOffsetOutOfRangeException(msg: String) extends RuntimeException(msg)

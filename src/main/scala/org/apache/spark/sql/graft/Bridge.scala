@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column↔Expression conversion.
+  *
+  * Spark 4 removed the public `new Column(expr)` constructor; the blessed
+  * internal path is `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This object lives inside the `org.apache.spark.sql`
+  * package tree solely to re-export those two conversions — the standard
+  * pattern for third-party Catalyst expression libraries. Nothing else in
+  * graft reaches into Spark internals.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

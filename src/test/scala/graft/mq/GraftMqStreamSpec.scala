@@ -1,0 +1,222 @@
+package graft.mq
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** End-to-end Structured Streaming tests for the graft-mq source/sink.
+  *
+  * Covers the reference's demo pipeline (streaming WordCount,
+  * /root/reference/README.md:74-124) plus the semantics the README
+  * specifies but the mock lacks: bounded batches, checkpoint recovery with
+  * no loss/dup (README.md:699-712), admission control (README.md:399-422),
+  * and failOnDataLoss (README.md:618-631).
+  */
+class GraftMqStreamSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming WordCount over broker topic (the reference demo)") {
+    val topic = "wc-demo"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2,
+      Seq("spark stream", "spark batch", "stream stream"))
+
+    import spark.implicits._
+    val lines = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2").load()
+      .select($"value".cast("string")).as[String]
+    val counts = lines.flatMap(_.split(" ")).groupBy("value").count()
+
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("wc_out")
+      .option("checkpointLocation", tmp("wc-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc_out").as[(String, Long)].collect().toMap
+      assert(got == Map("spark" -> 2L, "stream" -> 3L, "batch" -> 1L))
+
+      // Second batch: only the delta is read (offsets advanced).
+      InMemoryMqBroker.produceStrings(topic, 2, Seq("batch batch"))
+      q.processAllAvailable()
+      val got2 = spark.table("wc_out").as[(String, Long)].collect().toMap
+      assert(got2 == Map("spark" -> 2L, "stream" -> 3L, "batch" -> 3L))
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: restart resumes exactly after committed offsets") {
+    val topic = "recover"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2, (1 to 10).map(i => s"m$i"))
+    val ckpt = tmp("rec-ckpt")
+
+    import spark.implicits._
+    def startQuery(sinkName: String) = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2").load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = startQuery("rec_a")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("rec_a").count() == 10)
+
+    // New data lands while the query is down.
+    InMemoryMqBroker.produceStrings(topic, 2, (11 to 15).map(i => s"m$i"))
+
+    val q2 = startQuery("rec_b")
+    try {
+      q2.processAllAvailable()
+      // Restarted query reads ONLY the post-checkpoint delta: no loss, no dup.
+      val recovered = spark.table("rec_b").as[String].collect().toSet
+      assert(recovered == (11 to 15).map(i => s"m$i").toSet)
+    } finally q2.stop()
+  }
+
+  test("admission control: maxRowsPerBatch caps each micro-batch") {
+    val topic = "admission"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 4, (1 to 100).map(i => s"r$i"))
+
+    import spark.implicits._
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "4")
+      .option("maxRowsPerBatch", "30").load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName("adm_out")
+      .option("checkpointLocation", tmp("adm-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      // All 100 rows arrive, but over >= 4 micro-batches of <= 30 rows.
+      assert(spark.table("adm_out").count() == 100)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty)
+      assert(batches.forall(_.numInputRows <= 30),
+        s"batch sizes: ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.length >= 4)
+    } finally q.stop()
+  }
+
+  test("generated backend is deterministic and unbounded") {
+    import spark.implicits._
+    def run(sinkName: String): Seq[String] = {
+      val q = spark.readStream.format("graft-mq")
+        .option("backend", "generated").option("numPartitions", "2")
+        .option("rowsPerBatch", "5").option("seed", "7").load()
+        .select($"value".cast("string")).as[String]
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", tmp("gen-ckpt")).start()
+      try {
+        q.processAllAvailable() // batch 1: 2 partitions x 5 rows
+        spark.table(sinkName).as[String].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    val a = run("gen_a")
+    val b = run("gen_b")
+    assert(a == b, "same seed must replay identical payloads")
+    assert(a.size == 10)
+    assert(a.forall(_.split(" ").forall(GeneratedPayloads.Vocab.contains)))
+  }
+
+  test("batch read + batch write round-trip (toBatch / BATCH_WRITE parity)") {
+    val in = "batch-in"; val out = "batch-out"
+    InMemoryMqBroker.drop(in); InMemoryMqBroker.drop(out)
+    InMemoryMqBroker.produceStrings(in, 3, (1 to 20).map(i => s"b$i"))
+
+    import spark.implicits._
+    val df = spark.read.format("graft-mq")
+      .option("topic", in).option("numPartitions", "3").load()
+    assert(df.schema.fieldNames.toSeq == Seq("value"))
+    assert(df.count() == 20)
+
+    df.write.format("graft-mq")
+      .option("topic", out).option("numPartitions", "2").save()
+    val roundTrip = spark.read.format("graft-mq")
+      .option("topic", out).option("numPartitions", "2").load()
+      .select($"value".cast("string")).as[String].collect().toSet
+    assert(roundTrip == (1 to 20).map(i => s"b$i").toSet)
+  }
+
+  test("kafka-grade metadata schema (includeMetadata)") {
+    val topic = "meta"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2, Seq("x", "y", "z"), timestampMicros = 1000000L)
+    val df = spark.read.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2")
+      .option("includeMetadata", "true").load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("topic") == topic))
+    assert(rows.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).distinct.length == 3)
+  }
+
+  test("failOnDataLoss=true aborts on truncated offsets; false skips") {
+    val topic = "loss"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, (1 to 10).map(i => s"l$i"))
+    val state = InMemoryMqBroker.get(topic).get
+
+    import spark.implicits._
+    // Stream consumed up to offset 10, then retention truncates to 20 while
+    // producer writes 10 more — restart must detect the gap.
+    val ckpt = tmp("loss-ckpt")
+    val q1 = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1").load()
+      .writeStream.format("memory").queryName("loss_a")
+      .option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+
+    InMemoryMqBroker.produceStrings(topic, 1, (11 to 30).map(i => s"l$i"))
+    state.truncateTo(20)
+
+    val q2 = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1").load()
+      .writeStream.format("memory").queryName("loss_b")
+      .option("checkpointLocation", ckpt).start()
+    val failed = intercept[Exception] { q2.processAllAvailable() }
+    assert(failed.getMessage != null)
+    q2.stop()
+
+    val q3 = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("failOnDataLoss", "false").load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.format("memory").queryName("loss_c")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q3.processAllAvailable()
+      val got = spark.table("loss_c").as[String].collect().toSet
+      // Offsets 10..19 were lost to retention; 20..29 survive.
+      assert(got == (21 to 30).map(i => s"l$i").toSet)
+    } finally q3.stop()
+  }
+
+  test("streaming write sink: stream back into a topic") {
+    val src = "sink-src"; val dst = "sink-dst"
+    InMemoryMqBroker.drop(src); InMemoryMqBroker.drop(dst)
+    InMemoryMqBroker.produceStrings(src, 2, Seq("a", "b", "c", "d"))
+
+    import spark.implicits._
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "2").load()
+      .select(upper($"value".cast("string")).as("value"))
+      .writeStream.format("graft-mq")
+      .option("topic", dst).option("numPartitions", "2")
+      .option("checkpointLocation", tmp("sink-ckpt")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.format("graft-mq")
+      .option("topic", dst).option("numPartitions", "2").load()
+      .select($"value".cast("string")).as[String].collect().toSet
+    assert(got == Set("A", "B", "C", "D"))
+  }
+}
