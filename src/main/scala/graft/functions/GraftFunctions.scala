@@ -42,16 +42,23 @@ object GraftFunctions {
 
   /** SQL registrations for [[graft.GraftExtensions]]. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
-    reg("cosine_sim", "cosine similarity of two numeric arrays",
+    reg("cosine_sim", classOf[CosineSimilarity],
+      "_FUNC_(a, b) - cosine similarity of two numeric arrays",
       es => CosineSimilarity(es.head, es(1))),
-    reg("dot_product", "dot product of two numeric arrays",
+    reg("dot_product", classOf[DotProduct],
+      "_FUNC_(a, b) - dot product of two numeric arrays",
       es => DotProduct(es.head, es(1))),
-    reg("l2_norm", "l2 norm of a numeric array", es => L2Norm(es.head)),
-    reg("simhash60", "60-bit md5-derived simhash of a token array",
+    reg("l2_norm", classOf[L2Norm],
+      "_FUNC_(a) - l2 norm of a numeric array", es => L2Norm(es.head)),
+    reg("simhash60", classOf[SimHash60],
+      "_FUNC_(tokens) - 60-bit md5-derived simhash of a token array",
       es => SimHash60(es.head)),
-    reg("fnv64", "64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
+    reg("fnv64", classOf[Fnv64],
+      "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
 
-  private def reg(name: String, usage: String,
+  // ExpressionInfo's 3-arg ctor is (className, db, name) — passing usage
+  // there garbles DESCRIBE FUNCTION (ADVICE r01 low); use the 5-arg form.
+  private def reg(name: String, cls: Class[_], usage: String,
       b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), b)
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, null, name, usage, ""), b)
 }

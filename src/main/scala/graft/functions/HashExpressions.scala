@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,9 +95,10 @@ object HashUtil {
 
 /** simhash60(array<string>) → long. */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -111,10 +113,11 @@ case class SimHash60(child: Expression)
 
 /** minhash_signature(array<string>, k, seed) → array<long>. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   require(k > 0, "minhash_signature: k must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -129,9 +132,10 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
 /** fnv64(string) → long. */
 case class Fnv64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv64"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     HashUtil.fnv64(input.asInstanceOf[UTF8String].getBytes)

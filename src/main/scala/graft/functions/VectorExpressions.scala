@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Vector (numeric-array) expressions for the similarity-search operators.
@@ -18,7 +19,16 @@ import org.apache.spark.sql.types._
   * elements count as 0. Mismatched lengths or zero norms yield NULL
   * (defensive — upstream data should not produce them).
   */
-trait VectorArrayCodegen { self: Expression =>
+trait VectorArrayCodegen extends ExpectsInputTypes { self: Expression =>
+  /** array<float> | array<double>; anything else (or a non-array) is an
+    * AnalysisException at analysis time, with implicit casts for SQL
+    * callers — not a codegen-time ClassCastException (ADVICE r01 low).
+    */
+  // def, not val: TypeCollection is not Serializable, and a stored val
+  // ships with the expression to executors → Task not serializable.
+  protected def acceptedVector: Bridge.AbstractType =
+    Bridge.typeCollection(ArrayType(DoubleType), ArrayType(FloatType))
+
   protected def elemType(t: DataType): DataType =
     t.asInstanceOf[ArrayType].elementType
 
@@ -44,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(acceptedVector, acceptedVector)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -94,6 +105,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(acceptedVector, acceptedVector)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -134,6 +146,7 @@ case class L2Norm(child: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_norm"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(acceptedVector)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

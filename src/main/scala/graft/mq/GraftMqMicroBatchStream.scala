@@ -16,22 +16,50 @@ import org.apache.spark.sql.connector.read.streaming._
   * lives in the engine's checkpoint, not the connector.
   */
 class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl with Logging {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with Logging {
 
   // Generated backend: the virtual log head advances rowsPerBatch per
   // partition on each latestOffset poll. Tracked driver-side only; replay
-  // of an already-planned range is pure-function deterministic.
+  // of an already-planned range is pure-function deterministic. On query
+  // restart the head must resume from the engine-restored start offset —
+  // not zeros — or already-committed ranges would be re-planned and
+  // re-emitted (duplicate output; ADVICE r01 high).
   private var generatedHead: Option[GraftMqOffset] = None
 
-  private def availableEnds: Map[Int, Long] =
-    if (opts.isGenerated) {
-      val prev = generatedHead.getOrElse(startingPoint)
-      val next = prev.ends.map { case (p, o) => p -> (o + opts.rowsPerBatch) }
-      generatedHead = Some(GraftMqOffset(next))
-      next
-    } else {
-      InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
-    }
+  // Trigger.AvailableNow (Kafka parity): `prepareForTriggerAvailableNow`
+  // arms the stream; the first latestOffset call then freezes "all data as
+  // of query start" as a fixed target, and every batch (still rate-limited
+  // by maxRowsPerBatch) drains toward it until end==target, where the
+  // engine stops the query.
+  private var availableNowArmed = false
+  private var availableNowTarget: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowArmed = true
+    availableNowTarget = None
+  }
+
+  private def availableEnds(start: GraftMqOffset): Map[Int, Long] = {
+    val avail =
+      if (opts.isGenerated) {
+        val head = generatedHead.getOrElse(start).ends
+        val next = start.ends.map { case (p, o) =>
+          p -> (math.max(o, head.getOrElse(p, o)) + opts.rowsPerBatch)
+        }
+        generatedHead = Some(GraftMqOffset(next))
+        next
+      } else {
+        InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
+      }
+    if (availableNowArmed) {
+      val target = availableNowTarget.getOrElse {
+        val t = avail; availableNowTarget = Some(t); t
+      }
+      // Clamp to the frozen snapshot, but never below the restored start.
+      target.map { case (p, o) => p -> math.max(o, start.ends.getOrElse(p, 0L)) }
+    } else avail
+  }
 
   private def startingPoint: GraftMqOffset =
     if (opts.startingOffsets == "latest" && !opts.isGenerated)
@@ -53,9 +81,8 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
     latestOffset(startingPoint, ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startEnds = start.asInstanceOf[GraftMqOffset].ends
-    val avail = availableEnds
-    GraftMqOffset(applyLimit(startEnds, avail, limit))
+    val s = start.asInstanceOf[GraftMqOffset]
+    GraftMqOffset(applyLimit(s.ends, availableEnds(s), limit))
   }
 
   /** Clamp available ends so total new rows ≤ maxRows, distributing the
@@ -76,7 +103,12 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
         val budget = mr.maxRows.toDouble / total
         avail.map { case (p, _) =>
           val from = start.getOrElse(p, 0L)
-          p -> (from + math.floor(backlog(p) * budget).toLong)
+          val share = backlog(p) * budget
+          // Sub-1 shares round UP (Kafka's rateLimit rule): otherwise, with
+          // maxRows < #backlogged partitions, every share floors to 0 and
+          // the stream never advances (ADVICE r01 medium).
+          val take = if (share < 1) math.ceil(share) else math.floor(share)
+          p -> (from + take.toLong)
         }
       }
     case composite: CompositeReadLimit =>

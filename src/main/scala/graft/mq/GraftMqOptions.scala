@@ -28,6 +28,9 @@ import java.util.Locale
   *  - `includeMetadata`    — emit the Kafka-grade 7-field schema instead of
   *                           the minimal `value: binary` (README.md:225-234)
   *  - `startingOffsets`    — "earliest" (default) or "latest"
+  *  - `defaultTimestampMicros` — sink: timestamp stamped on written
+  *                           messages when the written schema has no
+  *                           `timestamp` column (epoch micros)
   */
 final case class GraftMqOptions(
     topic: String,
@@ -40,7 +43,8 @@ final case class GraftMqOptions(
     wordsPerMessage: Int,
     failOnDataLoss: Boolean,
     includeMetadata: Boolean,
-    startingOffsets: String) extends Serializable {
+    startingOffsets: String,
+    defaultTimestampMicros: Long = 1700000000000000L) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType =
     if (includeMetadata) GraftMqOptions.kafkaGradeSchema else GraftMqOptions.minimalSchema
@@ -91,6 +95,8 @@ object GraftMqOptions {
       wordsPerMessage = get("wordsPerMessage").map(_.toInt).getOrElse(4),
       failOnDataLoss = get("failOnDataLoss").map(_.toBoolean).getOrElse(true),
       includeMetadata = get("includeMetadata").map(_.toBoolean).getOrElse(false),
-      startingOffsets = starting)
+      startingOffsets = starting,
+      defaultTimestampMicros =
+        get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L))
   }
 }

@@ -3,7 +3,7 @@ package graft.mq
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType, TimestampType}
 
 /** Append sink for `graft-mq` — the surface the reference spec names
   * (/root/reference/README.md:250-259) but its mock refuses
@@ -49,6 +49,12 @@ case class GraftMqWriterFactory(opts: GraftMqOptions, schema: StructType)
 
 case class GraftMqCommitMessage(rows: Long) extends WriterCommitMessage
 
+/** Message timestamps: taken from the row's `timestamp` column
+  * (TimestampType, epoch micros) when the written schema has one —
+  * Kafka-sink behavior — otherwise every message gets the fixed
+  * ingest-time from the `defaultTimestampMicros` option (ADVICE r01 low:
+  * the per-task row counter is NOT a timestamp).
+  */
 class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: Int)
     extends DataWriter[InternalRow] {
 
@@ -56,6 +62,8 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
   private val valueIdx = schema.fieldIndex("value")
   private val valueIsString = schema(valueIdx).dataType == StringType
   private val keyIdx = if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1
+  private val tsIdx =
+    schema.fields.indexWhere(f => f.name == "timestamp" && f.dataType == TimestampType)
   private var written = 0L
 
   require(valueIsString || schema(valueIdx).dataType == BinaryType,
@@ -67,8 +75,10 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
       else if (valueIsString) row.getUTF8String(valueIdx).toString.getBytes("UTF-8")
       else row.getBinary(valueIdx)
     val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
+    val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx)
+             else opts.defaultTimestampMicros
     topic.append((partitionId % opts.numPartitions + opts.numPartitions) % opts.numPartitions,
-      MqMessage(key, value, written))
+      MqMessage(key, value, ts))
     written += 1
   }
 

@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, fingerprint,
+  * SimHash-banded, MinHash-LSH, and exact n-gram-Jaccard — each expressed
+  * as shuffle-frugal DataFrame combinators (north star, SURVEY.md §2.8).
+  *
+  * Scale design (the point at 100 TB):
+  *  - candidate generation is always an EQUI-JOIN on a small key (band
+  *    value / shingle) — never a cross join — so Spark plans a shuffled
+  *    hash join keyed by band, and each reducer sees only one bucket;
+  *  - per-document work (hashing, signatures) is a map-side projection;
+  *  - the verify step runs only on candidate pairs, which banding keeps
+  *    ~linear in the number of true near-dups;
+  *  - skew guard: a `df(bucket)`-style cap drops degenerate buckets
+  *    (e.g. an all-common shingle) instead of letting one reducer explode.
+  */
+object DedupOps {
+
+  /** Pairs `(doc_a, doc_b)` (a<b) whose SimHash60 fingerprints differ by at
+    * most `maxHamming` bits. Banding gives exactness-by-pigeonhole: with 4
+    * bands of 15 bits, any pair within hamming distance 3 must agree on a
+    * full band, so the band equi-join's candidate set provably contains
+    * every qualifying pair; `bit_count(xor)` then verifies exactly.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < 4, "4 bands of 15 bits guarantee recall only for hamming <= 3")
+    // persist(): the fingerprint must be computed once per DOCUMENT. Left
+    // lazy, the optimizer inlines the hash expression into the pair-join
+    // filter and recomputes it per CANDIDATE PAIR — O(pairs) hashing
+    // instead of O(docs). Same pattern as Spark ML's LSH models.
+    val sh = docs.select(
+      col(idCol).as("id"),
+      GraftFunctions.simhash60(TextOps.tokens(col(textCol))).as("simhash"))
+      .persist()
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7fffL)).as("bval"))): _*))
+          .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** MinHash-LSH near-dup pairs over word-`n`-gram shingles, verified with
+    * EXACT Jaccard ≥ `threshold` on the candidate pairs. `bands`×`rowsPerBand`
+    * minhashes; a pair is a candidate iff some band of its signatures
+    * matches exactly (probability 1-(1-j^r)^b — at j=0.9, b=16, r=4 the miss
+    * rate is ~4e-8, i.e. recall is 1 in practice while candidates stay
+    * ~linear).
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3, seed: Long = 42L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = shingleSets(docs, shingleN, idCol, textCol)
+    val sigs = base.select(col("id"), col("sh"),
+      GraftFunctions.minhash_signature(col("sh"), k, seed).as("sig"))
+    // Band key: the r signature values of the band, stringified — an exact
+    // match of all r minhashes. (Banding into a single long via slice+hash.)
+    val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, base, threshold)
+  }
+
+  /** Exact n-gram-Jaccard pairs via a shingle inverted index: explode
+    * distinct shingles, self-equi-join on the shingle, count shared
+    * shingles per pair (= |intersection|), then Jaccard from the per-doc
+    * set sizes. No cross join anywhere; `maxShingleDf` drops degenerate
+    * ubiquitous shingles (stopword-run guard) — at this data's vocabulary
+    * no shingle comes close, so the result is still exact.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
+      maxShingleDf: Int = 1000000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = shingleSets(docs, shingleN, idCol, textCol)
+    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+    val inv = base.select(col("id"), explode(col("sh")).as("shingle"))
+    val filtered = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("id"), col("shingle"))
+    val a = filtered.as("a"); val b = filtered.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-document distinct shingle sets, PERSISTED: shingling is the
+    * expensive per-doc map, and it is consumed multiple times (signature,
+    * band explode, and the doc_a/doc_b sides of pair verification).
+    * Without the persist the optimizer inlines the shingle expression into
+    * each consumer — including per-pair join filters — turning O(docs)
+    * shingling into O(pairs). Tokenization is a separate bound projection
+    * so the split() runs once per doc, not once per lambda reference.
+    */
+  private def shingleSets(docs: DataFrame, shingleN: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col("id"), TextOps.shinglesFromTokens(col("tk"), shingleN).as("sh"))
+      .persist()
+
+  /** Exact-Jaccard verification of candidate pairs: join shingle sets back
+    * and compute |∩|/|∪| with array built-ins (codegen'd, no UDF).
+    */
+  private def verifyJaccard(candidates: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(base.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Embedding near-dup pairs: cosine ≥ `threshold` over all pairs (a<b).
+    * Brute force by broadcast nested-loop — correct baseline at test scale;
+    * the 100 TB path swaps candidate generation for [[SimilarityOps]]' LSH
+    * buckets while keeping this verify step.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with a typed metadata struct, processed batch-wise in executors.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batch iteration,
+  * record shape — is real and tested; the actual media decode is STUBBED
+  * with a deterministic fake (this container has no image/audio codecs):
+  * `decodeStub` derives "features" purely from the byte payload, so the
+  * pipeline is reproducible and oracle-checkable end to end. Swapping the
+  * stub for a JNI/codec call changes ONE function, not the plumbing.
+  *
+  * Scale notes: records flow through `mapPartitions` in micro-batches of
+  * `DecodeBatchSize` (the shape a vectorized decoder wants — amortizes
+  * model/codec init per batch, not per row), and the map is stateless so
+  * Spark can repartition freely upstream; no shuffle is introduced.
+  */
+object MultimodalOps {
+
+  val DecodeBatchSize = 64
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      format: String, n_bytes: Int)
+
+  /** Stub "decoded features" — deterministic functions of the payload
+    * (md5, size-derived fake dimensions). A real decoder would return
+    * width/height/duration/frames from the codec instead.
+    */
+  final case class DecodedMedia(doc_id: Long, n_bytes: Int, format: String,
+      fake_width: Int, fake_height: Int, fake_frames: Long, content_md5: String)
+
+  /** documents.text → (binary payload, metadata) — the ingest shape for any
+    * media column (same opaque-binary model as the MQ `value` column,
+    * SURVEY.md §1.2).
+    */
+  def toMediaRecords(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("utf8-text").as("format"),
+      length(encode(col("text"), "UTF-8")).as("n_bytes"))
+
+  /** The decode stage: batch-wise mapPartitions over typed records.
+    * ??? -> the real codec call; `decodeStub` stands in deterministically.
+    */
+  def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // A real implementation hands `batch` to a vectorized decoder here.
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Deterministic fake decode: features derived only from the bytes. */
+  def decodeStub(r: MediaRecord): DecodedMedia = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.payload).map(b => f"$b%02x").mkString
+    DecodedMedia(
+      doc_id = r.doc_id,
+      n_bytes = r.n_bytes,
+      format = r.format,
+      fake_width = r.n_bytes % 64,
+      fake_height = (r.n_bytes / 64) % 64,
+      fake_frames = r.n_bytes.toLong / 256L,
+      content_md5 = hex)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (north star, SURVEY.md §2.8).
+  *
+  * Scale design: brute force broadcasts the (small) QUERY side and streams
+  * the corpus — one pass, no shuffle until the per-query top-k; cosine is a
+  * codegen'd native expression ([[graft.functions.CosineSimilarity]]), so
+  * the hot loop is a primitive double loop inside WholeStageCodegen. The
+  * LSH variant buckets both sides by signature so each corpus row is
+  * scored only against queries sharing a bucket — the candidate volume
+  * drops from |Q|·|C| to the bucket-collision volume, which is what makes
+  * 100 TB×top-k tractable; recall is tunable via tables×bits.
+  */
+object SimilarityOps {
+
+  /** Exact top-k neighbors (cosine) of each query vector.
+    *
+    * @param queries (query_id, vector) — small side, broadcast
+    * @param corpus  (vec_id, vector) — large side, streamed
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("query_id"), col("qv"))
+    val c = corpus.select(col("vec_id"), col("cv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: sign pattern for signature bit
+    * `bit` over dimension `dim` derived from splitmix64 — reproducible
+    * across runs/JVMs with no stored model.
+    */
+  private def hyperplaneSign(bit: Int, dims: Int): Seq[Int] =
+    (0 until dims).map { d =>
+      val h = graft.functions.HashUtil.mix64(0x5ee9L * (bit.toLong << 20) + d)
+      if (h < 0) -1 else 1
+    }
+
+  /** Random-hyperplane (SimHash-for-vectors) signature: `bits`-bit int
+    * column. Two vectors' signatures agree on a bit with probability
+    * 1 - angle/π — near-identical vectors land in the same bucket.
+    */
+  def withLshSignature(df: DataFrame, vecCol: String, dims: Int,
+      bits: Int = 16, table: Int = 0): DataFrame = {
+    val v = col(vecCol)
+    val sig = (0 until bits).map { b =>
+      val signs = hyperplaneSign(table * bits + b, dims)
+      // dot(v, hyperplane) > 0 → bit set; hyperplane entries are ±1 so the
+      // dot product is a signed sum of elements — computed with
+      // aggregate() over the array, fully codegen-friendly.
+      val dot = (0 until dims).map { d =>
+        val e = element_at(v, d + 1).cast("double")
+        if (signs(d) > 0) e else -e
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn(s"lsh_sig_$table", sig)
+  }
+
+  /** LSH-bucketed approximate top-k: queries and corpus are both signed
+    * with `tables` independent signatures; candidates = rows sharing any
+    * bucket; exact cosine re-ranks candidates. Returns the same shape as
+    * [[bruteForceTopK]] (possibly with < k rows per query when recall
+    * misses).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+      bits: Int = 12, tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    def signed(df: DataFrame, vecCol: String): DataFrame =
+      (0 until tables).foldLeft(df)((d, t) => withLshSignature(d, vecCol, dims, bits, t))
+    def buckets(df: DataFrame, idCols: Seq[String], vecCol: String): DataFrame =
+      signed(df, vecCol).select(
+        (idCols.map(col) :+ col(vecCol) :+
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk")): _*)
+        .select((idCols.map(col) :+ col(vecCol) :+ col("bk.t") :+ col("bk.sig")): _*)
+    // persist(): signatures are expensive per-row projections consumed by
+    // the join; left lazy they'd be inlined and recomputed per candidate.
+    val qb = buckets(queries, Seq("query_id"), "qv").persist()
+    val cb = buckets(corpus, Seq("vec_id"), "cv").persist()
+    val candidates = cb.join(broadcast(qb), Seq("t", "sig"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select("query_id", "vec_id", "qv", "cv")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    candidates
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Within-label vs cross-label cosine statistics over all pairs (a<b) —
+    * an embedding-space sanity metric. Cosines are summed as
+    * decimal(18,12) so the aggregate is exact and order-independent
+    * (double summation would be nondeterministic under Spark's partial
+    * aggregation order).
+    */
+  def labelPairStats(emb: DataFrame): DataFrame = {
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      col("label").as("la"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      col("label").as("lb"))
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .withColumn("grp", when(col("la") === col("lb"), lit("within")).otherwise(lit("cross")))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("cos").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_cosine"),
+        round(max(col("cos")), 6).as("max_cosine"))
+      .select(col("grp"), col("n_pairs"), col("avg_cosine"), col("max_cosine"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over a `documents`-shaped
+  * table (`doc_id`, `text`, `lang`, `source`, `n_chars`) — tokenization,
+  * shingling, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`split`, higher-order
+  * `transform`/`filter`, `md5`) — no UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with document count: no
+  * shuffle is introduced until an (optional) aggregation, which makes these
+  * maps embarrassingly parallel at 100 TB.
+  *
+  * Capability owed by the north star (SURVEY.md §2.8); the reference itself
+  * has only the whitespace tokenizer of its WordCount demo
+  * (/root/reference/README.md:84-86).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (the reference demo's tokenizer,
+    * README.md:84-85, as a column expression).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (dedup/jaccard building block). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (space-joined), the MinHash/Jaccard unit.
+    * Docs shorter than n yield empty.
+    *
+    * IMPORTANT for callers: pass a *bound token column* (a projected
+    * `tokens(...)` column), not an inline `split(...)` expression — the
+    * lambda references the token array n+2 times, and an inline expression
+    * would be re-evaluated (re-splitting the text) at every reference,
+    * and again for every consumer the optimizer inlines this into.
+    */
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column = {
+    require(n >= 1)
+    val idx = sequence(lit(0), size(tk) - n) // inclusive
+    val joined = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*))
+    when(size(tk) >= n, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def shingles(text: Column, n: Int = 3): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Per-document token statistics: whitespace tokens, regex (BPE-ish)
+    * tokens `\w+|[^\w\s]`, distinct count, mean token length.
+    */
+  def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    docs
+      .withColumn("n_tokens", size(tk))
+      .withColumn("n_unique_tokens", size(array_distinct(tk)))
+      .withColumn("n_regex_tokens",
+        size(expr(s"regexp_extract_all($textCol, '\\\\w+|[^\\\\w\\\\s]', 0)")))
+  }
+
+  /** Stopword lists for the language-ID heuristic: tiny, deterministic,
+    * SQL-expressible (so an external oracle can recompute the prediction).
+    */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "de" -> Seq("der", "die", "und", "von", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "que", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "que", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4", "you3"))
+
+  private def hits(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isin(words: _*)))
+
+  /** Content-based language-ID heuristic: count stopword hits per language,
+    * predict the argmax (ties break in [[StopwordsByLang]] order, zero hits
+    * → "und" for undetermined). Adds `pred_lang` + per-language hit counts.
+    */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val withHits = StopwordsByLang.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", hits(tk, words))
+    }
+    val langs = StopwordsByLang.map(_._1)
+    // argmax with first-wins tie-break: lang L wins iff its hits are > 0 and
+    // >= every later lang and > every earlier lang (earlier already chosen).
+    val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
+      val h = col(s"hits_$lang")
+      val beatsRest = langs.zipWithIndex.collect {
+        case (other, j) if j > i => h >= col(s"hits_$other")
+      }.foldLeft(h > 0)(_ && _)
+      when(beatsRest, lit(lang)).otherwise(elseCol)
+    }
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Quality score in [0,1]: length saturation + lexical diversity +
+    * non-stopword density. Deterministic double arithmetic (all terms are
+    * ratios of small ints — exactly reproducible in any engine).
+    */
+  def withQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk).cast("double")
+    val nUniq = size(array_distinct(tk)).cast("double")
+    val enStops = StopwordsByLang.head._2
+    val nStop = hits(tk, enStops).cast("double")
+    docs
+      .withColumn("uniq_ratio", round(nUniq / nTok, 6))
+      .withColumn("stop_ratio", round(nStop / nTok, 6))
+      .withColumn("quality_score",
+        round(least(nTok / lit(100.0), lit(1.0)) * 0.4
+          + (nUniq / nTok) * 0.4
+          + (lit(1.0) - nStop / nTok) * 0.2, 6))
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over word-3-gram
+    * shingles — a deterministic, engine-independent stand-in for a rolling
+    * (winnowing-style) hash; identical texts ⇒ identical fingerprints, and
+    * near-identical texts collide with probability ~ shingle overlap.
+    */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint",
+      array_min(transform(shingles(col(textCol)), s => md5(s))))
+}

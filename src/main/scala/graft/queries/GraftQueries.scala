@@ -1,0 +1,637 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator/query library: every operator from SURVEY.md §2 plus the
+  * north-star LLM-pipeline extensions, each as a DataFrame query over the
+  * driver's parquet tables with (where SQL-expressible) a DuckDB oracle.
+  *
+  * Determinism contract (the driver hash-compares values): every query has
+  * a total-order `orderBy`, every aggregate over 2-decimal doubles goes
+  * through exact decimal(18,2) arithmetic before a final cast to double,
+  * every ratio is `round(..., 6)`, and window/top-k orderings carry a
+  * unique tie-break key. Column names are aliased identically on both
+  * sides.
+  */
+object GraftQueries {
+
+  final case class Q(name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: double → decimal(18,2) (exact for 2-dp data) →
+    * order-independent decimal sum → double. Identical in DuckDB.
+    */
+  private def dsum(c: String): String =
+    s"cast(sum(cast($c as decimal(18,2))) as double)"
+  private val revenue =
+    "cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))"
+
+  // ---------------------------------------------------------------- core
+
+  private val q01 = Q("q01_pricing_summary",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr(s"${dsum("l_quantity")}").as("sum_qty"),
+        expr(s"${dsum("l_extendedprice")}").as("sum_base_price"),
+        expr(s"cast(sum($revenue) as double)").as("sum_disc_price"),
+        expr(s"cast(sum($revenue * (1 + cast(l_tax as decimal(18,2)))) as double)")
+          .as("sum_charge"),
+        expr(s"round(${dsum("l_quantity")} / count(*), 6)").as("avg_qty"),
+        expr(s"round(${dsum("l_discount")} / count(*), 6)").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsum("l_quantity")} AS sum_qty,
+        ${dsum("l_extendedprice")} AS sum_base_price,
+        cast(sum($revenue) as double) AS sum_disc_price,
+        cast(sum($revenue * (1 + cast(l_tax as decimal(18,2)))) as double) AS sum_charge,
+        round(${dsum("l_quantity")} / count(*), 6) AS avg_qty,
+        round(${dsum("l_discount")} / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q02 = Q("q02_filter_pushdown",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("2001-03-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '2001-01-01' AND l_shipdate < timestamp '2001-03-01'
+        AND l_discount >= 0.05 AND l_quantity < 25
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q03 = Q("q03_topk_orders",
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  private val q04 = Q("q04_segment_revenue",
+    (s, dir) => t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        expr(s"${dsum("o_totalprice")}").as("total_revenue"))
+      .orderBy("c_mktsegment"),
+    Some(s"""
+      SELECT c_mktsegment, count(*) AS n_orders, ${dsum("o_totalprice")} AS total_revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val q05 = Q("q05_region_nation_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy("r_name", "n_name")
+      .agg(expr(s"cast(sum($revenue) as double)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name"),
+    Some(s"""
+      SELECT r_name, n_name, cast(sum($revenue) as double) AS revenue, count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  private val q06 = Q("q06_semi_join_nations",
+    (s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer")
+        .join(big, Seq("c_custkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      GROUP BY n_name ORDER BY n_name"""))
+
+  private val q07 = Q("q07_anti_join_customers",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val q08 = Q("q08_top_orders_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("int").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, cast(rn as int) AS rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  private val q09 = Q("q09_running_revenue",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        cast(sum(cast(o_totalprice as decimal(18,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+          AS running_total
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  private val q10 = Q("q10_distinct_counts",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val q11 = Q("q11_rollup_qty",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        expr(s"${dsum("l_quantity")}").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        cast(grouping(l_returnflag) as int) AS g_rf,
+        cast(grouping(l_linestatus) as int) AS g_ls,
+        count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val q12 = Q("q12_cube_counts",
+    (s, dir) => t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pr"),
+        count(lit(1)).as("n"))
+      .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n")
+      .orderBy(col("g_st"), col("g_pr"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        cast(grouping(o_orderstatus) as int) AS g_st,
+        cast(grouping(o_orderpriority) as int) AS g_pr,
+        count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  private val q13 = Q("q13_setops_customers",
+    (s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(big).withColumn("tag", lit("both"))
+        .unionByName(building.except(big).withColumn("tag", lit("only_building")))
+        .select("tag", "c_custkey")
+        .orderBy("tag", "c_custkey")
+    },
+    Some("""
+      SELECT 'both' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000) a
+      UNION ALL
+      SELECT 'only_building' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000) b
+      ORDER BY tag, c_custkey"""))
+
+  private val q14 = Q("q14_promo_share",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(expr(s"""round(100.0 *
+          cast(sum(CASE WHEN p_type = 'PROMO' THEN $revenue ELSE NULL END) as double)
+          / cast(sum($revenue) as double), 6)""").as("promo_share"),
+        count(lit(1)).as("n_items")),
+    Some(s"""
+      SELECT round(100.0 *
+          cast(sum(CASE WHEN p_type = 'PROMO' THEN $revenue ELSE NULL END) as double)
+          / cast(sum($revenue) as double), 6) AS promo_share,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey"""))
+
+  private val q15 = Q("q15_json_events",
+    (s, dir) => {
+      val k = from_json(col("props"), lit("k INT")).getField("k")
+      t(s, dir, "events")
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr(s"round(${dsum("value")} / count(*), 6)").as("avg_value"),
+          count(when(col("k") > 50, 1)).as("n_high_k"),
+          min(col("k")).cast("int").as("min_k"),
+          max(col("k")).cast("int").as("max_k"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n_events,
+        round(${dsum("value")} / count(*), 6) AS avg_value,
+        count(CASE WHEN cast(json_extract_string(props, '$$.k') as int) > 50 THEN 1 END) AS n_high_k,
+        cast(min(cast(json_extract_string(props, '$$.k') as int)) as int) AS min_k,
+        cast(max(cast(json_extract_string(props, '$$.k') as int)) as int) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val q16 = Q("q16_monthly_orders",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(s"${dsum("o_totalprice")}").as("total_revenue"))
+      .orderBy("month"),
+    Some(s"""
+      SELECT cast(date_trunc('month', o_orderdate) as date) AS month,
+        count(*) AS n_orders,
+        ${dsum("o_totalprice")} AS total_revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  private val q17 = Q("q17_priority_large_orders",
+    (s, dir) => {
+      val bigKeys = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") > 5)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders").join(bigKeys, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) > 5)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val q18 = Q("q18_part_stats",
+    (s, dir) => t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        expr(s"round(${dsum("p_retailprice")} / count(*), 6)").as("avg_price"),
+        max(length(col("p_name"))).cast("int").as("max_name_len"),
+        min(upper(substring(col("p_name"), 1, 3))).as("first_prefix"))
+      .orderBy("p_brand"),
+    Some(s"""
+      SELECT p_brand, count(*) AS n_parts,
+        count(DISTINCT p_type) AS n_types,
+        round(${dsum("p_retailprice")} / count(*), 6) AS avg_price,
+        cast(max(length(p_name)) as int) AS max_name_len,
+        min(upper(substr(p_name, 1, 3))) AS first_prefix
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  // events.ts reads as long nanos (see Verify's nanosAsLong config); the
+  // oracle's epoch_ns() yields the identical integers.
+  private val q19 = Q("q19_user_sessions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("prev").isNull
+            || col("ts") - col("prev") > 1800000000000L, 1))
+            .as("n_sessions"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT user_id, count(*) AS n_events,
+        count(CASE WHEN prev IS NULL
+                     OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 END)
+          AS n_sessions
+      FROM x GROUP BY user_id ORDER BY user_id"""))
+
+  // ------------------------------------------------------------- dedup
+
+  private val d01 = Q("dedup_exact_stats",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"))
+      .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        count(*) - count(DISTINCT text) AS n_exact_dups
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  private val d02 = Q("dedup_fingerprint_md5",
+    (s, dir) => t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_fingerprints"),
+        countDistinct(substring(md5(col("text")), 1, 8)).as("n_prefix8")),
+    Some("""
+      SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_fingerprints,
+        count(DISTINCT substr(md5(text), 1, 8)) AS n_prefix8
+      FROM documents"""))
+
+  private val d03 = Q("dedup_simhash_pairs",
+    (s, dir) => DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM tok),
+      bits AS (SELECT doc_id, j,
+          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+      sh AS (SELECT doc_id,
+          sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
+  /** Exact-Jaccard oracle shared by the MinHash-LSH and inverted-index
+    * implementations (both must produce the exact ≥0.5 pair set — the data
+    * has no pairs in [0.2, 0.9), so LSH recall is exact in practice).
+    */
+  private val jaccardOracle = """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""
+
+  private val d04 = Q("dedup_minhash_lsh",
+    (s, dir) => DedupOps.minhashLshPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(jaccardOracle))
+
+  private val d05 = Q("dedup_jaccard_exact",
+    (s, dir) => DedupOps.jaccardPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(jaccardOracle))
+
+  private val d06 = Q("dedup_embedding_pairs",
+    (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("vec_a", "vec_b"),
+    Some("""
+      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM t a JOIN t b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      ORDER BY vec_a, vec_b"""))
+
+  // -------------------------------------------------------- similarity
+
+  private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    (emb.filter(col("vec_id") < 10)
+       .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+     emb.select(col("vec_id"), col("embedding").as("cv")))
+  }
+
+  private val s01 = Q("sim_topk_bruteforce",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.bruteForceTopK(q, c, k = 5).orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, t.v) AS cos
+        FROM q, t WHERE t.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, cast(rank as int) AS rank, neighbor_id,
+        round(cos, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // LSH path: approximate — no SQL oracle (rows-only check); its recall vs
+  // brute force is asserted in OpsSpec instead.
+  private val s02 = Q("sim_topk_lsh",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.lshTopK(q, c, k = 5, dims = 64).orderBy("query_id", "rank")
+    },
+    None)
+
+  private val s03 = Q("sim_label_stats",
+    (s, dir) => SimilarityOps.labelPairStats(t(s, dir, "embeddings")).orderBy("grp"),
+    Some("""
+      WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT CASE WHEN a.label = b.label THEN 'within' ELSE 'cross' END AS grp,
+              list_cosine_similarity(a.v, b.v) AS cos
+            FROM t a JOIN t b ON a.vec_id < b.vec_id)
+      SELECT grp, count(*) AS n_pairs,
+        round(cast(sum(cast(cos as decimal(18,12))) as double) / count(*), 6) AS avg_cosine,
+        round(max(cos), 6) AS max_cosine
+      FROM p GROUP BY grp ORDER BY grp"""))
+
+  // -------------------------------------------------------------- text
+
+  private val x01 = Q("text_stats_by_lang",
+    (s, dir) => TextOps.withTokenStats(t(s, dir, "documents"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("round(cast(sum(n_tokens) as double) / count(*), 6)").as("avg_tokens"),
+        expr("round(cast(sum(n_chars) as double) / count(*), 6)").as("avg_chars"),
+        max(col("n_tokens")).cast("int").as("max_tokens"))
+      .orderBy("lang"),
+    Some("""
+      WITH d AS (SELECT lang, cast(len(string_split(text, ' ')) as int) AS n_tokens, n_chars
+                 FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        cast(sum(n_tokens) as bigint) AS total_tokens,
+        round(cast(sum(n_tokens) as double) / count(*), 6) AS avg_tokens,
+        round(cast(sum(n_chars) as double) / count(*), 6) AS avg_chars,
+        cast(max(n_tokens) as int) AS max_tokens
+      FROM d GROUP BY lang ORDER BY lang"""))
+
+  private val x02 = Q("text_langid_confusion",
+    (s, dir) => TextOps.withLangId(t(s, dir, "documents"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang"),
+    Some("""
+      WITH d AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+      h AS (SELECT lang,
+          len(list_filter(tk, t -> t IN ('the','a','of','and','is','to'))) AS h_en,
+          len(list_filter(tk, t -> t IN ('der','die','und','von','das','ist'))) AS h_de,
+          len(list_filter(tk, t -> t IN ('el','los','y','que','es','una'))) AS h_es,
+          len(list_filter(tk, t -> t IN ('le','les','et','que','est','une'))) AS h_fr,
+          len(list_filter(tk, t -> t IN ('de5','shi4','le5','he2','zai4','you3'))) AS h_zh
+        FROM d),
+      p AS (SELECT lang, CASE
+          WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+          WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+          WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+          WHEN h_fr > 0 AND h_fr >= h_zh THEN 'fr'
+          WHEN h_zh > 0 THEN 'zh'
+          ELSE 'und' END AS pred_lang
+        FROM h)
+      SELECT lang, pred_lang, count(*) AS n
+      FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
+
+  private val x03 = Q("text_quality_scores",
+    (s, dir) => TextOps.withQualityScore(t(s, dir, "documents"))
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
+        col("uniq_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      x AS (SELECT doc_id,
+          cast(len(tk) as double) AS n_tok,
+          cast(len(list_distinct(tk)) as double) AS n_uniq,
+          cast(len(list_filter(tk, t -> t IN ('the','a','of','and','is','to'))) as double) AS n_stop
+        FROM d)
+      SELECT doc_id, cast(n_tok as int) AS n_tokens,
+        round(n_uniq / n_tok, 6) AS uniq_ratio,
+        round(n_stop / n_tok, 6) AS stop_ratio,
+        round(least(n_tok / 100.0, 1.0) * 0.4 + (n_uniq / n_tok) * 0.4
+          + (1.0 - n_stop / n_tok) * 0.2, 6) AS quality_score
+      FROM x ORDER BY doc_id"""))
+
+  private val x04 = Q("text_fingerprints",
+    (s, dir) => TextOps.withFingerprint(t(s, dir, "documents"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+            FROM t WHERE len(tk) >= 3)
+      SELECT doc_id, list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fingerprint
+      FROM s ORDER BY doc_id"""))
+
+  private val x05 = Q("text_token_counts",
+    (s, dir) => TextOps.withTokenStats(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_ws_tokens"),
+        sum(col("n_regex_tokens")).as("total_regex_tokens"))
+      .orderBy("source"),
+    Some("""
+      WITH d AS (SELECT source,
+          len(string_split(text, ' ')) AS ws,
+          len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(ws) as bigint) AS total_ws_tokens,
+        cast(sum(re) as bigint) AS total_regex_tokens
+      FROM d GROUP BY source ORDER BY source"""))
+
+  // -------------------------------------------------------- multimodal
+
+  private val m01 = Q("mm_decode_stats",
+    (s, dir) => MultimodalOps.decodeAll(s,
+        MultimodalOps.toMediaRecords(t(s, dir, "documents")))
+      .toDF()
+      .select("doc_id", "n_bytes", "format", "fake_width", "fake_height",
+        "fake_frames", "content_md5")
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        cast(octet_length(encode(text)) as int) AS n_bytes,
+        'utf8-text' AS format,
+        cast(octet_length(encode(text)) % 64 as int) AS fake_width,
+        cast((octet_length(encode(text)) // 64) % 64 as int) AS fake_height,
+        cast(octet_length(encode(text)) // 256 as bigint) AS fake_frames,
+        md5(text) AS content_md5
+      FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------ mq connector
+
+  // The reference demo (streaming WordCount, README.md:74-124) as a batch
+  // read over the deterministic generated backend. No DuckDB table backs
+  // the MQ source → rows-only check; exactness is covered by
+  // GraftMqStreamSpec.
+  private val mq1 = Q("mq_wordcount",
+    (s, _) => s.read.format("graft-mq")
+      .option("backend", "generated").option("numPartitions", "4")
+      .option("rowsPerBatch", "2500").option("seed", "42")
+      .load()
+      .select(explode(split(col("value").cast("string"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word"),
+    None)
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19,
+    d01, d02, d03, d04, d05, d06,
+    s01, s02, s03,
+    x01, x02, x03, x04, x05,
+    m01, mq1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+
+  /** Flagship: the multiway star join (SURVEY.md §2.3) on the smoke SF. */
+  def flagship(spark: SparkSession): DataFrame =
+    q05.fn(spark, "/root/testdata/sf0.001")
+}

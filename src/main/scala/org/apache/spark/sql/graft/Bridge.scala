@@ -16,4 +16,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType`/`TypeCollection` are `private[sql]`, but they are
+    * the only way an `ExpectsInputTypes` expression can declare an
+    * "array<float> or array<double>" contract — re-exported here for
+    * graft.functions input-type declarations.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(ts: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
 }
