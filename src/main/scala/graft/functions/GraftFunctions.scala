@@ -40,6 +40,10 @@ object GraftFunctions {
   /** 64-bit FNV-1a content hash of a string (stable across JVMs/engines). */
   def fnv64(s: Column): Column = col(Fnv64(expr(s)))
 
+  /** Random-hyperplane LSH signature of a vector column (ANN bucketing). */
+  def lsh_signature(v: Column, bits: Int, table: Int): Column =
+    col(HyperplaneLshSignature(expr(v), bits, table))
+
   /** SQL registrations for [[graft.GraftExtensions]]. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
     reg("cosine_sim", classOf[CosineSimilarity],

@@ -94,16 +94,25 @@ object DedupOps {
     * no shingle comes close, so the result is still exact.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
-      maxShingleDf: Int = 1000000,
+      maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = shingleSets(docs, shingleN, idCol, textCol)
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     val inv = base.select(col("id"), explode(col("sh")).as("shingle"))
-    val filtered = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("id"), col("shingle"))
+    // Skew guard via groupBy+co-partitioned join (not a window: a window
+    // would sort the whole inverted index inside each shuffle partition).
+    // Skipped when inactive — Jaccard stays exact and the index saves a
+    // pass. NOTE: with the cap active, pairs dominated by capped shingles
+    // lose intersection counts — at 100 TB that is the intended trade
+    // (ubiquitous shingles carry no near-dup signal).
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) inv
+      else {
+        val dfCounts = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+          .select("shingle")
+        inv.join(dfCounts, Seq("shingle"), "left_semi")
+      }
     val a = filtered.as("a"); val b = filtered.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

@@ -40,36 +40,17 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane: sign pattern for signature bit
-    * `bit` over dimension `dim` derived from splitmix64 — reproducible
-    * across runs/JVMs with no stored model.
-    */
-  private def hyperplaneSign(bit: Int, dims: Int): Seq[Int] =
-    (0 until dims).map { d =>
-      val h = graft.functions.HashUtil.mix64(0x5ee9L * (bit.toLong << 20) + d)
-      if (h < 0) -1 else 1
-    }
-
-  /** Random-hyperplane (SimHash-for-vectors) signature: `bits`-bit int
+  /** Random-hyperplane (SimHash-for-vectors) signature: `bits`-bit long
     * column. Two vectors' signatures agree on a bit with probability
     * 1 - angle/π — near-identical vectors land in the same bucket.
+    * Native expression ([[graft.functions.HyperplaneLshSignature]]): the
+    * sign matrix is derived deterministically from splitmix64, so no model
+    * is stored and results replay across JVMs.
     */
   def withLshSignature(df: DataFrame, vecCol: String, dims: Int,
-      bits: Int = 16, table: Int = 0): DataFrame = {
-    val v = col(vecCol)
-    val sig = (0 until bits).map { b =>
-      val signs = hyperplaneSign(table * bits + b, dims)
-      // dot(v, hyperplane) > 0 → bit set; hyperplane entries are ±1 so the
-      // dot product is a signed sum of elements — computed with
-      // aggregate() over the array, fully codegen-friendly.
-      val dot = (0 until dims).map { d =>
-        val e = element_at(v, d + 1).cast("double")
-        if (signs(d) > 0) e else -e
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn(s"lsh_sig_$table", sig)
-  }
+      bits: Int = 16, table: Int = 0): DataFrame =
+    df.withColumn(s"lsh_sig_$table",
+      GraftFunctions.lsh_signature(col(vecCol), bits, table))
 
   /** LSH-bucketed approximate top-k: queries and corpus are both signed
     * with `tables` independent signatures; candidates = rows sharing any
