@@ -1,0 +1,108 @@
+package graft.mq
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming query capabilities over the graft-mq source beyond the
+  * WordCount demo: event-time windowed aggregation with a watermark and
+  * streaming deduplication — the §2.7 rows the reference leaves to
+  * built-ins (SURVEY.md: "exposed by the engine, no custom code") plus the
+  * north-star streaming dedup. Events carry event time in the `timestamp`
+  * metadata column (micros), set by the test producer.
+  */
+class GraftMqStreamingOpsSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("event-time tumbling window aggregation with watermark") {
+    val topic = "win-demo"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    // Two 10s windows: 4 events at t=0..9s, 2 events at t=10..19s.
+    val base = 1700000000000000L // micros
+    Seq(0L, 2L, 5L, 9L, 11L, 15L).zipWithIndex.foreach { case (sec, i) =>
+      state.append(0, MqMessage(null, s"e$i".getBytes("UTF-8"), base + sec * 1000000L))
+    }
+
+    import spark.implicits._
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeMetadata", "true").load()
+      .select($"timestamp", $"value".cast("string").as("v"))
+      .withWatermark("timestamp", "30 seconds")
+      .groupBy(window($"timestamp", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"n")
+    val query = q.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", tmp("win-ckpt")).start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("win_out").as[(Timestamp, Long)].collect()
+        .map { case (ts, n) => ts.getTime -> n }.toMap
+      val w0 = base / 1000L            // millis
+      assert(got == Map(w0 -> 4L, (w0 + 10000L) -> 2L), s"got $got")
+    } finally query.stop()
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark on payload key") {
+    val topic = "dedup-stream"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    val base = 1700000000000000L
+    // Duplicate payloads within the watermark horizon must be emitted once.
+    Seq("a", "b", "a", "c", "b", "a").zipWithIndex.foreach { case (v, i) =>
+      state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + i * 1000000L))
+    }
+
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeMetadata", "true").load()
+      .select($"timestamp", $"value".cast("string").as("v"))
+      .withWatermark("timestamp", "1 minute")
+      .dropDuplicatesWithinWatermark("v")
+      .select($"v").as[String]
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        batch.collect().foreach(seen.add)
+      }
+      .option("checkpointLocation", tmp("dedup-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq.sorted == Seq("a", "b", "c"),
+        s"each payload exactly once, got ${seen.asScala.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("stream-static join: enrich stream with a dimension table") {
+    val topic = "enrich"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2, Seq("AFRICA", "ASIA", "EUROPE", "ASIA"))
+
+    import spark.implicits._
+    val dim = spark.read.parquet(s"${sf()}/region.parquet")
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2").load()
+      .select($"value".cast("string").as("r_name"))
+      .join(dim, Seq("r_name"))
+      .select($"r_name", $"r_regionkey")
+    val query = q.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", tmp("enrich-ckpt")).start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("enrich_out").as[(String, Int)].collect().sorted.toSeq
+      assert(got.map(_._1).sorted == Seq("AFRICA", "ASIA", "ASIA", "EUROPE"))
+      assert(got.forall { case (n, k) => k >= 0 && n.nonEmpty })
+    } finally query.stop()
+  }
+}
