@@ -15,9 +15,13 @@ import org.apache.spark.sql.connector.read.streaming._
   * `commit` stays a no-op, as in Kafka (README.md:462-463) — durability
   * lives in the engine's checkpoint, not the connector.
   */
-class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
+class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
+    readSchema: org.apache.spark.sql.types.StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with Logging {
+
+  def this(opts: GraftMqOptions, checkpointLocation: String) =
+    this(opts, checkpointLocation, opts.schema)
 
   // Generated backend: the virtual log head advances rowsPerBatch per
   // partition on each latestOffset poll. Tracked driver-side only; replay
@@ -123,7 +127,7 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftMqPartitionReaderFactory(opts)
+    GraftMqPartitionReaderFactory(opts, readSchema)
 
   override def commit(end: Offset): Unit = ()
 
@@ -168,7 +172,11 @@ object GraftMqPlanner {
   * captured at Batch construction; generated backend reads one synthetic
   * batch of rowsPerBatch per partition.
   */
-class GraftMqBatch(opts: GraftMqOptions) extends Batch {
+class GraftMqBatch(opts: GraftMqOptions,
+    readSchema: org.apache.spark.sql.types.StructType) extends Batch {
+
+  def this(opts: GraftMqOptions) = this(opts, opts.schema)
+
   private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) =
     if (opts.isGenerated) {
       val s = (0 until opts.numPartitions).map(_ -> 0L).toMap
@@ -182,5 +190,5 @@ class GraftMqBatch(opts: GraftMqOptions) extends Batch {
     GraftMqPlanner.plan(opts, startEnds, endEnds)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftMqPartitionReaderFactory(opts)
+    GraftMqPartitionReaderFactory(opts, readSchema)
 }

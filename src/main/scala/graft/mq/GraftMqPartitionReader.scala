@@ -4,6 +4,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One Spark task = one MQ-partition offset range `[from, until)` —
@@ -19,10 +20,10 @@ case class GraftMqInputPartition(
     until: Long,
     opts: GraftMqOptions) extends InputPartition
 
-case class GraftMqPartitionReaderFactory(opts: GraftMqOptions)
-    extends PartitionReaderFactory {
+case class GraftMqPartitionReaderFactory(opts: GraftMqOptions,
+    readSchema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftMqPartitionReader(partition.asInstanceOf[GraftMqInputPartition])
+    new GraftMqPartitionReader(partition.asInstanceOf[GraftMqInputPartition], readSchema)
 }
 
 /** Bounded executor-side reader over `[from, until)`.
@@ -32,8 +33,23 @@ case class GraftMqPartitionReaderFactory(opts: GraftMqOptions)
   * exactly at the end offset — left-closed right-open, the invariant the
   * reference README states at README.md:727.
   */
-class GraftMqPartitionReader(p: GraftMqInputPartition)
+class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
     extends PartitionReader[InternalRow] with Logging {
+
+  // Pruned projection: field codes resolved once; `get()` materializes only
+  // the columns the engine asked for (SupportsPushDownRequiredColumns) —
+  // a metadata-only query never touches payload bytes.
+  private val fieldCodes: Array[Int] = readSchema.fieldNames.map {
+    case "key" => 0
+    case "value" => 1
+    case "topic" => 2
+    case "partition" => 3
+    case "offset" => 4
+    case "timestamp" => 5
+    case "timestampType" => 6
+    case other => throw new IllegalArgumentException(s"graft-mq: unknown column '$other'")
+  }
+  private val topicUtf8 = UTF8String.fromString(p.topic)
 
   private var offset = p.from
   private var current: MqMessage = _
@@ -75,18 +91,21 @@ class GraftMqPartitionReader(p: GraftMqInputPartition)
   }
 
   override def get(): InternalRow = {
-    if (p.opts.includeMetadata) {
-      new GenericInternalRow(Array[Any](
-        current.key,
-        current.value,
-        UTF8String.fromString(p.topic),
-        p.partition,
-        offset - 1,
-        current.timestamp,
-        0)) // timestampType: 0 = create-time, mirroring Kafka's enum
-    } else {
-      new GenericInternalRow(Array[Any](current.value))
+    val vals = new Array[Any](fieldCodes.length)
+    var i = 0
+    while (i < fieldCodes.length) {
+      vals(i) = fieldCodes(i) match {
+        case 0 => current.key
+        case 1 => current.value
+        case 2 => topicUtf8
+        case 3 => p.partition
+        case 4 => offset - 1
+        case 5 => current.timestamp
+        case 6 => 0 // timestampType: 0 = create-time, mirroring Kafka's enum
+      }
+      i += 1
     }
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = ()

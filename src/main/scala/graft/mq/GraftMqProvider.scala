@@ -2,7 +2,7 @@ package graft.mq
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -62,21 +62,34 @@ class GraftMqTable(opts: GraftMqOptions) extends Table
       info.schema())
 }
 
-class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder {
-  override def build(): Scan = new GraftMqScan(opts)
+/** Column pruning (`SupportsPushDownRequiredColumns`): a query that only
+  * touches e.g. (partition, offset) must not materialize payload bytes —
+  * at 100 TB the payload IS the data volume, so pruning at the source is
+  * the difference between a metadata scan and a full read. The engine
+  * hands us the required subset; the reader then builds rows with exactly
+  * those fields (SURVEY.md §4 "column pruning" row).
+  */
+class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var pruned: StructType = opts.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  override def build(): Scan = new GraftMqScan(opts, pruned)
 }
 
 /** Scan bridging to both execution modes. `readSchema` returns the real
-  * schema (the reference returns `null`, CustomScan.java:19-21 — defect
-  * SURVEY.md §2.9-2).
+  * (possibly pruned) schema — the reference returns `null`
+  * (CustomScan.java:19-21, defect SURVEY.md §2.9-2).
   */
-class GraftMqScan(opts: GraftMqOptions) extends Scan {
-  override def readSchema(): StructType = opts.schema
+class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType) extends Scan {
+  override def readSchema(): StructType = readSchemaValue
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMqMicroBatchStream(opts, checkpointLocation)
+    new GraftMqMicroBatchStream(opts, checkpointLocation, readSchemaValue)
 
-  override def toBatch: Batch = new GraftMqBatch(opts)
+  override def toBatch: Batch = new GraftMqBatch(opts, readSchemaValue)
 
   override def description(): String =
     s"graft-mq topic=${opts.topic} backend=${opts.backend} partitions=${opts.numPartitions}"

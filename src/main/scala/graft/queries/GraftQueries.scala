@@ -361,6 +361,54 @@ object GraftQueries {
           AS n_sessions
       FROM x GROUP BY user_id ORDER BY user_id"""))
 
+  /** Variance/correlation via EXACT decimal moments: Spark's stddev/corr
+    * aggregate doubles in shuffle order (nondeterministic bits); summing
+    * x, x², xy as decimals first makes the moments order-independent, then
+    * the closed-form combination is identical double arithmetic in any
+    * engine.
+    */
+  private val q20 = {
+    val sx = "sum(cast(l_quantity as decimal(18,2)))"
+    val sxx = "sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2)))"
+    val sy = "sum(cast(l_extendedprice as decimal(18,2)))"
+    val syy = "sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)))"
+    val sxy = "sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)))"
+    val n = "count(*)"
+    val stddev =
+      s"round(sqrt((cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n) / ($n - 1)), 6)"
+    val corr =
+      s"""round((cast($sxy as double) - cast($sx as double) * cast($sy as double) / $n)
+         / (sqrt(cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n)
+            * sqrt(cast($syy as double) - cast($sy as double) * cast($sy as double) / $n)), 6)"""
+    Q("q20_moment_stats",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr(stddev).as("stddev_qty"),
+          expr(corr).as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+      Some(s"""
+        SELECT l_returnflag, count(*) AS n,
+          $stddev AS stddev_qty,
+          $corr AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  }
+
+  private val q21 = Q("q21_pivot_status",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -488,6 +536,29 @@ object GraftQueries {
         round(cast(sum(cast(cos as decimal(18,12))) as double) / count(*), 6) AS avg_cosine,
         round(max(cos), 6) AS max_cosine
       FROM p GROUP BY grp ORDER BY grp"""))
+
+  /** Per-label L2-norm stats via the codegen'd l2_norm expression; the
+    * oracle recomputes the norm with DuckDB list arithmetic (same
+    * sequential double summation → identical bits).
+    */
+  private val s04 = Q("sim_norm_stats",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("label"),
+        GraftFunctions.l2_norm(col("embedding")).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("norm").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .orderBy("label"),
+    Some("""
+      WITH t AS (SELECT label,
+          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vectors,
+        round(cast(sum(cast(norm as decimal(18,12))) as double) / count(*), 6) AS avg_norm,
+        round(max(norm), 6) AS max_norm
+      FROM t GROUP BY label ORDER BY label"""))
 
   // -------------------------------------------------------------- text
 
@@ -619,9 +690,9 @@ object GraftQueries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
     d01, d02, d03, d04, d05, d06,
-    s01, s02, s03,
+    s01, s02, s03, s04,
     x01, x02, x03, x04, x05,
     m01, mq1)
 

@@ -202,6 +202,22 @@ class GraftMqStreamSpec extends SparkSuite {
     assert(rows.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).distinct.length == 3)
   }
 
+  test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
+    val topic = "prune"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2, Seq("p", "q", "r"))
+    val df = spark.read.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2")
+      .option("includeMetadata", "true").load()
+      .select("partition", "offset")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(scan.output.map(_.name) == Seq("partition", "offset"),
+      s"scan must materialize only requested columns, got ${scan.output}")
+    assert(df.collect().length == 3)
+  }
+
   test("failOnDataLoss=true aborts on truncated offsets; false skips") {
     val topic = "loss"
     InMemoryMqBroker.drop(topic)
