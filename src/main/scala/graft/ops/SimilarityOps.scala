@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,63 @@ object SimilarityOps {
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     candidates
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every corpus vector to its nearest of `nlist` centroids (the inverted
+    * lists); each query probes only its `nprobe` nearest lists and exact
+    * cosine re-ranks the candidates.
+    *
+    * The quantizer here is deliberately minimal — one averaging step over
+    * a deterministic seed partition (vec_id % nlist) — because the point
+    * is the SCALE STRUCTURE, not clustering quality: candidates shrink
+    * from |corpus| to ~nprobe/nlist of it, the centroid "model" is tiny
+    * (nlist×dims, collected once and broadcast), and `nprobe == nlist`
+    * degenerates to exact brute force (asserted in OpsSpec). A production
+    * pipeline would swap in trained k-means centroids; nothing else
+    * changes.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+      nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    // 1. Train the coarse quantizer: centroid = mean of each seed bucket.
+    val centroidRows = corpus
+      .select(pmod(col("vec_id"), lit(nlist)).as("list_id"),
+        posexplode(col("cv")).as(Seq("pos", "v")))
+      .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      .collect()
+    val centroids: Seq[(Int, Array[Double])] = centroidRows.map { r =>
+      (r.getAs[Number]("list_id").intValue(),
+        r.getSeq[Double](1).toArray)
+    }.toSeq
+    // 2. Nearest-centroid assignment as a greatest-of-nlist expression
+    //    (centroids are literals — no join, stays in codegen).
+    def centroidSim(v: Column, c: Array[Double]): Column =
+      GraftFunctions.cosine_sim(v, typedLit(c))
+    def argmaxAssign(v: Column, take: Int): Column = {
+      // top-`take` list_ids by centroid similarity, as an array column.
+      val sims = array(centroids.map { case (id, c) =>
+        struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
+      }: _*)
+      slice(reverse(array_sort(sims)), 1, take)
+    }
+    val assignedCorpus = corpus
+      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
+    val probedQueries = queries
+      .withColumn("probe", explode(argmaxAssign(col("qv"), nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.id").as("list_id"))
+    // 3. Probe: equi-join on list_id, exact re-rank.
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

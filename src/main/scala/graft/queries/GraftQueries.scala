@@ -409,6 +409,24 @@ object GraftQueries {
         count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Salted two-stage aggregation (skew guard) — must be VALUE-IDENTICAL
+    * to the direct groupBy, so its oracle is the plain formulation.
+    */
+  private val q22 = Q("q22_salted_segment_agg",
+    (s, dir) => ScaleOps.saltedCountSum(
+        t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey")),
+        key = "c_mktsegment",
+        sumExprSql = "sum(cast(o_totalprice as decimal(18,2)))",
+        saltBy = col("o_orderkey"), salt = 16)
+      .select(col("c_mktsegment"), col("n").as("n_orders"),
+        col("s").cast("double").as("total_revenue"))
+      .orderBy("c_mktsegment"),
+    Some(s"""
+      SELECT c_mktsegment, count(*) AS n_orders, ${dsum("o_totalprice")} AS total_revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -536,6 +554,16 @@ object GraftQueries {
         round(cast(sum(cast(cos as decimal(18,12))) as double) / count(*), 6) AS avg_cosine,
         round(max(cos), 6) AS max_cosine
       FROM p GROUP BY grp ORDER BY grp"""))
+
+  // IVF scale path: approximate (probe subset of inverted lists) — no SQL
+  // oracle; exactness at nprobe==nlist is asserted in OpsSpec.
+  private val s05 = Q("sim_topk_ivf",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 8, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+    None)
 
   /** Per-label L2-norm stats via the codegen'd l2_norm expression; the
     * oracle recomputes the norm with DuckDB list arithmetic (same
@@ -690,9 +718,9 @@ object GraftQueries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     d01, d02, d03, d04, d05, d06,
-    s01, s02, s03, s04,
+    s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05,
     m01, mq1)
 

@@ -83,6 +83,45 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("custom state: mapGroupsWithState running count per word across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val topic = "state-demo"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, Seq("x", "y", "x"))
+
+    import spark.implicits._
+    val updates = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "1").load()
+        .select($"value".cast("string").as("w")).as[String]
+        .groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (word: String, rows: Iterator[String], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (word, n)
+        }
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          batch.collect().foreach(updates.add)
+        }
+        .option("checkpointLocation", stateCkpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(updates.asScala.toSet == Set(("x", 2L), ("y", 1L)))
+
+    // State survives the restart: new data increments the recovered counts.
+    updates.clear()
+    InMemoryMqBroker.produceStrings(topic, 1, Seq("x", "z"))
+    run()
+    assert(updates.asScala.toSet == Set(("x", 3L), ("z", 1L)),
+      s"state must resume from checkpoint, got ${updates.asScala.toSet}")
+  }
+  private val stateCkpt = tmp("state-ckpt")
+
   test("stream-static join: enrich stream with a dimension table") {
     val topic = "enrich"
     InMemoryMqBroker.drop(topic)

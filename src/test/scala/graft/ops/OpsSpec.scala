@@ -64,6 +64,24 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfTopK with nprobe == nlist degenerates to exact brute force") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val brute = SimilarityOps.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 4, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == brute, "probing every inverted list must equal brute force")
+    // Partial probe: approximate but well-formed (exact cosines, <= k rows).
+    val partial = SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 4, nprobe = 1)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+  }
+
   test("multimodal decode: batch plumbing is lossless and deterministic") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
     val decoded = MultimodalOps.decodeAll(spark, MultimodalOps.toMediaRecords(docs))
@@ -89,8 +107,9 @@ class OpsSpec extends SparkSuite {
 
   test("oracle coverage: every query has an oracle or a documented reason") {
     val noOracle = GraftQueries.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // Only the two genuinely non-SQL-expressible ops lack oracles:
-    // approximate LSH top-k and the MQ-source read (no DuckDB table).
-    assert(noOracle == Set("sim_topk_lsh", "mq_wordcount"))
+    // Only the genuinely non-SQL-expressible ops lack oracles: the two
+    // approximate ANN paths (LSH, IVF) and the MQ-source read (no DuckDB
+    // table). IVF exactness at nprobe==nlist is asserted below.
+    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "mq_wordcount"))
   }
 }
