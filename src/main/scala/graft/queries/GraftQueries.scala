@@ -708,8 +708,8 @@ object GraftQueries {
   // GraftMqStreamSpec.
   private val mq1 = Q("mq_wordcount",
     (s, _) => s.read.format("graft-mq")
-      .option("backend", "generated").option("numPartitions", "4")
-      .option("rowsPerBatch", "2500").option("seed", "42")
+      .option("backend", "generated").option("numPartitions", "8")
+      .option("rowsPerBatch", "125000").option("seed", "42") // 1M rows: source-throughput probe
       .load()
       .select(explode(split(col("value").cast("string"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
