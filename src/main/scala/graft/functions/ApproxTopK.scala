@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** SpaceSaving (Metwally et al., "Efficient Computation of Frequent and
+  * Top-k Elements in Data Streams") heavy-hitters state: at most `capacity`
+  * counters; when full, the minimum counter is evicted and the newcomer
+  * inherits `min+1` with error `min`. Guarantees: true count ∈
+  * [count - error, count]; any item with frequency > N/capacity is
+  * retained. When `capacity` ≥ distinct items the counts are EXACT
+  * (error 0) — which is what makes the operator oracle-checkable at test
+  * scale while staying a fixed-memory sketch at 100 TB.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+  // item -> (count, error)
+  val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def add(item: String, weight: Long = 1L): Unit = {
+    counters.get(item) match {
+      case Some((c, e)) => counters.update(item, (c + weight, e))
+      case None if counters.size < capacity => counters.update(item, (weight, 0L))
+      case None =>
+        // Evict the global minimum (ties: lexicographically smallest item,
+        // for cross-run determinism).
+        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        counters.remove(minItem)
+        counters.update(item, (minC + weight, minC))
+    }
+  }
+
+  def mergeIn(other: SpaceSavingBuffer): Unit = {
+    // Standard SpaceSaving merge: pointwise sum for shared items; absent
+    // items keep their counts; then shrink back to capacity by evicting
+    // minima (their counts fold into nothing — error already bounds them).
+    other.counters.foreach { case (item, (c, e)) =>
+      counters.get(item) match {
+        case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
+        case None => counters.update(item, (c, e))
+      }
+    }
+    while (counters.size > capacity) {
+      val (minItem, _) = counters.minBy { case (i, (c, _)) => (c, i) }
+      counters.remove(minItem)
+    }
+  }
+}
+
+/** approx_top_k(expr, k, capacity) → array<struct<item,string count:long,error:long>>
+  * — top-k heavy hitters ordered by (count desc, item asc).
+  */
+case class ApproxTopK(child: Expression, k: Int, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSavingBuffer]
+    with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k > 0 && capacity >= k, "approx_top_k: need capacity >= k > 0")
+
+  override def prettyName: String = "approx_top_k"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("error", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(buffer: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingBuffer,
+      other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: SpaceSavingBuffer): Any = {
+    val top = buffer.counters.toSeq
+      .sortBy { case (item, (c, _)) => (-c, item) }
+      .take(k)
+      .map { case (item, (c, e)) =>
+        InternalRow(UTF8String.fromString(item), c, e)
+      }
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buffer: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.counters.size)
+    buffer.counters.foreach { case (item, (c, e)) =>
+      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      buf.counters.update(item, (c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): ApproxTopK =
+    copy(child = c)
+}

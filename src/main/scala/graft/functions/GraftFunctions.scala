@@ -44,6 +44,13 @@ object GraftFunctions {
   def lsh_signature(v: Column, bits: Int, table: Int): Column =
     col(HyperplaneLshSignature(expr(v), bits, table))
 
+  /** SpaceSaving heavy-hitters aggregate: top-k (item, count, error) by
+    * count desc. Exact when `capacity` ≥ distinct items; fixed memory
+    * otherwise.
+    */
+  def approx_top_k(c: Column, k: Int, capacity: Int): Column =
+    col(ApproxTopK(expr(c), k, capacity).toAggregateExpression())
+
   /** SQL registrations for [[graft.GraftExtensions]]. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
     reg("cosine_sim", classOf[CosineSimilarity],

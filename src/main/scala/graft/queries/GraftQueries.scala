@@ -681,6 +681,25 @@ object GraftQueries {
         cast(sum(re) as bigint) AS total_regex_tokens
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** Heavy hitters via the SpaceSaving TypedImperativeAggregate
+    * ([[graft.functions.ApproxTopK]]). capacity ≫ vocabulary here, so the
+    * sketch is exact (error 0) and the oracle is a plain top-k by count.
+    */
+  private val x06 = Q("text_top_tokens",
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(GraftFunctions.approx_top_k(col("token"), 10, 4096).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("t.item").as("token"), col("t.count").as("n"), col("t.error").as("err"))
+      .orderBy("rank"),
+    Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+      SELECT cast(rank as int) AS rank, token, n, cast(0 as bigint) AS err
+      FROM r WHERE rank <= 10 ORDER BY rank"""))
+
   // -------------------------------------------------------- multimodal
 
   private val m01 = Q("mm_decode_stats",
@@ -721,7 +740,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     d01, d02, d03, d04, d05, d06,
     s01, s02, s03, s04, s05,
-    x01, x02, x03, x04, x05,
+    x01, x02, x03, x04, x05, x06,
     m01, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -82,6 +82,29 @@ class OpsSpec extends SparkSuite {
     assert(partial.groupBy(_.getLong(0)).values.forall(_.length <= 5))
   }
 
+  test("approx_top_k: exact in the large-capacity regime, bounded when evicting") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(5)("d") ++ Seq.fill(3)("e") ++ Seq.fill(2)("f")
+    val df = spark.createDataset(words).toDF("w").repartition(4)
+    def topk(k: Int, cap: Int) = df
+      .agg(GraftFunctions.approx_top_k(col("w"), k, cap).as("t"))
+      .select(explode(col("t")).as("x"))
+      .select(col("x.item"), col("x.count"), col("x.error"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // capacity >= distinct -> exact, error 0
+    assert(topk(3, 64).toSeq == Seq(("a", 50L, 0L), ("b", 30L, 0L), ("c", 20L, 0L)))
+    // capacity 4 with 6 distinct: heavy items retained, counts overestimate
+    // by at most error (SpaceSaving guarantee).
+    val truth = Map("a" -> 50L, "b" -> 30L, "c" -> 20L, "d" -> 5L, "e" -> 3L, "f" -> 2L)
+    topk(3, 4).foreach { case (item, count, err) =>
+      assert(truth(item) <= count && count - err <= truth(item),
+        s"$item: count=$count err=$err true=${truth(item)}")
+    }
+    assert(topk(3, 4).map(_._1).take(2).toSeq == Seq("a", "b"))
+  }
+
   test("multimodal decode: batch plumbing is lossless and deterministic") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
     val decoded = MultimodalOps.decodeAll(spark, MultimodalOps.toMediaRecords(docs))
