@@ -427,6 +427,38 @@ object GraftQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** As-of join (click→purchase attribution): each purchase matched to the
+    * user's latest click at-or-before it. Composed union+window
+    * ([[TemporalOps.asOfJoin]]); the oracle is DuckDB's native ASOF JOIN —
+    * two independent formulations of the same semantics.
+    */
+  private val q23 = Q("q23_asof_attribution",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      TemporalOps.asOfJoin(purchases, clicks, key = "user_id",
+          leftTs = "ts", rightTs = "click_ts",
+          rightPayload = Seq("click_id", "click_ts"))
+        .filter(col("click_id").isNotNull) // inner as-of
+        // gap in µs, each term floor-truncated from nanos: DuckDB reads the
+        // nanos parquet at µs resolution, so µs is the comparable unit.
+        .select(col("user_id"), col("event_id"), col("click_id"),
+          (expr("ts div 1000") - expr("click_ts div 1000")).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id, c.click_id,
+        epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.user_id, p.event_id"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -737,7 +769,7 @@ object GraftQueries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     d01, d02, d03, d04, d05, d06,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06,
