@@ -39,15 +39,24 @@ final class SpaceSavingBuffer(val capacity: Int) {
   }
 
   def mergeIn(other: SpaceSavingBuffer): Unit = {
-    // Standard SpaceSaving merge: pointwise sum for shared items; absent
-    // items keep their counts; then shrink back to capacity by evicting
-    // minima (their counts fold into nothing — error already bounds them).
-    other.counters.foreach { case (item, (c, e)) =>
-      counters.get(item) match {
-        case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
-        case None => counters.update(item, (c, e))
-      }
-    }
+    // Mergeable-summaries SpaceSaving merge (Agarwal et al.): an item
+    // ABSENT from a full summary may still have occurred up to that
+    // summary's minimum count times (it could have been evicted), so
+    // absent items are charged (min, min) — otherwise a merged count
+    // could undercount the true frequency and break the
+    // `true <= count <= true + error` guarantee. Then shrink to capacity.
+    def minOf(b: SpaceSavingBuffer): Long =
+      if (b.counters.size < b.capacity) 0L else b.counters.values.map(_._1).min
+    val minSelf = minOf(this)
+    val minOther = minOf(other)
+    val keys = counters.keySet ++ other.counters.keySet
+    val merged = keys.iterator.map { k =>
+      val (c1, e1) = counters.getOrElse(k, (minSelf, minSelf))
+      val (c2, e2) = other.counters.getOrElse(k, (minOther, minOther))
+      k -> (c1 + c2, e1 + e2)
+    }.toMap
+    counters.clear()
+    counters ++= merged
     while (counters.size > capacity) {
       val (minItem, _) = counters.minBy { case (i, (c, _)) => (c, i) }
       counters.remove(minItem)

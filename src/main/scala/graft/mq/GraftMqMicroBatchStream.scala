@@ -129,6 +129,14 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftMqPartitionReaderFactory(opts, readSchema)
 
+  /** Progress reporting (StreamingQueryProgress "latestOffset"): broker's
+    * true end offsets; null (unknown) for the generated firehose, whose
+    * head only advances when polled — reporting must not create data.
+    */
+  override def reportLatestOffset(): Offset =
+    if (opts.isGenerated) null
+    else GraftMqOffset(InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets)
+
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()

@@ -27,6 +27,9 @@ import java.util.Locale
   *                           truncated (README.md:618-631)
   *  - `includeMetadata`    — emit the Kafka-grade 7-field schema instead of
   *                           the minimal `value: binary` (README.md:225-234)
+  *  - `includeHeaders`     — add the `headers: array<struct<key,value>>`
+  *                           column (README.md:233; implies the metadata
+  *                           schema, mirroring Kafka's includeHeaders)
   *  - `startingOffsets`    — "earliest" (default) or "latest"
   *  - `defaultTimestampMicros` — sink: timestamp stamped on written
   *                           messages when the written schema has no
@@ -44,10 +47,16 @@ final case class GraftMqOptions(
     failOnDataLoss: Boolean,
     includeMetadata: Boolean,
     startingOffsets: String,
-    defaultTimestampMicros: Long = 1700000000000000L) extends Serializable {
+    defaultTimestampMicros: Long = 1700000000000000L,
+    includeHeaders: Boolean = false) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
-  def schema: StructType =
-    if (includeMetadata) GraftMqOptions.kafkaGradeSchema else GraftMqOptions.minimalSchema
+  def schema: StructType = {
+    val base =
+      if (includeMetadata || includeHeaders) GraftMqOptions.kafkaGradeSchema
+      else GraftMqOptions.minimalSchema
+    if (includeHeaders) base.add(StructField("headers", GraftMqOptions.headersType))
+    else base
+  }
 }
 
 object GraftMqOptions {
@@ -56,6 +65,11 @@ object GraftMqOptions {
     * fixing the discarded-StructType.add defect, SURVEY.md §2.9-1).
     */
   val minimalSchema: StructType = StructType(Seq(StructField("value", BinaryType)))
+
+  /** Optional headers column type per /root/reference/README.md:233. */
+  val headersType: ArrayType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", BinaryType))))
 
   /** Kafka-grade schema per /root/reference/README.md:225-234. */
   val kafkaGradeSchema: StructType = StructType(Seq(
@@ -97,6 +111,7 @@ object GraftMqOptions {
       includeMetadata = get("includeMetadata").map(_.toBoolean).getOrElse(false),
       startingOffsets = starting,
       defaultTimestampMicros =
-        get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L))
+        get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L),
+      includeHeaders = get("includeHeaders").map(_.toBoolean).getOrElse(false))
   }
 }

@@ -47,6 +47,7 @@ class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
     case "offset" => 4
     case "timestamp" => 5
     case "timestampType" => 6
+    case "headers" => 7
     case other => throw new IllegalArgumentException(s"graft-mq: unknown column '$other'")
   }
   private val topicUtf8 = UTF8String.fromString(p.topic)
@@ -102,6 +103,12 @@ class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
         case 4 => offset - 1
         case 5 => current.timestamp
         case 6 => 0 // timestampType: 0 = create-time, mirroring Kafka's enum
+        case 7 =>
+          if (current.headers == null) null
+          else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            current.headers.map { case (k, v) =>
+              org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(k), v)
+            })
       }
       i += 1
     }
@@ -141,6 +148,8 @@ object GeneratedPayloads {
     val key = s"$partition-$offset".getBytes("UTF-8")
     // Deterministic event time: fixed epoch + 1s per offset (micros).
     val ts = 1700000000000000L + offset * 1000000L
-    MqMessage(key, payload, ts)
+    val headers: Array[(String, Array[Byte])] =
+      Array("source" -> "generated".getBytes("UTF-8"))
+    MqMessage(key, payload, ts, headers)
   }
 }

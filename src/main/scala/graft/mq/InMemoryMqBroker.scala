@@ -4,9 +4,11 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable.ArrayBuffer
 
 /** A single MQ message. `timestamp` is epoch micros (Spark's native
-  * TimestampType resolution).
+  * TimestampType resolution); `headers` is optional Kafka-style metadata
+  * (/root/reference/README.md:233), null when absent.
   */
-final case class MqMessage(key: Array[Byte], value: Array[Byte], timestamp: Long)
+final case class MqMessage(key: Array[Byte], value: Array[Byte], timestamp: Long,
+    headers: Array[(String, Array[Byte])] = null)
 
 /** Deterministic, JVM-local message-queue broker backing the `graft-mq`
   * source and sink in tests and local runs.

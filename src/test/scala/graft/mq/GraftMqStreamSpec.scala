@@ -202,6 +202,26 @@ class GraftMqStreamSpec extends SparkSuite {
     assert(rows.map(r => (r.getAs[Int]("partition"), r.getAs[Long]("offset"))).distinct.length == 3)
   }
 
+  test("includeHeaders: kafka-grade headers column (README.md:233)") {
+    import spark.implicits._
+    val df = spark.read.format("graft-mq")
+      .option("backend", "generated").option("numPartitions", "1")
+      .option("rowsPerBatch", "3").option("includeHeaders", "true").load()
+    assert(df.schema.fieldNames.last == "headers")
+    val rows = df.selectExpr("explode(headers) as h")
+      .select($"h.key", $"h.value".cast("string")).as[(String, String)]
+      .collect().toSet
+    assert(rows == Set(("source", "generated")))
+    // Broker messages without headers read as null.
+    val topic = "no-headers"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, Seq("x"))
+    val broker = spark.read.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeHeaders", "true").load()
+    assert(broker.select("headers").collect().head.isNullAt(0))
+  }
+
   test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
     val topic = "prune"
     InMemoryMqBroker.drop(topic)
