@@ -427,6 +427,79 @@ object GraftQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  private val q24 = Q("q24_shipping_priority",
+    (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(expr(s"cast(sum($revenue) as double)").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+    Some(s"""
+      SELECT l_orderkey, cast(sum($revenue) as double) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < timestamp '1997-01-01'
+        AND l_shipdate > timestamp '1997-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""))
+
+  private val q25 = Q("q25_nation_volume",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2")
+          && col("cust_nation").isin("NATION_3", "NATION_4"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(expr(s"cast(sum($revenue) as double)").as("volume"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation")
+    },
+    Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        cast(sum($revenue) as double) AS volume, count(*) AS n_items
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_3', 'NATION_4')
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Batch event-time tumbling windows via `window()` (1-hour, epoch
+    * aligned — equals date_trunc('hour') in the oracle). ts is long nanos
+    * (nanosAsLong); truncating division to µs matches DuckDB's read
+    * resolution.
+    */
+  private val q26 = Q("q26_hourly_events",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"round(${dsum("value")} / count(*), 6)").as("avg_value"))
+      .select(col("w.start").as("hour"), col("n_events"), col("avg_value"))
+      .orderBy("hour"),
+    Some(s"""
+      SELECT cast(date_trunc('hour', ts) as timestamp) AS hour,
+        count(*) AS n_events,
+        round(${dsum("value")} / count(*), 6) AS avg_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   /** As-of join (click→purchase attribution): each purchase matched to the
     * user's latest click at-or-before it. Composed union+window
     * ([[TemporalOps.asOfJoin]]); the oracle is DuckDB's native ASOF JOIN —
@@ -770,6 +843,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
+    q24, q25, q26,
     d01, d02, d03, d04, d05, d06,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06,
