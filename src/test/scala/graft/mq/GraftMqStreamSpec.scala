@@ -282,6 +282,24 @@ class GraftMqStreamSpec extends SparkSuite {
     } finally q3.stop()
   }
 
+  test("option validation: bad backend / startingOffsets / sink schema fail fast") {
+    import spark.implicits._
+    val badBackend = intercept[Exception] {
+      spark.read.format("graft-mq").option("backend", "kafka").load()
+    }
+    assert(badBackend.getMessage.contains("backend"))
+    val badStart = intercept[Exception] {
+      spark.read.format("graft-mq").option("startingOffsets", "middle").load()
+    }
+    assert(badStart.getMessage.contains("startingOffsets"))
+    // Sink requires a string/binary `value` column.
+    val badWrite = intercept[Exception] {
+      Seq(1, 2).toDF("value").write.format("graft-mq").mode("append")
+        .option("topic", "bad-sink").save()
+    }
+    assert(badWrite.getMessage != null)
+  }
+
   test("streaming write sink: stream back into a topic") {
     val src = "sink-src"; val dst = "sink-dst"
     InMemoryMqBroker.drop(src); InMemoryMqBroker.drop(dst)
