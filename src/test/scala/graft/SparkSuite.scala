@@ -22,6 +22,8 @@ object SparkSuite {
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
       // read as long (nanos since epoch) — queries convert as needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
