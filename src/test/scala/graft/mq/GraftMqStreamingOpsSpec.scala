@@ -83,6 +83,43 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: dedupe by content fingerprint within watermark") {
+    val topic = "neardup-stream"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    val base = 1700000000000000L
+    // Two distinct texts, each arriving twice (exact re-sends) — the
+    // simhash60 fingerprint keys the streaming dedup.
+    Seq("spark stream batch", "merge window offset",
+        "spark stream batch", "merge window offset").zipWithIndex.foreach {
+      case (v, i) => state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + i * 1000000L))
+    }
+
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeMetadata", "true").load()
+      .select($"timestamp", $"value".cast("string").as("text"))
+      .withColumn("fp", GraftFunctions.simhash60(split($"text", " ")))
+      .withWatermark("timestamp", "1 minute")
+      .dropDuplicatesWithinWatermark("fp")
+      .select($"text").as[String]
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        batch.collect().foreach(seen.add)
+      }
+      .option("checkpointLocation", tmp("neardup-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq.sorted ==
+        Seq("merge window offset", "spark stream batch"))
+    } finally q.stop()
+  }
+
   test("custom state: mapGroupsWithState running count per word across batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val topic = "state-demo"
