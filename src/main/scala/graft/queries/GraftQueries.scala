@@ -500,6 +500,24 @@ object GraftQueries {
         round(${dsum("value")} / count(*), 6) AS avg_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Exact interpolated percentiles (both engines: linear interpolation at
+    * rank p·(n−1)).
+    */
+  private val q27 = Q("q27_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(percentile(l_quantity, 0.5), 6)").as("p50_qty"),
+        expr("round(percentile(l_extendedprice, 0.9), 6)").as("p90_price"),
+        expr("round(percentile(l_extendedprice, 0.99), 6)").as("p99_price"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** As-of join (click→purchase attribution): each purchase matched to the
     * user's latest click at-or-before it. Composed union+window
     * ([[TemporalOps.asOfJoin]]); the oracle is DuckDB's native ASOF JOIN —
@@ -610,6 +628,50 @@ object GraftQueries {
       FROM t a JOIN t b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       ORDER BY vec_a, vec_b"""))
+
+  /** Dedup as an OUTPUT operation: the surviving canonical rows (min
+    * doc_id per content fingerprint) — what a pipeline actually writes
+    * downstream after deduplication.
+    */
+  private val d07 = Q("dedup_survivors",
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      t(s, dir, "documents")
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT doc_id, lang, source, n_chars,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM documents)
+      SELECT doc_id, lang, source, n_chars FROM c
+      WHERE doc_id = canonical_id ORDER BY doc_id"""))
+
+  /** Edit-distance near-dup pairs on a bounded candidate slice — the
+    * character-level complement to token-level Jaccard (both engines
+    * implement standard unit-cost Levenshtein).
+    */
+  private val d08 = Q("dedup_edit_distance",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= 60)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(levenshtein(a.text, b.text) as int) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.text, b.text) <= 60
+      ORDER BY doc_a, doc_b"""))
 
   // -------------------------------------------------------- similarity
 
@@ -843,8 +905,8 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26,
-    d01, d02, d03, d04, d05, d06,
+    q24, q25, q26, q27,
+    d01, d02, d03, d04, d05, d06, d07, d08,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06,
     m01, mq1)
