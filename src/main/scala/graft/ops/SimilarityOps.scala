@@ -102,30 +102,36 @@ object SimilarityOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
       nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    // 1. Train the coarse quantizer: centroid = mean of each seed bucket.
-    val centroidRows = corpus
-      .select(pmod(col("vec_id"), lit(nlist)).as("list_id"),
-        posexplode(col("cv")).as(Seq("pos", "v")))
+    def centroidSim(v: Column, c: Array[Double]): Column =
+      GraftFunctions.cosine_sim(v, typedLit(c))
+    def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
+      // top-`take` list_ids by centroid similarity, as an array column —
+      // centroids are literals, so assignment is a join-free codegen'd
+      // expression.
+      val sims = array(cents.map { case (id, c) =>
+        struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
+      }: _*)
+      slice(reverse(array_sort(sims)), 1, take)
+    }
+    // 1. Train the coarse quantizer: bucket means from a deterministic
+    //    seed partition, then one k-means (Lloyd) refinement — reassign to
+    //    the nearest centroid and re-average, which tightens the lists
+    //    substantially while staying fully deterministic.
+    def meansOf(assigned: DataFrame): Seq[(Int, Array[Double])] = assigned
+      .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "v")))
       .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
       .groupBy("list_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("list_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
       .collect()
-    val centroids: Seq[(Int, Array[Double])] = centroidRows.map { r =>
-      (r.getAs[Number]("list_id").intValue(),
-        r.getSeq[Double](1).toArray)
-    }.toSeq
-    // 2. Nearest-centroid assignment as a greatest-of-nlist expression
-    //    (centroids are literals — no join, stays in codegen).
-    def centroidSim(v: Column, c: Array[Double]): Column =
-      GraftFunctions.cosine_sim(v, typedLit(c))
-    def argmaxAssign(v: Column, take: Int): Column = {
-      // top-`take` list_ids by centroid similarity, as an array column.
-      val sims = array(centroids.map { case (id, c) =>
-        struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
-      }: _*)
-      slice(reverse(array_sort(sims)), 1, take)
-    }
+      .map(r => (r.getAs[Number]("list_id").intValue(), r.getSeq[Double](1).toArray))
+      .toSeq
+    val seedCentroids = meansOf(
+      corpus.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
+    val centroids = meansOf(corpus.select(
+      argmaxWith(seedCentroids)(col("cv"), 1).getItem(0).getField("id").as("list_id"),
+      col("cv")))
+    val argmaxAssign = argmaxWith(centroids) _
     val assignedCorpus = corpus
       .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
     val probedQueries = queries
