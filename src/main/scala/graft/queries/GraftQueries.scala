@@ -659,9 +659,12 @@ object GraftQueries {
         .select(col("doc_id"), col("text"))
       val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      // Thresholded levenshtein (Spark 3.5+): banded O(n·k) instead of the
+      // full O(n·m) table; beyond-threshold pairs return -1 and are
+      // filtered — the kept set and values equal the unbounded form.
       a.join(broadcast(b), col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("ta"), col("tb")))
-        .filter(col("dist") <= 60)
+        .withColumn("dist", expr("levenshtein(ta, tb, 61)"))
+        .filter(col("dist") >= 0 && col("dist") <= 60)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
         .orderBy("doc_a", "doc_b")
     },
