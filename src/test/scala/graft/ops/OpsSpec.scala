@@ -105,6 +105,22 @@ class OpsSpec extends SparkSuite {
     assert(topk(3, 4).map(_._1).take(2).toSeq == Seq("a", "b"))
   }
 
+  test("asOfJoin: inclusive at equal ts, null before first right, latest wins") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 5L, "p2"), (2L, 7L, "p3"))
+      .toDF("k", "ts", "pl")
+    val right = Seq((1L, 5L, "r-a"), (1L, 9L, "r-b"), (2L, 8L, "r-c"))
+      .toDF("k", "rts", "payload")
+    val got = TemporalOps.asOfJoin(left, right, key = "k",
+        leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"))
+      .select("k", "pl", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+    assert(got == Set(
+      (1L, "p1", "r-b"),  // latest right at-or-before ts=10 is rts=9
+      (1L, "p2", "r-a"),  // equal timestamps match (inclusive, rts=5)
+      (2L, "p3", null)))  // no right row at-or-before ts=7
+  }
+
   test("multimodal decode: batch plumbing is lossless and deterministic") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(100)
     val decoded = MultimodalOps.decodeAll(spark, MultimodalOps.toMediaRecords(docs))
