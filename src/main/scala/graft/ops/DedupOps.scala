@@ -133,6 +133,46 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs with PPJoin-style prefix filtering: under a
+    * global shingle order (document frequency asc, then shingle — rare
+    * first), two sets with Jaccard ≥ t MUST share a shingle within each
+    * set's first `n − ceil(t·n) + 1` shingles, and their sizes must
+    * satisfy `t ≤ n_a/n_b`. Indexing only prefixes (and joining under the
+    * length filter) shrinks the candidate join by ~t/(1+t) of each list
+    * plus all cross-size pairs, while staying EXACT: candidates are then
+    * verified with the full `|∩|/|∪|`. The standard exact set-similarity
+    * join for corpus-scale dedup.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val base = shingleSets(docs, shingleN, idCol, textCol)
+    val inv = base.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    // Global total order = (df asc, shingle asc), used directly as the
+    // per-doc sort key — no global ranking pass (a global row_number
+    // window would serialize on one partition, the opposite of the point).
+    val dfCounts = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfCounts, "shingle")
+    // Keep each doc's prefix: the (n - ceil(t*n) + 1) globally-smallest
+    // shingles.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+    val prefixes = ranked
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("n"), col("shingle"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val candidates = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          // length filter: t <= min(n)/max(n)
+          least(col("a.n"), col("b.n")).cast("double")
+            >= greatest(col("a.n"), col("b.n")) * threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, base, threshold)
+  }
+
   /** Per-document distinct shingle sets, PERSISTED: shingling is the
     * expensive per-doc map, and it is consumed multiple times (signature,
     * band explode, and the doc_a/doc_b sides of pair verification).

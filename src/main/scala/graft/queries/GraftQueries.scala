@@ -618,6 +618,11 @@ object GraftQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  private val d09 = Q("dedup_jaccard_prefix",
+    (s, dir) => DedupOps.jaccardPairsPrefix(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(jaccardOracle))
+
   private val d06 = Q("dedup_embedding_pairs",
     (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
       .orderBy("vec_a", "vec_b"),
@@ -909,7 +914,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27,
-    d01, d02, d03, d04, d05, d06, d07, d08,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06,
     m01, mq1)

@@ -33,6 +33,18 @@ class OpsSpec extends SparkSuite {
       s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("prefix-filtered jaccard join equals the unfiltered exact join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = DedupOps.jaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect().toSet
+    val prefix = DedupOps.jaccardPairsPrefix(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect().toSet
+    assert(exact.nonEmpty)
+    assert(prefix == exact,
+      s"prefix filtering must be exact: missed ${(exact -- prefix).size}, " +
+        s"extra ${(prefix -- exact).size}")
+  }
+
   test("simhash banding finds exactly the hamming<=3 pairs (pigeonhole)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 3).collect()
