@@ -159,6 +159,39 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
   }
   private val stateCkpt = tmp("state-ckpt")
 
+  test("stream-stream join: watermarked event-time interval join of two topics") {
+    val lhs = "ss-clicks"; val rhs = "ss-buys"
+    InMemoryMqBroker.drop(lhs); InMemoryMqBroker.drop(rhs)
+    val base = 1700000000000000L
+    val clicks = InMemoryMqBroker.getOrCreate(lhs, 1)
+    val buys = InMemoryMqBroker.getOrCreate(rhs, 1)
+    // click u1@0s, u2@5s; buys u1@10s (joins, within 30s), u2@100s (outside)
+    clicks.append(0, MqMessage(null, "u1".getBytes, base))
+    clicks.append(0, MqMessage(null, "u2".getBytes, base + 5000000L))
+    buys.append(0, MqMessage(null, "u1".getBytes, base + 10000000L))
+    buys.append(0, MqMessage(null, "u2".getBytes, base + 100000000L))
+
+    import spark.implicits._
+    def side(topic: String, user: String, ts: String) =
+      spark.readStream.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "1")
+        .option("includeMetadata", "true").load()
+        .select($"value".cast("string").as(user), $"timestamp".as(ts))
+        .withWatermark(ts, "1 minute")
+    val joined = side(lhs, "c_user", "c_ts")
+      .join(side(rhs, "b_user", "b_ts"),
+        expr("c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + interval 30 seconds"))
+      .select($"c_user")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out")
+      .option("checkpointLocation", tmp("ss-join-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out").as[String].collect().toSeq
+      assert(got == Seq("u1"), s"only u1's buy is within the join window, got $got")
+    } finally q.stop()
+  }
+
   test("stream-static join: enrich stream with a dimension table") {
     val topic = "enrich"
     InMemoryMqBroker.drop(topic)
