@@ -29,14 +29,15 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < 4, "4 bands of 15 bits guarantee recall only for hamming <= 3")
-    // persist(): the fingerprint must be computed once per DOCUMENT. Left
-    // lazy, the optimizer inlines the hash expression into the pair-join
-    // filter and recomputes it per CANDIDATE PAIR — O(pairs) hashing
-    // instead of O(docs). Same pattern as Spark ML's LSH models.
+    // persist (via Caching.withCached): the fingerprint must be computed
+    // once per DOCUMENT. Left lazy, the optimizer inlines the hash
+    // expression into the pair-join filter and recomputes it per CANDIDATE
+    // PAIR — O(pairs) hashing instead of O(docs). Same pattern as Spark
+    // ML's LSH models.
     val sh = docs.select(
       col(idCol).as("id"),
       GraftFunctions.simhash60(TextOps.tokens(col(textCol))).as("simhash"))
-      .persist()
+    Caching.withCached(sh) {
     val banded = sh.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -53,6 +54,7 @@ object DedupOps {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+    }
   }
 
   /** MinHash-LSH near-dup pairs over word-`n`-gram shingles, verified with
@@ -67,6 +69,7 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
     val base = shingleSets(docs, shingleN, idCol, textCol)
+    Caching.withCached(base) {
     val sigs = base.select(col("id"), col("sh"),
       GraftFunctions.minhash_signature(col("sh"), k, seed).as("sig"))
     // Band key: the r signature values of the band, stringified — an exact
@@ -84,6 +87,7 @@ object DedupOps {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, base, threshold)
+    }
   }
 
   /** Exact n-gram-Jaccard pairs via a shingle inverted index: explode
@@ -97,6 +101,7 @@ object DedupOps {
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = shingleSets(docs, shingleN, idCol, textCol)
+    Caching.withCached(base) {
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     // The inverted index joins on fnv64(shingle) — an 8-byte key instead
     // of a ~20-byte string roughly halves the heaviest shuffle. Distinct
@@ -131,37 +136,41 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 
-  /** Exact Jaccard pairs with PPJoin-style prefix filtering: under a
-    * global shingle order (document frequency asc, then shingle — rare
-    * first), two sets with Jaccard ≥ t MUST share a shingle within each
-    * set's first `n − ceil(t·n) + 1` shingles, and their sizes must
-    * satisfy `t ≤ n_a/n_b`. Indexing only prefixes (and joining under the
-    * length filter) shrinks the candidate join by ~t/(1+t) of each list
-    * plus all cross-size pairs, while staying EXACT: candidates are then
-    * verified with the full `|∩|/|∪|`. The standard exact set-similarity
-    * join for corpus-scale dedup.
+  /** Exact Jaccard pairs with prefix filtering (PPJoin family): under a
+    * fixed global total order on shingles, two sets with Jaccard ≥ t MUST
+    * share a shingle within each set's first `n − ceil(t·n) + 1` shingles,
+    * and their sizes must satisfy `t ≤ min(n)/max(n)`. Indexing only
+    * prefixes (and joining under the length filter) shrinks the candidate
+    * join while staying EXACT: candidates are verified with the full
+    * `|∩|/|∪|`.
+    *
+    * The global order here is `fnv64(shingle)` ascending — a fixed
+    * pseudo-random order every document computes LOCALLY, so the prefix is
+    * a per-doc map-side `array_sort` + `slice` with no shuffle before the
+    * candidate join. (Classic PPJoin orders by document frequency to make
+    * prefixes maximally rare, but that needs a full inverted-index shuffle
+    * plus a per-doc ranking pass — measured at sf0.1 the ranking cost an
+    * order of magnitude more than the candidates it saved; the theorem
+    * holds under ANY fixed total order, so the cheap order wins at every
+    * scale until candidate volume, not ranking, dominates.) Hash
+    * collisions could only merge two order keys (~|shingles|²/2⁶⁵ odds);
+    * candidates are verified exactly either way, and the join key being
+    * the 8-byte hash also halves the shuffle width vs. raw shingles.
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val base = shingleSets(docs, shingleN, idCol, textCol)
-    val inv = base.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
-    // Global total order = (df asc, shingle asc), used directly as the
-    // per-doc sort key — no global ranking pass (a global row_number
-    // window would serialize on one partition, the opposite of the point).
-    val dfCounts = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = inv.join(dfCounts, "shingle")
-    // Keep each doc's prefix: the (n - ceil(t*n) + 1) globally-smallest
-    // shingles.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-    val prefixes = ranked
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("n"), col("shingle"))
+    Caching.withCached(base) {
+    val hashed = base.select(col("id"), size(col("sh")).as("n"),
+      array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
+    // Keep each doc's prefix: its (n - ceil(t*n) + 1) smallest hashes.
+    val prefixes = hashed.select(col("id"), col("n"),
+      explode(slice(col("hs"), lit(1),
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("shingle"))
     val a = prefixes.as("a"); val b = prefixes.as("b")
     val candidates = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
@@ -171,21 +180,22 @@ object DedupOps {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, base, threshold)
+    }
   }
 
-  /** Per-document distinct shingle sets, PERSISTED: shingling is the
-    * expensive per-doc map, and it is consumed multiple times (signature,
-    * band explode, and the doc_a/doc_b sides of pair verification).
-    * Without the persist the optimizer inlines the shingle expression into
-    * each consumer — including per-pair join filters — turning O(docs)
-    * shingling into O(pairs). Tokenization is a separate bound projection
-    * so the split() runs once per doc, not once per lambda reference.
+  /** Per-document distinct shingle sets. Callers persist this (via
+    * [[Caching.withCached]]): shingling is the expensive per-doc map, and
+    * it is consumed multiple times (signature, band explode, and the
+    * doc_a/doc_b sides of pair verification). Without the persist the
+    * optimizer inlines the shingle expression into each consumer —
+    * including per-pair join filters — turning O(docs) shingling into
+    * O(pairs). Tokenization is a separate bound projection so the split()
+    * runs once per doc, not once per lambda reference.
     */
   private def shingleSets(docs: DataFrame, shingleN: Int,
       idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
       .select(col("id"), TextOps.shinglesFromTokens(col("tk"), shingleN).as("sh"))
-      .persist()
 
   /** Exact-Jaccard verification of candidate pairs: join shingle sets back
     * and compute |∩|/|∪| with array built-ins (codegen'd, no UDF).

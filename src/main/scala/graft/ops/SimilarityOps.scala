@@ -68,10 +68,12 @@ object SimilarityOps {
           explode(array((0 until tables).map(t =>
             struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk")): _*)
         .select((idCols.map(col) :+ col(vecCol) :+ col("bk.t") :+ col("bk.sig")): _*)
-    // persist(): signatures are expensive per-row projections consumed by
-    // the join; left lazy they'd be inlined and recomputed per candidate.
-    val qb = buckets(queries, Seq("query_id"), "qv").persist()
-    val cb = buckets(corpus, Seq("vec_id"), "cv").persist()
+    // persist (Caching.withCached): signatures are expensive per-row
+    // projections consumed by the join; left lazy they'd be inlined and
+    // recomputed per candidate.
+    val qb = buckets(queries, Seq("query_id"), "qv")
+    val cb = buckets(corpus, Seq("vec_id"), "cv")
+    Caching.withCached(qb, cb) {
     val candidates = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select("query_id", "vec_id", "qv", "cv")
@@ -83,6 +85,7 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+    }
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns

@@ -21,26 +21,40 @@ object TemporalOps {
     * row with the same `key` and `right.tsCol <= left.tsCol` (inclusive).
     * Left rows with no prior right row get null payloads (left-asof).
     *
-    * @param rightPayload right columns to carry (must not collide with
-    *                     left column names)
+    * The payload travels as ONE packed struct, which makes the operator
+    * deterministic and null-safe: among right rows tied on (key, ts) the
+    * struct itself is the final window sort key (so `last()` always picks
+    * the struct-maximal row, not a partition-order-dependent one), and a
+    * right row whose payload fields are all NULL still has a non-null
+    * struct, so it is attached as NULLs rather than silently skipped in
+    * favor of an older row.
+    *
+    * @param rightPayload right columns to carry; must not collide with
+    *                     left column names (enforced) and must be of
+    *                     orderable types (no maps — they can't tie-break)
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.nonEmpty, "asOfJoin: nothing to attach")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asOfJoin: rightPayload collides with left columns: ${collisions.mkString(", ")}")
     val l = left.withColumn("_side", lit(1)).withColumn("_ats", col(leftTs))
-    val r = right.select((Seq(col(key), col(rightTs).as("_ats")) ++
-        rightPayload.map(col)): _*)
+    val r = right.select(col(key), col(rightTs).as("_ats"),
+        struct(rightPayload.map(col): _*).as("_pay"))
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort BEFORE left rows at equal timestamps (_side 0 < 1),
-    // making the match inclusive (right.ts == left.ts matches); the right
-    // timestamp itself tie-breaks equal-key-equal-ts right rows.
+    // making the match inclusive (right.ts == left.ts matches); the packed
+    // payload struct deterministically tie-breaks equal-key-equal-ts right
+    // rows (left rows carry a NULL struct, ignored by last(ignoreNulls)).
     val w = Window.partitionBy(key)
-      .orderBy(col("_ats").asc, col("_side").asc)
+      .orderBy(col("_ats").asc, col("_side").asc, col("_pay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("_side") === 1).drop("_side", "_ats")
+    val attached = unioned.withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(attached) { (df, c) =>
+        df.withColumn(c, col("_pay").getField(c))
+      }
+      .filter(col("_side") === 1).drop("_side", "_ats", "_pay")
   }
 }

@@ -827,8 +827,12 @@ object GraftQueries {
           + (1.0 - n_stop / n_tok) * 0.2, 6) AS quality_score
       FROM x ORDER BY doc_id"""))
 
+  // Docs with <3 tokens have no 3-gram shingles → no fingerprint; BOTH
+  // sides drop them (Spark filter ≙ oracle's WHERE len(tk) >= 3) so the
+  // row sets agree on any corpus, not just one without short docs.
   private val x04 = Q("text_fingerprints",
     (s, dir) => TextOps.withFingerprint(t(s, dir, "documents"))
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
       .select("doc_id", "fingerprint")
       .orderBy("doc_id"),
     Some("""
