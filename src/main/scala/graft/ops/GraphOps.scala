@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives needed by dedup pipelines. The one that
+  * matters at 100 TB: near-dup PAIRS (from [[DedupOps]]) must become
+  * CLUSTERS before survivors can be chosen — a connected-components pass
+  * over the pair graph, here as iterative min-label propagation on plain
+  * DataFrames (north star, SURVEY.md §2.8; the reference has no graph
+  * surface — this is additive).
+  *
+  * Scale shape: each iteration is one equi-join (labels ⋈ edges, shuffled
+  * on the node id) + one groupBy-min — both shuffle-partitioned by id, no
+  * driver-side data movement; the only driver actions are one tiny
+  * aggregate per iteration (the convergence test) and `localCheckpoint`s
+  * that truncate the growing lineage (without them, iteration k replays
+  * all k-1 prior joins and planning time goes quadratic). Iteration count
+  * is the component DIAMETER — near-dup clusters are shallow (dup groups
+  * link through shared content, rarely chains), so a handful of rounds
+  * suffices; for adversarially long chains swap the body for the
+  * large-star/small-star steps (O(log n) rounds) — the loop and
+  * convergence machinery stay identical.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph (`nodes`, `edges`):
+    * returns (`id`, `component_id`) where `component_id` is the MINIMUM
+    * node id in the component — a canonical, deterministic cluster key.
+    *
+    * @param nodes one column: the node id (numeric); isolated nodes form
+    *              singleton components
+    * @param edges two columns (src, dst); endpoints must appear in `nodes`
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    // Symmetrize once; checkpointed because every iteration re-reads it.
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("comp"))
+      .localCheckpoint(true)
+    // Labels only ever DECREASE, so sum(comp) strictly decreases until the
+    // fixpoint: sum-equality is a complete convergence test that needs no
+    // old⋈new join. decimal(38,0) so the test is exact at any node count.
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prev = sig(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = labels.join(sym, labels("id") === sym("a"))
+        .select(sym("b").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val cur = sig(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents: not converged after $maxIter iterations")
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+}

@@ -57,6 +57,25 @@ object MultimodalOps {
     }
   }
 
+  /** Frame sampling: every `step`-th frame index of each decoded media
+    * record, as (doc_id, frame_idx, frame_md5) — the 1→N expansion a
+    * vision feature-extractor consumes (sampled frames, not all frames,
+    * bound the downstream GPU work at video scale). Pure map-side
+    * (`sequence` + `explode`, no shuffle); the per-frame "content" hash is
+    * STUBBED deterministically from (content_md5, frame_idx) — a real
+    * pipeline would seek-decode the frame here, same plumbing.
+    */
+  def sampleFrames(decoded: DataFrame, step: Int): DataFrame = {
+    require(step > 0)
+    decoded.filter(col("fake_frames") > 0)
+      .select(col("doc_id"), col("content_md5"),
+        explode(sequence(lit(0L), col("fake_frames") - 1, lit(step.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("content_md5"), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_md5"))
+  }
+
   /** Deterministic fake decode: features derived only from the bytes. */
   def decodeStub(r: MediaRecord): DecodedMedia = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -27,8 +27,8 @@ object TextOps {
   /** Distinct token set (dedup/jaccard building block). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles (space-joined), the MinHash/Jaccard unit.
-    * Docs shorter than n yield empty.
+  /** Word n-grams (space-joined) WITH multiplicity — repetition signals
+    * need duplicates kept. Docs shorter than n yield empty.
     *
     * IMPORTANT for callers: pass a *bound token column* (a projected
     * `tokens(...)` column), not an inline `split(...)` expression — the
@@ -36,14 +36,22 @@ object TextOps {
     * would be re-evaluated (re-splitting the text) at every reference,
     * and again for every consumer the optimizer inlines this into.
     */
-  def shinglesFromTokens(tk: Column, n: Int = 3): Column = {
+  def ngramsFromTokens(tk: Column, n: Int): Column = {
     require(n >= 1)
     val idx = sequence(lit(0), size(tk) - n) // inclusive
     val joined = transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*))
-    when(size(tk) >= n, array_distinct(joined))
+    when(size(tk) >= n, joined)
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles (space-joined, DISTINCT), the MinHash/Jaccard
+    * unit. Docs shorter than n yield empty. Same binding caveat as
+    * [[ngramsFromTokens]].
+    */
+  def shinglesFromTokens(tk: Column, n: Int = 3): Column =
+    when(size(tk) >= n, array_distinct(ngramsFromTokens(tk, n)))
+      .otherwise(array().cast("array<string>"))
 
   def shingles(text: Column, n: Int = 3): Column = shinglesFromTokens(tokens(text), n)
 
@@ -111,6 +119,39 @@ object TextOps {
         round(least(nTok / lit(100.0), lit(1.0)) * 0.4
           + (nUniq / nTok) * 0.4
           + (lit(1.0) - nStop / nTok) * 0.2, 6))
+  }
+
+  /** Gopher-style repetition signals per document: the mass fraction of
+    * the most frequent unigram and bigram — high values flag boilerplate /
+    * degenerate machine text that near-dup passes miss (the doc repeats
+    * ITSELF, not another doc).
+    *
+    * Shape at scale: explode + two-level groupBy, shuffled on
+    * (doc_id, gram) — linear in corpus token count with map-side partial
+    * aggregation, and immune to long documents (a per-doc
+    * distinct×tokens nested-loop alternative would go quadratic on
+    * 100k-token docs).
+    *
+    * Returns (doc_id, n_tokens, top_unigram_ratio, top_bigram_ratio);
+    * bigram ratio is NULL for docs with <2 tokens.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    def topMass(grams: Column) = {
+      base.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as("total"), max("n").as("top"))
+    }
+    val uni = topMass(col("tk"))
+      .select(col("doc_id"), col("total").as("n_tokens"),
+        round(col("top").cast("double") / col("total").cast("double"), 6)
+          .as("top_unigram_ratio"))
+    val bi = topMass(ngramsFromTokens(col("tk"), 2))
+      .select(col("doc_id"),
+        round(col("top").cast("double") / col("total").cast("double"), 6)
+          .as("top_bigram_ratio"))
+    uni.join(bi, Seq("doc_id"), "left")
   }
 
   /** Document fingerprint: lexicographic min of md5 over word-3-gram

@@ -550,6 +550,42 @@ object GraftQueries {
       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY p.user_id, p.event_id"""))
 
+  /** Batch event-time SESSION windows (`session_window`, 30-min gap) —
+    * the oracle re-derives identical sessions with the classic
+    * gaps-and-islands SQL (lag + running sum of session-start flags), so
+    * the two formulations cross-check each other. Spark merges an event
+    * into the current session iff it lands strictly inside [start,
+    * last+gap), so a gap of EXACTLY 30 min starts a new session (hence
+    * `>=` in the oracle).
+    */
+  private val q28 = Q("q28_session_stats",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(expr("ts div 1000")), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"round(${dsum("value")} / count(*), 6)").as("avg_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("avg_value"))
+      .orderBy("user_id", "session_start"),
+    Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          event_id
+        FROM events),
+      g AS (
+        SELECT user_id, ts, value,
+          sum(CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id, cast(min(ts) as timestamp) AS session_start,
+        count(*) AS n_events,
+        round(${dsum("value")} / count(*), 6) AS avg_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -680,6 +716,42 @@ object GraftQueries {
       FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE levenshtein(a.text, b.text) <= 60
       ORDER BY doc_a, doc_b"""))
+
+  /** Pairs → CLUSTERS: connected components over the near-dup pair graph
+    * (MinHash-LSH candidates verified at exact Jaccard ≥ 0.5, i.e. the
+    * same edge set as [[jaccardOracle]]), every document labeled with the
+    * min doc_id of its component — the step that turns pairwise dedup
+    * output into canonical groups. The oracle recomputes components with a
+    * recursive CTE (label propagation to fixpoint) — an independent
+    * formulation of the same reachability semantics.
+    */
+  private val d10 = Q("dedup_components",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = DedupOps.minhashLshPairs(docs, threshold = 0.5)
+      GraphOps.connectedComponents(
+          docs.select(col("doc_id")), edges,
+          idCol = "doc_id", srcCol = "doc_a", dstCol = "doc_b")
+        .select(col("id").as("doc_id"), col("component_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) >= 0.5),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+      r AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b AS id, r.lbl FROM r JOIN e ON r.id = e.a)
+      SELECT id AS doc_id, min(lbl) AS component_id
+      FROM r GROUP BY id ORDER BY doc_id"""))
 
   // -------------------------------------------------------- similarity
 
@@ -879,6 +951,104 @@ object GraftQueries {
       SELECT cast(rank as int) AS rank, token, n, cast(0 as bigint) AS err
       FROM r WHERE rank <= 10 ORDER BY rank"""))
 
+  /** Repetition signals ([[TextOps.repetitionSignals]]): top-unigram /
+    * top-bigram mass fraction per doc — the self-repetition quality gate.
+    */
+  private val x07 = Q("text_repetition",
+    (s, dir) => TextOps.repetitionSignals(t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      u AS (SELECT doc_id, unnest(tk) AS g FROM d),
+      uc AS (SELECT doc_id, g, count(*) AS n FROM u GROUP BY doc_id, g),
+      ua AS (SELECT doc_id, cast(sum(n) as bigint) AS n_tokens, max(n) AS top_u
+             FROM uc GROUP BY doc_id),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+              i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM d WHERE len(tk) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g),
+      ba AS (SELECT doc_id, cast(sum(n) as bigint) AS n_bigrams, max(n) AS top_b
+             FROM bc GROUP BY doc_id)
+      SELECT ua.doc_id AS doc_id, n_tokens,
+        round(cast(top_u as double) / cast(n_tokens as double), 6) AS top_unigram_ratio,
+        round(cast(top_b as double) / cast(n_bigrams as double), 6) AS top_bigram_ratio
+      FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+      ORDER BY ua.doc_id"""))
+
+  /** TF-IDF top terms per source: global IDF (ln(N/df), df = docs
+    * containing the token) × per-source term frequency, top 3 by weight.
+    * The doc count joins in as a broadcast scalar — no driver-side
+    * constant folding, the plan stays fully declarative.
+    */
+  private val x08 = Q("text_tfidf_top",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val dfc = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("dfc"))
+      val st = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val scored = st.join(dfc, "token").crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("nd").cast("double") / col("dfc").cast("double")), 6))
+      val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("token"), col("tfidf"))
+        .orderBy("source", "rank")
+    },
+    Some("""
+      WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      n AS (SELECT count(*) AS nd FROM documents),
+      df AS (SELECT token, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY token),
+      st AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY source, token),
+      sc AS (SELECT source, st.token,
+               round(tf * ln(cast(nd as double) / cast(dfc as double)), 6) AS tfidf
+             FROM st JOIN df ON st.token = df.token CROSS JOIN n),
+      r AS (SELECT source, token, tfidf,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY tfidf DESC, token) AS rank
+            FROM sc)
+      SELECT source, cast(rank as int) AS rank, token, tfidf
+      FROM r WHERE rank <= 3 ORDER BY source, rank"""))
+
+  // ----------------------------------------------------------- sampling
+
+  /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
+    * md5-hash sample plus a 30-doc stratified cap — id-sums prove the
+    * SELECTIONS (not just the counts) are identical across engines.
+    */
+  private val sm1 = Q("sample_deterministic",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = docs.withColumn("in_sample",
+        SamplingOps.hashSampleFlag(col("doc_id"), modulus = 10, keep = 1))
+      val capped = SamplingOps.stratifiedCap(docs, Seq("lang"), cap = 30,
+          key = col("doc_id"))
+        .groupBy("lang").agg(sum(col("doc_id")).as("capped_id_sum"))
+      flagged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("in_sample"), 1)).as("n_hash_sample"),
+          sum(when(col("in_sample"), col("doc_id"))).as("sample_id_sum"))
+        .join(capped, Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d AS (SELECT lang, doc_id,
+          (('0x' || substr(md5('s' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 1)
+            AS in_sample,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ('0x' || substr(md5('c' || cast(doc_id as varchar)), 1, 15))::bigint,
+                     doc_id) AS rk
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        count(CASE WHEN in_sample THEN 1 END) AS n_hash_sample,
+        cast(sum(CASE WHEN in_sample THEN doc_id END) as bigint) AS sample_id_sum,
+        cast(sum(CASE WHEN rk <= 30 THEN doc_id END) as bigint) AS capped_id_sum
+      FROM d GROUP BY lang ORDER BY lang"""))
+
   // -------------------------------------------------------- multimodal
 
   private val m01 = Q("mm_decode_stats",
@@ -897,6 +1067,26 @@ object GraftQueries {
         cast(octet_length(encode(text)) // 256 as bigint) AS fake_frames,
         md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
+
+  /** Frame sampling ([[MultimodalOps.sampleFrames]]): every 2nd frame of
+    * each decoded media record, per-frame ids + stub content hashes — the
+    * map-side 1→N expansion feeding a vision feature extractor.
+    */
+  private val m02 = Q("mm_frame_sample",
+    (s, dir) => MultimodalOps.sampleFrames(
+        MultimodalOps.decodeAll(s,
+          MultimodalOps.toMediaRecords(t(s, dir, "documents"))).toDF(),
+        step = 2)
+      .orderBy("doc_id", "frame_idx"),
+    Some("""
+      WITH m AS (SELECT doc_id, md5(text) AS cmd5,
+          octet_length(encode(text)) // 256 AS nf
+        FROM documents),
+      f AS (SELECT doc_id, cmd5, unnest(range(0, nf, 2)) AS frame_idx
+            FROM m WHERE nf > 0)
+      SELECT doc_id, frame_idx,
+        md5(cmd5 || ':' || cast(frame_idx as varchar)) AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx"""))
 
   // ------------------------------------------------------ mq connector
 
@@ -917,11 +1107,11 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    q24, q25, q26, q27, q28,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05,
-    x01, x02, x03, x04, x05, x06,
-    m01, mq1)
+    x01, x02, x03, x04, x05, x06, x07, x08,
+    sm1, m01, m02, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-3 pipeline operators: connected components
+  * (graph edge cases the oracle's single corpus can't cover), deterministic
+  * sampling invariants, repetition signals, frame sampling.
+  */
+class PipelineOpsSpec extends SparkSuite {
+
+  test("connectedComponents: chain, triangle, singletons, multi-hop propagation") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("id")
+    // chain 1-2-3 (diameter 2: label must hop twice), triangle 5-6-7,
+    // isolated 4 and 8, pair 9-? none → 9 singleton too.
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val got = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("connectedComponents: long path needs multiple label-propagation rounds") {
+    import spark.implicits._
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    // Path 1-2-...-12 with the min label at one END: worst-case diameter
+    // for min-propagation — exercises the iteration + convergence logic.
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to n).toSet)
+  }
+
+  test("hash sampling: deterministic, order-independent, roughly at rate") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("k")
+    val picked = df.filter(SamplingOps.hashSampleFlag(col("k"), 10, 1))
+      .as[Long].collect().toSet
+    // Re-evaluation and row-order changes select the SAME rows.
+    val again = df.orderBy(col("k").desc)
+      .filter(SamplingOps.hashSampleFlag(col("k"), 10, 1))
+      .as[Long].collect().toSet
+    assert(picked == again)
+    assert(picked.size > 120 && picked.size < 280, s"~10% of 2000, got ${picked.size}")
+    // Different salt draws an independent sample.
+    val other = df.filter(SamplingOps.hashSampleFlag(col("k"), 10, 1, salt = "z"))
+      .as[Long].collect().toSet
+    assert(other != picked)
+  }
+
+  test("stratifiedCap: at most N per group, deterministic selection") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    val capped = SamplingOps.stratifiedCap(df, Seq("g"), cap = 10, key = col("k"))
+    val byG = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG.values.forall(_ == 10), byG.toString)
+    val twice = SamplingOps.stratifiedCap(df.orderBy(col("k").desc), Seq("g"),
+      cap = 10, key = col("k"))
+    assert(capped.select("k").as[Long].collect().toSet ==
+      twice.select("k").as[Long].collect().toSet)
+  }
+
+  test("repetitionSignals: hand-computed ratios, short-doc null bigram") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),       // top unigram a:3/4; bigrams: "a a"x2,"a b" → 2/3
+      (2L, "x"),             // 1 token → bigram ratio null
+      (3L, "p q p q p q")).toDF("doc_id", "text") // uni p:3/6; bi "p q":3/5
+    val got = TextOps.repetitionSignals(df).orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tokens") == 4L)
+    assert(got(0).getAs[Double]("top_unigram_ratio") == 0.75)
+    assert(got(0).getAs[Double]("top_bigram_ratio") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(got(1).isNullAt(got(1).fieldIndex("top_bigram_ratio")))
+    assert(got(2).getAs[Double]("top_unigram_ratio") == 0.5)
+    assert(got(2).getAs[Double]("top_bigram_ratio") == 0.6)
+  }
+
+  test("sampleFrames: every step-th index, deterministic stub hashes, no shuffle") {
+    import spark.implicits._
+    val decoded = Seq((1L, 5L, "aaaa"), (2L, 0L, "bbbb"), (3L, 1L, "cccc"))
+      .toDF("doc_id", "fake_frames", "content_md5")
+    val got = MultimodalOps.sampleFrames(decoded, step = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 2L), (1L, 4L), (3L, 0L)))
+    assert(got.forall(!_.isNullAt(2)))
+    val plan = MultimodalOps.sampleFrames(decoded, 2).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must be map-side:\n$plan")
+  }
+}
