@@ -586,6 +586,70 @@ object GraftQueries {
         round(${dsum("value")} / count(*), 6) AS avg_value
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
+  /** Correlated EXISTS / NOT EXISTS (TPC-H Q21-shaped: suppliers whose
+    * item was the ONLY returned one in a multi-supplier order), entered
+    * through the SQL surface so Catalyst's subquery DECORRELATION plans
+    * the rewrites (left-semi + left-anti over the self-joined lineitem) —
+    * the oracle runs the identical ANSI text.
+    */
+  private val q29 = Q("q29_exists_waiting",
+    (s, dir) => {
+      Seq("supplier", "lineitem", "orders").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")
+    },
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+
+  /** Correlated SCALAR subquery (TPC-H Q17-shaped: small-quantity orders
+    * below 20% of the part's average quantity). The per-part average
+    * decorrelates into an aggregate + join; the threshold compare is exact
+    * because l_quantity is integral (double sums of small ints are
+    * order-independent).
+    */
+  private val q30 = Q("q30_scalar_subquery",
+    (s, dir) => {
+      Seq("lineitem", "part").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(s"""
+        SELECT p_brand, count(*) AS n_small,
+          ${dsum("l_extendedprice")} AS small_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand ORDER BY p_brand""")
+    },
+    Some(s"""
+      SELECT p_brand, count(*) AS n_small,
+        ${dsum("l_extendedprice")} AS small_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1107,7 +1171,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28,
+    q24, q25, q26, q27, q28, q29, q30,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06, x07, x08,

@@ -159,6 +159,51 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
   }
   private val stateCkpt = tmp("state-ckpt")
 
+  test("custom state: transformWithState running count (Spark 4 state-v2 API)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val topic = "tws-demo"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, Seq("a", "b", "a"))
+
+    import spark.implicits._
+    val updates = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    // transformWithState requires the RocksDB state store provider.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "1").load()
+        .select($"value".cast("string").as("w")).as[String]
+        .groupByKey(identity)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          batch.collect().foreach(updates.add)
+        }
+        .option("checkpointLocation", twsCkpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      run()
+      import scala.jdk.CollectionConverters._
+      assert(updates.asScala.toSet == Set(("a", 2L), ("b", 1L)))
+
+      // ValueState survives restart from the checkpoint.
+      updates.clear()
+      InMemoryMqBroker.produceStrings(topic, 1, Seq("a", "c"))
+      run()
+      assert(updates.asScala.toSet == Set(("a", 3L), ("c", 1L)),
+        s"state must resume from checkpoint, got ${updates.asScala.toSet}")
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+  private val twsCkpt = tmp("tws-ckpt")
+
   test("stream-stream join: watermarked event-time interval join of two topics") {
     val lhs = "ss-clicks"; val rhs = "ss-buys"
     InMemoryMqBroker.drop(lhs); InMemoryMqBroker.drop(rhs)
@@ -213,5 +258,24 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
       assert(got.map(_._1).sorted == Seq("AFRICA", "ASIA", "ASIA", "EUROPE"))
       assert(got.forall { case (n, k) => k >= 0 && n.nonEmpty })
     } finally query.stop()
+  }
+}
+
+/** Running word count as a Spark 4 state-v2 StatefulProcessor: one
+  * ValueState[Long] per key. Top-level class — it is serialized into the
+  * streaming query.
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var count: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[String],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
   }
 }
