@@ -36,12 +36,20 @@ object GraphOps {
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
     // Symmetrize once; checkpointed because every iteration re-reads it.
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    val sym = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).cast("long").as("id"),
-        col(idCol).cast("long").as("comp"))
+    // Iterate ONLY over nodes touched by an edge: in a dedup pipeline the
+    // pair graph is a vanishing fraction of the corpus (most docs are
+    // unique), so the loop's joins run on |pairs|-sized frames, not
+    // |corpus|-sized ones; singletons re-attach with one left join at the
+    // end. This is what keeps the loop cheap at 100 TB: iteration cost
+    // scales with duplication volume, not corpus volume.
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     // Labels only ever DECREASE, so sum(comp) strictly decreases until the
     // fixpoint: sum-equality is a complete convergence test that needs no
@@ -50,7 +58,7 @@ object GraphOps {
       df.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
     var prev = sig(labels)
     var it = 0
-    var converged = false
+    var converged = prev == null // empty edge set (sum over no rows): done
     while (!converged && it < maxIter) {
       val prop = labels.join(sym, labels("id") === sym("a"))
         .select(sym("b").as("id"), col("comp"))
@@ -64,6 +72,8 @@ object GraphOps {
       it += 1
     }
     require(converged, s"connectedComponents: not converged after $maxIter iterations")
-    labels.select(col("id"), col("comp").as("component_id"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component_id"))
   }
 }

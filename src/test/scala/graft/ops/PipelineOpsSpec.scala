@@ -22,6 +22,15 @@ class PipelineOpsSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connectedComponents: empty edge set — every node is a singleton") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("connectedComponents: long path needs multiple label-propagation rounds") {
     import spark.implicits._
     val n = 12L
