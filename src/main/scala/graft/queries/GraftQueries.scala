@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.GraftFunctions
 import graft.ops._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -650,6 +650,36 @@ object GraftQueries {
                           WHERE l2.l_partkey = p_partkey)
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Window-function variety over one total-ordered per-customer window:
+    * ntile bucketing, lead/lag offsets, first_value with the default
+    * running frame — the window shapes q08/q09 don't cover. The
+    * partition-key filter commutes with the window, applied before it on
+    * both sides.
+    */
+  private val q31 = Q("q31_window_variety",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("nt", ntile(4).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("first_date", first(col("o_orderdate")).over(w))
+        .withColumn("lag2_key", lag(col("o_orderkey"), 2).over(w))
+        .select("o_custkey", "o_orderkey", "nt", "next_price", "first_date",
+          "lag2_key")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        cast(ntile(4) OVER w as int) AS nt,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        first_value(o_orderdate) OVER w AS first_date,
+        lag(o_orderkey, 2) OVER w AS lag2_key
+      FROM orders WHERE o_custkey <= 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -875,6 +905,40 @@ object GraftQueries {
         .orderBy("query_id", "rank")
     },
     None)
+
+  /** Cosine via BUILT-IN higher-order functions — `zip_with` (elementwise
+    * product) + `aggregate` (sum fold) — the no-custom-code alternative to
+    * the native CosineSimilarity expression; both paths against the same
+    * DuckDB list arithmetic proves they agree bit-for-bit (sequential
+    * double fold in all three). The native expression stays the hot-path
+    * choice (single fused loop, no intermediate array), but this is the
+    * drop-in formulation on a stock Spark cluster.
+    */
+  private val s06 = Q("sim_cosine_hof",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val cos = dot(col("qv"), col("cv")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+      c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cos, 6).as("cosine"))
+        .filter(col("cosine") >= 0.2)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""
+      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 5),
+      p AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q.qv, t.v), 6) AS cosine
+            FROM q, t WHERE t.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cosine FROM p
+      WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id"""))
 
   /** Per-label L2-norm stats via the codegen'd l2_norm expression; the
     * oracle recomputes the norm with DuckDB list arithmetic (same
@@ -1171,9 +1235,9 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30,
+    q24, q25, q26, q27, q28, q29, q30, q31,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    s01, s02, s03, s04, s05,
+    s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,
     sm1, m01, m02, mq1)
 

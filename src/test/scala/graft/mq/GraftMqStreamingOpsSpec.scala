@@ -50,6 +50,41 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("event-time session windows with watermark (streaming session_window)") {
+    val topic = "sess-demo"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    val base = 1700000000000000L // micros
+    // u1: events at 0s, 10s (one session, 30s gap), then 120s (new session);
+    // u2: one event at 5s.
+    Seq(("u1", 0L), ("u1", 10L), ("u1", 120L), ("u2", 5L)).foreach {
+      case (u, sec) =>
+        state.append(0, MqMessage(null, u.getBytes("UTF-8"), base + sec * 1000000L))
+    }
+
+    import spark.implicits._
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeMetadata", "true").load()
+      .select($"timestamp", $"value".cast("string").as("u"))
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy($"u", session_window($"timestamp", "30 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"u", $"sw.start".as("start"), $"n")
+    val query = q.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      query.awaitTermination(60000)
+      val got = spark.table("sess_out")
+        .orderBy("u", "start")
+        .as[(String, Timestamp, Long)].collect().toSeq
+      assert(got.map { case (u, st, n) => (u, (st.getTime - base / 1000) / 1000, n) } ==
+        Seq(("u1", 0L, 2L), ("u1", 120L, 1L), ("u2", 5L, 1L)),
+        s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark on payload key") {
     val topic = "dedup-stream"
     InMemoryMqBroker.drop(topic)
