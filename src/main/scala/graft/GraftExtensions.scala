@@ -13,5 +13,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.registrations.foreach(ext.injectFunction)
+    // Whole-plan operators (SURVEY.md §2.8): planner strategy for the
+    // map-side-bounded top-k-per-key node. GraftPlans.topKPerKey also
+    // self-registers via experimental.extraStrategies for sessions built
+    // without spark.sql.extensions.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

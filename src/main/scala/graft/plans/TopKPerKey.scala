@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Top-k-per-key as a first-class operator: logical node + planner strategy
+  * + two-phase physical operator, the whole-operator extension path
+  * (`LogicalPlan` → `SparkStrategy` → `SparkPlan`) from SURVEY.md §2.8.
+  *
+  * Why not `row_number().over(Window...)  WHERE rn <= k`? That plan
+  * shuffles EVERY row of the input to its key's reducer and sorts full
+  * partitions there — at 100 TB the shuffle materializes the whole table
+  * for a result that keeps only k rows per key. This operator instead runs
+  * a bounded per-key heap on the map side (exactly like partial
+  * aggregation), so at most k rows per (key, input partition) reach the
+  * shuffle; the reduce side merges heaps. Shuffle volume scales with
+  * k·|keys|·partitions touched, not with |input|.
+  *
+  * Memory: a map-side heap holds ≤ k rows per distinct key seen in the
+  * partition — same degeneracy bound as partial hash aggregation (high-
+  * cardinality keys degrade toward pass-through, never above k·keys rows).
+  *
+  * The reference has no native query operators at all (it is a streaming
+  * source, CustomMicroBatchStream.java:21-84); this operator belongs to
+  * the LLM-pipeline extension surface (top-k per group is the shape of
+  * "best k docs per dedup cluster / per source / per query vector").
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Physical operator. `partial = true` instances accept any input
+  * distribution (map side); the `partial = false` instance requires
+  * clustering on the keys, which `EnsureRequirements` satisfies with a
+  * hash exchange over exactly the ≤ k-per-key-per-partition survivors.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      // Codegen'd projection/ordering are created per task (they are not
+      // serializable); only expressions + attributes are captured.
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // Max-heap w.r.t. the sort order: head = worst kept row, so a new
+      // row either beats the head (replace) or is discarded in O(log k).
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row) // reused buffer; bytes-equality lookup is safe
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap { h =>
+        val out = new Array[InternalRow](h.size)
+        var i = out.length - 1
+        while (i >= 0) { out(i) = h.poll(); i -= 1 } // drain worst-first → reverse
+        out.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Plans the logical node as final(partial(child)) — the partial runs
+  * map-side, the final's ClusteredDistribution draws the one exchange.
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API for graft's custom whole-plan operators. */
+object GraftPlans {
+  /** Keep the first `k` rows per key group under `orderBy`
+    * ((column, ascending) pairs) — semantically `row_number() OVER
+    * (PARTITION BY keys ORDER BY ...) <= k`, planned as a map-side
+    * bounded heap + single hash exchange. Make the order total (add a
+    * unique tie-break column) for deterministic results.
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"topKPerKey: k must be positive, got $k")
+    require(keys.nonEmpty && orderBy.nonEmpty, "topKPerKey: keys and orderBy required")
+    val spark = df.sparkSession
+    Bridge.addStrategy(spark, TopKPerKeyStrategy)
+    val analyzed = df.queryExecution.analyzed
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = analyzed.output.find(a => resolver(a.name, n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"topKPerKey: column '$n' not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    Bridge.ofRows(spark, TopKPerKeyNode(keys.map(attr), order, k, analyzed))
+  }
+}

@@ -680,6 +680,28 @@ object GraftQueries {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  /** Top-3 orders per customer through the custom TopKPerKey whole-plan
+    * operator (graft.plans: logical node → strategy → partial/final exec
+    * with map-side bounded heaps — k rows per key per partition reach the
+    * shuffle instead of the whole table; see TopKPerKey.scala scaladoc).
+    * The oracle is the semantically-equal row_number window. The order is
+    * total ((o_totalprice, o_orderkey) unique) so results are exact.
+    */
+  private val q32 = Q("q32_topk_plan",
+    (s, dir) => graft.plans.GraftPlans.topKPerKey(
+        t(s, dir, "orders").filter(col("o_custkey") <= 200),
+        keys = Seq("o_custkey"),
+        orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey"),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders WHERE o_custkey <= 200)
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1235,7 +1257,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,

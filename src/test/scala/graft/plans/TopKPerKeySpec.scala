@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSuite {
+
+  test("topKPerKey matches the row_number window formulation") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val got = GraftPlans.topKPerKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().toSeq
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("topKPerKey keeps whole groups smaller than k") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .repartition(4) // spread rows so partial heaps see partial groups
+    val got = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", true)), 5)
+      .orderBy("k", "v").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("a", 1), ("a", 2), ("b", 3)))
+  }
+
+  test("topKPerKey plans a partial/final pair with one exchange and no sort") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val df = GraftPlans.topKPerKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val physical = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(physical).size == 2, physical)
+    assert("Exchange".r.findAllIn(physical).size == 1, physical)
+    assert(!physical.contains("Sort "), physical)
+    // partial=true below the exchange, final above it
+    assert(physical.indexOf(", true") > physical.indexOf("Exchange"), physical)
+    assert(physical.indexOf(", false") < physical.indexOf("Exchange"), physical)
+  }
+
+  test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
+    import spark.implicits._
+    val df = Seq(("a", 1)).toDF("k", "v")
+    assert(GraftPlans.topKPerKey(df, Seq("K"), Seq(("V", true)), 1).count() == 1)
+    intercept[IllegalArgumentException] {
+      GraftPlans.topKPerKey(df, Seq("nope"), Seq(("v", true)), 1)
+    }
+  }
+}
