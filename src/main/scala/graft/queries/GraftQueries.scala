@@ -702,6 +702,35 @@ object GraftQueries {
         FROM orders WHERE o_custkey <= 200)
       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
+  /** Same idiom as q32's oracle, but written AS the row_number SQL idiom
+    * and rewritten to TopKPerKey by the opt-in optimizer rule
+    * (RewriteRowNumberTopK) — proving the rewritten plan is value-exact
+    * against DuckDB running the un-rewritten SQL. Runs in a cloned session
+    * (`newSession`: same SparkContext, isolated sessionState) so the rule
+    * never leaks into the other queries' plans.
+    */
+  private val q33 = Q("q33_topk_rewrite",
+    (s, dir) => {
+      val s2 = s.newSession()
+      graft.plans.RowNumberTopKRewrite.enable(s2)
+      t(s2, dir, "orders").filter(col("o_custkey") <= 200)
+        .createOrReplaceTempView("orders_q33")
+      s2.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders_q33)
+        WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders WHERE o_custkey <= 200)
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1257,7 +1286,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,

@@ -36,6 +36,16 @@ object Bridge {
       exp.extraStrategies = strategy +: exp.extraStrategies
   }
 
+  /** Idempotently add an optimizer rule to the session (imperative twin of
+    * `SparkSessionExtensions.injectOptimizerRule`).
+    */
+  def addOptimization(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = rule +: exp.extraOptimizations
+  }
+
   /** `AbstractDataType`/`TypeCollection` are `private[sql]`, but they are
     * the only way an `ExpectsInputTypes` expression can declare an
     * "array<float> or array<double>" contract — re-exported here for

@@ -45,6 +45,17 @@ class TopKPerKeySpec extends SparkSuite {
     assert(physical.indexOf(", false") < physical.indexOf("Exchange"), physical)
   }
 
+  test("column pruning reaches the scan through the custom node") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val df = GraftPlans.topKPerKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scan.contains("o_custkey") && scan.contains("o_totalprice"), scan)
+    assert(!scan.contains("o_orderpriority") && !scan.contains("o_orderstatus"), scan)
+  }
+
   test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
