@@ -731,6 +731,38 @@ object GraftQueries {
         FROM orders WHERE o_custkey <= 200)
       WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"""))
 
+  /** Point-in-interval range join via RangeOps bucketization (equi-join on
+    * time bucket + residual filter — no BroadcastNestedLoopJoin): events
+    * landing in the hour after each sampled purchase. events.ts reads as
+    * long nanos (nanosAsLong); the oracle uses epoch_ns. Window is
+    * [ts, ts+1h) half-open; bucketWidth = window length → ≤2 buckets per
+    * interval.
+    */
+  private val q34 = Q("q34_range_join",
+    (s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts").as("pts"), col("value"))
+      val anchors = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
+          (col("ts") + lit(hourNs)).as("w_end"))
+      RangeOps.pointInIntervalJoin(ev, "pts", anchors, "w_start", "w_end", hourNs)
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_in_window"),
+          expr(s"${dsum("value")}").as("sum_value"))
+        .orderBy("anchor_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_id, epoch_ns(ts) AS pts, value FROM events),
+      a AS (SELECT event_id AS anchor_id, epoch_ns(ts) AS w_start,
+              epoch_ns(ts) + 3600000000000 AS w_end
+            FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0)
+      SELECT anchor_id, count(*) AS n_in_window,
+        ${dsum("value")} AS sum_value
+      FROM a JOIN e ON e.pts >= a.w_start AND e.pts < a.w_end
+      GROUP BY anchor_id ORDER BY anchor_id"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1286,7 +1318,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,
