@@ -194,6 +194,49 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
   }
   private val stateCkpt = tmp("state-ckpt")
 
+  test("custom state: flatMapGroupsWithState emits 0..N outputs per group conditionally") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val topic = "fmgws-demo"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, Seq("u1", "u2", "u1"))
+
+    import spark.implicits._
+    val updates = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def run(extra: Seq[String]): Unit = {
+      if (extra.nonEmpty) InMemoryMqBroker.produceStrings(topic, 1, extra)
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "1").load()
+        .select($"value".cast("string").as("u")).as[String]
+        .groupByKey(identity)
+        // 0..N outputs per group per trigger — the flatMap variant the
+        // map-based test can't express (here: emit only when count crosses
+        // a threshold, else keep accumulating silently).
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: String, rows: Iterator[String], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (n >= 2) Iterator.single((user, n)) else Iterator.empty
+        }
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+          batch.collect().foreach(updates.add)
+        }
+        .option("checkpointLocation", fmgwsCkpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(Nil)
+    import scala.jdk.CollectionConverters._
+    // u1 crossed the threshold (2); u2 stays silent below it.
+    assert(updates.asScala.toSet == Set(("u1", 2L)), s"got ${updates.asScala.toSet}")
+
+    updates.clear()
+    run(Seq("u2", "u1"))
+    // Recovered state: u2 reaches 2 and fires; u1 keeps growing to 3.
+    assert(updates.asScala.toSet == Set(("u2", 2L), ("u1", 3L)),
+      s"state must resume from checkpoint, got ${updates.asScala.toSet}")
+  }
+  private val fmgwsCkpt = tmp("fmgws-ckpt")
+
   test("custom state: transformWithState running count (Spark 4 state-v2 API)") {
     import org.apache.spark.sql.streaming.OutputMode
     val topic = "tws-demo"
