@@ -30,4 +30,30 @@ object ScaleOps {
     stage1.groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("s"))
   }
+
+  /** Salted equi-join for a skewed LARGE-side join key: every large-side
+    * row gets a deterministic salt in [0, salt) and the small side is
+    * replicated once per salt value, so a hot key's rows land on `salt`
+    * reducers instead of one. Result is exactly the plain inner
+    * equi-join; cost is |small| × salt extra build rows.
+    *
+    * Only worth it for shuffle joins (sort-merge / shuffled-hash) where
+    * the small side exceeds the broadcast threshold but one large-side
+    * key dominates — a broadcast join has no shuffle to skew, and AQE's
+    * skew-join can only split whole partitions, not one hot key. `saltBy`
+    * should be a high-cardinality large-side column (e.g. its primary
+    * key) so the hot key spreads evenly; it is hashed (not `rand()`) so
+    * task retries see stable assignments.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame,
+      largeKey: String, smallKey: String,
+      saltBy: Column, salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val l = large.withColumn("_salt_l",
+      pmod(crc32(saltBy.cast("string")), lit(salt.toLong)))
+    val r = small.withColumn("_salt_r",
+      explode(sequence(lit(0L), lit((salt - 1).toLong))))
+    l.join(r, col(largeKey) === col(smallKey) && col("_salt_l") === col("_salt_r"))
+      .drop("_salt_l", "_salt_r")
+  }
 }

@@ -763,6 +763,29 @@ object GraftQueries {
       FROM a JOIN e ON e.pts >= a.w_start AND e.pts < a.w_end
       GROUP BY anchor_id ORDER BY anchor_id"""))
 
+  /** Salted sort-merge join (ScaleOps.saltedJoin): lineitem×part with the
+    * part side replicated across 8 salt shards — the skewed-JOIN
+    * counterpart of q22's salted aggregation. Values must equal the plain
+    * join, which is what the oracle runs.
+    */
+  private val q35 = Q("q35_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part").filter(col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+      ScaleOps.saltedJoin(li, part, "l_partkey", "p_partkey",
+          saltBy = col("l_orderkey"), salt = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          expr(s"${dsum("l_quantity")}").as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some(s"""
+      SELECT p_brand, count(*) AS n_items, ${dsum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 10
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1318,7 +1341,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,
