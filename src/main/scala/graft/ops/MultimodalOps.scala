@@ -76,6 +76,38 @@ object MultimodalOps {
           .as("frame_md5"))
   }
 
+  /** Feature-extraction stage: decoded media → fixed-dim embedding
+    * (`array<float>`), the column every similarity/ANN operator consumes.
+    * STUBBED deterministically (dim hashes of the content hash, scaled to
+    * [0,1) and rounded through float) so DuckDB can recompute it exactly;
+    * a real model call would instead use the `decodeAll` batched
+    * `mapPartitions` shape (amortize model init per batch). Expression-
+    * based here so it stays inside whole-stage codegen — no shuffle, no
+    * JVM object churn.
+    */
+  def embedStub(decoded: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0)
+    decoded.select(col("doc_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}), i ->
+        cast(cast(conv(substring(md5(concat(content_md5, ':', cast(i as string))), 1, 15), 16, 10) as bigint) % 1000000 / 1000000.0 as float))""")
+        .as("embedding"))
+  }
+
+  /** Resize stage (stub): fit decoded dimensions into a `target`-pixel
+    * box, preserving aspect ratio, never upscaling — pure integer
+    * arithmetic (`div`) so the oracle reproduces it bit-for-bit. A real
+    * pipeline would do this inside the decode batch; the *dimension
+    * contract* is what downstream layout planning consumes.
+    */
+  def resizeStub(decoded: DataFrame, target: Int): DataFrame = {
+    require(target > 0)
+    decoded.select(col("doc_id"), col("fake_width"), col("fake_height"),
+      expr(s"cast((fake_width * $target) div greatest(fake_width, fake_height, $target) as int)")
+        .as("out_w"),
+      expr(s"cast((fake_height * $target) div greatest(fake_width, fake_height, $target) as int)")
+        .as("out_h"))
+  }
+
   /** Deterministic fake decode: features derived only from the bytes. */
   def decodeStub(r: MediaRecord): DecodedMedia = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -1322,6 +1322,69 @@ object GraftQueries {
         md5(cmd5 || ':' || cast(frame_idx as varchar)) AS frame_md5
       FROM f ORDER BY doc_id, frame_idx"""))
 
+  /** Feature-extract → ANN, end to end on the multimodal path: decode
+    * (stub) → deterministic fake embedding ([[MultimodalOps.embedStub]],
+    * dim 8, float) → broadcast cosine scoring → top-5 per query through
+    * the custom TopKPerKey operator. The oracle recomputes the embedding
+    * from scratch in DuckDB (hex-parse ≡ Spark `conv`, float round-trip
+    * ≡ `cast as float`, `list_cosine_similarity(::DOUBLE[])` ≡ the
+    * codegen'd CosineSimilarity — all bit-exact patterns proven by the
+    * other queries).
+    */
+  private val m03 = Q("mm_embed_topk",
+    (s, dir) => {
+      val emb = MultimodalOps.embedStub(
+        MultimodalOps.decodeAll(s,
+          MultimodalOps.toMediaRecords(t(s, dir, "documents"))).toDF(),
+        dim = 8)
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("doc_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cos_raw"))
+      graft.plans.GraftPlans.topKPerKey(scored, Seq("query_id"),
+          Seq(("cos_raw", false), ("neighbor_id", true)), 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_raw"), 6).as("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""
+      WITH m AS (SELECT doc_id, md5(text) AS cmd5 FROM documents),
+      e AS (SELECT doc_id, list_transform(range(0, 8), i ->
+              cast(('0x' || substr(md5(cmd5 || ':' || cast(i as varchar)), 1, 15))::bigint
+                   % 1000000 / 1000000.0 as float)) AS emb
+            FROM m),
+      q AS (SELECT doc_id AS query_id, emb::DOUBLE[] AS qv FROM e WHERE doc_id < 3),
+      sc AS (SELECT q.query_id, e.doc_id AS neighbor_id,
+              list_cosine_similarity(q.qv, e.emb::DOUBLE[]) AS cos
+            FROM q, e WHERE e.doc_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+            FROM sc)
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+      FROM r WHERE rn <= 5 ORDER BY query_id, neighbor_id"""))
+
+  /** Resize stage ([[MultimodalOps.resizeStub]]): fit into a 32-px box,
+    * aspect-preserving, integer `div` arithmetic — bit-identical oracle.
+    */
+  private val m04 = Q("mm_resize_dims",
+    (s, dir) => MultimodalOps.resizeStub(
+        MultimodalOps.decodeAll(s,
+          MultimodalOps.toMediaRecords(t(s, dir, "documents"))).toDF(),
+        target = 32)
+      .orderBy("doc_id"),
+    Some("""
+      WITH m AS (SELECT doc_id,
+          cast(octet_length(encode(text)) % 64 as int) AS fake_width,
+          cast((octet_length(encode(text)) // 64) % 64 as int) AS fake_height
+        FROM documents)
+      SELECT doc_id, fake_width, fake_height,
+        cast((fake_width * 32) // greatest(fake_width, fake_height, 32) as int) AS out_w,
+        cast((fake_height * 32) // greatest(fake_width, fake_height, 32) as int) AS out_h
+      FROM m ORDER BY doc_id"""))
+
   // ------------------------------------------------------ mq connector
 
   // The reference demo (streaming WordCount, README.md:74-124) as a batch
@@ -1345,7 +1408,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08,
-    sm1, m01, m02, mq1)
+    sm1, m01, m02, m03, m04, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
