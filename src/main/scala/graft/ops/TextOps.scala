@@ -162,4 +162,33 @@ object TextOps {
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint",
       array_min(transform(shingles(col(textCol)), s => md5(s))))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * word-`k`-gram shingle, slide a window of `w` consecutive hashes, keep
+    * each window's minimum, dedupe. Any run of ≥ k+w-1 shared tokens
+    * between two documents is guaranteed to share a fingerprint, at
+    * ~2/(w+1) selection density — the standard plagiarism/near-dup
+    * fingerprint set, vs. [[withFingerprint]]'s single global min.
+    *
+    * Entirely higher-order functions (codegen'd, per-row, no shuffle/UDF);
+    * the hash is the 60-bit md5 prefix so DuckDB reproduces it exactly.
+    * Documents with fewer than k+w-1 tokens get an empty fingerprint set.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"winnowFingerprints: k=$k w=$w must be positive")
+    // POSITIONAL shingles (ngramsFromTokens, not the distinct-ed
+    // shingles()): winnowing's window slides over the token sequence, so
+    // repeated shingles must keep their positions.
+    val hashes = transform(ngramsFromTokens(tokens(col(textCol)), k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    docs
+      .withColumn("_h", hashes)
+      .withColumn("winnow_fps",
+        when(size(col("_h")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("_h")) - w + 1),
+            i => array_min(slice(col("_h"), i, lit(w))))))
+        .otherwise(array().cast("array<long>")))
+      .drop("_h")
+  }
 }

@@ -1248,6 +1248,35 @@ object GraftQueries {
       SELECT source, cast(rank as int) AS rank, token, tfidf
       FROM r WHERE rank <= 3 ORDER BY source, rank"""))
 
+  /** Winnowing fingerprint sets ([[TextOps.winnowFingerprints]], k=3 w=4):
+    * per-doc count/min/max of the selected window minima — value-exact
+    * because the hash (60-bit md5 prefix) and the window-min selection are
+    * reproduced verbatim in DuckDB list algebra.
+    */
+  private val x09 = Q("text_winnow",
+    (s, dir) => TextOps.winnowFingerprints(t(s, dir, "documents"))
+      .select(col("doc_id"), size(col("winnow_fps")).as("n_fp"),
+        array_min(col("winnow_fps")).as("min_fp"),
+        array_max(col("winnow_fps")).as("max_fp"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS sh FROM t),
+      h AS (SELECT doc_id,
+              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs
+            FROM s),
+      wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+              list_distinct(list_transform(range(1, len(hs) - 2),
+                i -> list_aggregate(hs[i:i+3], 'min')))
+            ELSE [] END AS fps FROM h)
+      SELECT doc_id, cast(len(fps) as int) AS n_fp,
+        list_aggregate(fps, 'min') AS min_fp,
+        list_aggregate(fps, 'max') AS max_fp
+      FROM wn ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- sampling
 
   /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
@@ -1407,7 +1436,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
-    x01, x02, x03, x04, x05, x06, x07, x08,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09,
     sm1, m01, m02, m03, m04, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -147,6 +147,28 @@ class OpsSpec extends SparkSuite {
     assert(again == d0)
   }
 
+  test("winnowing: shared token run of >= k+w-1 guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1 for k=3,w=4
+    val docs = Seq(
+      (1L, s"unique prefix one two $shared"),
+      (2L, s"$shared completely different tail here"),
+      (3L, "no overlap with anything else at all whatsoever")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+      .select($"doc_id", $"winnow_fps").as[(Long, Seq[Long])].collect()
+      .map { case (id, f) => id -> f.toSet }.toMap
+    assert(fps(1).intersect(fps(2)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert(fps(3).intersect(fps(1) ++ fps(2)).isEmpty, "disjoint docs must not collide")
+  }
+
+  test("winnowing: short docs get empty fingerprint sets, never errors") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "one two")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs) // 5 tokens → 3 shingles < w=4
+      .select($"doc_id", $"winnow_fps").as[(Long, Seq[Long])].collect().toMap
+    assert(fps.values.forall(_.isEmpty))
+  }
+
   test("every registered query runs at sf0.001 and is non-degenerate") {
     // May legitimately be empty at tiny SF (10 suppliers across 25 nations
     // leave some nation pairs unpopulated; every customer may have orders).
