@@ -56,6 +56,26 @@ class TopKPerKeySpec extends SparkSuite {
     assert(!scan.contains("o_orderpriority") && !scan.contains("o_orderstatus"), scan)
   }
 
+  test("topKPerKey equals the window formulation on random data with ties and nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      val k = if (rnd.nextInt(20) == 0) null else s"k${rnd.nextInt(30)}"
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(50).toDouble // many ties
+      (k, v, i.toLong) // i = unique tie-break
+    }
+    val df = rows.toDF("k", "v", "id").repartition(7)
+    val got = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 5)
+      .orderBy($"k".asc_nulls_first, $"id")
+      .collect().toSeq
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .drop("rn").orderBy($"k".asc_nulls_first, $"id")
+      .collect().toSeq
+    assert(got == want, s"${got.size} vs ${want.size}")
+  }
+
   test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
