@@ -36,12 +36,31 @@ object GraphOps {
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
     // Symmetrize once; checkpointed because every iteration re-reads it.
-    val sym = edges.select(col(srcCol).cast("long").as("a"),
+    val symWide = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .unionByName(edges.select(col(dstCol).cast("long").as("a"),
         col(srcCol).cast("long").as("b")))
       .distinct()
       .localCheckpoint(true)
+    // Size the loop's parallelism to the EDGE volume, not the session
+    // default: the pair graph is a vanishing fraction of the corpus, and
+    // every iteration pays per-task scheduling on every shuffle partition
+    // — with the session's partition count, a few-hundred-edge graph
+    // spends seconds of pure task overhead per round. ~1M edges per
+    // partition keeps partitions comfortably in memory at any scale.
+    // (`coalesce` on the checkpointed frame moves no data.)
+    val spark = nodes.sparkSession
+    val nEdges = symWide.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 1000000L + 1L)).toInt
+    val sym = symWide.coalesce(parts).localCheckpoint(true)
+    // The loop's shuffles (join + groupBy, all edge-sized) run eagerly
+    // under the narrowed partition count — every frame is materialized by
+    // localCheckpoint(true) inside the try. The session conf is restored
+    // before the caller's (lazy, corpus-sized) final join executes.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val oldShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, parts.toString)
     // Iterate ONLY over nodes touched by an edge: in a dedup pipeline the
     // pair graph is a vanishing fraction of the corpus (most docs are
     // unique), so the loop's joins run on |pairs|-sized frames, not
@@ -50,7 +69,8 @@ object GraphOps {
     // scales with duplication volume, not corpus volume.
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    try {
+    labels = labels.localCheckpoint(true)
     // Labels only ever DECREASE, so sum(comp) strictly decreases until the
     // fixpoint: sum-equality is a complete convergence test that needs no
     // old⋈new join. decimal(38,0) so the test is exact at any node count.
@@ -72,6 +92,7 @@ object GraphOps {
       it += 1
     }
     require(converged, s"connectedComponents: not converged after $maxIter iterations")
+    } finally spark.conf.set(shuffleKey, oldShuffle)
     nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component_id"))

@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.queries.GraftQueries
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time individual queries (post-warmup) without running the
+  * whole bench. Usage: runMain graft.tools.TimeQuery <sfDir> <query ...>
+  * Env: SPARK_GRAFT_CPUS (default 32, matching Bench).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
+    args.drop(1).foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = GraftQueries.queries(n)(spark, sfDir).count()
+      println(f"[time] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
