@@ -786,6 +786,88 @@ object GraftQueries {
       WHERE p_size <= 10
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** Explicit GROUPING SETS (the shape rollup/cube can't express: an
+    * arbitrary subset of grouping combinations), via the SQL surface.
+    */
+  private val q36 = Q("q36_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+          cast(grouping(l_returnflag) as int) AS g_rf,
+          cast(grouping(l_linestatus) as int) AS g_ls,
+          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        cast(grouping(l_returnflag) as int) AS g_rf,
+        cast(grouping(l_linestatus) as int) AS g_ls,
+        count(*) AS n, ${dsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Rank-family windows q31 doesn't cover: dense_rank, percent_rank,
+    * cume_dist — all tie-stable (equal inputs get equal outputs), so the
+    * result is deterministic even where o_totalprice ties.
+    */
+  private val q37 = Q("q37_rank_variety",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("drk", dense_rank().over(w).cast("int"))
+        .withColumn("prk", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("o_custkey", "o_orderkey", "drk", "prk", "cd")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        cast(dense_rank() OVER w as int) AS drk,
+        round(percent_rank() OVER w, 6) AS prk,
+        round(cume_dist() OVER w, 6) AS cd
+      FROM orders WHERE o_custkey <= 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Outer-join family (left/full with unmatched rows on BOTH sides):
+    * per-side membership counts plus exact bigint key checksums prove the
+    * null-extension behavior, not just the row counts.
+    */
+  private val q38 = Q("q38_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_custkey") <= 100)
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "cust_only")
+            .otherwise("both").as("side"),
+          coalesce(col("c_custkey"), lit(-1L)).as("ck"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), sum(col("ck")).as("ck_sum"),
+          sum(col("ok")).as("ok_sum"))
+        .orderBy("side")
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+      o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey <= 100),
+      j AS (SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                        WHEN o_custkey IS NULL THEN 'cust_only'
+                        ELSE 'both' END AS side,
+              coalesce(c_custkey, -1) AS ck, coalesce(o_orderkey, -1) AS ok
+            FROM c FULL OUTER JOIN o ON c_custkey = o_custkey)
+      SELECT side, count(*) AS n, cast(sum(ck) as bigint) AS ck_sum,
+        cast(sum(ok) as bigint) AS ok_sum
+      FROM j GROUP BY side ORDER BY side"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1433,7 +1515,7 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
