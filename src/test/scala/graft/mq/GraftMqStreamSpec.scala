@@ -187,6 +187,37 @@ class GraftMqStreamSpec extends SparkSuite {
     assert(roundTrip == (1 to 20).map(i => s"b$i").toSet)
   }
 
+  test("streaming write: readStream → transform → writeStream round-trip, no re-emission on restart") {
+    val in = "swrite-in"; val out = "swrite-out"
+    InMemoryMqBroker.drop(in); InMemoryMqBroker.drop(out)
+    InMemoryMqBroker.produceStrings(in, 2, (1 to 10).map(i => s"s$i"))
+    val ckpt = java.nio.file.Files.createTempDirectory("swrite-ckpt").toString
+
+    import spark.implicits._
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", in).option("numPartitions", "2").load()
+        .select(upper($"value".cast("string")).cast("binary").as("value"))
+        .writeStream.format("graft-mq")
+        .option("topic", out).option("numPartitions", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    runOnce()
+    def readOut(): Seq[String] = spark.read.format("graft-mq")
+      .option("topic", out).option("numPartitions", "2").load()
+      .select($"value".cast("string")).as[String].collect().toSeq
+    assert(readOut().sorted == (1 to 10).map(i => s"S$i").sorted)
+
+    // Restart from the same checkpoint with new input: only the new
+    // messages are written — committed batches are not replayed.
+    InMemoryMqBroker.produceStrings(in, 2, Seq("s11", "s12"))
+    runOnce()
+    assert(readOut().sorted == (1 to 12).map(i => s"S$i").sorted,
+      "restart must append exactly the new messages")
+  }
+
   test("kafka-grade metadata schema (includeMetadata)") {
     val topic = "meta"
     InMemoryMqBroker.drop(topic)
