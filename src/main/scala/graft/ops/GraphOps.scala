@@ -58,6 +58,9 @@ object GraphOps {
     // under the narrowed partition count — every frame is materialized by
     // localCheckpoint(true) inside the try. The session conf is restored
     // before the caller's (lazy, corpus-sized) final join executes.
+    // NOTE: the set/restore is session-scoped — concurrent queries on the
+    // same SparkSession during the loop would observe the narrowed value;
+    // run CC on its own session (newSession()) if that matters.
     val shuffleKey = "spark.sql.shuffle.partitions"
     val oldShuffle = spark.conf.get(shuffleKey)
     spark.conf.set(shuffleKey, parts.toString)

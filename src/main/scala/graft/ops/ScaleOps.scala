@@ -49,8 +49,11 @@ object ScaleOps {
       largeKey: String, smallKey: String,
       saltBy: Column, salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    // coalesce: a NULL saltBy value must still salt somewhere — a null
+    // salt would null the join condition and silently drop rows that a
+    // plain join (with a non-null key) would keep.
     val l = large.withColumn("_salt_l",
-      pmod(crc32(saltBy.cast("string")), lit(salt.toLong)))
+      pmod(coalesce(crc32(saltBy.cast("string")), lit(0L)), lit(salt.toLong)))
     val r = small.withColumn("_salt_r",
       explode(sequence(lit(0L), lit((salt - 1).toLong))))
     l.join(r, col(largeKey) === col(smallKey) && col("_salt_l") === col("_salt_r"))

@@ -31,6 +31,15 @@ class ScaleOpsSpec extends SparkSuite {
     assert(shards == 8L, s"hot key used only $shards of 8 shards")
   }
 
+  test("saltedJoin keeps rows whose saltBy value is null") {
+    val l = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "sb")
+    val r = Seq((1L, "a"), (2L, "b")).toDF("dk", "name")
+    val got = ScaleOps.saltedJoin(l, r, "k", "dk", saltBy = $"sb", salt = 4)
+      .select("k", "name").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")), s"null saltBy must not drop rows: $got")
+  }
+
   test("saltedCountSum equals the direct aggregation") {
     val df = skewed.withColumn("x", ($"id" % 100).cast("double"))
     val got = ScaleOps.saltedCountSum(df, "k", "sum(x)", saltBy = $"id", salt = 8)
