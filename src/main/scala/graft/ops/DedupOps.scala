@@ -164,13 +164,16 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val base = shingleSets(docs, shingleN, idCol, textCol)
-    Caching.withCached(base) {
     val hashed = base.select(col("id"), size(col("sh")).as("n"),
       array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
     // Keep each doc's prefix: its (n - ceil(t*n) + 1) smallest hashes.
+    // Persisted alongside base: both SIDES of the self-join consume it,
+    // and without the persist each side re-runs the fnv64 hash + sort of
+    // every document.
     val prefixes = hashed.select(col("id"), col("n"),
       explode(slice(col("hs"), lit(1),
         (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("shingle"))
+    Caching.withCached(base, prefixes) {
     val a = prefixes.as("a"); val b = prefixes.as("b")
     val candidates = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
