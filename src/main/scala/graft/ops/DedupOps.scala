@@ -214,6 +214,30 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Winnowing-based near-dup pairs: candidates are documents sharing at
+    * least one winnowing fingerprint ([[TextOps.winnowFingerprints]] — so
+    * any pair sharing a run of ≥ k+w-1 tokens IS a candidate), verified
+    * with exact shingle Jaccard ≥ `threshold`. The third candidate-
+    * generation formulation next to MinHash-LSH banding and PPJoin
+    * prefixes, feeding the same verify: at scale the fingerprint index is
+    * ~2/(w+1) the size of the full inverted index, and the join is an
+    * equi-join on the fingerprint — no ranking shuffle, no banding.
+    */
+  def winnowPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
+      winnowW: Int = 4, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val base = shingleSets(docs, shingleN, idCol, textCol)
+    val fps = TextOps.winnowFingerprints(docs, textCol, shingleN, winnowW)
+      .select(col(idCol).as("id"), explode(col("winnow_fps")).as("fp"))
+    Caching.withCached(base, fps) {
+      val candidates = fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct()
+      verifyJaccard(candidates, base, threshold)
+    }
+  }
+
   /** Embedding near-dup pairs: cosine ≥ `threshold` over all pairs (a<b).
     * Brute force by broadcast nested-loop — correct baseline at test scale;
     * the 100 TB path swaps candidate generation for [[SimilarityOps]]' LSH

@@ -941,6 +941,41 @@ object GraftQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  /** Winnow-fingerprint candidates + exact-Jaccard verify
+    * ([[DedupOps.winnowPairs]]): pairs sharing ≥1 winnowing fingerprint
+    * with Jaccard ≥ 0.5 — the oracle reruns the full winnow pipeline in
+    * DuckDB list algebra and the same verify as the other jaccard queries.
+    */
+  private val d11 = Q("dedup_winnow_pairs",
+    (s, dir) => DedupOps.winnowPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS sh FROM t),
+      h AS (SELECT doc_id,
+              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs
+            FROM s),
+      wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+              list_distinct(list_transform(range(1, len(hs) - 2),
+                i -> list_aggregate(hs[i:i+3], 'min')))
+            ELSE [] END AS fps FROM h),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+      c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+               FROM t WHERE len(tk) >= 3),
+      j AS (SELECT doc_a, doc_b,
+              round(cast(len(list_intersect(x.sh, y.sh)) as double) /
+                cast(len(list_distinct(list_concat(x.sh, y.sh))) as double), 6) AS jaccard
+            FROM c JOIN sets x ON c.doc_a = x.doc_id
+                   JOIN sets y ON c.doc_b = y.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   private val d06 = Q("dedup_embedding_pairs",
     (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
       .orderBy("vec_a", "vec_b"),
@@ -1516,7 +1551,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09,
     sm1, m01, m02, m03, m04, mq1)

@@ -147,6 +147,15 @@ class OpsSpec extends SparkSuite {
     assert(again == d0)
   }
 
+  test("winnow-candidate jaccard join equals the unfiltered exact join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val got = DedupOps.winnowPairs(docs, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val want = DedupOps.jaccardPairs(docs, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(got == want, s"${got.size} vs ${want.size} pairs")
+  }
+
   test("winnowing: shared token run of >= k+w-1 guarantees a shared fingerprint") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1 for k=3,w=4
