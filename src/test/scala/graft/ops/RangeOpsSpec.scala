@@ -42,6 +42,23 @@ class RangeOpsSpec extends SparkSuite {
     assert(got == Seq(1L)) // end is exclusive; double math would misplace both
   }
 
+  test("random data incl. negatives equals the naive join for several widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val p = (1 to 300).map(i => (i.toLong, rnd.nextLong() % 1000L)).toDF("pid", "pts")
+    val iv = (1 to 80).map { i =>
+      val s = rnd.nextLong() % 1000L
+      (i.toLong + 1000L, s, s + rnd.nextInt(120).toLong)
+    }.toDF("iid", "s", "e")
+    val want = p.join(iv, $"pts" >= $"s" && $"pts" < $"e")
+      .select("pid", "iid").orderBy("pid", "iid").as[(Long, Long)].collect().toSeq
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeOps.pointInIntervalJoin(p, "pts", iv, "s", "e", width)
+        .select("pid", "iid").orderBy("pid", "iid").as[(Long, Long)].collect().toSeq
+      assert(got == want, s"width=$width: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("plans an equi-join, not a nested-loop join") {
     val plan = RangeOps.pointInIntervalJoin(points, "pts", intervals, "s", "e", 10L)
       .queryExecution.executedPlan.toString
