@@ -163,6 +163,21 @@ object TextOps {
     docs.withColumn("fingerprint",
       array_min(transform(shingles(col(textCol)), s => md5(s))))
 
+  /** Text cleaning for training-data prep: strip markup-ish tags, redact
+    * emails, mask digit runs, collapse whitespace — stacked
+    * `regexp_replace` (codegen'd, per-row, no UDF). Patterns deliberately
+    * stay in the Java∩RE2 common dialect (no backrefs/lookaround) so the
+    * DuckDB oracle applies the identical regexes.
+    */
+  def cleanText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("clean",
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col(textCol),
+        "<[^>]*>", " "),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\d+", "<NUM>"),
+        "\\s+", " ")))
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * word-`k`-gram shingle, slide a window of `w` consecutive hashes, keep
     * each window's minimum, dedupe. Any run of ≥ k+w-1 shared tokens

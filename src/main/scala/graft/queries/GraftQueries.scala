@@ -1394,6 +1394,46 @@ object GraftQueries {
         list_aggregate(fps, 'max') AS max_fp
       FROM wn ORDER BY doc_id"""))
 
+  /** Cleaning stage ([[TextOps.cleanText]]): per-source byte-delta stats
+    * after tag-strip / email-redact / number-mask / whitespace-collapse —
+    * the oracle applies the identical regex stack (Java∩RE2 dialect) with
+    * DuckDB's 'g' flag.
+    */
+  private val x10 = Q("text_clean_stats",
+    (s, dir) => {
+      // The synthetic corpus contains no tags/emails/digits, so dirty it
+      // deterministically (both engines apply the same concat) — the
+      // cleaning deltas are then nonzero and still value-exact.
+      val dirty = t(s, dir, "documents").withColumn("dirty",
+        concat(col("text"), lit(" ref "), col("doc_id").cast("string"),
+          lit(" <meta k=1> a"), col("doc_id").cast("string"), lit("@ex.com")))
+      TextOps.cleanText(dirty, textCol = "dirty")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("dirty"))).as("chars_in"),
+          sum(length(col("clean"))).as("chars_out"),
+          count(when(col("clean") =!= col("dirty"), 1)).as("n_changed"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT source,
+          concat(text, ' ref ', cast(doc_id as varchar), ' <meta k=1> a',
+                 cast(doc_id as varchar), '@ex.com') AS dirty
+        FROM documents),
+      c AS (SELECT source, dirty,
+          trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            dirty,
+            '<[^>]*>', ' ', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\d+', '<NUM>', 'g'),
+            '\s+', ' ', 'g')) AS clean
+        FROM d)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(len(dirty)) as bigint) AS chars_in,
+        cast(sum(len(clean)) as bigint) AS chars_out,
+        count(CASE WHEN clean <> dirty THEN 1 END) AS n_changed
+      FROM c GROUP BY source ORDER BY source"""))
+
   // ----------------------------------------------------------- sampling
 
   /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
@@ -1553,7 +1593,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     sm1, m01, m02, m03, m04, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -147,6 +147,19 @@ class OpsSpec extends SparkSuite {
     assert(again == d0)
   }
 
+  test("cleanText: tags stripped, emails redacted, numbers masked, whitespace collapsed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello <b>world</b>  contact bob@example.com now"),
+      (2L, "order 12345 shipped   in 2 days"),
+      (3L, "already clean")).toDF("doc_id", "text")
+    val got = TextOps.cleanText(docs).select($"doc_id", $"clean")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "hello world contact <EMAIL> now")
+    assert(got(2L) == "order <NUM> shipped in <NUM> days")
+    assert(got(3L) == "already clean")
+  }
+
   test("winnow-candidate jaccard join equals the unfiltered exact join") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val got = DedupOps.winnowPairs(docs, threshold = 0.5)
