@@ -1434,6 +1434,28 @@ object GraftQueries {
         count(CASE WHEN clean <> dirty THEN 1 END) AS n_changed
       FROM c GROUP BY source ORDER BY source"""))
 
+  /** One-pass column profile ([[StatsOps.profile]]) over documents: the
+    * QA stage between pipeline steps. String-cast min/max so all column
+    * types share one schema; binary collation both engines.
+    */
+  private val x11 = Q("stats_profile",
+    (s, dir) => StatsOps.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source"))
+      .orderBy("column"),
+    Some("""
+      SELECT * FROM (
+        SELECT 'doc_id' AS "column", count(*) AS n_rows, count(doc_id) AS n_nonnull,
+          count(DISTINCT doc_id) AS n_distinct,
+          min(cast(doc_id as varchar)) AS min_val, max(cast(doc_id as varchar)) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+          min(cast(lang as varchar)), max(cast(lang as varchar)) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(source), count(DISTINCT source),
+          min(cast(source as varchar)), max(cast(source as varchar)) FROM documents)
+      ORDER BY "column""""))
+
   // ----------------------------------------------------------- sampling
 
   /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
@@ -1593,7 +1615,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     sm1, m01, m02, m03, m04, mq1)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
