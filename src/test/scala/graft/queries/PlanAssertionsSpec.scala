@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Plan-shape regression guards for the scale-relevant properties the
+  * queries are designed around (SURVEY.md §8 scale notes): filter
+  * pushdown reaching the parquet scan, small dimensions broadcast,
+  * candidate generation never falling back to nested-loop/cartesian
+  * plans, and the hot aggregations staying inside whole-stage codegen.
+  * Failures here mean a future change silently degraded a plan even if
+  * values still match.
+  */
+class PlanAssertionsSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    GraftQueries.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE finalizes stages (and shows codegen spans)
+    * only once the query has run.
+    */
+  private def finalPlan(name: String): String = {
+    val df = GraftQueries.queries(name)(spark, sf())
+    df.collect() // executes THIS QueryExecution (count() would build a new one)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: predicate is pushed to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("q05: dimension tables join via broadcast, not shuffle") {
+    val p = plan("q05_region_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: pricing summary aggregates inside whole-stage codegen with partial aggregation") {
+    val p = finalPlan("q01_pricing_summary")
+    assert(p.contains("codegen id"), p) // hot aggregation stays codegen'd
+    assert(p.contains("Functions [6]"), p) // both HashAggregate phases present
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("dedup candidate generation never plans nested-loop or cartesian joins") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_jaccard_exact",
+        "dedup_jaccard_prefix", "dedup_winnow_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("sim_topk_bruteforce: query side broadcasts") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q34 range join: bucket equi-join, no nested loop") {
+    val p = plan("q34_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q32/q33: TopKPerKey plans with no sort and a single exchange pair") {
+    for (q <- Seq("q32_topk_plan", "q33_topk_rewrite")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+    }
+  }
+}
