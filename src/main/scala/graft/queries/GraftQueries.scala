@@ -942,9 +942,10 @@ object GraftQueries {
     Some(jaccardOracle))
 
   /** Winnow-fingerprint candidates + exact-Jaccard verify
-    * ([[DedupOps.winnowPairs]]): pairs sharing ≥1 winnowing fingerprint
-    * with Jaccard ≥ 0.5 — the oracle reruns the full winnow pipeline in
-    * DuckDB list algebra and the same verify as the other jaccard queries.
+    * ([[DedupOps.winnowPairs]]): pairs sharing ≥2 winnowing fingerprints
+    * (count filter) with Jaccard ≥ 0.5 — the oracle reruns the full
+    * winnow pipeline in DuckDB list algebra (HAVING count ≥ 2) and the
+    * same verify as the other jaccard queries.
     */
   private val d11 = Q("dedup_winnow_pairs",
     (s, dir) => DedupOps.winnowPairs(t(s, dir, "documents"), threshold = 0.5)
@@ -963,8 +964,9 @@ object GraftQueries {
                 i -> list_aggregate(hs[i:i+3], 'min')))
             ELSE [] END AS fps FROM h),
       f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
-      c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2),
       sets AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
                FROM t WHERE len(tk) >= 3),
