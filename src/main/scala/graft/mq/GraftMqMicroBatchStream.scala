@@ -65,10 +65,14 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
     } else avail
   }
 
+  /** First-start position (README.md:372-397 resolution modes): earliest,
+    * latest, Kafka-style per-partition specific offsets (-1 latest,
+    * -2 earliest, unlisted = earliest), or first-offset-at-timestamp.
+    * Only consulted when no checkpoint exists — restarts resume from the
+    * offset log.
+    */
   private def startingPoint: GraftMqOffset =
-    if (opts.startingOffsets == "latest" && !opts.isGenerated)
-      GraftMqOffset(InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets)
-    else GraftMqOffset.initial(opts.numPartitions)
+    GraftMqOffset(GraftMqStart.resolve(opts))
 
   override def initialOffset(): Offset = startingPoint
 
@@ -180,6 +184,57 @@ object GraftMqPlanner {
   * captured at Batch construction; generated backend reads one synthetic
   * batch of rowsPerBatch per partition.
   */
+/** First-start offset resolution shared by the streaming source (no
+  * checkpoint yet) and the batch scan (README.md:372-397 modes):
+  * earliest, latest, Kafka-style per-partition specific offsets
+  * (-1 latest, -2 earliest, unlisted = earliest), or
+  * first-offset-at-timestamp.
+  */
+object GraftMqStart {
+  def resolve(opts: GraftMqOptions): Map[Int, Long] = {
+    val n = opts.numPartitions
+    def ends: Map[Int, Long] =
+      if (opts.isGenerated) Map.empty
+      else InMemoryMqBroker.getOrCreate(opts.topic, n).endOffsets
+    opts.startingTimestampMicros match {
+      case Some(ts) =>
+        (0 until n).map(p => p -> offsetForTimestamp(opts, p, ts)).toMap
+      case None if opts.startingOffsets.startsWith("{") =>
+        val spec = GraftMqOffset.fromJson(opts.startingOffsets).ends
+        val e = ends
+        (0 until n).map { p =>
+          p -> (spec.getOrElse(p, -2L) match {
+            case -2L => 0L
+            case -1L => e.getOrElse(p, 0L)
+            case o =>
+              require(o >= 0, s"graft-mq: negative start offset $o for partition $p")
+              o
+          })
+        }.toMap
+      case None if opts.startingOffsets == "latest" && !opts.isGenerated => ends
+      case None => (0 until n).map(_ -> 0L).toMap
+    }
+  }
+
+  /** Smallest offset in partition `p` whose message timestamp ≥ `ts`
+    * (partition end when no such message). Generated timestamps are an
+    * arithmetic sequence, so the lookup inverts it; broker timestamps are
+    * scanned (in-memory broker — a real MQ would serve its timestamp
+    * index here, like Kafka's offsetsForTimes, README.md:383-390).
+    */
+  def offsetForTimestamp(opts: GraftMqOptions, p: Int, ts: Long): Long =
+    if (opts.isGenerated) {
+      val base = 1700000000000000L // GeneratedPayloads.messageAt: base + offset*1s
+      if (ts <= base) 0L else (ts - base + 999999L) / 1000000L
+    } else {
+      val st = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
+      val start = st.earliestOffsets.getOrElse(p, 0L)
+      val end = st.endOffsets.getOrElse(p, 0L)
+      val idx = st.read(p, start, end).indexWhere(_.timestamp >= ts)
+      if (idx < 0) end else start + idx
+    }
+}
+
 class GraftMqBatch(opts: GraftMqOptions,
     readSchema: org.apache.spark.sql.types.StructType) extends Batch {
 
@@ -187,11 +242,20 @@ class GraftMqBatch(opts: GraftMqOptions,
 
   private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) =
     if (opts.isGenerated) {
-      val s = (0 until opts.numPartitions).map(_ -> 0L).toMap
-      (s, s.map { case (p, _) => p -> opts.rowsPerBatch })
+      val resolved = GraftMqStart.resolve(opts)
+      val e = (0 until opts.numPartitions).map(_ -> opts.rowsPerBatch).toMap
+      (resolved.map { case (p, s) => p -> math.min(s, e.getOrElse(p, 0L)) }, e)
     } else {
       val t = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
-      (t.earliestOffsets, t.endOffsets)
+      val resolved = GraftMqStart.resolve(opts)
+      val earliest = t.earliestOffsets
+      val e = t.endOffsets
+      // Clamp into [earliest, end]: truncation moved earliest up, and a
+      // specific offset beyond the end reads nothing rather than failing.
+      val s = resolved.map { case (p, o) =>
+        p -> math.min(math.max(o, earliest.getOrElse(p, 0L)), e.getOrElse(p, 0L))
+      }
+      (s, e)
     }
 
   override def planInputPartitions(): Array[InputPartition] =

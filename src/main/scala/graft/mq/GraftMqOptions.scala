@@ -30,7 +30,14 @@ import java.util.Locale
   *  - `includeHeaders`     — add the `headers: array<struct<key,value>>`
   *                           column (README.md:233; implies the metadata
   *                           schema, mirroring Kafka's includeHeaders)
-  *  - `startingOffsets`    — "earliest" (default) or "latest"
+  *  - `startingOffsets`    — "earliest" (default), "latest", or Kafka-style
+  *                           specific-offsets JSON `{"0":5,"1":-1}`
+  *                           (-1 = latest, -2 = earliest per partition;
+  *                           unlisted partitions start earliest)
+  *  - `startingTimestampMicros` — start each partition at its first
+  *                           message with timestamp ≥ this (epoch micros);
+  *                           mutually exclusive with non-default
+  *                           startingOffsets (README.md:372-397)
   *  - `defaultTimestampMicros` — sink: timestamp stamped on written
   *                           messages when the written schema has no
   *                           `timestamp` column (epoch micros)
@@ -48,7 +55,8 @@ final case class GraftMqOptions(
     includeMetadata: Boolean,
     startingOffsets: String,
     defaultTimestampMicros: Long = 1700000000000000L,
-    includeHeaders: Boolean = false) extends Serializable {
+    includeHeaders: Boolean = false,
+    startingTimestampMicros: Option[Long] = None) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -95,9 +103,18 @@ object GraftMqOptions {
     val backend = get("backend").map(_.toLowerCase(Locale.ROOT)).getOrElse("broker")
     require(backend == "broker" || backend == "generated",
       s"graft-mq: unknown backend '$backend' (expected broker|generated)")
-    val starting = get("startingOffsets").map(_.toLowerCase(Locale.ROOT)).getOrElse("earliest")
-    require(starting == "earliest" || starting == "latest",
-      s"graft-mq: unknown startingOffsets '$starting' (expected earliest|latest)")
+    // "earliest" | "latest" | Kafka-style specific-offsets JSON
+    // {"0":5,"1":-1} with -1 = latest, -2 = earliest per partition
+    // (README.md:372-397 resolution modes). JSON is kept verbatim.
+    val startingRaw = get("startingOffsets").map(_.trim).getOrElse("earliest")
+    val starting =
+      if (startingRaw.startsWith("{")) startingRaw
+      else startingRaw.toLowerCase(Locale.ROOT)
+    require(starting.startsWith("{") || starting == "earliest" || starting == "latest",
+      s"graft-mq: unknown startingOffsets '$starting' (expected earliest|latest|{json})")
+    val startingTs = get("startingTimestampMicros").map(_.toLong)
+    require(startingTs.isEmpty || starting == "earliest",
+      "graft-mq: startingTimestampMicros cannot be combined with startingOffsets")
     GraftMqOptions(
       topic = get("topic").getOrElse("default"),
       backend = backend,
@@ -112,6 +129,7 @@ object GraftMqOptions {
       startingOffsets = starting,
       defaultTimestampMicros =
         get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L),
-      includeHeaders = get("includeHeaders").map(_.toBoolean).getOrElse(false))
+      includeHeaders = get("includeHeaders").map(_.toBoolean).getOrElse(false),
+      startingTimestampMicros = startingTs)
   }
 }

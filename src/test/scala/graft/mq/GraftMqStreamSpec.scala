@@ -218,6 +218,40 @@ class GraftMqStreamSpec extends SparkSuite {
       "restart must append exactly the new messages")
   }
 
+  test("startingOffsets: specific-offsets JSON with -1/-2 and timestamp start") {
+    val topic = "start-modes"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 2)
+    val base = 1700000000000000L
+    // partition 0: m0..m9 at t=base+0..9s; partition 1: n0..n4
+    (0 until 10).foreach(i =>
+      state.append(0, MqMessage(null, s"m$i".getBytes("UTF-8"), base + i * 1000000L)))
+    (0 until 5).foreach(i =>
+      state.append(1, MqMessage(null, s"n$i".getBytes("UTF-8"), base + i * 1000000L)))
+
+    import spark.implicits._
+    def readWith(opts: (String, String)*): Set[String] = {
+      val r = spark.read.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "2")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load().select($"value".cast("string")).as[String].collect().toSet
+    }
+    // {"0":7, "1":-1}: partition 0 from offset 7, partition 1 from latest
+    assert(readWith("startingOffsets" -> """{"0":7,"1":-1}""") ==
+      Set("m7", "m8", "m9"))
+    // unlisted partition starts earliest; -2 is explicit earliest
+    assert(readWith("startingOffsets" -> """{"0":-2}""").size == 15)
+    // timestamp start: first message with ts >= base+8s per partition
+    assert(readWith("startingTimestampMicros" -> (base + 8 * 1000000L).toString) ==
+      Set("m8", "m9"))
+    // mutual exclusivity is rejected
+    val err = intercept[IllegalArgumentException] {
+      readWith("startingOffsets" -> "latest",
+        "startingTimestampMicros" -> base.toString)
+    }
+    assert(err.getMessage.contains("startingTimestampMicros"))
+  }
+
   test("kafka-grade metadata schema (includeMetadata)") {
     val topic = "meta"
     InMemoryMqBroker.drop(topic)
