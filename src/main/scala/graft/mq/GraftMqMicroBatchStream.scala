@@ -240,23 +240,34 @@ class GraftMqBatch(opts: GraftMqOptions,
 
   def this(opts: GraftMqOptions) = this(opts, opts.schema)
 
-  private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) =
-    if (opts.isGenerated) {
-      val resolved = GraftMqStart.resolve(opts)
-      val e = (0 until opts.numPartitions).map(_ -> opts.rowsPerBatch).toMap
-      (resolved.map { case (p, s) => p -> math.min(s, e.getOrElse(p, 0L)) }, e)
-    } else {
-      val t = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
-      val resolved = GraftMqStart.resolve(opts)
-      val earliest = t.earliestOffsets
-      val e = t.endOffsets
-      // Clamp into [earliest, end]: truncation moved earliest up, and a
-      // specific offset beyond the end reads nothing rather than failing.
-      val s = resolved.map { case (p, o) =>
-        p -> math.min(math.max(o, earliest.getOrElse(p, 0L)), e.getOrElse(p, 0L))
-      }
-      (s, e)
+  private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) = {
+    val latest: Map[Int, Long] =
+      if (opts.isGenerated) (0 until opts.numPartitions).map(_ -> opts.rowsPerBatch).toMap
+      else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
+    // Kafka-style endingOffsets (batch only): "latest" or JSON with -1 =
+    // latest; unlisted partitions end latest.
+    val upper: Map[Int, Long] =
+      if (opts.endingOffsets.startsWith("{")) {
+        val spec = GraftMqOffset.fromJson(opts.endingOffsets).ends
+        latest.map { case (p, l) =>
+          p -> (spec.getOrElse(p, -1L) match {
+            case -1L => l
+            case o =>
+              require(o >= 0, s"graft-mq: negative end offset $o for partition $p")
+              math.min(o, l)
+          })
+        }
+      } else latest
+    val earliest: Map[Int, Long] =
+      if (opts.isGenerated) Map.empty
+      else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).earliestOffsets
+    // Clamp start into [earliest, upper]: truncation moved earliest up,
+    // and a start beyond the end reads nothing rather than failing.
+    val s = GraftMqStart.resolve(opts).map { case (p, o) =>
+      p -> math.min(math.max(o, earliest.getOrElse(p, 0L)), upper.getOrElse(p, 0L))
     }
+    (s, upper)
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftMqPlanner.plan(opts, startEnds, endEnds)

@@ -38,6 +38,9 @@ import java.util.Locale
   *                           message with timestamp ≥ this (epoch micros);
   *                           mutually exclusive with non-default
   *                           startingOffsets (README.md:372-397)
+  *  - `endingOffsets`      — batch reads only: "latest" (default) or
+  *                           specific-offsets JSON `{"0":9}` (-1 = latest
+  *                           per partition) bounding the scan's upper end
   *  - `defaultTimestampMicros` — sink: timestamp stamped on written
   *                           messages when the written schema has no
   *                           `timestamp` column (epoch micros)
@@ -56,7 +59,8 @@ final case class GraftMqOptions(
     startingOffsets: String,
     defaultTimestampMicros: Long = 1700000000000000L,
     includeHeaders: Boolean = false,
-    startingTimestampMicros: Option[Long] = None) extends Serializable {
+    startingTimestampMicros: Option[Long] = None,
+    endingOffsets: String = "latest") extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -115,6 +119,14 @@ object GraftMqOptions {
     val startingTs = get("startingTimestampMicros").map(_.toLong)
     require(startingTs.isEmpty || starting == "earliest",
       "graft-mq: startingTimestampMicros cannot be combined with startingOffsets")
+    // Batch-only upper bound: "latest" (default) or specific-offsets JSON
+    // (-1 = latest per partition). Mirrors Kafka's endingOffsets.
+    val endingRaw = get("endingOffsets").map(_.trim).getOrElse("latest")
+    val ending =
+      if (endingRaw.startsWith("{")) endingRaw
+      else endingRaw.toLowerCase(Locale.ROOT)
+    require(ending.startsWith("{") || ending == "latest",
+      s"graft-mq: unknown endingOffsets '$ending' (expected latest|{json})")
     GraftMqOptions(
       topic = get("topic").getOrElse("default"),
       backend = backend,
@@ -130,6 +142,7 @@ object GraftMqOptions {
       defaultTimestampMicros =
         get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L),
       includeHeaders = get("includeHeaders").map(_.toBoolean).getOrElse(false),
-      startingTimestampMicros = startingTs)
+      startingTimestampMicros = startingTs,
+      endingOffsets = ending)
   }
 }

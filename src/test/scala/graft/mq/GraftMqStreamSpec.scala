@@ -250,6 +250,9 @@ class GraftMqStreamSpec extends SparkSuite {
         "startingTimestampMicros" -> base.toString)
     }
     assert(err.getMessage.contains("startingTimestampMicros"))
+    // endingOffsets bounds the batch scan: [2, 4) on partition 0 only
+    assert(readWith("startingOffsets" -> """{"0":2,"1":-1}""",
+      "endingOffsets" -> """{"0":4,"1":0}""") == Set("m2", "m3"))
   }
 
   test("kafka-grade metadata schema (includeMetadata)") {
