@@ -13,7 +13,7 @@ import org.apache.spark.sql.DataFrame
   * checkpointed result's own blocks are released by Spark's
   * `ContextCleaner` once the returned frame becomes unreachable.
   */
-private[ops] object Caching {
+private[graft] object Caching {
 
   /** Persist `frames`, evaluate `body` eagerly (localCheckpoint), release. */
   def withCached(frames: DataFrame*)(body: => DataFrame): DataFrame = {
