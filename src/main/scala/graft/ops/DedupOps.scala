@@ -237,27 +237,105 @@ object DedupOps {
       winnowW: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val base = shingleSets(docs, shingleN, idCol, textCol)
-    val fps = TextOps.winnowFingerprints(docs, textCol, shingleN, winnowW)
-      .select(col(idCol).as("id"), explode(col("winnow_fps")).as("fp"))
+    val fps = winnowFpRows(docs, shingleN, winnowW, idCol, textCol)
     Caching.withCached(base, fps) {
-      val candidates = fps.as("a").join(fps.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-        .agg(count(lit(1)).as("_shared"))
-        .filter(col("_shared") >= minShared)
-        .select("doc_a", "doc_b")
-      verifyJaccard(candidates, base, threshold)
+      verifyJaccard(winnowCandidates(fps, minShared), base, threshold)
     }
   }
 
-  /** Embedding near-dup pairs: cosine ≥ `threshold` over all pairs (a<b).
-    * Brute force by broadcast nested-loop — correct baseline at test scale;
-    * the 100 TB path swaps candidate generation for [[SimilarityOps]]' LSH
-    * buckets while keeping this verify step.
+  /** Exploded `(id, fp)` winnow-fingerprint rows — shared candidate
+    * currency of [[winnowPairs]] and [[editDistancePairs]]. */
+  private def winnowFpRows(docs: DataFrame, shingleN: Int, winnowW: Int,
+      idCol: String, textCol: String): DataFrame =
+    TextOps.winnowFingerprints(docs, textCol, shingleN, winnowW)
+      .select(col(idCol).as("id"), explode(col("winnow_fps")).as("fp"))
+
+  /** Fingerprint-bucket equi-join → pairs sharing ≥ `minShared` winnow
+    * fingerprints. The caller persists `fps` (see [[Caching]]). */
+  private def winnowCandidates(fps: DataFrame, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Character-level near-dup pairs: winnow-fingerprint candidates
+    * (equi-join on fingerprint buckets — the same candidate generator as
+    * [[winnowPairs]]) verified with thresholded `levenshtein` (banded
+    * O(n·k), Spark 3.5+). The unbounded all-pairs formulation this
+    * replaces was quadratic in the corpus; here pair generation is sized
+    * to fingerprint-bucket collisions, so the op scales with duplication
+    * volume. Recall contract (MOSS guarantee): any shared token run of
+    * ≥ shingleN + minShared·winnowW − 1 produces a candidate; heavily
+    * edited pairs beyond that share no window minimum and are not
+    * compared — the standard candidate/verify tradeoff.
     */
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+  def editDistancePairs(docs: DataFrame, maxDist: Int, shingleN: Int = 3,
+      winnowW: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val fps = winnowFpRows(docs, shingleN, winnowW, idCol, textCol)
+    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("ta"))
+    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("tb"))
+    Caching.withCached(fps) {
+      winnowCandidates(fps, minShared)
+        .join(ta, "doc_a").join(tb, "doc_b")
+        // Thresholded levenshtein: beyond-threshold pairs return -1 and
+        // are filtered; kept values equal the unbounded form.
+        .withColumn("dist", expr(s"levenshtein(ta, tb, ${maxDist + 1})"))
+        .filter(col("dist") >= 0 && col("dist") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+    }
+  }
+
+  /** Embedding near-dup pairs, LSH-gated: axis-aligned sign bands (bucket
+    * = packed sign bits of `bitsPerBand` consecutive dimensions) generate
+    * candidates by band equi-join; exact cosine verifies. All joins are
+    * equi-joins — no nested-loop pair enumeration survives in the plan.
+    *
+    * Recall is the standard banding curve: a pair collides on a band iff
+    * all `bitsPerBand` sign bits agree, so high-cosine pairs (sign
+    * agreement per dim p = 1 − θ/π) are found with probability
+    * 1 − (1 − p^bits)^bands — ≈ 0.98 at cosine 0.8 with 8×4, falling off
+    * below ~0.6. For corpus-wide statistics at low thresholds use
+    * [[SimilarityOps.labelPairMeans]]' algebraic path instead.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double, bands: Int = 8,
+      bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
+    val sig = emb.select(col(idCol).as("id"),
+      explode(array((0 until bands).map { b =>
+        val bucket = (0 until bitsPerBand).map { j =>
+          when(element_at(col(vecCol), b * bitsPerBand + j + 1) >= 0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    val va = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — recall
+    * reference for specs and exact baseline at TEST scale only (the
+    * broadcast nested-loop is quadratic in the corpus; never the shipped
+    * default).
+    */
+  def embeddingNearDupPairsBrute(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))

@@ -157,7 +157,59 @@ object SimilarityOps {
     * (double summation would be nondeterministic under Spark's partial
     * aggregation order).
     */
-  def labelPairStats(emb: DataFrame): DataFrame = {
+  /** EXACT within/cross-label pair-cosine means WITHOUT enumerating pairs:
+    * for unit vectors u, Σ_{i<j} u_i·u_j = (‖Σu‖² − Σ‖u‖²)/2, so per-label
+    * sums of unit-vector components determine every pairwise mean. One
+    * tokenizing-free linear pass + a (label × dim)-sized aggregate — the
+    * shipped 100 TB formulation of what the all-pairs
+    * [[labelPairStatsBrute]] computes quadratically (that one remains the
+    * spec cross-check at test scale; it also reports max_cosine, which has
+    * no algebraic form).
+    *
+    * Determinism contract (oracle bit-exactness): component sums and all
+    * cross-row additions are decimal(38,12) — order-independent — while
+    * per-row/per-group products and divisions stay double (both engines
+    * IEEE-identical). Pair counts use integer DIV, exact to ~3e9 rows per
+    * label.
+    */
+  def labelPairMeans(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dec = "decimal(38,12)"
+    // Unit vector once per row; the array(norm) let-binding stops the norm
+    // fold from being inlined (and re-evaluated) per element.
+    val unit = element_at(
+      transform(array(GraftFunctions.l2_norm(col(vecCol))),
+        nrm => transform(col(vecCol), x => x.cast("double") / nrm)), 1)
+    val e = emb.select(col(labelCol).as("label"), posexplode(unit).as(Seq("k", "uk")))
+    val g = e.groupBy("label", "k").agg(
+      sum(col("uk").cast(dec)).as("sk"),
+      sum((col("uk") * col("uk")).cast(dec)).as("qk"))
+    val perLabel = g.groupBy("label").agg(
+      sum((col("sk").cast("double") * col("sk").cast("double")).cast(dec)).as("s2"),
+      sum(col("qk")).as("sq"))
+    val counts = emb.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
+    val wl = perLabel.join(counts, "label").select(
+      ((col("s2").cast("double") - col("sq").cast("double")) / 2).cast(dec).as("sc"),
+      expr("nl * (nl - 1) DIV 2").as("np"))
+    val win = wl.agg(sum(col("sc")).as("swc"), sum(col("np")).as("npw"))
+    val ga = g.groupBy("k").agg(sum(col("sk")).as("sk"), sum(col("qk")).as("qk"))
+    val tot = ga.agg(
+        sum((col("sk").cast("double") * col("sk").cast("double")).cast(dec)).as("s2"),
+        sum(col("qk")).as("sq"))
+      .crossJoin(emb.agg(count(lit(1)).as("n")))
+      .select(((col("s2").cast("double") - col("sq").cast("double")) / 2).cast(dec).as("st"),
+        expr("n * (n - 1) DIV 2").as("npt"))
+    val within = win.select(lit("within").as("grp"),
+      col("npw").cast("bigint").as("n_pairs"),
+      round(col("swc").cast("double") / col("npw").cast("double"), 6).as("avg_cosine"))
+    val cross = tot.crossJoin(win).select(lit("cross").as("grp"),
+      (col("npt") - col("npw")).cast("bigint").as("n_pairs"),
+      round((col("st").cast("double") - col("swc").cast("double")) /
+        (col("npt") - col("npw")).cast("double"), 6).as("avg_cosine"))
+    cross.union(within)
+  }
+
+  def labelPairStatsBrute(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
       col("label").as("la"))
     val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"),

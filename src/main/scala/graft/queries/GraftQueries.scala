@@ -978,15 +978,26 @@ object GraftQueries {
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** LSH-gated ([[DedupOps.embeddingNearDupPairs]]): sign-band candidates
+    * by equi-join, exact-cosine verify. The oracle reproduces the band
+    * buckets in SQL, so the gated result is value-exact; recall vs the
+    * all-pairs form is the banding curve (asserted in OpsSpec).
+    */
   private val d06 = Q("dedup_embedding_pairs",
     (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
       .orderBy("vec_a", "vec_b"),
     Some("""
-      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-      FROM t a JOIN t b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sig AS (SELECT vec_id, band,
+                list_sum(list_transform(range(8),
+                  j -> CASE WHEN v[band*8 + j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS bucket
+              FROM t, unnest(range(8)) AS r(band)),
+      c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+      FROM c JOIN t x ON c.vec_a = x.vec_id JOIN t y ON c.vec_b = y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.4
       ORDER BY vec_a, vec_b"""))
 
   /** Dedup as an OUTPUT operation: the surviving canonical rows (min
@@ -1009,32 +1020,38 @@ object GraftQueries {
       SELECT doc_id, lang, source, n_chars FROM c
       WHERE doc_id = canonical_id ORDER BY doc_id"""))
 
-  /** Edit-distance near-dup pairs on a bounded candidate slice — the
-    * character-level complement to token-level Jaccard (both engines
-    * implement standard unit-cost Levenshtein).
+  /** Edit-distance near-dup pairs over the FULL corpus, candidate-gated on
+    * winnow fingerprints ([[DedupOps.editDistancePairs]]) — the
+    * character-level complement to token-level Jaccard, with pair
+    * generation sized to fingerprint-bucket collisions instead of the
+    * all-pairs quadratic. The oracle reproduces the candidate stage
+    * (winnow list algebra, as in `dedup_winnow_pairs`) and the verify.
     */
   private val d08 = Q("dedup_edit_distance",
-    (s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-      // Thresholded levenshtein (Spark 3.5+): banded O(n·k) instead of the
-      // full O(n·m) table; beyond-threshold pairs return -1 and are
-      // filtered — the kept set and values equal the unbounded form.
-      a.join(broadcast(b), col("doc_a") < col("doc_b"))
-        .withColumn("dist", expr("levenshtein(ta, tb, 61)"))
-        .filter(col("dist") >= 0 && col("dist") <= 60)
-        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, dir) => DedupOps.editDistancePairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), maxDist = 60)
+      .orderBy("doc_a", "doc_b"),
     Some("""
-      WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        cast(levenshtein(a.text, b.text) as int) AS dist
-      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      WHERE levenshtein(a.text, b.text) <= 60
-      ORDER BY doc_a, doc_b"""))
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [] END AS sh FROM t),
+      h AS (SELECT doc_id,
+              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs
+            FROM s),
+      wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+              list_distinct(list_transform(range(1, len(hs) - 2),
+                i -> list_aggregate(hs[i:i+3], 'min')))
+            ELSE [] END AS fps FROM h),
+      f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+      c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      j AS (SELECT doc_a, doc_b, levenshtein(x.text, y.text) AS dist
+            FROM c JOIN t x ON c.doc_a = x.doc_id JOIN t y ON c.doc_b = y.doc_id)
+      SELECT doc_a, doc_b, cast(dist as int) AS dist
+      FROM j WHERE dist <= 60 ORDER BY doc_a, doc_b"""))
 
   /** Pairs → CLUSTERS: connected components over the near-dup pair graph
     * (MinHash-LSH candidates verified at exact Jaccard ≥ 0.5, i.e. the
@@ -1109,17 +1126,49 @@ object GraftQueries {
     },
     None)
 
+  /** Algebraic, pair-free within/cross mean cosine
+    * ([[SimilarityOps.labelPairMeans]]): Σ_{i<j} u_i·u_j =
+    * (‖Σu‖² − Σ‖u‖²)/2 over unit vectors. The oracle mirrors the same
+    * algebra (decimal component sums, double products), so the result is
+    * value-exact while the plan never enumerates a pair.
+    */
   private val s03 = Q("sim_label_stats",
-    (s, dir) => SimilarityOps.labelPairStats(t(s, dir, "embeddings")).orderBy("grp"),
+    (s, dir) => SimilarityOps.labelPairMeans(t(s, dir, "embeddings")).orderBy("grp"),
     Some("""
-      WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      p AS (SELECT CASE WHEN a.label = b.label THEN 'within' ELSE 'cross' END AS grp,
-              list_cosine_similarity(a.v, b.v) AS cos
-            FROM t a JOIN t b ON a.vec_id < b.vec_id)
-      SELECT grp, count(*) AS n_pairs,
-        round(cast(sum(cast(cos as decimal(18,12))) as double) / count(*), 6) AS avg_cosine,
-        round(max(cos), 6) AS max_cosine
-      FROM p GROUP BY grp ORDER BY grp"""))
+      WITH t AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      u AS (SELECT label,
+              list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+            FROM t),
+      e AS (SELECT label, ko - 1 AS k, u[ko] AS uk
+            FROM u, unnest(range(1, len(u) + 1)) AS r(ko)),
+      g AS (SELECT label, k, sum(cast(uk as decimal(38,12))) AS sk,
+              sum(cast(uk*uk as decimal(38,12))) AS qk
+            FROM e GROUP BY label, k),
+      pl AS (SELECT label,
+               sum(cast(cast(sk as double) * cast(sk as double) as decimal(38,12))) AS s2,
+               sum(qk) AS sq
+             FROM g GROUP BY label),
+      n AS (SELECT label, count(*) AS nl FROM t GROUP BY label),
+      wl AS (SELECT cast((cast(s2 as double) - cast(sq as double)) / 2 as decimal(38,12)) AS sc,
+               nl * (nl - 1) // 2 AS np
+             FROM pl JOIN n USING (label)),
+      win AS (SELECT sum(sc) AS swc, sum(np) AS npw FROM wl),
+      ga AS (SELECT k, sum(sk) AS sk, sum(qk) AS qk FROM g GROUP BY k),
+      tot AS (SELECT cast((cast(s2 as double) - cast(sq as double)) / 2 as decimal(38,12)) AS st,
+                nt * (nt - 1) // 2 AS npt
+              FROM (SELECT
+                  sum(cast(cast(sk as double) * cast(sk as double) as decimal(38,12))) AS s2,
+                  sum(qk) AS sq FROM ga),
+                (SELECT count(*) AS nt FROM t))
+      SELECT 'cross' AS grp, cast(npt - npw as bigint) AS n_pairs,
+        round((cast(st as double) - cast(swc as double)) / cast(npt - npw as double), 6)
+          AS avg_cosine
+      FROM tot, win
+      UNION ALL
+      SELECT 'within' AS grp, cast(npw as bigint) AS n_pairs,
+        round(cast(swc as double) / cast(npw as double), 6) AS avg_cosine
+      FROM win
+      ORDER BY grp"""))
 
   // IVF scale path: approximate (probe subset of inverted lists) — no SQL
   // oracle; exactness at nprobe==nlist is asserted in OpsSpec.

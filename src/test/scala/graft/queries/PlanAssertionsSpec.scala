@@ -52,6 +52,18 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("gated near-dup ops plan no pair-enumerating nested-loop joins") {
+    // These three replaced all-pairs formulations (round-3 verdict): pair
+    // generation must stay candidate-gated equi-joins. A conditionless
+    // Cross BNLJ over single-row aggregates (broadcast scalar) is fine;
+    // an Inner BNLJ (`a.id < b.id` pair enumeration) is the regression.
+    for (q <- Seq("dedup_edit_distance", "dedup_embedding_pairs", "sim_label_stats")) {
+      val p = plan(q)
+      assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined, s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
   test("sim_topk_bruteforce: query side broadcasts") {
     val p = plan("sim_topk_bruteforce")
     assert(p.contains("BroadcastExchange"), p)
