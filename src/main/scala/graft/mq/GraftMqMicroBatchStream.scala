@@ -78,8 +78,21 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
 
   override def deserializeOffset(json: String): Offset = GraftMqOffset.fromJson(json)
 
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxRowsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val maxL = opts.maxRowsPerBatch.map(ReadLimit.maxRows)
+    val minL = opts.minRowsPerBatch.map(m => ReadLimit.minRows(m, opts.maxTriggerDelayMs))
+    (minL, maxL) match {
+      case (Some(a), Some(b)) => ReadLimit.compositeLimit(Array(a, b))
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  // ReadMinRows bookkeeping (Kafka's minOffsetsPerTrigger/maxTriggerDelay):
+  // timestamp of the last batch this stream actually admitted; the delay
+  // escape hatch fires relative to it.
+  private var lastTriggerMs: Long = System.currentTimeMillis()
 
   /** MicroBatchStream's 1-arg form — the engine calls the admission-control
     * overload when SupportsAdmissionControl is implemented; mirror Kafka and
@@ -101,6 +114,18 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
   private def applyLimit(start: Map[Int, Long], avail: Map[Int, Long],
       limit: ReadLimit): Map[Int, Long] = limit match {
     case _: ReadAllAvailable => avail
+    case mn: ReadMinRows =>
+      // Kafka's minOffsetsPerTrigger: admit the batch only once the
+      // backlog reaches minRows, unless maxTriggerDelay elapsed since the
+      // last admitted batch (then whatever is available flows).
+      val total = avail.map { case (p, end) =>
+        math.max(0L, end - start.getOrElse(p, 0L))
+      }.sum
+      val delayExpired = System.currentTimeMillis() - lastTriggerMs >= mn.maxTriggerDelayMs
+      if (total >= mn.minRows || (delayExpired && total > 0)) {
+        lastTriggerMs = System.currentTimeMillis()
+        avail
+      } else start
     case mr: ReadMaxRows =>
       val backlog = avail.map { case (p, end) =>
         p -> math.max(0L, end - start.getOrElse(p, 0L))
@@ -121,7 +146,7 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
       }
     case composite: CompositeReadLimit =>
       composite.getReadLimits.foldLeft(avail) { (acc, l) => applyLimit(start, acc, l) }
-    case _ => avail // minRows/maxBytes/maxFiles: not meaningful for this source
+    case _ => avail // maxBytes/maxFiles: not meaningful for this source
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -196,6 +221,13 @@ object GraftMqStart {
     def ends: Map[Int, Long] =
       if (opts.isGenerated) Map.empty
       else InMemoryMqBroker.getOrCreate(opts.topic, n).endOffsets
+    // Kafka's "earliest"/-2 means the earliest RETAINED offset, not 0: on
+    // a retention-truncated topic, resolving to 0 would make the first
+    // stream start throw MqOffsetOutOfRange instead of starting at the
+    // log head (ADVICE r03; the batch path already clamped).
+    def earliest(p: Int): Long =
+      if (opts.isGenerated) 0L
+      else InMemoryMqBroker.getOrCreate(opts.topic, n).earliestOffsets.getOrElse(p, 0L)
     opts.startingTimestampMicros match {
       case Some(ts) =>
         (0 until n).map(p => p -> offsetForTimestamp(opts, p, ts)).toMap
@@ -204,7 +236,7 @@ object GraftMqStart {
         val e = ends
         (0 until n).map { p =>
           p -> (spec.getOrElse(p, -2L) match {
-            case -2L => 0L
+            case -2L => earliest(p)
             case -1L => e.getOrElse(p, 0L)
             case o =>
               require(o >= 0, s"graft-mq: negative start offset $o for partition $p")
@@ -212,7 +244,7 @@ object GraftMqStart {
           })
         }.toMap
       case None if opts.startingOffsets == "latest" && !opts.isGenerated => ends
-      case None => (0 until n).map(_ -> 0L).toMap
+      case None => (0 until n).map(p => p -> earliest(p)).toMap
     }
   }
 
@@ -236,7 +268,9 @@ object GraftMqStart {
 }
 
 class GraftMqBatch(opts: GraftMqOptions,
-    readSchema: org.apache.spark.sql.types.StructType) extends Batch {
+    readSchema: org.apache.spark.sql.types.StructType,
+    bounds: GraftMqScanBounds = GraftMqScanBounds(),
+    limit: Option[Int] = None) extends Batch {
 
   def this(opts: GraftMqOptions) = this(opts, opts.schema)
 
@@ -266,11 +300,40 @@ class GraftMqBatch(opts: GraftMqOptions,
     val s = GraftMqStart.resolve(opts).map { case (p, o) =>
       p -> math.min(math.max(o, earliest.getOrElse(p, 0L)), upper.getOrElse(p, 0L))
     }
-    (s, upper)
+    // Pushed-filter seeks ([[GraftMqScanBounds]]): partition pruning,
+    // offset bounds, and timestamp lower bounds narrow [start, end) BEFORE
+    // tasks are planned — a timestamp-filtered query reads only matching
+    // ranges instead of the whole log. Values are still re-verified by the
+    // residual filters, so over-approximation here is safe.
+    val keep: Int => Boolean = p => bounds.partitions.forall(_.contains(p))
+    val s2 = s.collect { case (p, o) if keep(p) =>
+      val tsSeek = bounds.minTimestampMicros
+        .map(ts => GraftMqStart.offsetForTimestamp(opts, p, ts))
+      p -> (Seq(o) ++ bounds.minOffset ++ tsSeek).max
+    }
+    val e2 = upper.collect { case (p, u) if keep(p) =>
+      p -> (Seq(u) ++ bounds.maxOffsetExclusive).min
+    }
+    (s2, e2)
+  }
+
+  /** Planned ranges, LIMIT-capped when a limit was pushed (no residual
+    * filters exist then — any `limit` rows satisfy the query).
+    */
+  private def limitedEnds: Map[Int, Long] = limit match {
+    case None => endEnds
+    case Some(l) =>
+      var budget = l.toLong
+      endEnds.toSeq.sortBy(_._1).map { case (p, u) =>
+        val from = startEnds.getOrElse(p, 0L)
+        val take = math.max(0L, math.min(u - from, budget))
+        budget -= take
+        p -> (from + take)
+      }.toMap
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftMqPlanner.plan(opts, startEnds, endEnds)
+    GraftMqPlanner.plan(opts, startEnds, limitedEnds)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftMqPartitionReaderFactory(opts, readSchema)

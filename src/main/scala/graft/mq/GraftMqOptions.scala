@@ -19,6 +19,13 @@ import java.util.Locale
   *                           micro-batch (→ ReadLimit.maxRows; the
   *                           `maxOffsetsPerTrigger` analogue from
   *                           /root/reference/README.md:399-422)
+  *  - `minRowsPerBatch`    — admission control, min side (Kafka's
+  *                           `minOffsetsPerTrigger` → ReadLimit.minRows):
+  *                           defer the batch until this many rows are
+  *                           available…
+  *  - `maxTriggerDelayMs`  — …or this long has passed since the last
+  *                           admitted batch (default 15 min, Kafka's
+  *                           maxTriggerDelay)
   *  - `minPartitions`      — split offset ranges into at least this many
   *                           Spark tasks (README.md:431-433)
   *  - `seed`               — generated backend determinism seed (default 42)
@@ -60,7 +67,9 @@ final case class GraftMqOptions(
     defaultTimestampMicros: Long = 1700000000000000L,
     includeHeaders: Boolean = false,
     startingTimestampMicros: Option[Long] = None,
-    endingOffsets: String = "latest") extends Serializable {
+    endingOffsets: String = "latest",
+    minRowsPerBatch: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -143,6 +152,9 @@ object GraftMqOptions {
         get("defaultTimestampMicros").map(_.toLong).getOrElse(1700000000000000L),
       includeHeaders = get("includeHeaders").map(_.toBoolean).getOrElse(false),
       startingTimestampMicros = startingTs,
-      endingOffsets = ending)
+      endingOffsets = ending,
+      minRowsPerBatch = get("minRowsPerBatch").map(_.toLong),
+      maxTriggerDelayMs =
+        get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000))
   }
 }

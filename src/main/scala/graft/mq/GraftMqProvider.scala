@@ -2,10 +2,10 @@ package graft.mq
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -29,7 +29,7 @@ class GraftMqProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftMqTable(GraftMqOptions.from(properties))
+    new GraftMqTable(GraftMqOptions.from(properties), properties)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -40,8 +40,11 @@ class GraftMqProvider extends TableProvider with DataSourceRegister {
   * not implement (README.md:250-259, 268-278; mock write-throws at
   * CustomTable.java:52-54).
   */
-class GraftMqTable(opts: GraftMqOptions) extends Table
+class GraftMqTable(opts: GraftMqOptions,
+    tableProperties: util.Map[String, String]) extends Table
     with SupportsRead with SupportsWrite {
+
+  def this(opts: GraftMqOptions) = this(opts, new util.HashMap[String, String]())
 
   override def name(): String = s"graft-mq:${opts.topic}"
 
@@ -53,9 +56,15 @@ class GraftMqTable(opts: GraftMqOptions) extends Table
     TableCapability.STREAMING_WRITE,
     TableCapability.BATCH_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // Read options may refine table options (e.g. maxRowsPerBatch per query).
-    new GraftMqScanBuilder(GraftMqOptions.from(options.asCaseSensitiveMap()))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Table-level properties are the base; per-scan read options refine
+    // them (e.g. maxRowsPerBatch per query). Today Spark passes the full
+    // merged option set as scan options, but a catalog integration would
+    // not — merging here keeps that future path correct.
+    val merged = new util.HashMap[String, String](tableProperties)
+    merged.putAll(options.asCaseSensitiveMap())
+    new GraftMqScanBuilder(GraftMqOptions.from(merged))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMqWriteBuilder(GraftMqOptions.from(info.options().asCaseSensitiveMap()),
@@ -70,27 +79,63 @@ class GraftMqTable(opts: GraftMqOptions) extends Table
   * those fields (SURVEY.md §4 "column pruning" row).
   */
 class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var pruned: StructType = opts.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var bounds: GraftMqScanBounds = GraftMqScanBounds()
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
 
-  override def build(): Scan = new GraftMqScan(opts, pruned)
+  /** Filter pushdown as offset-range SEEKS (see [[GraftMqScanBounds]]):
+    * `partition`/`offset` bounds and `timestamp` lower bounds narrow the
+    * planned ranges; every filter is ALSO returned as residual so Spark
+    * re-verifies values — pruning can only skip data, never fabricate it.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftMqScanBounds.prunable)
+    bounds = GraftMqScanBounds.from(pushed.toSeq)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown caps planned rows. Spark only offers a limit when no
+    * post-scan filter remains; since this builder keeps every filter
+    * residual, that means no filters at all — guarded anyway.
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.isEmpty) { limit = Some(l); true } else false
+
+  override def build(): Scan = new GraftMqScan(opts, pruned, bounds, limit)
 }
 
 /** Scan bridging to both execution modes. `readSchema` returns the real
   * (possibly pruned) schema — the reference returns `null`
   * (CustomScan.java:19-21, defect SURVEY.md §2.9-2).
   */
-class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType) extends Scan {
+class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
+    bounds: GraftMqScanBounds = GraftMqScanBounds(),
+    limit: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = readSchemaValue
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Kafka parity: endingOffsets bounds batch scans only; accepting it on
+    // a stream would silently read unbounded (ADVICE r03).
+    require(opts.endingOffsets == "latest",
+      "graft-mq: endingOffsets is not supported for streaming reads")
+    // Offset-range bounds are not applied to streaming progress (the
+    // offset log governs it); pushed filters remain residual and are
+    // applied by the engine per micro-batch.
     new GraftMqMicroBatchStream(opts, checkpointLocation, readSchemaValue)
+  }
 
-  override def toBatch: Batch = new GraftMqBatch(opts, readSchemaValue)
+  override def toBatch: Batch = new GraftMqBatch(opts, readSchemaValue, bounds, limit)
 
   override def description(): String =
-    s"graft-mq topic=${opts.topic} backend=${opts.backend} partitions=${opts.numPartitions}"
+    s"graft-mq topic=${opts.topic} backend=${opts.backend} partitions=${opts.numPartitions}" +
+      (if (bounds.isEmpty) "" else s" seek=$bounds") +
+      limit.map(l => s" limit=$l").getOrElse("")
 }

@@ -1,0 +1,124 @@
+package graft.mq
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DSv2 filter/limit pushdown on the `graft-mq` batch scan
+  * ([[GraftMqScanBounds]]): pushed predicates must narrow the PLANNED
+  * offset ranges (a seek), while values keep matching because every
+  * filter stays residual. The reference names DSv2 pushdown as a core
+  * motivation (/root/reference/README.md:152, 751) without implementing
+  * it.
+  */
+class GraftMqPushdownSpec extends SparkSuite {
+
+  private val base = 1700000000000000L
+
+  private def freshTopic(name: String): Unit = {
+    InMemoryMqBroker.drop(name)
+    val state = InMemoryMqBroker.getOrCreate(name, 2)
+    // partition 0: m0..m9 at base+0..9s; partition 1: n0..n4 at base+0..4s
+    (0 until 10).foreach(i =>
+      state.append(0, MqMessage(null, s"m$i".getBytes("UTF-8"), base + i * 1000000L)))
+    (0 until 5).foreach(i =>
+      state.append(1, MqMessage(null, s"n$i".getBytes("UTF-8"), base + i * 1000000L)))
+  }
+
+  private def read(topic: String): DataFrame = spark.read.format("graft-mq")
+    .option("topic", topic).option("numPartitions", "2")
+    .option("includeMetadata", "true").load()
+
+  private def ranges(df: DataFrame): Seq[(Int, Long, Long)] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .flatMap(_.partitions.flatten).collect {
+        case p: GraftMqInputPartition => (p.partition, p.from, p.until)
+      }.sorted
+
+  test("partition equality filter plans only that partition's range") {
+    freshTopic("push-part")
+    val df = read("push-part").filter(col("partition") === 0)
+    assert(ranges(df) == Seq((0, 0L, 10L)), ranges(df).toString)
+    assert(df.count() == 10)
+  }
+
+  test("offset bounds narrow every partition's planned range") {
+    freshTopic("push-off")
+    val df = read("push-off").filter(col("offset") >= 8)
+    // partition 1 has only 5 messages: its range vanishes at planning time
+    assert(ranges(df) == Seq((0, 8L, 10L)), ranges(df).toString)
+    import spark.implicits._
+    assert(df.select($"value".cast("string")).as[String].collect().toSet ==
+      Set("m8", "m9"))
+
+    val upper = read("push-off").filter(col("offset") < 2)
+    assert(ranges(upper) == Seq((0, 0L, 2L), (1, 0L, 2L)), ranges(upper).toString)
+    assert(upper.count() == 4)
+  }
+
+  test("timestamp lower bound seeks via first-offset-at-timestamp") {
+    freshTopic("push-ts")
+    val df = read("push-ts")
+      .filter(col("timestamp") >= expr(s"timestamp_micros(${base + 8 * 1000000L}L)"))
+    // partition 0 seeks to offset 8; partition 1 has no message >= the
+    // bound, so its planned range is empty.
+    assert(ranges(df) == Seq((0, 8L, 10L)), ranges(df).toString)
+    import spark.implicits._
+    assert(df.select($"value".cast("string")).as[String].collect().toSet ==
+      Set("m8", "m9"))
+    // Residual safety net: the same filtered read equals post-hoc filtering
+    // of the unpruned scan.
+    val unpruned = read("push-ts").collect()
+      .filter(_.getAs[java.sql.Timestamp]("timestamp").getTime >= (base / 1000 + 8000))
+    assert(unpruned.length == 2)
+  }
+
+  test("LIMIT pushdown caps the planned rows") {
+    freshTopic("push-lim")
+    val df = read("push-lim").limit(3)
+    val r = ranges(df)
+    assert(r.map { case (_, f, u) => u - f }.sum == 3, r.toString)
+    assert(df.count() == 3)
+  }
+
+  test("pushed filters surface in the scan description; values stay residual-checked") {
+    freshTopic("push-desc")
+    val df = read("push-desc").filter(col("partition") === 1 && col("offset") >= 2)
+    val desc = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("seek="), desc)
+    import spark.implicits._
+    assert(df.select($"value".cast("string")).as[String].collect().toSet ==
+      Set("n2", "n3", "n4"))
+  }
+
+  test("table-level properties merge with (and yield to) per-scan options") {
+    val props = new java.util.HashMap[String, String]()
+    props.put("topic", "merge-topic")
+    props.put("numPartitions", "2")
+    props.put("maxRowsPerBatch", "100")
+    val table = new GraftMqTable(GraftMqOptions.from(props), props)
+    val scanOpts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("maxRowsPerBatch", "7"))
+    val builder = table.newScanBuilder(scanOpts).asInstanceOf[GraftMqScanBuilder]
+    val scan = builder.build().asInstanceOf[GraftMqScan]
+    // topic survives from table properties; the scan option overrides the
+    // table-level admission cap.
+    assert(scan.description().contains("topic=merge-topic"), scan.description())
+    val stream = scan.toMicroBatchStream("unused")
+    val limit = stream.asInstanceOf[GraftMqMicroBatchStream].getDefaultReadLimit
+    assert(limit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxRows])
+    assert(limit.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxRows].maxRows == 7)
+  }
+
+  test("endingOffsets is rejected for streaming reads") {
+    val props = java.util.Map.of("topic", "reject-end", "endingOffsets", """{"0":5}""")
+    val scan = new GraftMqScanBuilder(GraftMqOptions.from(props)).build()
+    val err = intercept[IllegalArgumentException] { scan.toMicroBatchStream("unused") }
+    assert(err.getMessage.contains("endingOffsets"), err.getMessage)
+  }
+}

@@ -111,6 +111,78 @@ class GraftMqStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("admission control, min side: minRowsPerBatch defers until enough rows or delay expiry") {
+    val topic = "admission-min"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 2, (1 to 3).map(i => s"a$i"))
+
+    import spark.implicits._
+    def start(maxDelayMs: Long) = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "2")
+      .option("minRowsPerBatch", "10")
+      .option("maxTriggerDelayMs", maxDelayMs.toString).load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName("adm_min_out")
+      .option("checkpointLocation", tmp("adm-min-ckpt"))
+      .start()
+
+    // Below the min with a long delay: nothing may be admitted.
+    val q1 = start(maxDelayMs = 10 * 60 * 1000)
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("adm_min_out").isEmpty,
+        "3 rows < minRowsPerBatch=10 must not form a batch")
+      // Crossing the min releases the backlog (same query, same gate).
+      InMemoryMqBroker.produceStrings(topic, 2, (4 to 12).map(i => s"a$i"))
+      q1.processAllAvailable()
+      assert(spark.table("adm_min_out").count() == 12)
+    } finally q1.stop()
+
+    // Delay escape hatch: with an expired maxTriggerDelay, a sub-min
+    // backlog flows anyway (Kafka's maxTriggerDelay semantics).
+    val topic2 = "admission-min-delay"
+    InMemoryMqBroker.drop(topic2)
+    InMemoryMqBroker.produceStrings(topic2, 2, Seq("d1", "d2"))
+    val q2 = spark.readStream.format("graft-mq")
+      .option("topic", topic2).option("numPartitions", "2")
+      .option("minRowsPerBatch", "1000")
+      .option("maxTriggerDelayMs", "0").load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName("adm_min_delay_out")
+      .option("checkpointLocation", tmp("adm-min-delay-ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("adm_min_delay_out").count() == 2)
+    } finally q2.stop()
+  }
+
+  test("earliest start resolves to the earliest RETAINED offset on a truncated topic") {
+    val topic = "trunc-earliest"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.produceStrings(topic, 1, (1 to 10).map(i => s"t$i"))
+    InMemoryMqBroker.get(topic).get.truncateTo(4)
+
+    import spark.implicits._
+    // Streaming first start with default (earliest) offsets: must begin at
+    // the retained head (offset 4), not 0 — not a data-loss abort.
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("failOnDataLoss", "true").load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trunc_out")
+      .option("checkpointLocation", tmp("trunc-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("trunc_out").as[String].collect().toSet ==
+        (5 to 10).map(i => s"t$i").toSet)
+    } finally q.stop()
+  }
+
   test("generated backend is deterministic and unbounded") {
     import spark.implicits._
     // The generated firehose never drains under processAllAvailable (the
