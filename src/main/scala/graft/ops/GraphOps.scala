@@ -76,9 +76,11 @@ object GraphOps {
     labels = labels.localCheckpoint(true)
     // Labels only ever DECREASE, so sum(comp) strictly decreases until the
     // fixpoint: sum-equality is a complete convergence test that needs no
-    // old⋈new join. decimal(38,0) so the test is exact at any node count.
+    // old⋈new join. Cast BEFORE summing so the aggregation itself runs in
+    // decimal(38,0) — a LongType sum would silently wrap at billions of
+    // large ids and could fake convergence.
     def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prev = sig(labels)
     var it = 0
     var converged = prev == null // empty edge set (sum over no rows): done

@@ -23,7 +23,7 @@ import org.apache.spark.sql.graft.Bridge
   * PARTITION BY and ORDER BY, a bare `rn <= k`-shaped filter, and a
   * projection that drops rn. Anything else is left to stock Catalyst.
   *
-  * Opt-in via [[GraftPlans.enableRowNumberTopKRewrite]] rather than
+  * Opt-in via [[RowNumberTopKRewrite.enable]] rather than
   * always-on in GraftExtensions, so the library never silently changes
   * plans for sessions that didn't ask.
   */

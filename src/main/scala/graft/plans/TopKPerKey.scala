@@ -23,8 +23,14 @@ import org.apache.spark.sql.graft.Bridge
   * k·|keys|·partitions touched, not with |input|.
   *
   * Memory: a map-side heap holds ≤ k rows per distinct key seen in the
-  * partition — same degeneracy bound as partial hash aggregation (high-
-  * cardinality keys degrade toward pass-through, never above k·keys rows).
+  * partition. Unlike partial hash aggregation (which falls back to
+  * sort-based spill), a naive heap map would grow without bound on
+  * high-cardinality keys — so the partial stage caps the map at
+  * [[TopKPerKeyExec.PartialMaxKeys]] distinct keys and, when a new key
+  * would exceed the cap, FLUSHES the current heaps downstream and starts
+  * fresh. Early emission is safe because the final stage re-merges per
+  * key; the cost of a flush is only extra shuffle rows (toward
+  * pass-through), never wrong results or an executor OOM.
   *
   * The reference has no native query operators at all (it is a streaming
   * source, CustomMicroBatchStream.java:21-84); this operator belongs to
@@ -65,6 +71,9 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    // The final stage must hold every key of its (hash-clustered) partition
+    // to guarantee ≤ k rows per key; only the partial stage may flush.
+    val maxKeys = if (partial) TopKPerKeyExec.PartialMaxKeys else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       // Codegen'd projection/ordering are created per task (they are not
       // serializable); only expressions + attributes are captured.
@@ -76,28 +85,63 @@ case class TopKPerKeyExec(
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row) // reused buffer; bytes-equality lookup is safe
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+
+      // Snapshot + clear the map, yielding each heap best-first.
+      def drain(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        val snapshot = heaps.values.asScala.toArray
+        heaps.clear()
+        snapshot.iterator.flatMap { h =>
+          val out = new Array[InternalRow](h.size)
+          var i = out.length - 1
+          while (i >= 0) { out(i) = h.poll(); i -= 1 } // drain worst-first → reverse
+          out.iterator
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap { h =>
-        val out = new Array[InternalRow](h.size)
-        var i = out.length - 1
-        while (i >= 0) { out(i) = h.poll(); i -= 1 } // drain worst-first → reverse
-        out.iterator
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def fill(): Unit = {
+          while (!out.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            var flushed = false
+            while (iter.hasNext && !flushed) {
+              val row = iter.next()
+              val key = keyProj(row) // reused buffer; bytes-equality lookup is safe
+              var heap = heaps.get(key)
+              if (heap == null) {
+                if (heaps.size >= maxKeys) {
+                  // Cap hit and a NEW key arrived: emit current heaps to the
+                  // shuffle and start fresh rather than growing unboundedly.
+                  out = drain()
+                  flushed = true
+                }
+                heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < limit) heap.add(row.copy())
+              else if (ord.compare(row, heap.peek()) < 0) {
+                heap.poll(); heap.add(row.copy())
+              }
+            }
+            if (!flushed && !iter.hasNext && !heaps.isEmpty) out = drain()
+          }
+        }
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): InternalRow = { fill(); out.next() }
       }
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerKeyExec {
+  /** Max distinct keys the PARTIAL stage buffers before flushing. At the
+    * default k≈10 this bounds map-side state to ~1.3M rows per task —
+    * comparable to a partial hash aggregate's in-memory map — while a
+    * low-cardinality keyspace (the common top-k-per-group case) never
+    * comes near it. A var only so tests can force the flush path with a
+    * tiny cap; production code should not touch it.
+    */
+  @volatile var PartialMaxKeys: Int = 1 << 17
 }
 
 /** Plans the logical node as final(partial(child)) — the partial runs

@@ -76,6 +76,26 @@ class TopKPerKeySpec extends SparkSuite {
     assert(got == want, s"${got.size} vs ${want.size}")
   }
 
+  test("partial stage flushes at the key cap without changing results") {
+    import spark.implicits._
+    // 400 distinct keys through a cap of 16 forces many mid-partition
+    // flushes; results must still equal the window formulation because the
+    // final stage re-merges whatever the partial emitted.
+    val saved = TopKPerKeyExec.PartialMaxKeys
+    try {
+      TopKPerKeyExec.PartialMaxKeys = 16
+      val rnd = new scala.util.Random(7)
+      val df = (1 to 4000).map(i => (s"k${rnd.nextInt(400)}", rnd.nextInt(1000), i.toLong))
+        .toDF("k", "v", "id").repartition(3)
+      val got = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", true), ("id", true)), 2)
+        .orderBy("k", "id").collect().toSeq
+      val w = Window.partitionBy("k").orderBy(col("v").asc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .drop("rn").orderBy("k", "id").collect().toSeq
+      assert(got == want, s"${got.size} vs ${want.size}")
+    } finally TopKPerKeyExec.PartialMaxKeys = saved
+  }
+
   test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
