@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let larger single-file tables split across cores at the scan (no
+      // shuffle); single-row-group files still scan as one task.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless

@@ -40,6 +40,12 @@ object GraftFunctions {
   /** 64-bit FNV-1a content hash of a string (stable across JVMs/engines). */
   def fnv64(s: Column): Column = col(Fnv64(expr(s)))
 
+  /** Winnowing (MOSS) fingerprint set of a token array: md5-60bit shingle
+    * hashes, window minima, first-occurrence distinct.
+    */
+  def winnow_fps60(tokens: Column, k: Int, w: Int): Column =
+    col(WinnowFps60(expr(tokens), k, w))
+
   /** Random-hyperplane LSH signature of a vector column (ANN bucketing). */
   def lsh_signature(v: Column, bits: Int, table: Int): Column =
     col(HyperplaneLshSignature(expr(v), bits, table))

@@ -75,6 +75,65 @@ object HashUtil {
     out
   }
 
+  /** Winnowing fingerprints (MOSS): hash every word-`k`-gram shingle with
+    * [[md5Hash60]], slide a window of `w` consecutive hashes, keep each
+    * window's minimum, dedupe preserving first occurrence. Bit-exact twin
+    * of the higher-order-function formulation in
+    * [[graft.ops.TextOps.winnowFingerprintsHof]] (shingles joined with a
+    * single space, null tokens skipped like `concat_ws`) — the DuckDB
+    * oracle reproduces both. Fewer than k+w-1 tokens → empty.
+    */
+  def winnowFingerprints(toks: Array[Array[Byte]], k: Int, w: Int): Array[Long] = {
+    val nShingles = toks.length - k + 1
+    if (nShingles < w) return Array.emptyLongArray
+    val space = ' '.toByte
+    val hashes = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      // concat_ws semantics: null tokens are skipped, separator only
+      // between kept tokens.
+      var len = 0
+      var cnt = 0
+      var j = 0
+      while (j < k) {
+        val t = toks(i + j)
+        if (t != null) { len += t.length; cnt += 1 }
+        j += 1
+      }
+      val buf = new Array[Byte](len + math.max(cnt - 1, 0))
+      var p = 0
+      var first = true
+      j = 0
+      while (j < k) {
+        val t = toks(i + j)
+        if (t != null) {
+          if (!first) { buf(p) = space; p += 1 }
+          System.arraycopy(t, 0, buf, p, t.length); p += t.length
+          first = false
+        }
+        j += 1
+      }
+      hashes(i) = md5Hash60(buf)
+      i += 1
+    }
+    // O(m·w) window minima (w is tiny); LinkedHashSet = array_distinct's
+    // first-occurrence order.
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= nShingles - w) {
+      var m = hashes(i)
+      var j = 1
+      while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   /** k-minima MinHash signature over a token set. Empty input → all
     * Long.MaxValue (matches nothing).
     */
@@ -125,6 +184,46 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
       .filterNot(arr.isNullAt)
       .map(i => arr.getUTF8String(i).getBytes)
     new GenericArrayData(HashUtil.minhashSignature(it, k, seed))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** winnow_fps60(array<string> tokens, k, w) → array<long>.
+  *
+  * Native straightline twin of the HOF winnowing pipeline
+  * ([[graft.ops.TextOps.winnowFingerprintsHof]], spec-asserted equal):
+  * the nested interpreted HOF tree (transform→sequence→slice→array_min
+  * per window) costs ~2 ms per 300-char document and degrades further as
+  * JIT call sites go megamorphic, which made winnow-gated dedup the
+  * slowest family in the suite; one eval call per document removes that
+  * entirely while keeping md5-prefix hashes the oracle can reproduce.
+  */
+case class WinnowFps60(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(k > 0 && w > 0, s"winnow_fps60: k=$k w=$w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps60"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+
+  // Null token array → EMPTY fingerprint set, matching the HOF twin
+  // (whose null `when` condition falls through to the empty branch) and
+  // the DuckDB oracle's CASE.
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.emptyLongArray) else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val toks = new Array[Array[Byte]](arr.numElements())
+    var i = 0
+    while (i < toks.length) {
+      if (!arr.isNullAt(i)) toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    new GenericArrayData(HashUtil.winnowFingerprints(toks, k, w))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

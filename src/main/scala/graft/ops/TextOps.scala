@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * table (`doc_id`, `text`, `lang`, `source`, `n_chars`) — tokenization,
   * shingling, language-ID heuristics, quality scoring, fingerprinting.
   *
-  * Everything is built from codegen'd built-ins (`split`, higher-order
-  * `transform`/`filter`, `md5`) — no UDFs — so the whole pipeline stays
-  * inside WholeStageCodegen and scales linearly with document count: no
-  * shuffle is introduced until an (optional) aggregation, which makes these
-  * maps embarrassingly parallel at 100 TB.
+  * Built from codegen'd built-ins (`split`, higher-order
+  * `transform`/`filter`, `md5`) plus a handful of native Catalyst
+  * expressions for the hash-heavy inner loops
+  * ([[graft.functions.WinnowFps60]], simhash/minhash) — never UDFs — so
+  * per-document work is one scan-side map with no shuffle until an
+  * (optional) aggregation: embarrassingly parallel at 100 TB.
   *
   * Capability owed by the north star (SURVEY.md §2.8); the reference itself
   * has only the whitespace tokenizer of its WordCount demo
@@ -187,13 +188,28 @@ object TextOps {
     * ~2/(w+1) selection density — the standard plagiarism/near-dup
     * fingerprint set, vs. [[withFingerprint]]'s single global min.
     *
-    * Entirely higher-order functions (codegen'd, per-row, no shuffle/UDF);
-    * the hash is the 60-bit md5 prefix so DuckDB reproduces it exactly.
-    * Documents with fewer than k+w-1 tokens get an empty fingerprint set.
+    * Computed by the native [[graft.functions.WinnowFps60]] expression —
+    * one straightline eval per document. The equivalent built-ins-only
+    * formulation ([[winnowFingerprintsHof]]) measured ~2 ms/doc
+    * interpreted (HOFs don't codegen) and is kept as the spec-asserted
+    * cross-check + stock-Spark fallback. The hash is the 60-bit md5
+    * prefix so DuckDB reproduces it exactly. Documents with fewer than
+    * k+w-1 tokens get an empty fingerprint set.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"winnowFingerprints: k=$k w=$w must be positive")
+    docs.withColumn("winnow_fps",
+      graft.functions.GraftFunctions.winnow_fps60(tokens(col(textCol)), k, w))
+  }
+
+  /** Built-ins-only winnowing twin of [[winnowFingerprints]] (no custom
+    * expressions — runs on any stock Spark cluster); spec-asserted equal
+    * to the native path on real documents.
+    */
+  def winnowFingerprintsHof(docs: DataFrame, textCol: String = "text",
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"winnowFingerprintsHof: k=$k w=$w must be positive")
     // POSITIONAL shingles (ngramsFromTokens, not the distinct-ed
     // shingles()): winnowing's window slides over the token sequence, so
     // repeated shingles must keep their positions.

@@ -17,6 +17,7 @@ object SparkSuite {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.files.minPartitionNum", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
