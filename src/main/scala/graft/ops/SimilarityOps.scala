@@ -93,18 +93,27 @@ object SimilarityOps {
     * lists); each query probes only its `nprobe` nearest lists and exact
     * cosine re-ranks the candidates.
     *
-    * The quantizer here is deliberately minimal — one averaging step over
-    * a deterministic seed partition (vec_id % nlist) — because the point
-    * is the SCALE STRUCTURE, not clustering quality: candidates shrink
-    * from |corpus| to ~nprobe/nlist of it, the centroid "model" is tiny
-    * (nlist×dims, collected once and broadcast), and `nprobe == nlist`
-    * degenerates to exact brute force (asserted in OpsSpec). A production
-    * pipeline would swap in trained k-means centroids; nothing else
-    * changes.
+    * The quantizer is k-means trained to (near-)convergence: seed
+    * centroids from a deterministic partition (vec_id % nlist), then Lloyd
+    * iterations (assign to nearest centroid, re-average) until the max
+    * centroid movement drops below 1e-6 or `trainIters` passes — fully
+    * deterministic, so results replay across JVMs. A list that loses all
+    * members keeps its previous centroid, so nlist stays constant. The
+    * centroid "model" is tiny (nlist×dims, collected once per iteration
+    * and broadcast as literals into a join-free codegen'd assignment), and
+    * `nprobe == nlist` degenerates to exact brute force (asserted in
+    * OpsSpec; recall@k at nprobe=2/nlist=8 is also spec-asserted).
+    *
+    * 100 TB posture: each Lloyd pass scans the TRAINING set, so
+    * `trainFraction` takes a deterministic hash-sample of the corpus for
+    * training (sampling is the standard IVF practice — centroids need
+    * only the density shape); the full corpus is assigned exactly once.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
-      nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+      nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
+      trainIters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
+    require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
     def centroidSim(v: Column, c: Array[Double]): Column =
       GraftFunctions.cosine_sim(v, typedLit(c))
     def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
@@ -117,9 +126,10 @@ object SimilarityOps {
       slice(reverse(array_sort(sims)), 1, take)
     }
     // 1. Train the coarse quantizer: bucket means from a deterministic
-    //    seed partition, then one k-means (Lloyd) refinement — reassign to
-    //    the nearest centroid and re-average, which tightens the lists
-    //    substantially while staying fully deterministic.
+    //    seed partition, then Lloyd iterations (assign → re-average) to
+    //    movement < ε. Every step is deterministic: hash-sampled training
+    //    set, modulo seed, and a driver-side movement test on the
+    //    collected (tiny) centroid model.
     def meansOf(assigned: DataFrame): Seq[(Int, Array[Double])] = assigned
       .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "v")))
       .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
@@ -129,11 +139,31 @@ object SimilarityOps {
       .collect()
       .map(r => (r.getAs[Number]("list_id").intValue(), r.getSeq[Double](1).toArray))
       .toSeq
-    val seedCentroids = meansOf(
-      corpus.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
-    val centroids = meansOf(corpus.select(
-      argmaxWith(seedCentroids)(col("cv"), 1).getItem(0).getField("id").as("list_id"),
-      col("cv")))
+    val train0 = corpus.select(col("vec_id"), col("cv"))
+    val train = if (trainFraction >= 1.0) train0
+      else train0.filter(
+        pmod(xxhash64(col("vec_id")), lit(1000000)) < lit((trainFraction * 1e6).toLong))
+    // Persist the training set across Lloyd passes (each pass is a full
+    // scan of it otherwise); released before the big assign/probe join.
+    train.persist()
+    val centroids = try {
+      var cents = meansOf(
+        train.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
+      var it = 0
+      var moved = Double.MaxValue
+      while (it < trainIters && moved > 1e-6) {
+        val next = meansOf(train.select(
+          argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id").as("list_id"),
+          col("cv"))).toMap
+        val updated = cents.map { case (id, c) => (id, next.getOrElse(id, c)) }
+        moved = cents.zip(updated).map { case ((_, a), (_, b)) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+        cents = updated
+        it += 1
+      }
+      cents
+    } finally train.unpersist(blocking = false)
     val argmaxAssign = argmaxWith(centroids) _
     val assignedCorpus = corpus
       .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
@@ -208,6 +238,21 @@ object SimilarityOps {
         (col("npt") - col("npw")).cast("double"), 6).as("avg_cosine"))
     cross.union(within)
   }
+
+  /** Sampled label-pair statistics: [[labelPairStatsBrute]] (including
+    * max_cosine, which has no algebraic form) over a deterministic
+    * `keep`/`modulus` hash sample of vec_ids
+    * ([[SamplingOps.hashSampleFlag]], so the DuckDB oracle reproduces the
+    * selection). The corpus-scale estimator for embedding-space sanity
+    * dashboards: pair volume is bounded by the sample size squared
+    * REGARDLESS of corpus size — the one intentionally-quadratic plan in
+    * the library, on a provably bounded input. Exact corpus-wide means
+    * come from the algebraic [[labelPairMeans]].
+    */
+  def labelPairStatsSampled(emb: DataFrame, modulus: Int = 5, keep: Int = 1,
+      salt: String = "lp"): DataFrame =
+    labelPairStatsBrute(emb.filter(
+      SamplingOps.hashSampleFlag(col("vec_id"), modulus, keep, salt)))
 
   def labelPairStatsBrute(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),

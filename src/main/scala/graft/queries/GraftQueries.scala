@@ -1220,6 +1220,27 @@ object GraftQueries {
       SELECT query_id, neighbor_id, cosine FROM p
       WHERE cosine >= 0.2 ORDER BY query_id, neighbor_id"""))
 
+  /** Sampled label-pair statistics ([[SimilarityOps.labelPairStatsSampled]]):
+    * the corpus-scale estimator of within/cross-label cosine separation
+    * INCLUDING max_cosine (no algebraic form) — pair volume bounded by the
+    * deterministic hash sample, so the quadratic verify never sees the
+    * corpus. Complements the exact algebraic `sim_label_stats`.
+    */
+  private val s07 = Q("sim_label_sample",
+    (s, dir) => SimilarityOps.labelPairStatsSampled(
+        t(s, dir, "embeddings"), modulus = 5, keep = 1).orderBy("grp"),
+    Some("""
+      WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE ('0x' || substr(md5('lp' || cast(vec_id as varchar)), 1, 15))::bigint
+                  % 5 < 1),
+      p AS (SELECT CASE WHEN a.label = b.label THEN 'within' ELSE 'cross' END AS grp,
+              list_cosine_similarity(a.v, b.v) AS cos
+            FROM t a JOIN t b ON a.vec_id < b.vec_id)
+      SELECT grp, count(*) AS n_pairs,
+        round(cast(sum(cast(cos as decimal(18,12))) as double) / count(*), 6) AS avg_cosine,
+        round(max(cos), 6) AS max_cosine
+      FROM p GROUP BY grp ORDER BY grp"""))
+
   /** Per-label L2-norm stats via the codegen'd l2_norm expression; the
     * oracle recomputes the norm with DuckDB list arithmetic (same
     * sequential double summation → identical bits).
@@ -1679,7 +1700,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
-    s01, s02, s03, s04, s05, s06,
+    s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     sm1, m01, m02, m03, m04, mq1)
 

@@ -155,6 +155,70 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: winnow-fingerprint key survives checkpoint restart") {
+    // Closes the loop between the batch dedup family and the streaming
+    // surface: TextOps.winnowFingerprints is a pure per-row expression, so
+    // it composes with dropDuplicatesWithinWatermark unchanged. The blocking
+    // key is the doc's MIN winnow fingerprint — near-identical docs share
+    // their fingerprint minimum whenever the change sits outside the
+    // minimal run (verified below batch-side, so the test derives rather
+    // than hopes).
+    import spark.implicits._
+    val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docA2 = docA.replace("upsilon", "CHANGED") // near-dup: last token differs
+    val docA3 = docA.replace("tau upsilon", "SWAPPED TAIL") // second near-dup
+    val docB = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val docC = "completely different closing corpus with brand new tokens " +
+      "never seen before in any earlier document of this stream"
+    def minFp(texts: String*): Seq[Long] =
+      graft.ops.TextOps.winnowFingerprints(texts.toDF("text"))
+        .select(array_min($"winnow_fps")).as[Long].collect().toSeq
+    val Seq(fpA, fpA2, fpA3, fpB, fpC) = minFp(docA, docA2, docA3, docB, docC)
+    assert(fpA == fpA2 && fpA == fpA3, "near-dups must share the min fingerprint")
+    assert(Set(fpA, fpB, fpC).size == 3, "distinct docs must not collide")
+
+    val topic = "winnow-stream"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    val base = 1700000000000000L
+    def append(texts: Seq[String], at: Int): Unit = texts.zipWithIndex.foreach {
+      case (v, i) =>
+        state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + (at + i) * 1000000L))
+    }
+    val ckpt = tmp("winnow-ckpt")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", topic).option("numPartitions", "1")
+        .option("includeMetadata", "true").load()
+        .select($"timestamp", $"value".cast("string").as("text"))
+        .transform(graft.ops.TextOps.winnowFingerprints(_))
+        .withColumn("fp", array_min($"winnow_fps"))
+        .withWatermark("timestamp", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp")
+        .select($"text").as[String]
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    append(Seq(docA, docB, docA2), at = 0)
+    run() // A and B emitted; A2 blocked by A's fingerprint state
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq(docA, docB).sorted, seen.asScala.toSeq)
+    // Restart from the checkpoint: the dedup state must persist, so a
+    // third near-dup of A (within the watermark) is still dropped while a
+    // genuinely new doc passes.
+    append(Seq(docA3, docC), at = 3)
+    run()
+    assert(seen.asScala.toSeq.sorted == Seq(docA, docB, docC).sorted, seen.asScala.toSeq)
+  }
+
   test("custom state: mapGroupsWithState running count per word across batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val topic = "state-demo"
