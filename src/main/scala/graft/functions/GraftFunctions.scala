@@ -46,6 +46,16 @@ object GraftFunctions {
   def winnow_fps60(tokens: Column, k: Int, w: Int): Column =
     col(WinnowFps60(expr(tokens), k, w))
 
+  /** Space-joined word n-grams of a token array (`distinct` = shingle
+    * set); empty below n tokens.
+    */
+  def word_ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
+    col(WordNgrams(expr(tokens), n, distinct))
+
+  /** Intersection size of two SORTED long arrays (linear merge). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
+
   /** Random-hyperplane LSH signature of a vector column (ANN bucketing). */
   def lsh_signature(v: Column, bits: Int, table: Int): Column =
     col(HyperplaneLshSignature(expr(v), bits, table))

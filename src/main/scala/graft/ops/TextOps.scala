@@ -29,7 +29,15 @@ object TextOps {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-grams (space-joined) WITH multiplicity — repetition signals
-    * need duplicates kept. Docs shorter than n yield empty.
+    * need duplicates kept. Docs shorter than n yield empty. Native
+    * [[graft.functions.WordNgrams]] expression (one straightline eval per
+    * document; the built-ins twin [[ngramsFromTokensHof]] is the
+    * spec-asserted stock-Spark fallback).
+    */
+  def ngramsFromTokens(tk: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_ngrams(tk, n, distinct = false)
+
+  /** Built-ins-only twin of [[ngramsFromTokens]] (no custom expressions).
     *
     * IMPORTANT for callers: pass a *bound token column* (a projected
     * `tokens(...)` column), not an inline `split(...)` expression — the
@@ -37,7 +45,7 @@ object TextOps {
     * would be re-evaluated (re-splitting the text) at every reference,
     * and again for every consumer the optimizer inlines this into.
     */
-  def ngramsFromTokens(tk: Column, n: Int): Column = {
+  def ngramsFromTokensHof(tk: Column, n: Int): Column = {
     require(n >= 1)
     val idx = sequence(lit(0), size(tk) - n) // inclusive
     val joined = transform(idx, i =>
@@ -47,12 +55,11 @@ object TextOps {
   }
 
   /** Word n-gram shingles (space-joined, DISTINCT), the MinHash/Jaccard
-    * unit. Docs shorter than n yield empty. Same binding caveat as
+    * unit. Docs shorter than n yield empty. Native expression, as
     * [[ngramsFromTokens]].
     */
   def shinglesFromTokens(tk: Column, n: Int = 3): Column =
-    when(size(tk) >= n, array_distinct(ngramsFromTokens(tk, n)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.word_ngrams(tk, n, distinct = true)
 
   def shingles(text: Column, n: Int = 3): Column = shinglesFromTokens(tokens(text), n)
 
@@ -213,7 +220,7 @@ object TextOps {
     // POSITIONAL shingles (ngramsFromTokens, not the distinct-ed
     // shingles()): winnowing's window slides over the token sequence, so
     // repeated shingles must keep their positions.
-    val hashes = transform(ngramsFromTokens(tokens(col(textCol)), k),
+    val hashes = transform(ngramsFromTokensHof(tokens(col(textCol)), k),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
     // Let-binding via single-element transform: bind the hash array ONCE
     // per row as the lambda variable `h`. Referencing it as a named

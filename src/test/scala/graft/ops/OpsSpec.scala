@@ -266,6 +266,30 @@ class OpsSpec extends SparkSuite {
     assert(fps.values.forall(_.isEmpty))
   }
 
+  test("native word_ngrams equals the HOF formulation, incl. edge cases") {
+    import spark.implicits._
+    val real = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    val edges = Seq(
+      ("e1", null.asInstanceOf[String]), ("e2", ""), ("e3", "   "),
+      ("e4", "a  b c"), ("e5", "one two"), ("e6", "x y x y x y")
+    ).toDF("id", "text")
+    val docs = real.unionByName(edges).withColumn("tk", TextOps.tokens($"text"))
+    def run(c: org.apache.spark.sql.Column): Map[String, Seq[String]] =
+      docs.select($"id", c.as("g")).as[(String, Seq[String])].collect().toMap
+    val nat = run(TextOps.ngramsFromTokens($"tk", 3))
+    val hof = run(TextOps.ngramsFromTokensHof($"tk", 3))
+    for (k <- nat.keySet) assert(nat(k) == hof(k), s"doc $k")
+    val natD = run(TextOps.shinglesFromTokens($"tk", 3))
+    val hofD = run(when(size($"tk") >= 3,
+      array_distinct(TextOps.ngramsFromTokensHof($"tk", 3)))
+      .otherwise(array().cast("array<string>")))
+    for (k <- natD.keySet) assert(natD(k) == hofD(k), s"doc $k distinct")
+    assert(nat("e1") == Seq.empty && natD("e1") == Seq.empty)
+    assert(nat("e6") == Seq("x y x", "y x y", "x y x", "y x y"))
+    assert(natD("e6") == Seq("x y x", "y x y"))
+  }
+
   test("native winnow_fps60 equals the HOF formulation, incl. edge cases") {
     import spark.implicits._
     val real = spark.read.parquet(s"${sf()}/documents.parquet")
