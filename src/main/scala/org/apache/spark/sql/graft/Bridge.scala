@@ -9,9 +9,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * Spark 4 removed the public `new Column(expr)` constructor; the blessed
   * internal path is `org.apache.spark.sql.classic.ExpressionUtils`, which is
   * `private[sql]`. This object lives inside the `org.apache.spark.sql`
-  * package tree solely to re-export those two conversions — the standard
-  * pattern for third-party Catalyst expression libraries. Nothing else in
-  * graft reaches into Spark internals.
+  * package tree solely to re-export the handful of internals below — the
+  * standard pattern for third-party Catalyst expression libraries.
+  * Nothing else in graft reaches into Spark internals.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
@@ -45,6 +45,15 @@ object Bridge {
     if (!exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = rule +: exp.extraOptimizations
   }
+
+  /** Drain the async listener bus so tests can observe
+    * `QueryExecutionListener` events synchronously — `sparkContext
+    * .listenerBus` is `private[spark]`. Needed to assert on the INNER
+    * query executions of operators that return an eager localCheckpoint
+    * (the outer plan is just a `Scan ExistingRDD` stub).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 
   /** `AbstractDataType`/`TypeCollection` are `private[sql]`, but they are
     * the only way an `ExpectsInputTypes` expression can declare an

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench gate reads ONE JSON line from a ~2000-char stdout tail; an
+  * overlong or malformed line silently zeroes the round's bench numbers
+  * (it did once: a full-precision 2.6 KB line overflowed the tail and the
+  * harness recorded `parsed: null`). These specs pin the line contract:
+  * valid JSON, hard length budget, fold-preserves-total, errors surfaced.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def queries(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"query_with_a_long_descriptive_name_$i%03d", i * 0.37))
+
+  test("line fits the tail budget even with hundreds of queries") {
+    for (n <- Seq(1, 73, 200, 500)) {
+      val line = Bench.renderLine(queries(n), Nil, "/root/testdata/sf0.1", n)
+      assert(line.length <= Bench.LineBudget, s"n=$n length=${line.length}")
+      assert(!line.contains("\n"))
+    }
+  }
+
+  test("folding keeps the slowest queries visible and preserves the total") {
+    val qs = queries(300)
+    val line = Bench.renderLine(qs, Nil, "sf", 300)
+    // Slowest query always survives folding; the folded bucket is named.
+    assert(line.contains("query_with_a_long_descriptive_name_300"))
+    assert(line.contains("\"other\":"))
+    // value == sum of all queries (folding must not drop time).
+    val value = "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(value - qs.map(_._2).sum) < 0.01, line)
+    // Visible entries + the folded bucket ≈ value (nothing dropped).
+    val qstart = line.indexOf("\"queries\":{") + "\"queries\":".length
+    val qobj = line.substring(qstart, line.indexOf("}", qstart) + 1)
+    val shown = ":([0-9.]+)[,}]".r.findAllMatchIn(qobj).map(_.group(1).toDouble).toSeq
+    assert(math.abs(shown.sum - value) < 1.0, line) // 2-decimal rounding slack
+  }
+
+  test("line is valid JSON with the contract fields") {
+    val line = Bench.renderLine(queries(73), Seq("q_bad:SparkException"), "sf0.1", 74)
+    // No JSON parser on the unmanaged classpath worth pulling in — assert
+    // the structural invariants the driver's json.loads depends on.
+    assert(line.startsWith("{\"metric\":\"total\","))
+    assert(line.endsWith("\"sf\":\"sf0.1\"}"))
+    assert(line.contains("\"unit\":\"sec\""))
+    assert(line.contains("\"n_queries\":74"))
+    assert(line.contains("\"errors\":[\"q_bad:SparkException\"]"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("empty results still render a parseable line") {
+    val line = Bench.renderLine(Nil, Nil, "sf", 0)
+    assert(line.contains("\"value\":0.00") && line.contains("\"queries\":{}"), line)
+  }
+}

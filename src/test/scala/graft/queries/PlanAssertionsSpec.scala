@@ -44,9 +44,11 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("dedup candidate generation never plans nested-loop or cartesian joins") {
+    // allExecutedPlans (not the outer plan): these ops checkpoint their
+    // result, so the candidate join only shows up in the inner executions.
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_jaccard_exact",
         "dedup_jaccard_prefix", "dedup_winnow_pairs")) {
-      val p = plan(q)
+      val p = allExecutedPlans(q).mkString("\n===\n")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
@@ -58,10 +60,47 @@ class PlanAssertionsSpec extends SparkSuite {
     // Cross BNLJ over single-row aggregates (broadcast scalar) is fine;
     // an Inner BNLJ (`a.id < b.id` pair enumeration) is the regression.
     for (q <- Seq("dedup_edit_distance", "dedup_embedding_pairs", "sim_label_stats")) {
-      val p = plan(q)
+      val p = allExecutedPlans(q).mkString("\n===\n")
       assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined, s"$q: $p")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
     }
+  }
+
+  /** Every physical plan executed while running the query — dedup ops
+    * return an eager localCheckpoint, so their REAL plans (candidate
+    * joins, verify expressions) only surface via the listener; the outer
+    * plan is a `Scan ExistingRDD` stub.
+    */
+  private def allExecutedPlans(name: String): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      GraftQueries.queries(name)(spark, sf()).collect()
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("dedup hot paths run native expressions, not interpreted HOF trees") {
+    // The shingle/winnow/verify inner loops are native expressions
+    // (word_shingles / winnow_fps60 / sorted_intersect_count); a future
+    // refactor that reintroduces the interpreted higher-order formulation
+    // (lambda transform over sequence windows) or per-pair string-array
+    // intersection would be value-identical but 10-100x slower.
+    val winnow = allExecutedPlans("dedup_winnow_pairs").mkString("\n===\n")
+    assert(winnow.contains("winnow_fps60"), winnow)
+    val prefix = allExecutedPlans("dedup_jaccard_prefix").mkString("\n===\n")
+    assert(prefix.contains("word_shingles"), prefix)
+    assert(prefix.contains("sorted_intersect_count"), prefix)
+    assert(!prefix.contains("array_intersect"), prefix)
   }
 
   test("sim_topk_bruteforce: query side broadcasts") {
