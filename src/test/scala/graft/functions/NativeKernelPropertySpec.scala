@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the native per-document kernels against independent
+  * straight-Scala reference implementations (NOT the production code
+  * paths): the DataFrame-level equivalence specs in OpsSpec pin native ==
+  * HOF on real documents; these pin the algorithms themselves across
+  * arbitrary token streams — duplicates, empties, unicode, pathological
+  * window shapes.
+  */
+class NativeKernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val token: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "b", "ü", "字", ""))
+  private val tokens: Gen[List[String]] = Gen.listOf(token)
+
+  test("winnowFingerprints == reference windows-min-distinct for arbitrary tokens") {
+    check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.choose(1, 5)) {
+      (ts: List[String], k: Int, w: Int) =>
+        // Reference: shingle strings, md5Hash60 each, sliding-window min,
+        // first-occurrence distinct — independent of the production loop.
+        val shingles = ts.sliding(k).filter(_.size == k).map(_.mkString(" ")).toList
+        val want =
+          if (shingles.size < w) Seq.empty[Long]
+          else shingles.map(s => HashUtil.md5Hash60(s.getBytes("UTF-8")))
+            .sliding(w).map(_.min).toList.distinct
+        val got = HashUtil.winnowFingerprints(
+          ts.map(_.getBytes("UTF-8")).toArray, k, w).toSeq
+        got == want
+    })
+  }
+
+  test("sorted_intersect_count == set intersection for arbitrary sorted arrays") {
+    val longs = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    check(Prop.forAll(longs, longs) { (a: List[Long], b: List[Long]) =>
+      val e = SortedIntersectCount(
+        Literal(new GenericArrayData(a.toArray), ArrayType(LongType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(LongType)))
+      e.eval(null) == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("word ngrams kernel == reference sliding join for arbitrary tokens") {
+    check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
+      (ts: List[String], n: Int, distinct: Boolean) =>
+        val lit = Literal(
+          new GenericArrayData(ts.map(UTF8String.fromString).toArray),
+          ArrayType(StringType))
+        val got = WordNgrams(lit, n, distinct).eval(null).asInstanceOf[ArrayData]
+        val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+        val all = ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+        val want = if (distinct) all.distinct else all
+        gotSeq == want
+    })
+  }
+}
