@@ -19,29 +19,39 @@ object Bench {
 
   /** Render the one-line bench JSON under [[LineBudget]]: per-query
     * seconds at 2 decimals, slowest queries kept, fastest folded into an
-    * "other" bucket whose time still counts toward "value". Pure — spec
-    * covered, since a malformed or overlong line silently zeroes the
-    * round's bench gate (the harness keeps only a ~2000-char stdout
-    * tail).
+    * "other" bucket whose time still counts toward "value"; if the line
+    * is still over budget (mass-failure rounds can produce more error
+    * text than the budget holds) the errors array is truncated to a
+    * prefix plus an "+N more" marker. Pure — spec covered, since a
+    * malformed or overlong line silently zeroes the round's bench gate
+    * (the harness keeps only a ~2000-char stdout tail).
     */
   private[graft] def renderLine(timed: Seq[(String, Double)], errors: Seq[String],
       sfDir: String, nQueries: Int): String = {
     val total = timed.map(_._2).sum
     def fmt(t: Double): String = f"$t%.2f"
-    def render(entries: Seq[(String, Double)], folded: Double): String = {
+    def render(entries: Seq[(String, Double)], folded: Double, errShown: Int): String = {
       val qs = (entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         (if (folded > 0) Seq("\"other\":" + fmt(folded)) else Nil)).mkString("{", ",", "}")
-      val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val errList = errors.take(errShown) ++
+        (if (errors.size > errShown) Seq(s"+${errors.size - errShown} more") else Nil)
+      val errs = errList.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":$nQueries,"errors":$errs,"sf":"$sfDir"}"""
     }
-    // Fold fastest queries into "other" until the line fits the tail budget.
+    // Fold fastest queries into "other", then truncate errors, until the
+    // line fits the tail budget.
     var keep = timed.sortBy(-_._2)
     var folded = 0.0
-    var line = render(keep.sortBy(_._1), folded)
+    var errShown = errors.size
+    var line = render(keep.sortBy(_._1), folded, errShown)
     while (line.length > LineBudget && keep.nonEmpty) {
       folded += keep.last._2
       keep = keep.dropRight(1)
-      line = render(keep.sortBy(_._1), folded)
+      line = render(keep.sortBy(_._1), folded, errShown)
+    }
+    while (line.length > LineBudget && errShown > 0) {
+      errShown -= 1
+      line = render(keep.sortBy(_._1), folded, errShown)
     }
     line
   }

@@ -128,16 +128,24 @@ object DedupOps {
     val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    jaccardFromCounts(inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-      .withColumn("jaccard", round(
-        col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b"),
+      threshold)
     }
   }
+
+  /** Shared scoring tail of the count-based Jaccard formulations:
+    * jaccard = n_inter / (n_a + n_b − n_inter), rounded to 6 then
+    * thresholded — one place so the exact and prefix-filtered operators
+    * cannot silently diverge on rounding/threshold boundary semantics.
+    */
+  private def jaccardFromCounts(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin family): under a
     * fixed global total order on shingles, two sets with Jaccard ≥ t MUST
@@ -190,17 +198,14 @@ object DedupOps {
     // for the primitive merge. Same 64-bit collision trade as the
     // jaccardPairs join key (~|shingles|²/2⁶⁵), which the string verify
     // this replaces did not share — accepted for the identical reason.
-    candidates
+    jaccardFromCounts(candidates
       .join(hashed.select(col("id").as("doc_a"), col("n").as("n_a"),
         col("hs").as("hs_a")), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("n").as("n_b"),
         col("hs").as("hs_b")), "doc_b")
       .withColumn("n_inter",
-        GraftFunctions.sorted_intersect_count(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        GraftFunctions.sorted_intersect_count(col("hs_a"), col("hs_b"))),
+      threshold)
     }
   }
 

@@ -98,7 +98,9 @@ object SimilarityOps {
     * iterations (assign to nearest centroid, re-average) until the max
     * centroid movement drops below 1e-6 or `trainIters` passes — fully
     * deterministic, so results replay across JVMs. A list that loses all
-    * members keeps its previous centroid, so nlist stays constant. The
+    * members during iteration keeps its previous centroid, so nlist stays
+    * constant across Lloyd passes (a corpus with fewer rows than nlist
+    * seeds fewer lists, and nprobe is clamped to the lists that exist). The
     * centroid "model" is tiny (nlist×dims, collected once per iteration
     * and broadcast as literals into a join-free codegen'd assignment), and
     * `nprobe == nlist` degenerates to exact brute force (asserted in
@@ -140,35 +142,49 @@ object SimilarityOps {
       .map(r => (r.getAs[Number]("list_id").intValue(), r.getSeq[Double](1).toArray))
       .toSeq
     val train0 = corpus.select(col("vec_id"), col("cv"))
+    // Deterministic hash sample via the project's one blessed sampling
+    // mechanism (SamplingOps); keep is floored at 1 so a tiny fraction
+    // can never round to a keep-nothing filter.
     val train = if (trainFraction >= 1.0) train0
-      else train0.filter(
-        pmod(xxhash64(col("vec_id")), lit(1000000)) < lit((trainFraction * 1e6).toLong))
+      else train0.filter(SamplingOps.hashSampleFlag(col("vec_id"),
+        modulus = 1000000, keep = math.max(1, (trainFraction * 1e6).toInt),
+        salt = "ivf"))
     // Persist the training set across Lloyd passes (each pass is a full
     // scan of it otherwise); released before the big assign/probe join.
     train.persist()
     val centroids = try {
       var cents = meansOf(
         train.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
+      // A degenerate sample (few rows, or ids covering few residues mod
+      // nlist) can seed fewer than nlist lists; re-seed from the full
+      // corpus before accepting a smaller quantizer.
+      if (cents.size < nlist && trainFraction < 1.0)
+        cents = meansOf(
+          train0.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
       var it = 0
       var moved = Double.MaxValue
-      while (it < trainIters && moved > 1e-6) {
+      while (cents.nonEmpty && it < trainIters && moved > 1e-6) {
         val next = meansOf(train.select(
           argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id").as("list_id"),
           col("cv"))).toMap
         val updated = cents.map { case (id, c) => (id, next.getOrElse(id, c)) }
         moved = cents.zip(updated).map { case ((_, a), (_, b)) =>
           math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-        }.max
+        }.maxOption.getOrElse(0.0)
         cents = updated
         it += 1
       }
       cents
     } finally train.unpersist(blocking = false)
+    // A corpus with fewer rows than nlist yields fewer seed lists; clamp
+    // nprobe so probing still works (probing every existing list).
+    require(centroids.nonEmpty, "ivfTopK: empty corpus — nothing to index")
+    val effectiveProbe = math.min(nprobe, centroids.size)
     val argmaxAssign = argmaxWith(centroids) _
     val assignedCorpus = corpus
       .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
     val probedQueries = queries
-      .withColumn("probe", explode(argmaxAssign(col("qv"), nprobe)))
+      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
       .select(col("query_id"), col("qv"), col("probe.id").as("list_id"))
     // 3. Probe: equi-join on list_id, exact re-rank.
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -241,18 +257,23 @@ object SimilarityOps {
 
   /** Sampled label-pair statistics: [[labelPairStatsBrute]] (including
     * max_cosine, which has no algebraic form) over a deterministic
-    * `keep`/`modulus` hash sample of vec_ids
-    * ([[SamplingOps.hashSampleFlag]], so the DuckDB oracle reproduces the
-    * selection). The corpus-scale estimator for embedding-space sanity
-    * dashboards: pair volume is bounded by the sample size squared
-    * REGARDLESS of corpus size — the one intentionally-quadratic plan in
-    * the library, on a provably bounded input. Exact corpus-wide means
-    * come from the algebraic [[labelPairMeans]].
+    * FIXED-SIZE sample — the `sampleSize` smallest rows by
+    * [[SamplingOps.hashOf]] order (hash then id tie-break, so the DuckDB
+    * oracle reproduces the selection and membership is stable as the
+    * corpus grows only at the hash boundary). Fixed SIZE, not a fixed
+    * fraction, is what actually bounds the quadratic: pair volume is
+    * ≤ sampleSize²/2 and the broadcast side ≤ sampleSize rows no matter
+    * how large the corpus is, and the selection itself is a per-partition
+    * top-N + driver merge (TakeOrdered), never a full sort. Exact
+    * corpus-wide means come from the algebraic [[labelPairMeans]].
     */
-  def labelPairStatsSampled(emb: DataFrame, modulus: Int = 5, keep: Int = 1,
-      salt: String = "lp"): DataFrame =
-    labelPairStatsBrute(emb.filter(
-      SamplingOps.hashSampleFlag(col("vec_id"), modulus, keep, salt)))
+  def labelPairStatsSampled(emb: DataFrame, sampleSize: Int = 1000,
+      salt: String = "lp"): DataFrame = {
+    require(sampleSize > 1, s"labelPairStatsSampled: sampleSize=$sampleSize")
+    labelPairStatsBrute(emb.orderBy(
+      SamplingOps.hashOf(col("vec_id"), salt).asc, col("vec_id").asc)
+      .limit(sampleSize))
+  }
 
   def labelPairStatsBrute(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),

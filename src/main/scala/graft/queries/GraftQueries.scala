@@ -1222,17 +1222,19 @@ object GraftQueries {
 
   /** Sampled label-pair statistics ([[SimilarityOps.labelPairStatsSampled]]):
     * the corpus-scale estimator of within/cross-label cosine separation
-    * INCLUDING max_cosine (no algebraic form) — pair volume bounded by the
-    * deterministic hash sample, so the quadratic verify never sees the
-    * corpus. Complements the exact algebraic `sim_label_stats`.
+    * INCLUDING max_cosine (no algebraic form) — a deterministic
+    * FIXED-SIZE hash-order sample, so the quadratic verify and its
+    * broadcast are bounded by sampleSize however large the corpus.
+    * Complements the exact algebraic `sim_label_stats`.
     */
   private val s07 = Q("sim_label_sample",
     (s, dir) => SimilarityOps.labelPairStatsSampled(
-        t(s, dir, "embeddings"), modulus = 5, keep = 1).orderBy("grp"),
+        t(s, dir, "embeddings"), sampleSize = 400).orderBy("grp"),
     Some("""
       WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-            WHERE ('0x' || substr(md5('lp' || cast(vec_id as varchar)), 1, 15))::bigint
-                  % 5 < 1),
+            ORDER BY ('0x' || substr(md5('lp' || cast(vec_id as varchar)), 1, 15))::bigint,
+                     vec_id
+            LIMIT 400),
       p AS (SELECT CASE WHEN a.label = b.label THEN 'within' ELSE 'cross' END AS grp,
               list_cosine_similarity(a.v, b.v) AS cos
             FROM t a JOIN t b ON a.vec_id < b.vec_id)

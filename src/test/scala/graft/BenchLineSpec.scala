@@ -55,4 +55,14 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(Nil, Nil, "sf", 0)
     assert(line.contains("\"value\":0.00") && line.contains("\"queries\":{}"), line)
   }
+
+  test("mass-failure rounds truncate errors to fit the budget, keeping a count") {
+    val errs = (1 to 80).map(i => f"failing_query_number_$i%03d:SparkException")
+    val line = Bench.renderLine(queries(5), errs, "sf", 85)
+    assert(line.length <= Bench.LineBudget, s"length=${line.length}")
+    assert(line.contains("failing_query_number_001"), line) // prefix survives
+    assert(" more\"".r.findFirstIn(line).isDefined, line)   // truncation marker
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
 }
