@@ -114,6 +114,12 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
   private def applyLimit(start: Map[Int, Long], avail: Map[Int, Long],
       limit: ReadLimit): Map[Int, Long] = limit match {
     case _: ReadAllAvailable => avail
+    case _: ReadMinRows if availableNowArmed =>
+      // Trigger.AvailableNow drains a frozen snapshot and terminates; a
+      // tail smaller than minRows must still be admitted or the run ends
+      // with unprocessed data from its own target (Kafka skips the
+      // minOffsetsPerTrigger check under allDataForTriggerAvailableNow).
+      avail
     case mn: ReadMinRows =>
       // Kafka's minOffsetsPerTrigger: admit the batch only once the
       // backlog reaches minRows, unless maxTriggerDelay elapsed since the
@@ -216,6 +222,19 @@ object GraftMqPlanner {
   * first-offset-at-timestamp.
   */
 object GraftMqStart {
+  /** Fail fast on offsets-JSON entries for partitions the topic does not
+    * have (typo or stale partition count): silently ignoring them would
+    * commit an unintended start position into the checkpoint. Kafka
+    * rejects offsets for unassigned partitions the same way.
+    */
+  private[mq] def boundedSpec(spec: Map[Int, Long], n: Int, what: String): Map[Int, Long] = {
+    val bad = spec.keys.filter(p => p < 0 || p >= n)
+    require(bad.isEmpty,
+      s"graft-mq: $what names partition(s) ${bad.toSeq.sorted.mkString(",")} " +
+        s"outside [0, $n)")
+    spec
+  }
+
   def resolve(opts: GraftMqOptions): Map[Int, Long] = {
     val n = opts.numPartitions
     def ends: Map[Int, Long] =
@@ -224,15 +243,18 @@ object GraftMqStart {
     // Kafka's "earliest"/-2 means the earliest RETAINED offset, not 0: on
     // a retention-truncated topic, resolving to 0 would make the first
     // stream start throw MqOffsetOutOfRange instead of starting at the
-    // log head (ADVICE r03; the batch path already clamped).
-    def earliest(p: Int): Long =
-      if (opts.isGenerated) 0L
-      else InMemoryMqBroker.getOrCreate(opts.topic, n).earliestOffsets.getOrElse(p, 0L)
+    // log head (ADVICE r03; the batch path already clamped). One map for
+    // all partitions — per-partition rebuilds were O(n²).
+    lazy val earliestMap: Map[Int, Long] =
+      if (opts.isGenerated) Map.empty
+      else InMemoryMqBroker.getOrCreate(opts.topic, n).earliestOffsets
+    def earliest(p: Int): Long = earliestMap.getOrElse(p, 0L)
     opts.startingTimestampMicros match {
       case Some(ts) =>
         (0 until n).map(p => p -> offsetForTimestamp(opts, p, ts)).toMap
       case None if opts.startingOffsets.startsWith("{") =>
-        val spec = GraftMqOffset.fromJson(opts.startingOffsets).ends
+        val spec = boundedSpec(GraftMqOffset.fromJson(opts.startingOffsets).ends,
+          n, "startingOffsets")
         val e = ends
         (0 until n).map { p =>
           p -> (spec.getOrElse(p, -2L) match {
@@ -258,13 +280,8 @@ object GraftMqStart {
     if (opts.isGenerated) {
       val base = 1700000000000000L // GeneratedPayloads.messageAt: base + offset*1s
       if (ts <= base) 0L else (ts - base + 999999L) / 1000000L
-    } else {
-      val st = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
-      val start = st.earliestOffsets.getOrElse(p, 0L)
-      val end = st.endOffsets.getOrElse(p, 0L)
-      val idx = st.read(p, start, end).indexWhere(_.timestamp >= ts)
-      if (idx < 0) end else start + idx
-    }
+    } else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
+      .offsetForTimestamp(p, ts)
 }
 
 class GraftMqBatch(opts: GraftMqOptions,
@@ -275,20 +292,30 @@ class GraftMqBatch(opts: GraftMqOptions,
   def this(opts: GraftMqOptions) = this(opts, opts.schema)
 
   private val (startEnds, endEnds): (Map[Int, Long], Map[Int, Long]) = {
+    // Kafka parity: a batch query starting at "latest" would always read
+    // nothing — Kafka rejects it outright rather than returning a silently
+    // empty result, and so do we.
+    require(opts.startingOffsets != "latest",
+      "graft-mq: startingOffsets 'latest' is not valid for batch queries")
     val latest: Map[Int, Long] =
       if (opts.isGenerated) (0 until opts.numPartitions).map(_ -> opts.rowsPerBatch).toMap
       else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
     // Kafka-style endingOffsets (batch only): "latest" or JSON with -1 =
-    // latest; unlisted partitions end latest.
+    // latest; unlisted partitions end latest. On the generated backend an
+    // explicit end is honored as-is — every offset is defined there, and
+    // clamping to the synthetic one-batch "latest" (rowsPerBatch) would
+    // silently shrink the requested range.
     val upper: Map[Int, Long] =
       if (opts.endingOffsets.startsWith("{")) {
-        val spec = GraftMqOffset.fromJson(opts.endingOffsets).ends
+        val spec = GraftMqStart.boundedSpec(
+          GraftMqOffset.fromJson(opts.endingOffsets).ends,
+          opts.numPartitions, "endingOffsets")
         latest.map { case (p, l) =>
           p -> (spec.getOrElse(p, -1L) match {
             case -1L => l
             case o =>
               require(o >= 0, s"graft-mq: negative end offset $o for partition $p")
-              math.min(o, l)
+              if (opts.isGenerated) o else math.min(o, l)
           })
         }
       } else latest

@@ -52,6 +52,23 @@ class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
   }
   private val topicUtf8 = UTF8String.fromString(p.topic)
 
+  // Nested schema pruning (spark.sql.optimizer.nestedSchemaPruning) may
+  // narrow the headers element struct to a subset of (key, value); rows
+  // must match the schema readSchema() reports, so header structs are
+  // built field-by-field from the REQUESTED element type — emitting a
+  // fixed 2-field struct under a pruned schema would shift ordinals and
+  // read keys as values.
+  private val headerFieldCodes: Array[Int] =
+    readSchema.fields.find(_.name == "headers").map { f =>
+      f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[StructType].fieldNames.map {
+          case "key" => 0
+          case "value" => 1
+          case other =>
+            throw new IllegalArgumentException(s"graft-mq: unknown header field '$other'")
+        }
+    }.getOrElse(Array.empty)
+
   private var offset = p.from
   private var current: MqMessage = _
   // Broker reads are chunked so a huge range doesn't materialize at once.
@@ -107,7 +124,11 @@ class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
           if (current.headers == null) null
           else new org.apache.spark.sql.catalyst.util.GenericArrayData(
             current.headers.map { case (k, v) =>
-              org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(k), v)
+              val cells: Array[Any] = headerFieldCodes.map {
+                case 0 => UTF8String.fromString(k)
+                case 1 => v
+              }
+              new GenericInternalRow(cells)
             })
       }
       i += 1

@@ -60,9 +60,16 @@ class GraftMqTable(opts: GraftMqOptions,
     // Table-level properties are the base; per-scan read options refine
     // them (e.g. maxRowsPerBatch per query). Today Spark passes the full
     // merged option set as scan options, but a catalog integration would
-    // not — merging here keeps that future path correct.
-    val merged = new util.HashMap[String, String](tableProperties)
-    merged.putAll(options.asCaseSensitiveMap())
+    // not — merging here keeps that future path correct. Keys are
+    // lower-cased on BOTH sides before merging: options are
+    // case-insensitive, so a per-scan override spelled with different
+    // casing must still replace the table-level entry rather than
+    // coexisting with it (and then winning or losing by HashMap iteration
+    // order inside GraftMqOptions.from).
+    val merged = new util.HashMap[String, String]()
+    tableProperties.forEach((k, v) => merged.put(k.toLowerCase(java.util.Locale.ROOT), v))
+    options.asCaseSensitiveMap()
+      .forEach((k, v) => merged.put(k.toLowerCase(java.util.Locale.ROOT), v))
     new GraftMqScanBuilder(GraftMqOptions.from(merged))
   }
 

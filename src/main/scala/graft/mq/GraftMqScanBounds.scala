@@ -67,13 +67,20 @@ object GraftMqScanBounds {
       val ps = vs.toSeq.flatMap(longOf).map(_.toInt)
       if (ps.size == vs.length) Some(GraftMqScanBounds(partitions = Some(ps.toSet)))
       else None
+    // o + 1 at Long.MaxValue would wrap to Long.MinValue: as an EXCLUSIVE
+    // upper bound that prunes EVERYTHING — fabricating emptiness, the one
+    // thing a seek must never do. MaxValue bounds are tautological (no
+    // offset exceeds it), so they contribute no seek and stay residual.
     case EqualTo("offset", v) =>
-      longOf(v).map(o => GraftMqScanBounds(minOffset = Some(o), maxOffsetExclusive = Some(o + 1)))
-    case GreaterThan("offset", v) => longOf(v).map(o => GraftMqScanBounds(minOffset = Some(o + 1)))
+      longOf(v).map(o => GraftMqScanBounds(minOffset = Some(o),
+        maxOffsetExclusive = if (o == Long.MaxValue) None else Some(o + 1)))
+    case GreaterThan("offset", v) =>
+      longOf(v).filter(_ != Long.MaxValue).map(o => GraftMqScanBounds(minOffset = Some(o + 1)))
     case GreaterThanOrEqual("offset", v) => longOf(v).map(o => GraftMqScanBounds(minOffset = Some(o)))
     case LessThan("offset", v) => longOf(v).map(o => GraftMqScanBounds(maxOffsetExclusive = Some(o)))
     case LessThanOrEqual("offset", v) =>
-      longOf(v).map(o => GraftMqScanBounds(maxOffsetExclusive = Some(o + 1)))
+      longOf(v).map(o => GraftMqScanBounds(
+        maxOffsetExclusive = if (o == Long.MaxValue) None else Some(o + 1)))
     case GreaterThan("timestamp", v) =>
       microsOf(v).map(ts => GraftMqScanBounds(minTimestampMicros = Some(ts)))
     case GreaterThanOrEqual("timestamp", v) =>

@@ -65,6 +65,19 @@ object InMemoryMqBroker {
       if (hi <= lo) IndexedSeq.empty else log.slice(lo, hi).toIndexedSeq
     }
 
+    /** Smallest offset whose message timestamp ≥ `ts` (end offset when
+      * none) — the broker-side twin of Kafka's `offsetsForTimes`. Scans
+      * in place: no slice/copy of the retained log (a planning-time call;
+      * copying the partition per lookup was O(retention) driver
+      * allocation).
+      */
+    def offsetForTimestamp(partition: Int, ts: Long): Long = synchronized {
+      val log = logs(partition)
+      var i = 0
+      while (i < log.size && log(i).timestamp < ts) i += 1
+      logStart(partition) + i
+    }
+
     /** Drop messages below `newStart` on every partition (retention). */
     def truncateTo(newStart: Long): Unit = synchronized {
       var p = 0

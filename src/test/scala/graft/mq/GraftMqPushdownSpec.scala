@@ -115,6 +115,89 @@ class GraftMqPushdownSpec extends SparkSuite {
       org.apache.spark.sql.connector.read.streaming.ReadMaxRows].maxRows == 7)
   }
 
+  test("tautological offset upper bound must not wrap to an empty scan") {
+    freshTopic("push-wrap")
+    // offset <= Long.MaxValue: o+1 would wrap to Long.MinValue as the
+    // exclusive bound and prune every row — a seek fabricating emptiness.
+    val df = read("push-wrap").filter(col("offset") <= Long.MaxValue)
+    assert(df.count() == 15, "tautology must keep all rows")
+    val eq = read("push-wrap").filter(col("offset") === Long.MaxValue)
+    assert(eq.count() == 0) // genuinely unsatisfiable, via residual not wrap
+  }
+
+  test("table/scan option merge is case-insensitive (scan override wins)") {
+    val props = new java.util.HashMap[String, String]()
+    props.put("topic", "merge-case")
+    props.put("maxRowsPerBatch", "100")
+    val table = new GraftMqTable(GraftMqOptions.from(props), props)
+    val scanOpts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("MAXROWSPERBATCH", "10"))
+    val stream = table.newScanBuilder(scanOpts).build()
+      .asInstanceOf[GraftMqScan].toMicroBatchStream("unused")
+    val limit = stream.asInstanceOf[GraftMqMicroBatchStream].getDefaultReadLimit
+    assert(limit.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxRows].maxRows == 10)
+  }
+
+  test("generated backend honors explicit endingOffsets beyond rowsPerBatch") {
+    val df = spark.read.format("graft-mq")
+      .option("topic", "gen-ends").option("backend", "generated")
+      .option("numPartitions", "1").option("rowsPerBatch", "10")
+      .option("endingOffsets", """{"0":100}""").load()
+    assert(df.count() == 100, "explicit end on the total-function backend must be honored")
+  }
+
+  test("batch read rejects startingOffsets=latest (Kafka parity)") {
+    freshTopic("latest-batch")
+    val err = intercept[Exception] {
+      spark.read.format("graft-mq")
+        .option("topic", "latest-batch").option("numPartitions", "2")
+        .option("startingOffsets", "latest").load().count()
+    }
+    assert(err.getMessage.contains("latest"), err.getMessage)
+  }
+
+  test("offsets JSON naming a nonexistent partition fails fast") {
+    freshTopic("bad-part")
+    val err = intercept[Exception] {
+      spark.read.format("graft-mq")
+        .option("topic", "bad-part").option("numPartitions", "2")
+        .option("startingOffsets", """{"5":3}""").load().count()
+    }
+    assert(err.getMessage.contains("outside"), err.getMessage)
+    val err2 = intercept[Exception] {
+      spark.read.format("graft-mq")
+        .option("topic", "bad-part").option("numPartitions", "2")
+        .option("endingOffsets", """{"9":3}""").load().count()
+    }
+    assert(err2.getMessage.contains("outside"), err2.getMessage)
+  }
+
+  test("nested header pruning: selecting only headers.value stays schema-consistent") {
+    val topic = "hdr-prune"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    state.append(0, MqMessage(null, "x".getBytes("UTF-8"), base,
+      Array("h1" -> "v1".getBytes("UTF-8"), "h2" -> "v2".getBytes("UTF-8"))))
+    import spark.implicits._
+    val df = spark.read.format("graft-mq")
+      .option("topic", topic).option("numPartitions", "1")
+      .option("includeMetadata", "true").option("includeHeaders", "true").load()
+    // Only the value sub-field: under nested schema pruning the element
+    // struct narrows to <value: binary>; rows must follow the pruned shape.
+    val values = df.select(explode(col("headers.value")).as("hv"))
+      .as[Array[Byte]].collect().map(new String(_, "UTF-8")).toSeq.sorted
+    assert(values == Seq("v1", "v2"), values)
+    val keys = df.select(explode(col("headers.key")).as("hk"))
+      .as[String].collect().toSeq.sorted
+    assert(keys == Seq("h1", "h2"), keys)
+    // And the full struct still reads both fields in order.
+    val full = df.select(explode(col("headers")).as("h"))
+      .select($"h.key", $"h.value").as[(String, Array[Byte])].collect()
+      .map { case (k, v) => (k, new String(v, "UTF-8")) }.toSeq.sorted
+    assert(full == Seq(("h1", "v1"), ("h2", "v2")), full)
+  }
+
   test("endingOffsets is rejected for streaming reads") {
     val props = java.util.Map.of("topic", "reject-end", "endingOffsets", """{"0":5}""")
     val scan = new GraftMqScanBuilder(GraftMqOptions.from(props)).build()

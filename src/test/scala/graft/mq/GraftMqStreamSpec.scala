@@ -139,6 +139,29 @@ class GraftMqStreamSpec extends SparkSuite {
       assert(spark.table("adm_min_out").count() == 12)
     } finally q1.stop()
 
+    // Trigger.AvailableNow must drain its frozen snapshot COMPLETELY even
+    // when the tail is smaller than minRows (Kafka skips the
+    // minOffsetsPerTrigger gate under allDataForTriggerAvailableNow) —
+    // otherwise the run terminates with unprocessed data from its own
+    // target.
+    val topic3 = "admission-min-availnow"
+    InMemoryMqBroker.drop(topic3)
+    InMemoryMqBroker.produceStrings(topic3, 1, (1 to 25).map(i => s"v$i"))
+    val q3 = spark.readStream.format("graft-mq")
+      .option("topic", topic3).option("numPartitions", "1")
+      .option("minRowsPerBatch", "10").option("maxRowsPerBatch", "10")
+      .option("maxTriggerDelayMs", (10 * 60 * 1000).toString).load()
+      .select($"value".cast("string")).as[String]
+      .writeStream.outputMode("append")
+      .format("memory").queryName("adm_min_an_out")
+      .option("checkpointLocation", tmp("adm-min-an-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q3.awaitTermination(60000)
+      assert(spark.table("adm_min_an_out").count() == 25,
+        "AvailableNow must process the full snapshot incl. the 5-row tail < minRows")
+    } finally q3.stop()
+
     // Delay escape hatch: with an expired maxTriggerDelay, a sub-min
     // backlog flows anyway (Kafka's maxTriggerDelay semantics).
     val topic2 = "admission-min-delay"
