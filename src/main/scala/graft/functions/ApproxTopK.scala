@@ -24,18 +24,37 @@ import scala.collection.mutable
 final class SpaceSavingBuffer(val capacity: Int) {
   // item -> (count, error)
   val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  // (count, item) ordered index over the same entries: min-eviction and
+  // count updates are O(log capacity) instead of a full minBy scan per
+  // insertion — with a high-cardinality stream near-every row evicts, so
+  // the O(capacity) scan made the update path O(N·capacity). Ordering by
+  // (count, item) preserves the deterministic lexicographic tie-break.
+  private val byCount = mutable.TreeSet.empty[(Long, String)]
 
   def add(item: String, weight: Long = 1L): Unit = {
     counters.get(item) match {
-      case Some((c, e)) => counters.update(item, (c + weight, e))
-      case None if counters.size < capacity => counters.update(item, (weight, 0L))
+      case Some((c, e)) =>
+        byCount.remove((c, item))
+        counters.update(item, (c + weight, e))
+        byCount.add((c + weight, item))
+      case None if counters.size < capacity =>
+        counters.update(item, (weight, 0L))
+        byCount.add((weight, item))
       case None =>
         // Evict the global minimum (ties: lexicographically smallest item,
         // for cross-run determinism).
-        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        val min @ (minC, minItem) = byCount.head
+        byCount.remove(min)
         counters.remove(minItem)
         counters.update(item, (minC + weight, minC))
+        byCount.add((minC + weight, item))
     }
+  }
+
+  /** Restore one entry verbatim (deserialization path). */
+  def restore(item: String, count: Long, error: Long): Unit = {
+    counters.update(item, (count, error))
+    byCount.add((count, item))
   }
 
   def mergeIn(other: SpaceSavingBuffer): Unit = {
@@ -46,7 +65,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
     // could undercount the true frequency and break the
     // `true <= count <= true + error` guarantee. Then shrink to capacity.
     def minOf(b: SpaceSavingBuffer): Long =
-      if (b.counters.size < b.capacity) 0L else b.counters.values.map(_._1).min
+      if (b.counters.size < b.capacity) 0L else b.byCount.head._1
     val minSelf = minOf(this)
     val minOther = minOf(other)
     val keys = counters.keySet ++ other.counters.keySet
@@ -56,9 +75,11 @@ final class SpaceSavingBuffer(val capacity: Int) {
       k -> (c1 + c2, e1 + e2)
     }.toMap
     counters.clear()
-    counters ++= merged
+    byCount.clear()
+    merged.foreach { case (k, (c, e)) => restore(k, c, e) }
     while (counters.size > capacity) {
-      val (minItem, _) = counters.minBy { case (i, (c, _)) => (c, i) }
+      val min @ (_, minItem) = byCount.head
+      byCount.remove(min)
       counters.remove(minItem)
     }
   }
@@ -111,7 +132,13 @@ case class ApproxTopK(child: Expression, k: Int, capacity: Int,
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.counters.size)
     buffer.counters.foreach { case (item, (c, e)) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      // Length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
+      // UTFDataFormatException past 64 KB, and this aggregates arbitrary
+      // StringType values (a >64 KB document would fail the whole query
+      // at partial-buffer shuffle time).
+      val b = item.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
   }
@@ -122,8 +149,12 @@ case class ApproxTopK(child: Expression, k: Int, capacity: Int,
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
-      buf.counters.update(item, (c, e))
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, "UTF-8")
+      val c = in.readLong(); val e = in.readLong()
+      buf.restore(item, c, e)
       i += 1
     }
     buf

@@ -327,10 +327,19 @@ object DedupOps {
     * below ~0.6. For corpus-wide statistics at low thresholds use
     * [[SimilarityOps.labelPairMeans]]' algebraic path instead.
     */
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double, bands: Int = 8,
-      bitsPerBand: Int = 8,
+  /** @param dims length of the embedding vectors; the band signature reads
+    *             dimensions 1..bands·bitsPerBand, so it must cover them —
+    *             out-of-range reads would throw under ANSI mode (or, with
+    *             ANSI off, collapse the missing bands to one bucket and
+    *             degenerate the band join toward all-pairs).
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dims: Int,
+      bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
+    require(bands * bitsPerBand <= dims,
+      s"embeddingNearDupPairs: bands*bitsPerBand = ${bands * bitsPerBand} " +
+        s"exceeds dims = $dims — the sign signature would read past the vector")
     val sig = emb.select(col(idCol).as("id"),
       explode(array((0 until bands).map { b =>
         val bucket = (0 until bitsPerBand).map { j =>

@@ -22,8 +22,13 @@ object SimilarityOps {
 
   /** Exact top-k neighbors (cosine) of each query vector.
     *
-    * @param queries (query_id, vector) — small side, broadcast
-    * @param corpus  (vec_id, vector) — large side, streamed
+    * Column contract (shared by [[lshTopK]] and [[ivfTopK]]): the query
+    * side carries `(query_id, qv)` and the corpus side `(vec_id, cv)`,
+    * with qv/cv the vector columns — callers rename via select, as the
+    * registered queries do.
+    *
+    * @param queries (query_id, qv) — small side, broadcast
+    * @param corpus  (vec_id, cv) — large side, streamed
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
@@ -47,7 +52,7 @@ object SimilarityOps {
     * sign matrix is derived deterministically from splitmix64, so no model
     * is stored and results replay across JVMs.
     */
-  def withLshSignature(df: DataFrame, vecCol: String, dims: Int,
+  def withLshSignature(df: DataFrame, vecCol: String,
       bits: Int = 16, table: Int = 0): DataFrame =
     df.withColumn(s"lsh_sig_$table",
       GraftFunctions.lsh_signature(col(vecCol), bits, table))
@@ -56,28 +61,38 @@ object SimilarityOps {
     * with `tables` independent signatures; candidates = rows sharing any
     * bucket; exact cosine re-ranks candidates. Returns the same shape as
     * [[bruteForceTopK]] (possibly with < k rows per query when recall
-    * misses).
+    * misses). Column contract as [[bruteForceTopK]]: (query_id, qv) /
+    * (vec_id, cv).
+    *
+    * Shuffle discipline: the bucket frames carry ONLY (id, table, sig) —
+    * candidate pairs dedup on the 16-byte id pair, and the vectors join
+    * back once for the exact re-rank. Carrying vectors through the
+    * tables-way explode would multiply the shuffled payload by
+    * tables×|vector| and make distinct() hash-compare full float arrays.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 12, tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    def signed(df: DataFrame, vecCol: String): DataFrame =
-      (0 until tables).foldLeft(df)((d, t) => withLshSignature(d, vecCol, dims, bits, t))
-    def buckets(df: DataFrame, idCols: Seq[String], vecCol: String): DataFrame =
-      signed(df, vecCol).select(
-        (idCols.map(col) :+ col(vecCol) :+
+    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val signed = (0 until tables).foldLeft(df)((d, t) =>
+        withLshSignature(d, vecCol, bits, t))
+      signed.select(col(idCol),
           explode(array((0 until tables).map(t =>
-            struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk")): _*)
-        .select((idCols.map(col) :+ col(vecCol) :+ col("bk.t") :+ col("bk.sig")): _*)
+            struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk"))
+        .select(col(idCol), col("bk.t").as("t"), col("bk.sig").as("sig"))
+    }
     // persist (Caching.withCached): signatures are expensive per-row
     // projections consumed by the join; left lazy they'd be inlined and
     // recomputed per candidate.
-    val qb = buckets(queries, Seq("query_id"), "qv")
-    val cb = buckets(corpus, Seq("vec_id"), "cv")
+    val qb = buckets(queries, "query_id", "qv")
+    val cb = buckets(corpus, "vec_id", "cv")
     Caching.withCached(qb, cb) {
-    val candidates = cb.join(broadcast(qb), Seq("t", "sig"))
+    val pairs = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .select("query_id", "vec_id", "qv", "cv")
+      .select("query_id", "vec_id")
       .distinct()
+    val candidates = pairs
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     candidates
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
@@ -111,7 +126,7 @@ object SimilarityOps {
     * training (sampling is the standard IVF practice — centroids need
     * only the density shape); the full corpus is assigned exactly once.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
       trainIters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
@@ -222,18 +237,28 @@ object SimilarityOps {
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
     val dec = "decimal(38,12)"
     // Unit vector once per row; the array(norm) let-binding stops the norm
-    // fold from being inlined (and re-evaluated) per element.
+    // fold from being inlined (and re-evaluated) per element. Zero-norm
+    // vectors map to all-zero units (not a divide — ANSI mode would throw
+    // DIVIDE_BY_ZERO): contributing 0 to every component sum is exactly
+    // "excluded from the dot products", matching the brute path where
+    // cosine_sim against a zero vector is NULL and drops out of sum/max.
     val unit = element_at(
       transform(array(GraftFunctions.l2_norm(col(vecCol))),
-        nrm => transform(col(vecCol), x => x.cast("double") / nrm)), 1)
+        nrm => transform(col(vecCol),
+          x => when(nrm > 0.0, x.cast("double") / nrm).otherwise(lit(0.0)))), 1)
     val e = emb.select(col(labelCol).as("label"), posexplode(unit).as(Seq("k", "uk")))
     val g = e.groupBy("label", "k").agg(
       sum(col("uk").cast(dec)).as("sk"),
       sum((col("uk") * col("uk")).cast(dec)).as("qk"))
-    val perLabel = g.groupBy("label").agg(
+    // NULL labels stay out of the WITHIN side (SQL: NULL = NULL is not
+    // true, so two null-labeled rows form a CROSS pair — the brute twin's
+    // when(la === lb) semantics); they still count in the total, so their
+    // pairs land in cross via npt − npw.
+    val perLabel = g.filter(col("label").isNotNull).groupBy("label").agg(
       sum((col("sk").cast("double") * col("sk").cast("double")).cast(dec)).as("s2"),
       sum(col("qk")).as("sq"))
-    val counts = emb.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
+    val counts = emb.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
     val wl = perLabel.join(counts, "label").select(
       ((col("s2").cast("double") - col("sq").cast("double")) / 2).cast(dec).as("sc"),
       expr("nl * (nl - 1) DIV 2").as("np"))

@@ -40,7 +40,12 @@ object TemporalOps {
     require(collisions.isEmpty,
       s"asOfJoin: rightPayload collides with left columns: ${collisions.mkString(", ")}")
     val l = left.withColumn("_side", lit(1)).withColumn("_ats", col(leftTs))
-    val r = right.select(col(key), col(rightTs).as("_ats"),
+    // Right rows with NULL timestamp can never satisfy right.ts <= left.ts
+    // (SQL: NULL <= x is not true). Unfiltered they would sort FIRST
+    // (ascending = NULLS FIRST) and be attached as "earlier than
+    // everything" — diverging from the DuckDB native ASOF oracle.
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("_ats"),
         struct(rightPayload.map(col): _*).as("_pay"))
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -67,14 +67,18 @@ object TextOps {
     * tokens `\w+|[^\w\s]`, distinct count, mean token length.
     */
   def withTokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val tk = tokens(col(textCol))
+    // Backtick-quoted column reference, never interpolation into parsed
+    // SQL text (the StatsOps rule): a dotted/quoted/hostile column name
+    // must resolve as an identifier, not splice into the expression.
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val tk = tokens(text)
     docs
       .withColumn("n_tokens", size(tk))
       .withColumn("n_unique_tokens", size(array_distinct(tk)))
       .withColumn("n_regex_tokens",
         // regexp_count, not size(regexp_extract_all(...)): counting must
         // not materialize every match string (measured 9.7s → ~1s at sf0.1).
-        expr(s"regexp_count($textCol, '\\\\w+|[^\\\\w\\\\s]')"))
+        regexp_count(text, lit("\\w+|[^\\w\\s]")))
   }
 
   /** Stopword lists for the language-ID heuristic: tiny, deterministic,

@@ -984,7 +984,7 @@ object GraftQueries {
     * all-pairs form is the banding curve (asserted in OpsSpec).
     */
   private val d06 = Q("dedup_embedding_pairs",
-    (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+    (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4, dims = 64)
       .orderBy("vec_a", "vec_b"),
     Some("""
       WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1122,7 +1122,7 @@ object GraftQueries {
   private val s02 = Q("sim_topk_lsh",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.lshTopK(q, c, k = 5, dims = 64).orderBy("query_id", "rank")
+      SimilarityOps.lshTopK(q, c, k = 5).orderBy("query_id", "rank")
     },
     None)
 
@@ -1137,7 +1137,8 @@ object GraftQueries {
     Some("""
       WITH t AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
       u AS (SELECT label,
-              list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+              list_transform(v, x -> CASE WHEN list_sum(list_transform(v, y -> y*y)) > 0
+                THEN x / sqrt(list_sum(list_transform(v, y -> y*y))) ELSE 0 END) AS u
             FROM t),
       e AS (SELECT label, ko - 1 AS k, u[ko] AS uk
             FROM u, unnest(range(1, len(u) + 1)) AS r(ko)),
@@ -1147,8 +1148,9 @@ object GraftQueries {
       pl AS (SELECT label,
                sum(cast(cast(sk as double) * cast(sk as double) as decimal(38,12))) AS s2,
                sum(qk) AS sq
-             FROM g GROUP BY label),
-      n AS (SELECT label, count(*) AS nl FROM t GROUP BY label),
+             FROM g WHERE label IS NOT NULL GROUP BY label),
+      n AS (SELECT label, count(*) AS nl FROM t
+            WHERE label IS NOT NULL GROUP BY label),
       wl AS (SELECT cast((cast(s2 as double) - cast(sq as double)) / 2 as decimal(38,12)) AS sc,
                nl * (nl - 1) // 2 AS np
              FROM pl JOIN n USING (label)),
@@ -1175,7 +1177,7 @@ object GraftQueries {
   private val s05 = Q("sim_topk_ivf",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 8, nprobe = 2)
+      SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2)
         .orderBy("query_id", "rank")
     },
     None)

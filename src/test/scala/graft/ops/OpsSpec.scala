@@ -49,7 +49,7 @@ class OpsSpec extends SparkSuite {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val brute = DedupOps.embeddingNearDupPairsBrute(emb, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val banded = DedupOps.embeddingNearDupPairs(emb, threshold = 0.4)
+    val banded = DedupOps.embeddingNearDupPairs(emb, threshold = 0.4, dims = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(banded.nonEmpty, "banding should surface at least some pairs here")
     banded.foreach { case (k, c) =>
@@ -62,7 +62,19 @@ class OpsSpec extends SparkSuite {
   }
 
   test("labelPairMeans: algebraic means equal brute-force pair means") {
+    import spark.implicits._
+    // Edge rows alongside the real corpus: a zero vector (brute: NULL
+    // cosine, dropped from sums but counted in pairs; algebraic: all-zero
+    // unit, same effect) and NULL labels (NULL = NULL is not true → their
+    // pairs are CROSS on both paths).
+    val extras = Seq(
+      (900001L, Array.fill(64)(0.0f), Some(1)),
+      (900002L, Array.fill(64)(0.1f), Option.empty[Int]),
+      (900003L, Array.tabulate(64)(i => if (i % 2 == 0) 0.2f else -0.1f),
+        Option.empty[Int])
+    ).toDF("vec_id", "embedding", "label")
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding", "label").unionByName(extras)
     val fast = SimilarityOps.labelPairMeans(emb)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val brute = SimilarityOps.labelPairStatsBrute(emb)
@@ -104,7 +116,7 @@ class OpsSpec extends SparkSuite {
     // Exact cosine of every (query, corpus) pair, for cross-checking.
     val exact = SimilarityOps.bruteForceTopK(q, c, k = Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val lsh = SimilarityOps.lshTopK(q, c, k = 5, dims = 64).collect()
+    val lsh = SimilarityOps.lshTopK(q, c, k = 5).collect()
     assert(lsh.nonEmpty)
     // Plumbing invariants (recall itself is data-dependent — these random
     // near-orthogonal vectors bucket poorly, by design of LSH): every hit
@@ -127,12 +139,12 @@ class OpsSpec extends SparkSuite {
     val c = emb.select(col("vec_id"), col("embedding").as("cv"))
     val brute = SimilarityOps.bruteForceTopK(q, c, k = 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    val full = SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 4, nprobe = 4)
+    val full = SimilarityOps.ivfTopK(q, c, k = 5, nlist = 4, nprobe = 4)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(full == brute, "probing every inverted list must equal brute force")
     // Partial probe: approximate but well-formed (exact cosines, <= k rows).
-    val partial = SimilarityOps.ivfTopK(q, c, k = 5, dims = 64, nlist = 4, nprobe = 1)
+    val partial = SimilarityOps.ivfTopK(q, c, k = 5, nlist = 4, nprobe = 1)
       .collect()
     assert(partial.nonEmpty)
     assert(partial.groupBy(_.getLong(0)).values.forall(_.length <= 5))
@@ -155,7 +167,7 @@ class OpsSpec extends SparkSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = hits(SimilarityOps.bruteForceTopK(q, c, k = 5))
     def recallAt(nprobe: Int, trainIters: Int): Double = {
-      val got = hits(SimilarityOps.ivfTopK(q, c, k = 5, dims = 64,
+      val got = hits(SimilarityOps.ivfTopK(q, c, k = 5,
         nlist = 8, nprobe = nprobe, trainIters = trainIters))
       got.intersect(brute).size.toDouble / brute.size
     }
@@ -196,7 +208,11 @@ class OpsSpec extends SparkSuite {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 5L, "p2"), (2L, 7L, "p3"))
       .toDF("k", "ts", "pl")
-    val right = Seq((1L, 5L, "r-a"), (1L, 9L, "r-b"), (2L, 8L, "r-c"))
+    // Key 2 also carries a NULL-timestamp right row: NULL <= ts is never
+    // true, so it must NOT be attached (it would otherwise sort first and
+    // match as "earlier than everything" — DuckDB ASOF returns null here).
+    val right = Seq((1L, Some(5L), "r-a"), (1L, Some(9L), "r-b"),
+        (2L, Some(8L), "r-c"), (2L, Option.empty[Long], "r-null"))
       .toDF("k", "rts", "payload")
     val got = TemporalOps.asOfJoin(left, right, key = "k",
         leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"))
@@ -205,7 +221,7 @@ class OpsSpec extends SparkSuite {
     assert(got == Set(
       (1L, "p1", "r-b"),  // latest right at-or-before ts=10 is rts=9
       (1L, "p2", "r-a"),  // equal timestamps match (inclusive, rts=5)
-      (2L, "p3", null)))  // no right row at-or-before ts=7
+      (2L, "p3", null)))  // no right row at-or-before ts=7; null-ts ignored
   }
 
   test("multimodal decode: batch plumbing is lossless and deterministic") {
