@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions hook for the graft engine.
   *
-  * Registers graft's custom Catalyst functions so they are usable from SQL
-  * (`spark.sql.extensions=graft.GraftExtensions`). Everything else the
-  * engine does rides on stock Catalyst — per SURVEY.md §4 the reference
-  * has no optimizer rules or physical strategies of its own, and none are
-  * needed for parity.
+  * Registers graft's custom Catalyst functions for SQL use
+  * (`spark.sql.extensions=graft.GraftExtensions`) plus the ONE planner
+  * strategy the library ships always-on: [[graft.plans.TopKPerKeyStrategy]],
+  * which only fires on the explicit [[graft.plans.TopKPerKeyNode]]. The
+  * row_number-rewrite optimizer rule ([[graft.plans.RewriteRowNumberTopK]])
+  * stays opt-in via RowNumberTopKRewrite.enable and is NOT injected here —
+  * stock SQL plans are otherwise untouched. (The reference itself has no
+  * optimizer rules or strategies, SURVEY.md §4; these belong to the
+  * extension surface.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

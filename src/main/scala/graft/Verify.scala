@@ -24,7 +24,10 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal only: an OOM/LinkageError leaves the SparkContext
+      // unusable — continuing would report ~70 bogus per-query failures
+      // instead of the real cause. Let fatal errors abort the run.
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Ops persist() their per-doc derived frames; drop them between

@@ -26,6 +26,19 @@ object GraftQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Run SQL-surface queries in an isolated child session (`newSession`:
+    * same SparkContext, own sessionState/catalog) with the named tables
+    * registered as temp views — registering base-table-named views on the
+    * caller's session would mutate its catalog for every later query
+    * (the q33 isolation rationale, applied to all SQL entry points).
+    */
+  private def sqlWithViews(s: SparkSession, dir: String, tables: Seq[String],
+      sql: String): DataFrame = {
+    val s2 = s.newSession()
+    tables.foreach(n => t(s2, dir, n).createOrReplaceTempView(n))
+    s2.sql(sql)
+  }
+
   /** Exact money sum: double → decimal(18,2) (exact for 2-dp data) →
     * order-independent decimal sum → double. Identical in DuckDB.
     */
@@ -336,17 +349,23 @@ object GraftQueries {
         min(upper(substr(p_name, 1, 3))) AS first_prefix
       FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
-  // events.ts reads as long nanos (see Verify's nanosAsLong config); the
-  // oracle's epoch_ns() yields the identical integers.
+  // events.ts reads as long nanos in Spark (Verify's nanosAsLong config),
+  // but DuckDB reads TIMESTAMP(NANOS) at microsecond resolution — its
+  // epoch_ns() returns µs-FLOORED nanos. Spark floors explicitly
+  // (ts - ts % 1000) before ordering and gap arithmetic so both engines
+  // compute on identical integers BY CONSTRUCTION; comparing raw nanos
+  // against floored ones only matched while no event fell within 1 µs of
+  // a session boundary (a property of the frozen dataset, not the query).
   private val q19 = Q("q19_user_sessions",
     (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
       t(s, dir, "events")
-        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("ts_us", col("ts") - pmod(col("ts"), lit(1000L)))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           count(when(col("prev").isNull
-            || col("ts") - col("prev") > 1800000000000L, 1))
+            || col("ts_us") - col("prev") > 1800000000000L, 1))
             .as("n_sessions"))
         .orderBy("user_id")
     },
@@ -526,19 +545,24 @@ object GraftQueries {
   private val q23 = Q("q23_asof_attribution",
     (s, dir) => {
       val e = t(s, dir, "events")
+      // µs-floored BEFORE the as-of match, not just in the output: DuckDB
+      // reads the nanos parquet at µs resolution, so its ASOF condition
+      // compares µs values — matching on raw nanos would diverge whenever
+      // a click trails a purchase inside the same microsecond. (Remaining
+      // latent asymmetry, absent from this data: two clicks in one
+      // (user, µs) tie — our asOfJoin picks the struct-max deterministically,
+      // DuckDB ASOF picks arbitrarily.)
       val purchases = e.filter(col("event_type") === "purchase")
-        .select("user_id", "event_id", "ts")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
-          col("ts").as("click_ts"))
+          expr("ts div 1000").as("click_ts"))
       TemporalOps.asOfJoin(purchases, clicks, key = "user_id",
           leftTs = "ts", rightTs = "click_ts",
           rightPayload = Seq("click_id", "click_ts"))
         .filter(col("click_id").isNotNull) // inner as-of
-        // gap in µs, each term floor-truncated from nanos: DuckDB reads the
-        // nanos parquet at µs resolution, so µs is the comparable unit.
         .select(col("user_id"), col("event_id"), col("click_id"),
-          (expr("ts div 1000") - expr("click_ts div 1000")).as("gap_us"))
+          (col("ts") - col("click_ts")).as("gap_us"))
         .orderBy("user_id", "event_id")
     },
     Some("""
@@ -593,10 +617,7 @@ object GraftQueries {
     * the oracle runs the identical ANSI text.
     */
   private val q29 = Q("q29_exists_waiting",
-    (s, dir) => {
-      Seq("supplier", "lineitem", "orders").foreach(n =>
-        t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""
+    (s, dir) => sqlWithViews(s, dir, Seq("supplier", "lineitem", "orders"), """
         SELECT s_name, count(*) AS numwait
         FROM supplier, lineitem l1, orders
         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
@@ -608,8 +629,7 @@ object GraftQueries {
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_returnflag = 'R')
-        GROUP BY s_name ORDER BY numwait DESC, s_name""")
-    },
+        GROUP BY s_name ORDER BY numwait DESC, s_name"""),
     Some("""
       SELECT s_name, count(*) AS numwait
       FROM supplier, lineitem l1, orders
@@ -631,17 +651,13 @@ object GraftQueries {
     * order-independent).
     */
   private val q30 = Q("q30_scalar_subquery",
-    (s, dir) => {
-      Seq("lineitem", "part").foreach(n =>
-        t(s, dir, n).createOrReplaceTempView(n))
-      s.sql(s"""
+    (s, dir) => sqlWithViews(s, dir, Seq("lineitem", "part"), s"""
         SELECT p_brand, count(*) AS n_small,
           ${dsum("l_extendedprice")} AS small_revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = p_partkey)
-        GROUP BY p_brand ORDER BY p_brand""")
-    },
+        GROUP BY p_brand ORDER BY p_brand"""),
     Some(s"""
       SELECT p_brand, count(*) AS n_small,
         ${dsum("l_extendedprice")} AS small_revenue
@@ -734,19 +750,23 @@ object GraftQueries {
   /** Point-in-interval range join via RangeOps bucketization (equi-join on
     * time bucket + residual filter — no BroadcastNestedLoopJoin): events
     * landing in the hour after each sampled purchase. events.ts reads as
-    * long nanos (nanosAsLong); the oracle uses epoch_ns. Window is
-    * [ts, ts+1h) half-open; bucketWidth = window length → ≤2 buckets per
-    * interval.
+    * long nanos (nanosAsLong) but the oracle's epoch_ns() returns
+    * µs-FLOORED nanos (DuckDB reads TIMESTAMP(NANOS) at µs resolution) —
+    * so Spark floors explicitly and both engines test window membership
+    * on identical integers; raw-nanos membership would flip for events
+    * within 1 µs of a window edge. Window is [ts, ts+1h) half-open;
+    * bucketWidth = window length → ≤2 buckets per interval.
     */
   private val q34 = Q("q34_range_join",
     (s, dir) => {
       val hourNs = 3600L * 1000000000L
+      val tsUs = col("ts") - pmod(col("ts"), lit(1000L))
       val ev = t(s, dir, "events")
-        .select(col("event_id"), col("ts").as("pts"), col("value"))
+        .select(col("event_id"), tsUs.as("pts"), col("value"))
       val anchors = t(s, dir, "events")
         .filter(col("event_type") === "purchase" && col("event_id") % 50 === 0)
-        .select(col("event_id").as("anchor_id"), col("ts").as("w_start"),
-          (col("ts") + lit(hourNs)).as("w_end"))
+        .select(col("event_id").as("anchor_id"), tsUs.as("w_start"),
+          (tsUs + lit(hourNs)).as("w_end"))
       RangeOps.pointInIntervalJoin(ev, "pts", anchors, "w_start", "w_end", hourNs)
         .groupBy("anchor_id")
         .agg(count(lit(1)).as("n_in_window"),
@@ -790,17 +810,14 @@ object GraftQueries {
     * arbitrary subset of grouping combinations), via the SQL surface.
     */
   private val q36 = Q("q36_grouping_sets",
-    (s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql(s"""
+    (s, dir) => sqlWithViews(s, dir, Seq("lineitem"), s"""
         SELECT l_returnflag, l_linestatus,
           cast(grouping(l_returnflag) as int) AS g_rf,
           cast(grouping(l_linestatus) as int) AS g_ls,
           count(*) AS n, ${dsum("l_quantity")} AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
-    },
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
     Some(s"""
       SELECT l_returnflag, l_linestatus,
         cast(grouping(l_returnflag) as int) AS g_rf,
@@ -947,12 +964,14 @@ object GraftQueries {
     * winnow pipeline in DuckDB list algebra (HAVING count ≥ 2) and the
     * same verify as the other jaccard queries.
     */
-  private val d11 = Q("dedup_winnow_pairs",
-    (s, dir) => DedupOps.winnowPairs(t(s, dir, "documents"), threshold = 0.5)
-      .orderBy("doc_a", "doc_b"),
-    Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+  /** Shared winnowing CTE chain (shingle -> md5-60bit hash -> window-min
+    * -> first-occurrence distinct; k=3, w=4), expecting a preceding `t`
+    * CTE that provides (doc_id, tk). ONE definition feeding all three
+    * winnow oracles (text_winnow, dedup_winnow_pairs, dedup_edit_distance)
+    * so a scheme change cannot silently drift between them and the Scala
+    * op -- the same guard the shared jaccardOracle gives its family.
+    */
+  private val winnowCte = """s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
               list_transform(range(1, len(tk) - 1),
                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
             ELSE [] END AS sh FROM t),
@@ -962,7 +981,14 @@ object GraftQueries {
       wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
               list_distinct(list_transform(range(1, len(hs) - 2),
                 i -> list_aggregate(hs[i:i+3], 'min')))
-            ELSE [] END AS fps FROM h),
+            ELSE [] END AS fps FROM h)"""
+
+  private val d11 = Q("dedup_winnow_pairs",
+    (s, dir) => DedupOps.winnowPairs(t(s, dir, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      $winnowCte,
       f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
       c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1031,19 +1057,9 @@ object GraftQueries {
     (s, dir) => DedupOps.editDistancePairs(
         t(s, dir, "documents").select(col("doc_id"), col("text")), maxDist = 60)
       .orderBy("doc_a", "doc_b"),
-    Some("""
+    Some(s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
-      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-              list_transform(range(1, len(tk) - 1),
-                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-            ELSE [] END AS sh FROM t),
-      h AS (SELECT doc_id,
-              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs
-            FROM s),
-      wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
-              list_distinct(list_transform(range(1, len(hs) - 2),
-                i -> list_aggregate(hs[i:i+3], 'min')))
-            ELSE [] END AS fps FROM h),
+      $winnowCte,
       f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
       c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1466,19 +1482,9 @@ object GraftQueries {
         array_min(col("winnow_fps")).as("min_fp"),
         array_max(col("winnow_fps")).as("max_fp"))
       .orderBy("doc_id"),
-    Some("""
+    Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-              list_transform(range(1, len(tk) - 1),
-                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-            ELSE [] END AS sh FROM t),
-      h AS (SELECT doc_id,
-              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::bigint) AS hs
-            FROM s),
-      wn AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
-              list_distinct(list_transform(range(1, len(hs) - 2),
-                i -> list_aggregate(hs[i:i+3], 'min')))
-            ELSE [] END AS fps FROM h)
+      $winnowCte
       SELECT doc_id, cast(len(fps) as int) AS n_fp,
         list_aggregate(fps, 'min') AS min_fp,
         list_aggregate(fps, 'max') AS max_fp
@@ -1707,6 +1713,11 @@ object GraftQueries {
     s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
     sm1, m01, m02, m03, m04, mq1)
+
+  // A duplicated name would silently last-win in the .toMap below and
+  // shrink the correctness gate by one query with no error anywhere.
+  require(all.map(_.name).distinct.size == all.size,
+    s"duplicate query names: ${all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }.mkString(", ")}")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
