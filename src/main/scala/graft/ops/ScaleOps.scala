@@ -45,15 +45,20 @@ object ScaleOps {
     * key) so the hot key spreads evenly; it is hashed (not `rand()`) so
     * task retries see stable assignments.
     */
+  /** The shard assignment used by [[saltedJoin]] — exposed so tests
+    * assert the spread of the PRODUCTION formula, not a copy that can
+    * drift. coalesce: a NULL saltBy value must still salt somewhere — a
+    * null salt would null the join condition and silently drop rows that
+    * a plain join (with a non-null key) would keep.
+    */
+  private[graft] def saltExpr(saltBy: Column, salt: Int): Column =
+    pmod(coalesce(crc32(saltBy.cast("string")), lit(0L)), lit(salt.toLong))
+
   def saltedJoin(large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,
       saltBy: Column, salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    // coalesce: a NULL saltBy value must still salt somewhere — a null
-    // salt would null the join condition and silently drop rows that a
-    // plain join (with a non-null key) would keep.
-    val l = large.withColumn("_salt_l",
-      pmod(coalesce(crc32(saltBy.cast("string")), lit(0L)), lit(salt.toLong)))
+    val l = large.withColumn("_salt_l", saltExpr(saltBy, salt))
     val r = small.withColumn("_salt_r",
       explode(sequence(lit(0L), lit((salt - 1).toLong))))
     l.join(r, col(largeKey) === col(smallKey) && col("_salt_l") === col("_salt_r"))

@@ -9,6 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Fresh checkpoint/scratch directory for streaming tests. */
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 }
 
 object SparkSuite {

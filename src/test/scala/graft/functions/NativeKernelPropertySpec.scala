@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.PropCheck
+import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property tests for the native per-document kernels against independent
@@ -16,10 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class NativeKernelPropertySpec extends AnyFunSuite {
 
-  private def check(prop: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
-  }
+  private def check(prop: Prop): Unit = PropCheck.check(prop)
 
   private val token: Gen[String] =
     Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "b", "ü", "字", ""))

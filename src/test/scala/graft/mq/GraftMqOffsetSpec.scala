@@ -1,17 +1,8 @@
 package graft.mq
 
+import graft.PropCheck
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalacheck.{Gen, Prop, Test => SCTest}
-
-object PropCheck {
-  /** Run a ScalaCheck property from ScalaTest without the scalatestplus
-    * bridge (not on the offline classpath).
-    */
-  def check(prop: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
-    assert(res.passed, res.status.toString)
-  }
-}
+import org.scalacheck.{Gen, Prop}
 
 class GraftMqOffsetSpec extends AnyFunSuite {
 
@@ -46,6 +37,9 @@ class GraftMqPlannerSpec extends AnyFunSuite {
     */
   private def exactCover(parts: Seq[GraftMqInputPartition],
       start: Map[Int, Long], end: Map[Int, Long]): Boolean = {
+    // No phantom partitions: a planner bug emitting ranges for a partition
+    // id outside the end map would otherwise never be inspected below.
+    parts.forall(p => end.contains(p.partition)) &&
     end.keys.forall { p =>
       val ranges = parts.filter(_.partition == p).map(r => (r.from, r.until)).sorted
       val from = start.getOrElse(p, 0L)

@@ -16,9 +16,6 @@ import java.nio.file.Files
   */
 class GraftMqStreamSpec extends SparkSuite {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
-
   test("streaming WordCount over broker topic (the reference demo)") {
     val topic = "wc-demo"
     InMemoryMqBroker.drop(topic)
@@ -286,7 +283,7 @@ class GraftMqStreamSpec extends SparkSuite {
     val in = "swrite-in"; val out = "swrite-out"
     InMemoryMqBroker.drop(in); InMemoryMqBroker.drop(out)
     InMemoryMqBroker.produceStrings(in, 2, (1 to 10).map(i => s"s$i"))
-    val ckpt = java.nio.file.Files.createTempDirectory("swrite-ckpt").toString
+    val ckpt = tmp("swrite-ckpt")
 
     import spark.implicits._
     def runOnce(): Unit = {
@@ -432,7 +429,13 @@ class GraftMqStreamSpec extends SparkSuite {
 
     val q2 = startQuery(failOnDataLoss = true)
     val failed = intercept[Exception] { q2.processAllAvailable() }
-    assert(failed.getMessage != null)
+    // Pin the FAILURE MODE, not just "some exception": the cause chain
+    // must carry the offset-out-of-range diagnostic, or an unrelated
+    // failure would count this contract as covered.
+    val chain = Iterator.iterate(failed: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => s"${e.getClass.getName}: ${e.getMessage}")
+      .mkString(" | ")
+    assert(chain.contains("earliest retained"), chain)
     q2.stop()
 
     seen.clear()
@@ -455,12 +458,19 @@ class GraftMqStreamSpec extends SparkSuite {
       spark.read.format("graft-mq").option("startingOffsets", "middle").load()
     }
     assert(badStart.getMessage.contains("startingOffsets"))
-    // Sink requires a string/binary `value` column.
+    // Sink requires a string/binary `value` column — the rejection must
+    // name the column/type contract, not merely throw something. Spark's
+    // DSv2 write-compat check fires first (CANNOT_SAFELY_CAST on `value`);
+    // the sink's own require backs it for paths that bypass the analyzer.
     val badWrite = intercept[Exception] {
       Seq(1, 2).toDF("value").write.format("graft-mq").mode("append")
         .option("topic", "bad-sink").save()
     }
-    assert(badWrite.getMessage != null)
+    val badWriteChain = Iterator.iterate(badWrite: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(badWriteChain.contains("`value`")
+        || badWriteChain.contains("'value' must be string or binary"),
+      badWriteChain)
   }
 
   test("streaming write sink: stream back into a topic") {

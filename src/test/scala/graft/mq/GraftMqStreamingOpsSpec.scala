@@ -16,9 +16,6 @@ import java.sql.Timestamp
   */
 class GraftMqStreamingOpsSpec extends SparkSuite {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
-
   test("event-time tumbling window aggregation with watermark") {
     val topic = "win-demo"
     InMemoryMqBroker.drop(topic)

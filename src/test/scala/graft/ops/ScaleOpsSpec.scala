@@ -25,8 +25,10 @@ class ScaleOpsSpec extends SparkSuite {
   }
 
   test("saltedJoin spreads the hot key across all salt shards") {
-    val salted = skewed.withColumn("_s",
-      pmod(crc32($"id".cast("string")), lit(8L)))
+    // Asserts on ScaleOps.saltExpr — the exact expression saltedJoin
+    // salts with — so a change to the salting formula cannot pass via a
+    // drifted inline copy of it.
+    val salted = skewed.withColumn("_s", ScaleOps.saltExpr($"id", 8))
     val shards = salted.filter($"k" === 1L).select("_s").distinct().count()
     assert(shards == 8L, s"hot key used only $shards of 8 shards")
   }
