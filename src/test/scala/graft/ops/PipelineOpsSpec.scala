@@ -31,17 +31,59 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == (1L to 5L).map(i => i -> i).toMap)
   }
 
-  test("connectedComponents: long path needs multiple label-propagation rounds") {
+  test("connectedComponents: long path converges in O(log n) star rounds") {
     import spark.implicits._
-    val n = 12L
+    val n = 64L
     val nodes = (1L to n).toDF("id")
-    // Path 1-2-...-12 with the min label at one END: worst-case diameter
-    // for min-propagation — exercises the iteration + convergence logic.
+    // Path 1-2-...-64 with the min label at one END: worst-case DIAMETER.
+    // Min-label propagation would need ~63 rounds; star contraction at
+    // least halves pointer depth per round, so well under log2(64)+c.
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(nodes, edges)
-      .as[(Long, Long)].collect().toMap
+    val (df, iters) = GraphOps.connectedComponentsWithIterations(nodes, edges)
+    val got = df.as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == (1L to n).toSet)
+    assert(iters <= 8, s"diameter-63 path should contract in O(log n) rounds, took $iters")
+  }
+
+  test("connectedComponents: loop conf is session-isolated — concurrent " +
+      "queries keep the caller's shuffle partition count") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val n = 256L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Future(GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap)
+    // While the CC loop runs (on its own newSession with a 1-partition
+    // conf), queries on the caller's session must still PLAN their
+    // shuffles at the caller's width (pre-AQE sparkPlan — AQE may later
+    // coalesce small shuffles, which is unrelated to conf isolation).
+    var observedDuring = 0
+    while (!cc.isCompleted && observedDuring < 3) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+      val shuffled = spark.range(1000).groupBy((col("id") % 7).as("g")).count()
+      // Exchanges are inserted by EnsureRequirements; under AQE the
+      // pre-execution plan sits inside AdaptiveSparkPlanExec.
+      val physical = shuffled.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val widths = physical.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.numPartitions
+      }
+      assert(widths.nonEmpty && widths.forall(_ == before.toInt),
+        s"concurrent query planned shuffle widths $widths, expected $before")
+      observedDuring += 1
+    }
+    val got = Await.result(cc, 5.minutes)
+    assert(got.values.toSet == Set(1L) && got.keySet == (1L to n).toSet)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
   test("hash sampling: deterministic, order-independent, roughly at rate") {
