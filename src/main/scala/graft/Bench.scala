@@ -26,17 +26,30 @@ object Bench {
     * malformed or overlong line silently zeroes the round's bench gate
     * (the harness keeps only a ~2000-char stdout tail).
     */
+  /** JSON string escaping (RFC 8259 minimal set): today every string that
+    * reaches the line is a query name, `name:ExceptionClass`, or the sf
+    * dir, but the "one valid JSON line" contract must survive any future
+    * string — an unescaped quote would zero the whole round's bench gate.
+    */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private[graft] def renderLine(timed: Seq[(String, Double)], errors: Seq[String],
       sfDir: String, nQueries: Int): String = {
     val total = timed.map(_._2).sum
     def fmt(t: Double): String = f"$t%.2f"
     def render(entries: Seq[(String, Double)], folded: Double, errShown: Int): String = {
-      val qs = (entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+      val qs = (entries.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + fmt(v) } ++
         (if (folded > 0) Seq("\"other\":" + fmt(folded)) else Nil)).mkString("{", ",", "}")
       val errList = errors.take(errShown) ++
         (if (errors.size > errShown) Seq(s"+${errors.size - errShown} more") else Nil)
-      val errs = errList.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":$nQueries,"errors":$errs,"sf":"$sfDir"}"""
+      val errs = errList.map("\"" + jsonEscape(_) + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":$nQueries,"errors":$errs,"sf":"${jsonEscape(sfDir)}"}"""
     }
     // Fold fastest queries into "other", then truncate errors, until the
     // line fits the tail budget.
@@ -71,6 +84,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): JVM/codegen/parquet-reader init otherwise lands on
     // whichever query happens to run first (~8 s of noise at local[32]).
+    // Swallowing Throwable is safe HERE and only here: the warmup result
+    // is never used, and any real environment problem (missing table,
+    // broken session) resurfaces immediately as a per-query error below —
+    // do not copy this pattern into a path whose result is consumed.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()

@@ -51,8 +51,14 @@ final class SpaceSavingBuffer(val capacity: Int) {
     }
   }
 
-  /** Restore one entry verbatim (deserialization path). */
+  /** Restore one entry verbatim (deserialization path). Removes any
+    * existing index tuple first so a repeated item can never leave a
+    * stale (count, item) entry corrupting eviction order — callers today
+    * only restore into fresh buffers, but the invariant shouldn't depend
+    * on that.
+    */
   def restore(item: String, count: Long, error: Long): Unit = {
+    counters.get(item).foreach { case (c, _) => byCount.remove((c, item)) }
     counters.update(item, (count, error))
     byCount.add((count, item))
   }

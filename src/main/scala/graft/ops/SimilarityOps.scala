@@ -146,28 +146,46 @@ object SimilarityOps {
     //    seed partition, then Lloyd iterations (assign → re-average) to
     //    movement < ε. Every step is deterministic: hash-sampled training
     //    set, modulo seed, and a driver-side movement test on the
-    //    collected (tiny) centroid model.
+    //    collected (tiny) centroid model. One shuffle per pass: the
+    //    (list_id, pos) component means — nlist×dims rows — collect and
+    //    assemble into vectors driver-side (that's the model fit, not a
+    //    data collect).
     def meansOf(assigned: DataFrame): Seq[(Int, Array[Double])] = assigned
       .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "v")))
       .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
-      .groupBy("list_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("list_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
       .collect()
-      .map(r => (r.getAs[Number]("list_id").intValue(), r.getSeq[Double](1).toArray))
-      .toSeq
+      .groupBy(_.getAs[Number]("list_id").intValue())
+      .map { case (id, rs) =>
+        (id, rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray)
+      }
+      .toSeq.sortBy(_._1)
     val train0 = corpus.select(col("vec_id"), col("cv"))
     // Deterministic hash sample via the project's one blessed sampling
     // mechanism (SamplingOps); keep is floored at 1 so a tiny fraction
     // can never round to a keep-nothing filter.
-    val train = if (trainFraction >= 1.0) train0
+    val train1 = if (trainFraction >= 1.0) train0
       else train0.filter(SamplingOps.hashSampleFlag(col("vec_id"),
         modulus = 1000000, keep = math.max(1, (trainFraction * 1e6).toInt),
         salt = "ivf"))
-    // Persist the training set across Lloyd passes (each pass is a full
-    // scan of it otherwise); released before the big assign/probe join.
-    train.persist()
-    val centroids = try {
+    // Every Lloyd pass re-scans the training set, so materialize it once
+    // and run the passes on a private session (same SparkContext, own
+    // SQLConf) with the shuffle width sized to the SAMPLE volume and AQE
+    // off — each pass's (list_id, pos) aggregate is sample-sized, and
+    // paying the caller's corpus-wide partition count plus adaptive
+    // re-planning per pass would dominate training time. The caller's
+    // session conf is never touched; the corpus-wide assign/probe join
+    // below still plans at the caller's width.
+    val callerSession = corpus.sparkSession
+    val trainSession = callerSession.newSession()
+    trainSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val trainMat = trainSession.createDataFrame(train1.rdd, train1.schema)
+      .localCheckpoint(true)
+    val tparts = math.max(1L, math.min(
+      callerSession.sparkContext.defaultParallelism.toLong,
+      trainMat.count() / 100000L + 1L)).toInt
+    trainSession.conf.set("spark.sql.shuffle.partitions", tparts.toString)
+    val train = trainMat.coalesce(tparts)
+    val centroids = {
       var cents = meansOf(
         train.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
       // A degenerate sample (few rows, or ids covering few residues mod
@@ -190,10 +208,16 @@ object SimilarityOps {
         it += 1
       }
       cents
-    } finally train.unpersist(blocking = false)
+    }
+    // An empty corpus trains no quantizer: return the standard (empty)
+    // result shape, matching bruteForceTopK/lshTopK on the same input —
+    // the three top-k entry points are interchangeable.
+    if (centroids.isEmpty)
+      return queries.limit(0).crossJoin(corpus.limit(0))
+        .select(col("query_id"), lit(0).cast("int").as("rank"),
+          col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"))
     // A corpus with fewer rows than nlist yields fewer seed lists; clamp
     // nprobe so probing still works (probing every existing list).
-    require(centroids.nonEmpty, "ivfTopK: empty corpus — nothing to index")
     val effectiveProbe = math.min(nprobe, centroids.size)
     val argmaxAssign = argmaxWith(centroids) _
     val assignedCorpus = corpus

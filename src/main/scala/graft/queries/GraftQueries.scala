@@ -47,6 +47,18 @@ object GraftQueries {
   private val revenue =
     "cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))"
 
+  /** events.ts is long NANOS (nanosAsLong) but DuckDB reads the same
+    * parquet at µs resolution, so every event-time comparison floors to
+    * µs first — ONE floor idiom for every query, floor-mod by
+    * construction: pmod is non-negative, so both helpers floor (not
+    * truncate toward zero) and agree with DuckDB's read for pre-1970
+    * timestamps too, where `ts div 1000` alone would round the other way.
+    */
+  private def tsFloorUsNanos(c: String): Column =
+    expr(s"$c - pmod($c, 1000)") // µs-floored, still ns units
+  private def tsMicros(c: String): Column =
+    expr(s"($c - pmod($c, 1000)) div 1000") // µs units; dividend is an exact multiple, so div is exact
+
   // ---------------------------------------------------------------- core
 
   private val q01 = Q("q01_pricing_summary",
@@ -360,7 +372,7 @@ object GraftQueries {
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
       t(s, dir, "events")
-        .withColumn("ts_us", col("ts") - pmod(col("ts"), lit(1000L)))
+        .withColumn("ts_us", tsFloorUsNanos("ts"))
         .withColumn("prev", lag(col("ts_us"), 1).over(w))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -508,7 +520,7 @@ object GraftQueries {
     */
   private val q26 = Q("q26_hourly_events",
     (s, dir) => t(s, dir, "events")
-      .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour").as("w"))
+      .groupBy(window(timestamp_micros(tsMicros("ts")), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"),
         expr(s"round(${dsum("value")} / count(*), 6)").as("avg_value"))
       .select(col("w.start").as("hour"), col("n_events"), col("avg_value"))
@@ -553,10 +565,10 @@ object GraftQueries {
       // (user, µs) tie — our asOfJoin picks the struct-max deterministically,
       // DuckDB ASOF picks arbitrarily.)
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts"))
+        .select(col("user_id"), col("event_id"), tsMicros("ts").as("ts"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
-          expr("ts div 1000").as("click_ts"))
+          tsMicros("ts").as("click_ts"))
       TemporalOps.asOfJoin(purchases, clicks, key = "user_id",
           leftTs = "ts", rightTs = "click_ts",
           rightPayload = Seq("click_id", "click_ts"))
@@ -585,7 +597,7 @@ object GraftQueries {
   private val q28 = Q("q28_session_stats",
     (s, dir) => t(s, dir, "events")
       .groupBy(col("user_id"),
-        session_window(timestamp_micros(expr("ts div 1000")), "30 minutes").as("sw"))
+        session_window(timestamp_micros(tsMicros("ts")), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         expr(s"round(${dsum("value")} / count(*), 6)").as("avg_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
@@ -760,7 +772,7 @@ object GraftQueries {
   private val q34 = Q("q34_range_join",
     (s, dir) => {
       val hourNs = 3600L * 1000000000L
-      val tsUs = col("ts") - pmod(col("ts"), lit(1000L))
+      val tsUs = tsFloorUsNanos("ts")
       val ev = t(s, dir, "events")
         .select(col("event_id"), tsUs.as("pts"), col("value"))
       val anchors = t(s, dir, "events")
@@ -948,6 +960,12 @@ object GraftQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  // Registered with maxShingleDf at its default (inactive): the cap is a
+  // 100 TB skew guard that DROPS ubiquitous shingles, so switching it on
+  // makes intersection counts — and the oracle comparison — inexact by
+  // design. At this corpus's vocabulary no shingle approaches a skewed
+  // document frequency, so the exact and capped results coincide anyway;
+  // a production deployment would set it to ~corpus_docs/100.
   private val d05 = Q("dedup_jaccard_exact",
     (s, dir) => DedupOps.jaccardPairs(t(s, dir, "documents"), threshold = 0.5)
       .orderBy("doc_a", "doc_b"),
@@ -1189,11 +1207,18 @@ object GraftQueries {
       ORDER BY grp"""))
 
   // IVF scale path: approximate (probe subset of inverted lists) — no SQL
-  // oracle; exactness at nprobe==nlist is asserted in OpsSpec.
+  // oracle; exactness at nprobe==nlist is asserted in OpsSpec. The
+  // quantizer trains on a deterministic 25% hash-sample with 5 Lloyd
+  // passes: passes scan only the training set (centroids need the
+  // density shape, not every row — the standard IVF practice and the
+  // registered 100 TB posture), quality plateaus well before the
+  // train-to-convergence default at this sample size, and the full
+  // corpus is still assigned exactly once.
   private val s05 = Q("sim_topk_ivf",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2)
+      SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
+          trainFraction = 0.25, trainIters = 5)
         .orderBy("query_id", "rank")
     },
     None)

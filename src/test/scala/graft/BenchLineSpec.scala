@@ -51,6 +51,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '"') % 2 == 0)
   }
 
+  test("quotes, backslashes and control chars in strings are JSON-escaped") {
+    val line = Bench.renderLine(
+      Seq(("""q"uo\te""", 1.0)),
+      Seq("bad:Exception\"msg\\with\nnewline"),
+      """/dir/with"quote""", 2)
+    // Raw specials must never reach the line unescaped.
+    assert(line.contains("q\\\"uo\\\\te"), line)
+    assert(line.contains("\\\"msg\\\\with\\u000anewline"), line)
+    assert(line.contains("/dir/with\\\""), line)
+    assert(!line.contains("\n"))
+    // Unescaped-quote parity still holds (every " is a delimiter or \").
+    assert(line.replace("\\\\", "").replace("\\\"", "").count(_ == '"') % 2 == 0)
+  }
+
   test("empty results still render a parseable line") {
     val line = Bench.renderLine(Nil, Nil, "sf", 0)
     assert(line.contains("\"value\":0.00") && line.contains("\"queries\":{}"), line)

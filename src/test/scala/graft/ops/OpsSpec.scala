@@ -178,6 +178,26 @@ class OpsSpec extends SparkSuite {
     assert(partial.groupBy(_.getLong(0)).values.forall(_.length <= 5))
   }
 
+  test("empty corpus: brute/LSH/IVF top-k all return an empty standard frame") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.filter(lit(false))
+      .select(col("vec_id"), col("embedding").as("cv"))
+    val results = Seq(
+      SimilarityOps.bruteForceTopK(q, c, k = 5),
+      SimilarityOps.lshTopK(q, c, k = 5),
+      SimilarityOps.ivfTopK(q, c, k = 5, nlist = 4, nprobe = 2))
+    // The three entry points are interchangeable: same shape, zero rows,
+    // no throw — an empty index is a data condition, not an error.
+    results.foreach { df =>
+      assert(df.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cosine"))
+      assert(df.count() == 0)
+    }
+    assert(results.map(_.schema.map(f => (f.name, f.dataType))).distinct.size == 1,
+      "empty-corpus schemas must agree across brute/LSH/IVF")
+  }
+
   test("ivfTopK: Lloyd training lifts recall; >= 0.9 within data's reach") {
     // These synthetic embeddings are near-uniform on the sphere, so
     // recall at nprobe/nlist is capped near the covered corpus fraction
