@@ -16,7 +16,8 @@ import org.apache.spark.sql.connector.read.streaming._
   * lives in the engine's checkpoint, not the connector.
   */
 class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
-    readSchema: org.apache.spark.sql.types.StructType)
+    readSchema: org.apache.spark.sql.types.StructType,
+    bounds: GraftMqScanBounds = GraftMqScanBounds())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with Logging {
 
@@ -69,10 +70,22 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
     * latest, Kafka-style per-partition specific offsets (-1 latest,
     * -2 earliest, unlisted = earliest), or first-offset-at-timestamp.
     * Only consulted when no checkpoint exists — restarts resume from the
-    * offset log.
+    * offset log. A pushed `timestamp >= X` bound additionally seeks each
+    * partition forward to first-offset-at-X (never backward: `max` with
+    * the configured mode) — rows before that index cannot satisfy the
+    * residual filter the engine still applies, so skipping them changes
+    * only how much discarded data batch 0 reads.
     */
-  private def startingPoint: GraftMqOffset =
-    GraftMqOffset(GraftMqStart.resolve(opts))
+  private def startingPoint: GraftMqOffset = {
+    val resolved = GraftMqStart.resolve(opts)
+    val seeked = bounds.minTimestampMicros match {
+      case None => resolved
+      case Some(ts) => resolved.map { case (p, o) =>
+        p -> math.max(o, GraftMqStart.offsetForTimestamp(opts, p, ts))
+      }
+    }
+    GraftMqOffset(seeked)
+  }
 
   override def initialOffset(): Offset = startingPoint
 

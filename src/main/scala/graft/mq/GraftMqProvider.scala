@@ -133,10 +133,16 @@ class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
     // a stream would silently read unbounded (ADVICE r03).
     require(opts.endingOffsets == "latest",
       "graft-mq: endingOffsets is not supported for streaming reads")
-    // Offset-range bounds are not applied to streaming progress (the
+    // Offset/partition bounds are not applied to streaming progress (the
     // offset log governs it); pushed filters remain residual and are
-    // applied by the engine per micro-batch.
-    new GraftMqMicroBatchStream(opts, checkpointLocation, readSchemaValue)
+    // applied by the engine per micro-batch. A pushed timestamp LOWER
+    // bound, though, legitimately tightens the FIRST-start resolution
+    // (Kafka's startingTimestamp equivalent): rows before
+    // first-offset-at-timestamp can never pass the residual filter, so
+    // batch 0 seeks past them instead of reading and discarding. Restarts
+    // are untouched — they resume from the checkpointed offset log.
+    new GraftMqMicroBatchStream(opts, checkpointLocation, readSchemaValue,
+      GraftMqScanBounds(minTimestampMicros = bounds.minTimestampMicros))
   }
 
   override def toBatch: Batch = new GraftMqBatch(opts, readSchemaValue, bounds, limit)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * record shape — is real and tested; the actual media decode is STUBBED
   * with a deterministic fake (this container has no image/audio codecs):
   * `decodeStub` derives "features" purely from the byte payload, so the
-  * pipeline is reproducible and oracle-checkable end to end. Swapping the
-  * stub for a JNI/codec call changes ONE function, not the plumbing.
+  * pipeline is reproducible and oracle-checkable end to end. A real codec
+  * plugs in through the [[MediaDecoder]] reflection seam — a classpath/
+  * property change at deploy time, zero code change here.
   *
   * Scale notes: records flow through `mapPartitions` in micro-batches of
   * `DecodeBatchSize` (the shape a vectorized decoder wants — amortizes
@@ -44,15 +45,64 @@ object MultimodalOps {
       lit("utf8-text").as("format"),
       length(encode(col("text"), "UTF-8")).as("n_bytes"))
 
-  /** The decode stage: batch-wise mapPartitions over typed records.
-    * ??? -> the real codec call; `decodeStub` stands in deterministically.
+  /** The codec seam: a real vectorized decoder implements this and is
+    * resolved REFLECTIVELY once per executor JVM — from the class named
+    * by [[MediaDecoder.DecoderClassProp]], else the well-known
+    * `graft.media.NativeMediaDecoder` — so a codec-capable environment
+    * upgrades by dropping a jar on the classpath (or setting the
+    * property), never by a code change here. When neither resolves, the
+    * deterministic [[decodeStub]] backs the pipeline (this container has
+    * no codecs); the stub path remains the oracle/CI truth.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedMedia]
+  }
+
+  object MediaDecoder {
+    /** System property naming a [[MediaDecoder]] implementation (no-arg
+      * constructor). EXPLICIT misconfiguration fails loudly — silent
+      * stub fallback is reserved for the absent well-known default.
+      */
+    val DecoderClassProp = "graft.media.decoder.class"
+    val WellKnownClass = "graft.media.NativeMediaDecoder"
+
+    private[ops] val stub: MediaDecoder = new MediaDecoder {
+      override def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedMedia] =
+        batch.map(decodeStub)
+    }
+
+    // Per-JVM cache keyed by the resolved class name: executor-side
+    // resolve() runs once per partition but reflection only once per name.
+    @volatile private var cached: Option[(String, MediaDecoder)] = None
+
+    def resolve(): MediaDecoder = {
+      val configured = Option(System.getProperty(DecoderClassProp))
+      val want = configured.getOrElse(WellKnownClass)
+      cached match {
+        case Some((name, d)) if name == want => d
+        case _ =>
+          val d =
+            try Class.forName(want).getDeclaredConstructor()
+              .newInstance().asInstanceOf[MediaDecoder]
+            catch {
+              case _: ClassNotFoundException if configured.isEmpty => stub
+            }
+          cached = Some((want, d))
+          d
+      }
+    }
+  }
+
+  /** The decode stage: batch-wise mapPartitions over typed records. The
+    * per-batch call goes through the [[MediaDecoder]] seam — resolved on
+    * the executor, so the driver never needs the codec classes.
     */
   def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      val decoder = MediaDecoder.resolve()
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        // A real implementation hands `batch` to a vectorized decoder here.
-        batch.iterator.map(decodeStub)
+        decoder.decodeBatch(batch).iterator
       }
     }
   }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descendi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.Bridge
 
 /** Top-k-per-key as a first-class operator: logical node + planner strategy
@@ -66,6 +67,14 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  // Observability for the bounded-memory contract: how often the partial
+  // stage hit its key cap and emitted early. A busy metric on a sized
+  // workload means extra shuffle rows, not wrongness — but it is the
+  // signal to raise PartialMaxKeys or pre-bucket the input.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "partialFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heaps flushed at key cap"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
@@ -74,6 +83,7 @@ case class TopKPerKeyExec(
     // The final stage must hold every key of its (hash-clustered) partition
     // to guarantee ≤ k rows per key; only the partial stage may flush.
     val maxKeys = if (partial) TopKPerKeyExec.PartialMaxKeys else Int.MaxValue
+    val flushMetric = longMetric("partialFlushes")
     child.execute().mapPartitions({ iter =>
       // Codegen'd projection/ordering are created per task (they are not
       // serializable); only expressions + attributes are captured.
@@ -112,6 +122,7 @@ case class TopKPerKeyExec(
                 if (heaps.size >= maxKeys) {
                   // Cap hit and a NEW key arrived: emit current heaps to the
                   // shuffle and start fresh rather than growing unboundedly.
+                  flushMetric.add(1)
                   out = drain()
                   flushed = true
                 }

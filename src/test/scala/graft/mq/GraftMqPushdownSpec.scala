@@ -198,6 +198,50 @@ class GraftMqPushdownSpec extends SparkSuite {
     assert(full == Seq(("h1", "v1"), ("h2", "v2")), full)
   }
 
+  test("pushed timestamp lower bound tightens streaming first-start offsets") {
+    freshTopic("push-ts-stream")
+    // Drive the DSv2 contract surface directly: Spark's streaming planner
+    // does not currently run filter pushdown (measured: a filtered stream
+    // reads all 15 rows and discards post-scan), but when the engine does
+    // push — this is the exact call sequence — batch 0 must seek.
+    val props = java.util.Map.of("topic", "push-ts-stream",
+      "numPartitions", "2", "includeMetadata", "true")
+    def streamWithPushed(fs: org.apache.spark.sql.sources.Filter*): GraftMqOffset = {
+      val builder = new GraftMqScanBuilder(GraftMqOptions.from(props))
+      val residual = builder.pushFilters(fs.toArray)
+      assert(residual.toSeq == fs.toSeq, "every filter must stay residual")
+      builder.build().toMicroBatchStream("unused")
+        .asInstanceOf[GraftMqMicroBatchStream]
+        .initialOffset().asInstanceOf[GraftMqOffset]
+    }
+    val ts8 = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusNanos((base + 8 * 1000000L) * 1000L))
+    // partition 0 seeks to first-offset-at-ts (8); partition 1 has no
+    // message >= the bound, so it starts at its end (5) — nothing to read.
+    assert(streamWithPushed(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("timestamp", ts8))
+      .ends == Map(0 -> 8L, 1 -> 5L))
+    // Offset/partition filters never move a stream's start: the offset
+    // log, not the scan, governs streaming progress.
+    assert(streamWithPushed(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("offset", 3L: java.lang.Long))
+      .ends == Map(0 -> 0L, 1 -> 0L))
+    // End-to-end residual safety net: with the engine applying the same
+    // filter post-scan, exactly the qualifying rows come out.
+    import org.apache.spark.sql.streaming.Trigger
+    val df = spark.readStream.format("graft-mq")
+      .option("topic", "push-ts-stream").option("numPartitions", "2")
+      .option("includeMetadata", "true").load()
+      .filter(col("timestamp") >= expr(s"timestamp_micros(${base + 8 * 1000000L}L)"))
+    val q = df.writeStream.format("memory").queryName("push_ts_stream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("push-ts-stream")).start()
+    q.awaitTermination(60000)
+    import spark.implicits._
+    assert(spark.table("push_ts_stream").select($"value".cast("string"))
+      .as[String].collect().toSet == Set("m8", "m9"))
+  }
+
   test("endingOffsets is rejected for streaming reads") {
     val props = java.util.Map.of("topic", "reject-end", "endingOffsets", """{"0":5}""")
     val scan = new GraftMqScanBuilder(GraftMqOptions.from(props)).build()

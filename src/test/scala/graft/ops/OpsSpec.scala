@@ -4,6 +4,16 @@ import graft.SparkSuite
 import graft.queries.GraftQueries
 import org.apache.spark.sql.functions._
 
+/** Stand-in "real codec" for the [[MultimodalOps.MediaDecoder]] seam spec:
+  * resolvable by reflection (top-level, no-arg constructor), and visibly
+  * different from the stub so the spec can tell which one decoded.
+  */
+class TaggingTestDecoder extends MultimodalOps.MediaDecoder {
+  override def decodeBatch(batch: Seq[MultimodalOps.MediaRecord])
+      : Seq[MultimodalOps.DecodedMedia] =
+    batch.map(r => MultimodalOps.decodeStub(r).copy(format = s"decoded:${r.format}"))
+}
+
 /** Unit tests for the LLM-pipeline operators (SURVEY.md §2.8) and a
   * smoke-run of every registered query at sf0.001. The value-exact
   * correctness gate is the driver's DuckDB oracle (tools/check_oracle.py
@@ -287,6 +297,31 @@ class OpsSpec extends SparkSuite {
     val again = MultimodalOps.decodeAll(spark, MultimodalOps.toMediaRecords(docs))
       .collect().minBy(_.doc_id)
     assert(again == d0)
+  }
+
+  test("codec seam: stub by default, reflective decoder when configured, loud misconfig") {
+    import MultimodalOps.MediaDecoder
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
+    val media = MultimodalOps.toMediaRecords(docs)
+    def formats(): Set[String] =
+      MultimodalOps.decodeAll(spark, media).collect().map(_.format).toSet
+    // 1. No property, no graft.media.NativeMediaDecoder on the classpath:
+    //    the deterministic stub is the decoder (the CI/oracle truth).
+    System.clearProperty(MediaDecoder.DecoderClassProp)
+    assert(formats() == Set("utf8-text"))
+    try {
+      // 2. A decoder class on the classpath + the property: decodeAll uses
+      //    it without any code change (local mode: executors see it too).
+      System.setProperty(MediaDecoder.DecoderClassProp,
+        classOf[TaggingTestDecoder].getName)
+      assert(formats() == Set("decoded:utf8-text"))
+      // 3. EXPLICIT misconfiguration fails loudly instead of silently
+      //    degrading to the stub.
+      System.setProperty(MediaDecoder.DecoderClassProp, "no.such.DecoderClass")
+      intercept[ClassNotFoundException] { MediaDecoder.resolve() }
+    } finally System.clearProperty(MediaDecoder.DecoderClassProp)
+    // Back to the stub once the property is gone.
+    assert(formats() == Set("utf8-text"))
   }
 
   test("cleanText: tags stripped, emails redacted, numbers masked, whitespace collapsed") {

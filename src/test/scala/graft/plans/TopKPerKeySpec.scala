@@ -96,6 +96,43 @@ class TopKPerKeySpec extends SparkSuite {
     } finally TopKPerKeyExec.PartialMaxKeys = saved
   }
 
+  test("q32's registered plan stays exact through the key-cap flush path") {
+    // Drive MORE distinct keys than PartialMaxKeys through the actual
+    // registered query (not a toy frame): with the cap forced below q32's
+    // ~200 custkeys the partial stage must flush mid-partition, the
+    // partialFlushes metric must record it, and the rows must still be
+    // value-identical to the uncapped plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps materialized stages in leaf QueryStageExec nodes; recurse
+    // through them or the executed operators are invisible to collect.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    def runQ32(): (Seq[org.apache.spark.sql.Row], Long) = {
+      val df = graft.SparkEntry.queries("q32_topk_plan")(spark, sf())
+      val rows = df.collect().toSeq
+      val flushes = allNodes(df.queryExecution.executedPlan).collect {
+        case t: TopKPerKeyExec if t.partial => t.metrics("partialFlushes").value
+      }.sum
+      (rows, flushes)
+    }
+    val saved = TopKPerKeyExec.PartialMaxKeys
+    val (want, flushesUncapped) = try {
+      TopKPerKeyExec.PartialMaxKeys = Int.MaxValue
+      runQ32()
+    } finally TopKPerKeyExec.PartialMaxKeys = saved
+    assert(flushesUncapped == 0L, "uncapped run must never flush")
+    val (got, flushesCapped) = try {
+      TopKPerKeyExec.PartialMaxKeys = 16
+      runQ32()
+    } finally TopKPerKeyExec.PartialMaxKeys = saved
+    assert(flushesCapped > 0L, "capped run must exercise the flush path")
+    assert(got == want, s"${got.size} vs ${want.size} rows")
+  }
+
   test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
