@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Output layout for pipeline results — at 100 TB the WRITE side decides
   * the read performance of every downstream consumer (a training job
@@ -47,5 +48,58 @@ object LayoutOps {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+  }
+
+  /** Token-budget shard assignment: documents ordered by `keyCol` are laid
+    * out as one contiguous token stream, and each doc's shard is its
+    * global token OFFSET divided by `budget` — exactly how a training
+    * pipeline maps a deterministic document order onto fixed-token-budget
+    * shards. Returns (key, weight, token_offset, shard_id), where
+    * `token_offset` = sum of weights of all earlier keys.
+    *
+    * Semantically this is `sum(weight) OVER (ORDER BY key ROWS UNBOUNDED
+    * PRECEDING)` — but a GLOBAL ordered window is a single-reducer plan,
+    * the one shape that cannot scale. Shipped instead as the classic
+    * distributed prefix sum: range-partition by key and sort within
+    * partitions (each partition = a contiguous key span), aggregate one
+    * tiny per-partition total (P rows to the driver — the scan stays
+    * distributed), scan-left those totals into per-partition start
+    * offsets, then a single stateless pass adds each partition's offset
+    * to its running sum. Output values are independent of P (offsets
+    * depend only on the global key order), which the spec asserts.
+    *
+    * @param keyCol    unique numeric orderBy key (castable to long)
+    * @param weightCol non-negative token count (null → 0)
+    */
+  def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"packByTokenBudget: budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the partition layout: both the totals pass and
+    // the offset pass must see identical partition ids.
+    val ranged = df
+      .select(col(keyCol).cast("long").as("k"),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("w"))
+      .repartitionByRange(parts, col("k"))
+      .sortWithinPartitions("k")
+      .localCheckpoint(true)
+    val totals = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("w")).as("t"))
+      .as[(Int, Long)].collect().toMap
+    val starts = (0 until parts).scanLeft(0L)((acc, pid) =>
+      acc + totals.getOrElse(pid, 0L))
+    val startsB = spark.sparkContext.broadcast(starts.toArray)
+    val b = budget
+    ranged.as[(Long, Long)].mapPartitions { it =>
+      var acc = startsB.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (k, w) =>
+        val off = acc
+        acc += w
+        (k, w, off, off / b)
+      }
+    }.toDF(keyCol, weightCol, "token_offset", "shard_id")
   }
 }

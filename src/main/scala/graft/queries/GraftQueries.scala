@@ -1406,6 +1406,31 @@ object GraftQueries {
         cast(sum(re) as bigint) AS total_regex_tokens
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** Deterministic token-budget sharding ([[LayoutOps.packByTokenBudget]]):
+    * documents in doc_id order form one token stream; each doc's shard is
+    * its global token offset div the budget — the layout step that maps a
+    * corpus onto fixed-size training shards. The oracle recomputes the
+    * offsets with the single-reducer global window the distributed
+    * prefix-sum replaces, so the two formulations cross-check.
+    */
+  private val x12 = Q("text_shard_pack",
+    (s, dir) => LayoutOps.packByTokenBudget(
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+        keyCol = "doc_id", weightCol = "n_tokens", budget = 10000L)
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM d)
+      SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        cast(off as bigint) AS token_offset,
+        cast(off // 10000 as bigint) AS shard_id
+      FROM c ORDER BY doc_id"""))
+
   /** Heavy hitters via the SpaceSaving TypedImperativeAggregate
     * ([[graft.functions.ApproxTopK]]). capacity ≫ vocabulary here, so the
     * sketch is exact (error 0) and the oracle is a plain top-k by count.
@@ -1736,7 +1761,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
     s01, s02, s03, s04, s05, s06, s07,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
     sm1, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and

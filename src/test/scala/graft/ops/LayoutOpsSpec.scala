@@ -27,6 +27,51 @@ class LayoutOpsSpec extends SparkSuite {
     assert(counts <= 50L, s"file exceeded maxRecordsPerFile: $counts rows")
   }
 
+  test("packByTokenBudget equals the global-window formulation, at any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    // The single-reducer semantic twin (fine at test scale only).
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .select(col("doc_id"), col("n_tokens").cast("long"),
+        coalesce(sum("n_tokens").over(w), lit(0L)).as("token_offset"))
+      .withColumn("shard_id", expr("token_offset div 500"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // Offsets depend only on the global key order — NOT on how the prefix
+    // sum was partitioned. 1 partition, a prime count, and more
+    // partitions than rows must all produce identical bytes.
+    for (parts <- Seq(1, 7, 64)) {
+      val got = LayoutOps.packByTokenBudget(docs, "doc_id", "n_tokens",
+          budget = 500L, numPartitions = parts)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"parts=$parts: ${got.take(3)} vs ${want.take(3)}")
+    }
+    // Shard boundaries: every shard id in [0, total/budget]; offsets
+    // strictly increase by each doc's weight.
+    val packed = LayoutOps.packByTokenBudget(docs, "doc_id", "n_tokens", 500L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    packed.sliding(2).foreach {
+      case Array((_, w1, o1, _), (_, _, o2, _)) => assert(o2 == o1 + w1)
+      case _ =>
+    }
+    assert(packed.forall { case (_, _, o, s) => s == o / 500L })
+  }
+
+  test("packByTokenBudget: null weights count zero; empty input stays empty") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("doc_id", "n_tokens")
+    val got = LayoutOps.packByTokenBudget(df, "doc_id", "n_tokens", budget = 12L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 0L, 0L), (2L, 0L, 10L, 0L), (3L, 5L, 10L, 0L)))
+    val empty = LayoutOps.packByTokenBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 10L)
+    assert(empty.count() == 0)
+  }
+
   test("writeRangeSharded: files cover disjoint sorted ranges; row values survive") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -86,6 +86,47 @@ class PipelineOpsSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
+  test("property: star-contraction CC equals reference union-find on random graphs") {
+    import graft.PropCheck
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // Reference implementation: classic union-find with path compression,
+    // min-id root canonicalization — a completely independent formulation.
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+    }
+    // Small dense-ish graphs hit every shape: self-loops, duplicate and
+    // reversed edges, isolated nodes, chains, merged stars.
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      m <- Gen.choose(0, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+    } yield (n.toLong, edges)
+    // 25 samples: each evaluation runs the full distributed CC loop.
+    PropCheck.check(Prop.forAll(gen) { case (n, edges) =>
+      val nodes = (1L to n).toDF("id")
+      val edgeDf = edges.toDF("src", "dst")
+      val got = GraphOps.connectedComponents(nodes, edgeDf)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(1L to n, edges)
+    }, minSuccessful = 25)
+  }
+
   test("hash sampling: deterministic, order-independent, roughly at rate") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("k")
