@@ -86,9 +86,17 @@ object LayoutOps {
       .repartitionByRange(parts, col("k"))
       .sortWithinPartitions("k")
       .localCheckpoint(true)
-    val totals = ranged.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("w")).as("t"))
-      .as[(Int, Long)].collect().toMap
+    // min(w) rides along the totals pass for free: a negative weight (bad
+    // tokenizer sentinel) would silently corrupt every later offset and
+    // diverge from the oracle's floor division — fail loudly instead.
+    val stats = ranged.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("w")).as("t"), min(col("w")).as("mn"))
+      .as[(Int, Long, Long)].collect()
+    stats.find(_._3 < 0).foreach { case (_, _, mn) =>
+      throw new IllegalArgumentException(
+        s"packByTokenBudget: negative weight $mn in '$weightCol' — token counts must be >= 0")
+    }
+    val totals = stats.map { case (pid, t, _) => pid -> t }.toMap
     val starts = (0 until parts).scanLeft(0L)((acc, pid) =>
       acc + totals.getOrElse(pid, 0L))
     val startsB = spark.sparkContext.broadcast(starts.toArray)

@@ -71,15 +71,20 @@ object MultimodalOps {
         batch.map(decodeStub)
     }
 
-    // Per-JVM cache keyed by the resolved class name: executor-side
-    // resolve() runs once per partition but reflection only once per name.
-    @volatile private var cached: Option[(String, MediaDecoder)] = None
+    // Per-JVM cache keyed by (explicitly-configured?, class name):
+    // executor-side resolve() runs once per partition but reflection only
+    // once per key. Keying on the name alone would let an unconfigured
+    // stub-fallback (cached under the well-known name) silently satisfy a
+    // LATER explicit property naming that same class — serving the stub
+    // where the contract promises a loud ClassNotFoundException.
+    @volatile private var cached: Option[((Boolean, String), MediaDecoder)] = None
 
     def resolve(): MediaDecoder = {
       val configured = Option(System.getProperty(DecoderClassProp))
       val want = configured.getOrElse(WellKnownClass)
+      val key = (configured.isDefined, want)
       cached match {
-        case Some((name, d)) if name == want => d
+        case Some((k, d)) if k == key => d
         case _ =>
           val d =
             try Class.forName(want).getDeclaredConstructor()
@@ -87,7 +92,7 @@ object MultimodalOps {
             catch {
               case _: ClassNotFoundException if configured.isEmpty => stub
             }
-          cached = Some((want, d))
+          cached = Some((key, d))
           d
       }
     }

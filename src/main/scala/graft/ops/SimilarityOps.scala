@@ -178,14 +178,16 @@ object SimilarityOps {
     val callerSession = corpus.sparkSession
     val trainSession = callerSession.newSession()
     trainSession.conf.set("spark.sql.adaptive.enabled", "false")
-    val trainMat = trainSession.createDataFrame(train1.rdd, train1.schema)
-      .localCheckpoint(true)
-    val tparts = math.max(1L, math.min(
-      callerSession.sparkContext.defaultParallelism.toLong,
-      trainMat.count() / 100000L + 1L)).toInt
-    trainSession.conf.set("spark.sql.shuffle.partitions", tparts.toString)
-    val train = trainMat.coalesce(tparts)
-    val centroids = {
+    // persist (not localCheckpoint): the training set is corpus-sized at
+    // trainFraction=1.0, so its blocks must be RELEASED when training
+    // ends (the Caching contract) — the finally below guarantees it.
+    val trainMat = trainSession.createDataFrame(train1.rdd, train1.schema).persist()
+    val centroids = try {
+      val tparts = math.max(1L, math.min(
+        callerSession.sparkContext.defaultParallelism.toLong,
+        trainMat.count() / 100000L + 1L)).toInt
+      trainSession.conf.set("spark.sql.shuffle.partitions", tparts.toString)
+      val train = trainMat.coalesce(tparts)
       var cents = meansOf(
         train.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
       // A degenerate sample (few rows, or ids covering few residues mod
@@ -208,7 +210,7 @@ object SimilarityOps {
         it += 1
       }
       cents
-    }
+    } finally trainMat.unpersist(blocking = false)
     // An empty corpus trains no quantizer: return the standard (empty)
     // result shape, matching bruteForceTopK/lshTopK on the same input —
     // the three top-k entry points are interchangeable.

@@ -70,6 +70,14 @@ class LayoutOpsSpec extends SparkSuite {
     val empty = LayoutOps.packByTokenBudget(
       Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 10L)
     assert(empty.count() == 0)
+    // A negative weight would silently corrupt every later offset (and
+    // truncating / floor division diverge below zero) — loud failure.
+    val err = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudget(
+        Seq((1L, 5L), (2L, -1L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 10L).count()
+    }
+    assert(err.getMessage.contains("negative weight"), err.getMessage)
   }
 
   test("writeRangeSharded: files cover disjoint sorted ranges; row values survive") {

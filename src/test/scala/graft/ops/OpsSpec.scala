@@ -310,6 +310,11 @@ class OpsSpec extends SparkSuite {
     System.clearProperty(MediaDecoder.DecoderClassProp)
     assert(formats() == Set("utf8-text"))
     try {
+      // 1b. EXPLICITLY naming the (absent) well-known class must throw even
+      //     though the unconfigured fallback just cached a stub under that
+      //     very name — the cache may not launder misconfiguration.
+      System.setProperty(MediaDecoder.DecoderClassProp, MediaDecoder.WellKnownClass)
+      intercept[ClassNotFoundException] { MediaDecoder.resolve() }
       // 2. A decoder class on the classpath + the property: decodeAll uses
       //    it without any code change (local mode: executors see it too).
       System.setProperty(MediaDecoder.DecoderClassProp,

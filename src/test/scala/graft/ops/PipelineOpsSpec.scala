@@ -53,7 +53,7 @@ class PipelineOpsSpec extends SparkSuite {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    val n = 256L
+    val n = 1024L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     val cc = Future(GraphOps.connectedComponents(nodes, edges)
@@ -62,8 +62,11 @@ class PipelineOpsSpec extends SparkSuite {
     // conf), queries on the caller's session must still PLAN their
     // shuffles at the caller's width (pre-AQE sparkPlan — AQE may later
     // coalesce small shuffles, which is unrelated to conf isolation).
+    // All three probes run UNCONDITIONALLY (never vacuous): the 1024-node
+    // chain keeps the loop busy for several seconds, so in practice they
+    // overlap it, and isolation must hold during AND after regardless.
     var observedDuring = 0
-    while (!cc.isCompleted && observedDuring < 3) {
+    while (observedDuring < 3) {
       assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
       val shuffled = spark.range(1000).groupBy((col("id") % 7).as("g")).count()
       // Exchanges are inserted by EnsureRequirements; under AQE the
