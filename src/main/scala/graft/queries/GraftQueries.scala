@@ -1064,6 +1064,45 @@ object GraftQueries {
       SELECT doc_id, lang, source, n_chars FROM c
       WHERE doc_id = canonical_id ORDER BY doc_id"""))
 
+  /** The composed curation KEEP-SET — what a training-data pipeline
+    * actually materializes: exact-dedup canonicalization (min doc_id per
+    * content fingerprint, as `dedup_survivors`) ∩ language filter ∩
+    * quality floor ([[TextOps.withQualityScore]], same formula as
+    * `text_quality_scores`). One pass: per-row quality signals are
+    * map-side, the only shuffle is the fingerprint window; at 100 TB the
+    * cheap per-row filters run BEFORE the window so shuffled volume is
+    * already quality-pruned.
+    */
+  private val d12 = Q("curate_keep_set",
+    (s, dir) => {
+      val scored = TextOps.withQualityScore(t(s, dir, "documents"))
+        .filter(col("lang") === "en" && col("quality_score") >= 0.5)
+      val w = Window.partitionBy(md5(col("text")))
+      scored
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+                 FROM documents),
+      x AS (SELECT doc_id, lang, text,
+          cast(len(tk) as double) AS n_tok,
+          cast(len(list_distinct(tk)) as double) AS n_uniq,
+          cast(len(list_filter(tk, t -> t IN ('the','a','of','and','is','to'))) as double) AS n_stop
+        FROM d),
+      q AS (SELECT doc_id, lang, text, n_tok,
+          round(least(n_tok / 100.0, 1.0) * 0.4 + (n_uniq / n_tok) * 0.4
+            + (1.0 - n_stop / n_tok) * 0.2, 6) AS quality_score
+        FROM x),
+      f AS (SELECT doc_id, n_tok, quality_score,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM q WHERE lang = 'en' AND quality_score >= 0.5)
+      SELECT doc_id, cast(n_tok as int) AS n_tokens, quality_score
+      FROM f WHERE doc_id = canonical_id ORDER BY doc_id"""))
+
   /** Edit-distance near-dup pairs over the FULL corpus, candidate-gated on
     * winnow fingerprints ([[DedupOps.editDistancePairs]]) — the
     * character-level complement to token-level Jaccard, with pair
@@ -1759,7 +1798,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
     s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
     sm1, m01, m02, m03, m04, mq1)
