@@ -80,6 +80,29 @@ class LayoutOpsSpec extends SparkSuite {
     assert(err.getMessage.contains("negative weight"), err.getMessage)
   }
 
+  test("property: packByTokenBudget equals a sequential scan for random weights") {
+    import graft.PropCheck
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      budget <- Gen.choose(1L, 100L)
+      parts <- Gen.choose(1, 9)
+    } yield (ws, budget, parts)
+    PropCheck.check(Prop.forAll(gen) { case (ws, budget, parts) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "n_tokens")
+      val got = LayoutOps.packByTokenBudget(df, "doc_id", "n_tokens", budget, parts)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val offs = ws.scanLeft(0L)(_ + _)
+      val want = ws.zipWithIndex.map { case (w, i) =>
+        (i.toLong, w, offs(i), offs(i) / budget)
+      }
+      got == want
+    }, minSuccessful = 15) // each evaluation launches Spark jobs
+  }
+
   test("writeRangeSharded: files cover disjoint sorted ranges; row values survive") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -54,6 +54,19 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("text_shard_pack plans no global window and no single-partition exchange") {
+    // The whole point of the two-phase prefix sum: the semantic twin is
+    // `sum() OVER (ORDER BY key)` — a Window over Exchange SinglePartition
+    // that serializes the corpus through one reducer. The shipped plan
+    // must contain neither (range repartition + per-partition passes
+    // only). The op checkpoints its ranged input, so check every executed
+    // plan, not just the outer one.
+    val p = allExecutedPlans("text_shard_pack").mkString("\n===\n")
+    assert(!p.contains("Window"), s"global window crept in:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-reducer exchange crept in:\n$p")
+    assert(p.contains("rangepartitioning"), s"expected a range repartition:\n$p")
+  }
+
   test("gated near-dup ops plan no pair-enumerating nested-loop joins") {
     // These three replaced all-pairs formulations (round-3 verdict): pair
     // generation must stay candidate-gated equi-joins. A conditionless
