@@ -237,6 +237,17 @@ class OpsSpec extends SparkSuite {
       s"recall@5=$trained2 at nprobe=2 below the trained-quantizer floor")
     val trained6 = recallAt(6, 10)
     assert(trained6 >= 0.9, s"recall@5=$trained6 at nprobe=6")
+    // The REGISTERED sim_topk_ivf configuration (25% training sample,
+    // 5 Lloyd passes): sampling the training set must not give back the
+    // quality that training bought — the whole premise of the 100 TB
+    // posture is that centroids only need the density shape.
+    val sampled2 = hits(SimilarityOps.ivfTopK(q, c, k = 5,
+      nlist = 8, nprobe = 2, trainIters = 5, trainFraction = 0.25))
+      .intersect(brute).size.toDouble / brute.size
+    assert(sampled2 > untrained2, s"sampled-training recall $sampled2 " +
+      s"must beat the untrained seed $untrained2")
+    assert(sampled2 >= 0.45,
+      s"recall@5=$sampled2 for the registered sampled config below floor")
   }
 
   test("approx_top_k: exact in the large-capacity regime, bounded when evicting") {
