@@ -84,8 +84,14 @@ object GraftFunctions {
       "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
 
   // ExpressionInfo's 3-arg ctor is (className, db, name) — passing usage
-  // there garbles DESCRIBE FUNCTION (ADVICE r01 low); use the 5-arg form.
+  // there garbles DESCRIBE FUNCTION (ADVICE r01 low) — and the 5-arg form
+  // is deprecated; the 11-arg form is the one non-deprecated ctor that
+  // carries usage. Empty group/since/deprecated are valid; source must be
+  // a recognized tag ("built-in" covers extension-registered functions).
   private def reg(name: String, cls: Class[_], usage: String,
       b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
-    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, null, name, usage, ""), b)
+    (FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
+      b)
 }
