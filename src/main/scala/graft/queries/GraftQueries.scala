@@ -405,12 +405,18 @@ object GraftQueries {
     val syy = "sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)))"
     val sxy = "sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2)))"
     val n = "count(*)"
+    // greatest(0, radicand): a zero-variance group's radicand can land an
+    // epsilon BELOW zero in double arithmetic (e.g. all values 0.01, n=5
+    // → -1.08e-19) — Spark sqrt would return NaN but DuckDB ABORTS on
+    // sqrt of a negative, crashing the whole oracle query. The clamp is
+    // the same double op in both engines, so the identical-arithmetic
+    // contract is preserved.
     val stddev =
-      s"round(sqrt((cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n) / ($n - 1)), 6)"
+      s"round(sqrt(greatest(0.0, (cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n) / ($n - 1))), 6)"
     val corr =
       s"""round((cast($sxy as double) - cast($sx as double) * cast($sy as double) / $n)
-         / (sqrt(cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n)
-            * sqrt(cast($syy as double) - cast($sy as double) * cast($sy as double) / $n)), 6)"""
+         / (sqrt(greatest(0.0, cast($sxx as double) - cast($sx as double) * cast($sx as double) / $n))
+            * sqrt(greatest(0.0, cast($syy as double) - cast($sy as double) * cast($sy as double) / $n))), 6)"""
     Q("q20_moment_stats",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -628,21 +634,11 @@ object GraftQueries {
     * the rewrites (left-semi + left-anti over the self-joined lineitem) —
     * the oracle runs the identical ANSI text.
     */
-  private val q29 = Q("q29_exists_waiting",
-    (s, dir) => sqlWithViews(s, dir, Seq("supplier", "lineitem", "orders"), """
-        SELECT s_name, count(*) AS numwait
-        FROM supplier, lineitem l1, orders
-        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-          AND l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_name ORDER BY numwait DESC, s_name"""),
-    Some("""
+  private val q29 = {
+    // ONE binding for both engines (like jaccardOracle/winnowCte): the
+    // "oracle runs the identical ANSI text" guarantee must be structural,
+    // not maintained by hand across two string literals.
+    val sql = """
       SELECT s_name, count(*) AS numwait
       FROM supplier, lineitem l1, orders
       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
@@ -654,7 +650,11 @@ object GraftQueries {
                         WHERE l3.l_orderkey = l1.l_orderkey
                           AND l3.l_suppkey <> l1.l_suppkey
                           AND l3.l_returnflag = 'R')
-      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""
+    Q("q29_exists_waiting",
+      (s, dir) => sqlWithViews(s, dir, Seq("supplier", "lineitem", "orders"), sql),
+      Some(sql))
+  }
 
   /** Correlated SCALAR subquery (TPC-H Q17-shaped: small-quantity orders
     * below 20% of the part's average quantity). The per-part average
@@ -662,21 +662,18 @@ object GraftQueries {
     * because l_quantity is integral (double sums of small ints are
     * order-independent).
     */
-  private val q30 = Q("q30_scalar_subquery",
-    (s, dir) => sqlWithViews(s, dir, Seq("lineitem", "part"), s"""
-        SELECT p_brand, count(*) AS n_small,
-          ${dsum("l_extendedprice")} AS small_revenue
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
-                            WHERE l2.l_partkey = p_partkey)
-        GROUP BY p_brand ORDER BY p_brand"""),
-    Some(s"""
+  private val q30 = {
+    val sql = s"""
       SELECT p_brand, count(*) AS n_small,
         ${dsum("l_extendedprice")} AS small_revenue
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                           WHERE l2.l_partkey = p_partkey)
-      GROUP BY p_brand ORDER BY p_brand"""))
+      GROUP BY p_brand ORDER BY p_brand"""
+    Q("q30_scalar_subquery",
+      (s, dir) => sqlWithViews(s, dir, Seq("lineitem", "part"), sql),
+      Some(sql))
+  }
 
   /** Window-function variety over one total-ordered per-customer window:
     * ntile bucketing, lead/lag offsets, first_value with the default
@@ -821,23 +818,22 @@ object GraftQueries {
   /** Explicit GROUPING SETS (the shape rollup/cube can't express: an
     * arbitrary subset of grouping combinations), via the SQL surface.
     */
-  private val q36 = Q("q36_grouping_sets",
-    (s, dir) => sqlWithViews(s, dir, Seq("lineitem"), s"""
-        SELECT l_returnflag, l_linestatus,
-          cast(grouping(l_returnflag) as int) AS g_rf,
-          cast(grouping(l_linestatus) as int) AS g_ls,
-          count(*) AS n, ${dsum("l_quantity")} AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
-    Some(s"""
+  private val q36 = {
+    // The two copies this replaces had already drifted textually
+    // ("ASC NULLS FIRST" vs "NULLS FIRST") — harmless this time, which is
+    // exactly why the sharing must be structural.
+    val sql = s"""
       SELECT l_returnflag, l_linestatus,
         cast(grouping(l_returnflag) as int) AS g_rf,
         cast(grouping(l_linestatus) as int) AS g_ls,
         count(*) AS n, ${dsum("l_quantity")} AS sum_qty
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+      ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+    Q("q36_grouping_sets",
+      (s, dir) => sqlWithViews(s, dir, Seq("lineitem"), sql),
+      Some(sql))
+  }
 
   /** Rank-family windows q31 doesn't cover: dense_rank, percent_rank,
     * cume_dist — all tie-stable (equal inputs get equal outputs), so the
@@ -1455,7 +1451,7 @@ object GraftQueries {
   private val x12 = Q("text_shard_pack",
     (s, dir) => LayoutOps.packByTokenBudget(
         t(s, dir, "documents")
-          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")),
         keyCol = "doc_id", weightCol = "n_tokens", budget = 10000L)
       .orderBy("doc_id"),
     Some("""
