@@ -69,18 +69,18 @@ object GraftFunctions {
 
   /** SQL registrations for [[graft.GraftExtensions]]. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
-    reg("cosine_sim", classOf[CosineSimilarity],
+    reg("cosine_sim", classOf[CosineSimilarity], arity = 2,
       "_FUNC_(a, b) - cosine similarity of two numeric arrays",
       es => CosineSimilarity(es.head, es(1))),
-    reg("dot_product", classOf[DotProduct],
+    reg("dot_product", classOf[DotProduct], arity = 2,
       "_FUNC_(a, b) - dot product of two numeric arrays",
       es => DotProduct(es.head, es(1))),
-    reg("l2_norm", classOf[L2Norm],
+    reg("l2_norm", classOf[L2Norm], arity = 1,
       "_FUNC_(a) - l2 norm of a numeric array", es => L2Norm(es.head)),
-    reg("simhash60", classOf[SimHash60],
+    reg("simhash60", classOf[SimHash60], arity = 1,
       "_FUNC_(tokens) - 60-bit md5-derived simhash of a token array",
       es => SimHash60(es.head)),
-    reg("fnv64", classOf[Fnv64],
+    reg("fnv64", classOf[Fnv64], arity = 1,
       "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
 
   // ExpressionInfo's 3-arg ctor is (className, db, name) — passing usage
@@ -88,10 +88,17 @@ object GraftFunctions {
   // is deprecated; the 11-arg form is the one non-deprecated ctor that
   // carries usage. Empty group/since/deprecated are valid; source must be
   // a recognized tag ("built-in" covers extension-registered functions).
-  private def reg(name: String, cls: Class[_], usage: String,
+  private def reg(name: String, cls: Class[_], arity: Int, usage: String,
       b: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
     (FunctionIdentifier(name),
       new ExpressionInfo(cls.getName, null, name, usage,
         "", "", "", "", "", "", "built-in"),
-      b)
+      // Arity-checked: without this, surplus SQL arguments were silently
+      // DROPPED (cosine_sim(a, b, c) ran as cosine_sim(a, b)) and missing
+      // ones threw a raw IndexOutOfBoundsException from es(1).
+      es => {
+        if (es.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${es.length}")
+        b(es)
+      })
 }

@@ -135,7 +135,10 @@ object HashUtil {
   }
 
   /** k-minima MinHash signature over a token set. Empty input → all
-    * Long.MaxValue (matches nothing).
+    * Long.MaxValue — which means every empty input shares ONE identical
+    * signature (and therefore every band key): callers doing banded
+    * candidate joins must filter empty token sets out first, or E empty
+    * docs generate O(E²) candidate pairs ([[graft.ops.DedupOps]] does).
     */
   def minhashSignature(tokens: Iterator[Array[Byte]], k: Int, seed: Long): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)

@@ -103,11 +103,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
+    // Null ELEMENTS are skipped, not read: the input type admits
+    // containsNull arrays, and ArrayData.getLong on a null slot silently
+    // yields 0 — which would count a phantom intersection against a real
+    // hash value of 0. A null is no value; it matches nothing.
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x < y) i += 1
-      else if (x > y) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * elements count as 0. Mismatched lengths or zero norms yield NULL
   * (defensive — upstream data should not produce them).
   */
-trait VectorArrayCodegen extends ExpectsInputTypes { self: Expression =>
+trait VectorArrayCodegen extends ImplicitCastInputTypes { self: Expression =>
   /** array<float> | array<double>; anything else (or a non-array) is an
     * AnalysisException at analysis time, with implicit casts for SQL
     * callers — not a codegen-time ClassCastException (ADVICE r01 low).

@@ -70,8 +70,15 @@ object DedupOps {
     val k = bands * rowsPerBand
     val base = shingleSets(docs, shingleN, idCol, textCol)
     Caching.withCached(base) {
-    val sigs = base.select(col("id"), col("sh"),
-      GraftFunctions.minhash_signature(col("sh"), k, seed).as("sig"))
+    // Shingle-less docs (< shingleN tokens) are excluded BEFORE banding:
+    // minhash of an empty set is the constant all-MaxValue signature, so
+    // E empty docs would share every band key and enumerate O(E²)
+    // candidate pairs — all doomed at verify (empty∩empty Jaccard is
+    // null), but a quadratic blowup at web scale where empty/boilerplate
+    // rows are common. The oracle's `WHERE len(tk) >= 3` matches.
+    val sigs = base.filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        GraftFunctions.minhash_signature(col("sh"), k, seed).as("sig"))
     // Band key: the r signature values of the band, stringified — an exact
     // match of all r minhashes. (Banding into a single long via slice+hash.)
     val banded = sigs.select(col("id"),

@@ -49,6 +49,17 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted_intersect_count skips null elements instead of reading them as 0") {
+    // ArrayData.getLong on a null slot yields 0 — unchecked, a null would
+    // count as a phantom match against a genuine hash value of 0.
+    def arr(xs: Any*) = Literal.create(
+      new GenericArrayData(xs.toArray), ArrayType(LongType, containsNull = true))
+    assert(SortedIntersectCount(arr(null), arr(0L)).eval(null) == 0)
+    assert(SortedIntersectCount(arr(null, 0L), arr(0L)).eval(null) == 1)
+    assert(SortedIntersectCount(arr(null), arr(null)).eval(null) == 0)
+    assert(SortedIntersectCount(arr(null, 1L, 2L), arr(null, 2L)).eval(null) == 1)
+  }
+
   test("word ngrams kernel == reference sliding join for arbitrary tokens") {
     check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
       (ts: List[String], n: Int, distinct: Boolean) =>

@@ -146,6 +146,19 @@ class OpsSpec extends SparkSuite {
       s"missed ${(want.keySet -- got.keySet).size}, extra ${(got.keySet -- want.keySet).size}")
   }
 
+  test("minhashLshPairs: shingle-less docs never reach the band join") {
+    import spark.implicits._
+    // Empty and <3-token docs all share the constant all-MaxValue minhash
+    // signature — unfiltered, E of them collide in EVERY band (O(E²)
+    // candidates). They must be excluded before banding; genuine dups
+    // still pair.
+    val docs = Seq((1L, ""), (2L, ""), (3L, "a b"),
+      (4L, "x y z w v u t s"), (5L, "x y z w v u t s")).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(docs, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)),
+      pairs.mkString(", "))
+  }
+
   test("lshTopK: candidates re-rank with exact cosines, descending per query") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
