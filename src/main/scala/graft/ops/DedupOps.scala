@@ -307,7 +307,11 @@ object DedupOps {
   def editDistancePairs(docs: DataFrame, maxDist: Int, shingleN: Int = 3,
       winnowW: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // < MaxValue: the threshold below is maxDist + 1, which would wrap to
+    // a negative levenshtein bound and silently return ZERO pairs for a
+    // caller spelling "unbounded" as Int.MaxValue.
+    require(maxDist >= 0 && maxDist < Int.MaxValue,
+      s"maxDist must be in [0, ${Int.MaxValue - 1}], got $maxDist")
     val fps = winnowFpRows(docs, shingleN, winnowW, idCol, textCol)
     val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("ta"))
     val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("tb"))
@@ -356,6 +360,10 @@ object DedupOps {
         struct(lit(b).as("band"), bucket.as("bucket"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // Same Caching contract as every sibling pair op: the sign-signature
+    // projection feeds BOTH sides of the self-join (and the caller's
+    // actions would otherwise re-run the whole lazy pipeline per action).
+    Caching.withCached(sig) {
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -367,6 +375,7 @@ object DedupOps {
       .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    }
   }
 
   /** All-pairs brute-force variant of [[embeddingNearDupPairs]] — recall

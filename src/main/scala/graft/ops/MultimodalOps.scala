@@ -142,9 +142,14 @@ object MultimodalOps {
     */
   def embedStub(decoded: DataFrame, dim: Int): DataFrame = {
     require(dim > 0)
+    // SamplingOps.md5Prefix60: the one shared cross-engine hash — same
+    // definition the DuckDB oracle mirrors, so the stub embedding cannot
+    // drift from it.
     decoded.select(col("doc_id"),
-      expr(s"""transform(sequence(0, ${dim - 1}), i ->
-        cast(cast(conv(substring(md5(concat(content_md5, ':', cast(i as string))), 1, 15), 16, 10) as bigint) % 1000000 / 1000000.0 as float))""")
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (SamplingOps.md5Prefix60(
+            concat(col("content_md5"), lit(":"), i.cast("string")))
+          % 1000000L / 1000000.0).cast("float"))
         .as("embedding"))
   }
 

@@ -35,15 +35,21 @@ object RangeOps {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"pointInIntervalJoin: column names collide across inputs: ${overlap.mkString(", ")}")
+    // Identifiers are backtick-escaped before SQL interpolation (and the
+    // quoted form is used for col() too, so dotted names resolve as plain
+    // names, not struct access) — the same hostile-column-name rule
+    // StatsOps follows.
+    def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+    val (p, s, e) = (quoted(pointCol), quoted(startCol), quoted(endCol))
     val ip = intervals
-      .filter(col(startCol) < col(endCol)) // empty/inverted intervals match nothing
+      .filter(col(s) < col(e)) // empty/inverted intervals match nothing
       .withColumn("_g_bucket", explode(sequence(
-        expr(s"`$startCol` div ${bucketWidth}L"),
-        expr(s"(`$endCol` - 1) div ${bucketWidth}L"))))
-    val pp = points.withColumn("_g_bucket", expr(s"`$pointCol` div ${bucketWidth}L"))
+        expr(s"$s div ${bucketWidth}L"),
+        expr(s"($e - 1) div ${bucketWidth}L"))))
+    val pp = points.withColumn("_g_bucket", expr(s"$p div ${bucketWidth}L"))
     pp.join(ip,
         pp("_g_bucket") === ip("_g_bucket") &&
-        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+        col(p) >= col(s) && col(p) < col(e))
       .drop("_g_bucket")
   }
 }

@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object SamplingOps {
 
-  /** 60-bit integer hash of (salt ‖ key) — md5's first 15 hex digits.
-    * Changing `salt` draws an independent sample.
+  /** The project's ONE cross-engine string hash: md5's first 15 hex
+    * digits as a 60-bit long. Shared by sampling, winnowing's HOF twin,
+    * and the multimodal embed stub — a single definition so the
+    * oracle-critical hash cannot drift between call sites (every DuckDB
+    * oracle reproduces exactly this expression).
+    */
+  def md5Prefix60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit integer hash of (salt ‖ key) — [[md5Prefix60]] of the salted
+    * key. Changing `salt` draws an independent sample.
     */
   def hashOf(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    md5Prefix60(concat(lit(salt), key.cast("string")))
 
   /** True for rows in a deterministic `keep`/`modulus` sample of `key`
     * (e.g. keep=1, modulus=10 ⇒ a reproducible ~10% sample).

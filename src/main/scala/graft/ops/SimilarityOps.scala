@@ -152,7 +152,15 @@ object SimilarityOps {
     //    data collect).
     def meansOf(assigned: DataFrame): Seq[(Int, Array[Double])] = assigned
       .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "v")))
-      .groupBy("list_id", "pos").agg(avg(col("v")).as("m"))
+      // Decimal sum, not avg(double): double partial-aggregate merge order
+      // varies with shuffle fetch order, so avg() is only deterministic up
+      // to the last ulp — enough to flip an argmax near-tie and change
+      // which list a vector lands in between runs. The decimal(38,12) sum
+      // is order-independent (the project-wide idiom), making the trained
+      // centroids — and therefore the probe results — replayable.
+      .groupBy("list_id", "pos").agg(
+        (sum(col("v").cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("m"))
       .collect()
       .groupBy(_.getAs[Number]("list_id").intValue())
       .map { case (id, rs) =>
@@ -258,6 +266,11 @@ object SimilarityOps {
     * per-row/per-group products and divisions stay double (both engines
     * IEEE-identical). Pair counts use integer DIV, exact to ~3e9 rows per
     * label.
+    *
+    * Shape contract: always exactly two rows (cross, within) — on a
+    * degenerate corpus (empty, or no two rows sharing a side) a group's
+    * n_pairs is 0 and its avg_cosine NULL, where the brute twin simply
+    * omits the group's row.
     */
   def labelPairMeans(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
@@ -285,10 +298,19 @@ object SimilarityOps {
       sum(col("qk")).as("sq"))
     val counts = emb.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nl"))
-    val wl = perLabel.join(counts, "label").select(
-      ((col("s2").cast("double") - col("sq").cast("double")) / 2).cast(dec).as("sc"),
+    // counts LEFT-joins perLabel (not inner): a label whose rows all have
+    // null/empty embeddings never posexplodes, so it is absent from the
+    // component sums — but its PAIRS still exist and count as within
+    // (contributing 0 cosine mass), exactly as the brute twin counts
+    // them. An inner join would misclassify those pairs as cross.
+    val wl = counts.join(perLabel, Seq("label"), "left").select(
+      coalesce(((col("s2").cast("double") - col("sq").cast("double")) / 2).cast(dec),
+        lit(0).cast(dec)).as("sc"),
       expr("nl * (nl - 1) DIV 2").as("np"))
-    val win = wl.agg(sum(col("sc")).as("swc"), sum(col("np")).as("npw"))
+    // coalesce: with NO non-null-labeled rows at all, sums over the empty
+    // frame are NULL and would poison cross's npt − npw into NULL.
+    val win = wl.agg(coalesce(sum(col("sc")), lit(0).cast(dec)).as("swc"),
+      coalesce(sum(col("np")), lit(0L)).as("npw"))
     val ga = g.groupBy("k").agg(sum(col("sk")).as("sk"), sum(col("qk")).as("qk"))
     val tot = ga.agg(
         sum((col("sk").cast("double") * col("sk").cast("double")).cast(dec)).as("s2"),

@@ -43,8 +43,12 @@ object TemporalOps {
     // Right rows with NULL timestamp can never satisfy right.ts <= left.ts
     // (SQL: NULL <= x is not true). Unfiltered they would sort FIRST
     // (ascending = NULLS FIRST) and be attached as "earlier than
-    // everything" — diverging from the DuckDB native ASOF oracle.
-    val r = right.filter(col(rightTs).isNotNull)
+    // everything" — diverging from the DuckDB native ASOF oracle. NULL
+    // KEYS likewise never match in a join (NULL = NULL is not true), but
+    // Window.partitionBy groups all nulls into ONE partition — so
+    // null-keyed right rows are dropped too, which leaves null-keyed left
+    // rows alone in their partition and correctly unmatched.
+    val r = right.filter(col(rightTs).isNotNull && col(key).isNotNull)
       .select(col(key), col(rightTs).as("_ats"),
         struct(rightPayload.map(col): _*).as("_pay"))
       .withColumn("_side", lit(0))

@@ -221,21 +221,26 @@ object TextOps {
   def winnowFingerprintsHof(docs: DataFrame, textCol: String = "text",
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"winnowFingerprintsHof: k=$k w=$w must be positive")
-    // POSITIONAL shingles (ngramsFromTokens, not the distinct-ed
-    // shingles()): winnowing's window slides over the token sequence, so
-    // repeated shingles must keep their positions.
-    val hashes = transform(ngramsFromTokensHof(tokens(col(textCol)), k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
-    // Let-binding via single-element transform: bind the hash array ONCE
-    // per row as the lambda variable `h`. Referencing it as a named
-    // column instead lets the optimizer inline the whole md5 pipeline
-    // into the per-window lambda — O(windows × shingles) interpreted
-    // hashing per document (measured 50× slower at sf0.1).
+    // TWO let-bindings via single-element transform, one per reused
+    // array: the token array (ngramsFromTokensHof's own documented
+    // bound-column requirement — inline split() would re-tokenize the
+    // text at every one of its k+2 references) and the hash array (an
+    // inlined md5 pipeline re-hashes per window reference — measured 50×
+    // slower at sf0.1). HOFs evaluate interpreted with no CSE, so the
+    // binding IS the optimization.
     docs.withColumn("winnow_fps", element_at(
-      transform(array(hashes), h =>
-        when(size(h) >= w,
-          array_distinct(transform(sequence(lit(1), size(h) - w + 1),
-            i => array_min(slice(h, i, lit(w))))))
-        .otherwise(array().cast("array<long>"))), 1))
+      transform(array(tokens(col(textCol))), tk => {
+        // POSITIONAL shingles (ngramsFromTokensHof, not the distinct-ed
+        // shingles()): winnowing's window slides over the token sequence,
+        // so repeated shingles must keep their positions.
+        val hashes = transform(ngramsFromTokensHof(tk, k),
+          s => SamplingOps.md5Prefix60(s))
+        element_at(
+          transform(array(hashes), h =>
+            when(size(h) >= w,
+              array_distinct(transform(sequence(lit(1), size(h) - w + 1),
+                i => array_min(slice(h, i, lit(w))))))
+            .otherwise(array().cast("array<long>"))), 1)
+      }), 1))
   }
 }

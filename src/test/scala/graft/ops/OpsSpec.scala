@@ -108,6 +108,26 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("labelPairMeans: a label whose rows are all NULL embeddings keeps its pairs WITHIN") {
+    import spark.implicits._
+    // Such a label never posexplodes into the component sums — with an
+    // inner join its pairs vanished from within and were misclassified as
+    // cross. Brute counts pair (1,2) as within (null cosine drops from
+    // the sum only).
+    val emb = Seq(
+      (1L, Option.empty[Seq[Float]], Some(1)),
+      (2L, Option.empty[Seq[Float]], Some(1)),
+      (3L, Some(Seq.fill(4)(0.5f)), Some(2)),
+      (4L, Some(Seq.fill(4)(0.5f)), Some(2))
+    ).toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fast = pairs(SimilarityOps.labelPairMeans(emb))
+    val brute = pairs(SimilarityOps.labelPairStatsBrute(emb))
+    assert(fast("within") == 2L && fast("cross") == 4L, fast.toString)
+    assert(brute("within") == fast("within") && brute("cross") == fast("cross"))
+  }
+
   test("editDistancePairs: every reported pair verifies at the unbanded distance") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -307,6 +327,23 @@ class OpsSpec extends SparkSuite {
       (1L, "p1", "r-b"),  // latest right at-or-before ts=10 is rts=9
       (1L, "p2", "r-a"),  // equal timestamps match (inclusive, rts=5)
       (2L, "p3", null)))  // no right row at-or-before ts=7; null-ts ignored
+  }
+
+  test("asOfJoin: NULL keys never match — join semantics, not window-partition semantics") {
+    import spark.implicits._
+    // Window.partitionBy groups all nulls into ONE partition, so without
+    // the null-key guard a null-keyed left row would grab a null-keyed
+    // right payload; an equality join (and DuckDB ASOF) attaches nothing.
+    val left = Seq((Option.empty[Long], 10L, "ln"), (Some(1L), 10L, "l1"))
+      .toDF("k", "ts", "pl")
+    val right = Seq((Option.empty[Long], Some(3L), "r-null-key"),
+        (Some(1L), Some(3L), "r1"))
+      .toDF("k", "rts", "payload")
+    val got = TemporalOps.asOfJoin(left, right, key = "k",
+        leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"))
+      .select("pl", "payload")
+      .collect().map(r => (r.getString(0), r.get(1))).toSet
+    assert(got == Set(("ln", null), ("l1", "r1")))
   }
 
   test("multimodal decode: batch plumbing is lossless and deterministic") {
