@@ -49,9 +49,15 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
     val avail =
       if (opts.isGenerated) {
         val head = generatedHead.getOrElse(start).ends
-        val next = start.ends.map { case (p, o) =>
+        // Iterate ALL configured partitions, not just the keys the engine
+        // restored: a checkpoint taken at a smaller numPartitions carries
+        // no entries for partitions added since, and mapping over
+        // start.ends alone would silently never plan them (the broker
+        // path covers them via endOffsets).
+        val next = (0 until opts.numPartitions).map { p =>
+          val o = start.ends.getOrElse(p, 0L)
           p -> (math.max(o, head.getOrElse(p, o)) + opts.rowsPerBatch)
-        }
+        }.toMap
         generatedHead = Some(GraftMqOffset(next))
         next
       } else {
@@ -291,8 +297,11 @@ object GraftMqStart {
     */
   def offsetForTimestamp(opts: GraftMqOptions, p: Int, ts: Long): Long =
     if (opts.isGenerated) {
-      val base = 1700000000000000L // GeneratedPayloads.messageAt: base + offset*1s
-      if (ts <= base) 0L else (ts - base + 999999L) / 1000000L
+      // Inverts GeneratedPayloads.messageAt's timestamp arithmetic — the
+      // shared constants keep the two sides from drifting.
+      val base = GeneratedPayloads.BaseTimestampMicros
+      val step = GeneratedPayloads.StepMicros
+      if (ts <= base) 0L else (ts - base + step - 1) / step
     } else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
       .offsetForTimestamp(p, ts)
 }
@@ -336,9 +345,18 @@ class GraftMqBatch(opts: GraftMqOptions,
       if (opts.isGenerated) Map.empty
       else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).earliestOffsets
     // Clamp start into [earliest, upper]: truncation moved earliest up,
-    // and a start beyond the end reads nothing rather than failing.
+    // and a start beyond the end reads nothing rather than failing. Under
+    // failOnDataLoss=true (the default) a requested start BELOW the
+    // earliest retained offset is data loss and must abort — silently
+    // clamping would skip the truncated rows, the exact behavior the
+    // option promises to surface (Kafka's batch relation also fails).
     val s = GraftMqStart.resolve(opts).map { case (p, o) =>
-      p -> math.min(math.max(o, earliest.getOrElse(p, 0L)), upper.getOrElse(p, 0L))
+      val lo = earliest.getOrElse(p, 0L)
+      if (o < lo && opts.failOnDataLoss)
+        throw new MqOffsetOutOfRangeException(
+          s"graft-mq: partition=$p requested start=$o but earliest retained=$lo " +
+            "(set failOnDataLoss=false to read from the log head instead)")
+      p -> math.min(math.max(o, lo), upper.getOrElse(p, 0L))
     }
     // Pushed-filter seeks ([[GraftMqScanBounds]]): partition pruning,
     // offset bounds, and timestamp lower bounds narrow [start, end) BEFORE

@@ -136,13 +136,28 @@ object GraftMqOptions {
       else endingRaw.toLowerCase(Locale.ROOT)
     require(ending.startsWith("{") || ending == "latest",
       s"graft-mq: unknown endingOffsets '$ending' (expected latest|{json})")
+    // Numeric sanity up front: numPartitions=0 divides by zero in the
+    // writer's round-robin and reads nothing; a non-positive rowsPerBatch
+    // would move the generated head BACKWARDS each trigger.
+    val numPartitions = get("numPartitions").map(_.toInt).getOrElse(4)
+    require(numPartitions > 0,
+      s"graft-mq: numPartitions must be positive, got $numPartitions")
+    val rowsPerBatch = get("rowsPerBatch").map(_.toLong).getOrElse(10L)
+    require(rowsPerBatch > 0,
+      s"graft-mq: rowsPerBatch must be positive, got $rowsPerBatch")
+    val maxRows = get("maxRowsPerBatch").map(_.toLong)
+    require(maxRows.forall(_ > 0),
+      s"graft-mq: maxRowsPerBatch must be positive, got ${maxRows.get}")
+    val minParts = get("minPartitions").map(_.toInt)
+    require(minParts.forall(_ > 0),
+      s"graft-mq: minPartitions must be positive, got ${minParts.get}")
     GraftMqOptions(
       topic = get("topic").getOrElse("default"),
       backend = backend,
-      numPartitions = get("numPartitions").map(_.toInt).getOrElse(4),
-      rowsPerBatch = get("rowsPerBatch").map(_.toLong).getOrElse(10L),
-      maxRowsPerBatch = get("maxRowsPerBatch").map(_.toLong),
-      minPartitions = get("minPartitions").map(_.toInt),
+      numPartitions = numPartitions,
+      rowsPerBatch = rowsPerBatch,
+      maxRowsPerBatch = maxRows,
+      minPartitions = minParts,
       seed = get("seed").map(_.toLong).getOrElse(42L),
       wordsPerMessage = get("wordsPerMessage").map(_.toInt).getOrElse(4),
       failOnDataLoss = get("failOnDataLoss").map(_.toBoolean).getOrElse(true),

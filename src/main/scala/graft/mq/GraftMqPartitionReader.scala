@@ -149,6 +149,14 @@ object GeneratedPayloads {
   val Vocab: IndexedSeq[String] = IndexedSeq(
     "spark", "stream", "batch", "query", "shuffle", "merge", "window", "offset")
 
+  /** Event-time scheme of the generated backend: every message at
+    * `offset` is stamped Base + offset·Step (micros). ONE definition —
+    * [[GraftMqStart.offsetForTimestamp]] inverts this arithmetic for
+    * timestamp seeks, so the two sides must share the constants.
+    */
+  val BaseTimestampMicros: Long = 1700000000000000L
+  val StepMicros: Long = 1000000L
+
   /** splitmix64 — public-domain mixing function (Steele et al., JDK 8
     * SplittableRandom); full-avalanche, so consecutive offsets give
     * uncorrelated draws.
@@ -168,7 +176,7 @@ object GeneratedPayloads {
     val payload = words.mkString(" ").getBytes("UTF-8")
     val key = s"$partition-$offset".getBytes("UTF-8")
     // Deterministic event time: fixed epoch + 1s per offset (micros).
-    val ts = 1700000000000000L + offset * 1000000L
+    val ts = BaseTimestampMicros + offset * StepMicros
     val headers: Array[(String, Array[Byte])] =
       Array("source" -> "generated".getBytes("UTF-8"))
     MqMessage(key, payload, ts, headers)

@@ -50,11 +50,17 @@ class GraftMqTable(opts: GraftMqOptions,
 
   override def schema(): StructType = opts.schema
 
+  // ACCEPT_ANY_SCHEMA (as Kafka's sink declares): the write schema is
+  // value [+ key, timestamp] — not the table's READ schema — so without
+  // it Spark's output resolution rejects any batch write carrying the
+  // documented optional columns ("too many data columns") before the
+  // writer runs. The writer itself validates what it receives.
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_READ,
     TableCapability.STREAMING_WRITE,
-    TableCapability.BATCH_WRITE).asJava
+    TableCapability.BATCH_WRITE,
+    TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Table-level properties are the base; per-scan read options refine
@@ -90,6 +96,7 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
     with SupportsPushDownLimit {
   private var pruned: StructType = opts.schema
   private var pushed: Array[Filter] = Array.empty
+  private var anyFilters: Boolean = false
   private var bounds: GraftMqScanBounds = GraftMqScanBounds()
   private var limit: Option[Int] = None
 
@@ -102,6 +109,7 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
     * re-verifies values — pruning can only skip data, never fabricate it.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    anyFilters = filters.nonEmpty
     pushed = filters.filter(GraftMqScanBounds.prunable)
     bounds = GraftMqScanBounds.from(pushed.toSeq)
     filters
@@ -111,10 +119,12 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
 
   /** LIMIT pushdown caps planned rows. Spark only offers a limit when no
     * post-scan filter remains; since this builder keeps every filter
-    * residual, that means no filters at all — guarded anyway.
+    * residual, that means no filters at all — guarded anyway, against ALL
+    * pushed filters (not just the prunable subset: capping rows under a
+    * residual non-prunable filter would return fewer matches than exist).
     */
   override def pushLimit(l: Int): Boolean =
-    if (pushed.isEmpty) { limit = Some(l); true } else false
+    if (!anyFilters) { limit = Some(l); true } else false
 
   override def build(): Scan = new GraftMqScan(opts, pruned, bounds, limit)
 }

@@ -62,19 +62,27 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
   private val valueIdx = schema.fieldIndex("value")
   private val valueIsString = schema(valueIdx).dataType == StringType
   private val keyIdx = if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1
+  private val keyIsString = keyIdx >= 0 && schema(keyIdx).dataType == StringType
   private val tsIdx =
     schema.fields.indexWhere(f => f.name == "timestamp" && f.dataType == TimestampType)
   private var written = 0L
 
   require(valueIsString || schema(valueIdx).dataType == BinaryType,
     s"graft-mq sink: 'value' must be string or binary, got ${schema(valueIdx).dataType}")
+  // Same contract for key as for value: getBinary on a string field only
+  // "works" by accident of UnsafeRow's layout and breaks on generic rows.
+  require(keyIdx < 0 || keyIsString || schema(keyIdx).dataType == BinaryType,
+    s"graft-mq sink: 'key' must be string or binary, got ${schema(keyIdx).dataType}")
 
   override def write(row: InternalRow): Unit = {
     val value =
       if (row.isNullAt(valueIdx)) null
       else if (valueIsString) row.getUTF8String(valueIdx).toString.getBytes("UTF-8")
       else row.getBinary(valueIdx)
-    val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
+    val key =
+      if (keyIdx < 0 || row.isNullAt(keyIdx)) null
+      else if (keyIsString) row.getUTF8String(keyIdx).toString.getBytes("UTF-8")
+      else row.getBinary(keyIdx)
     val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx)
              else opts.defaultTimestampMicros
     topic.append((partitionId % opts.numPartitions + opts.numPartitions) % opts.numPartitions,

@@ -94,8 +94,17 @@ object InMemoryMqBroker {
 
   private val topics = new ConcurrentHashMap[String, TopicState]()
 
-  def getOrCreate(topic: String, numPartitions: Int): TopicState =
-    topics.computeIfAbsent(topic, _ => new TopicState(numPartitions))
+  def getOrCreate(topic: String, numPartitions: Int): TopicState = {
+    val state = topics.computeIfAbsent(topic, _ => new TopicState(numPartitions))
+    // A mismatched partition count must fail HERE, not downstream: a
+    // writer seeing more partitions than the topic has would index past
+    // the log array, and a reader seeing fewer would silently never read
+    // the upper partitions.
+    require(state.numPartitions == numPartitions,
+      s"graft-mq: topic '$topic' has ${state.numPartitions} partitions; " +
+        s"requested $numPartitions")
+    state
+  }
 
   def get(topic: String): Option[TopicState] = Option(topics.get(topic))
 
