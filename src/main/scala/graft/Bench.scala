@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * rounded to 2 decimals and, if the line would still overflow, the fastest
   * queries are folded into a single "other" bucket (their time still counts
   * toward "value"). Queries whose first run looks like a load spike (above
-  * 2 s and 3x the run median) are re-timed once and the best of the two is
-  * reported, so a transiently loaded machine cannot fake a regression.
-  * Failures are never swallowed into a timing: they are listed in "errors".
+  * 2 s and 3x the run median) are re-timed AFTER the full sweep completes —
+  * a machine-load spike lasts seconds-to-minutes, so an immediate retry
+  * tends to sample the same spike (round 6 recorded 6.04 s twice for a
+  * query that runs in 0.74 s); deferring decorrelates the samples in time.
+  * The best of all samples is reported, so a transiently loaded machine
+  * cannot fake a regression. Failures are never swallowed into a timing:
+  * they are listed in "errors".
   */
 object Bench {
   private[graft] val LineBudget = 1800 // chars; leaves room for the sbt trailer in a 2000-char tail
@@ -37,6 +41,27 @@ object Bench {
       case '\\'          => "\\\\"
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
+    }
+
+  /** Names whose first sample looks like a load spike: above 2 s AND 3x
+    * the sweep median. Only successful samples are flagged (a failure is
+    * reported as a failure, never retried into a timing).
+    */
+  private[graft] def flagOutliers(samples: Seq[(String, Either[String, Double])]): Seq[String] = {
+    val okTimes = samples.collect { case (_, Right(t)) => t }.sorted
+    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
+    samples.collect { case (name, Right(t)) if t > 2.0 && t > 3.0 * median => name }
+  }
+
+  /** Fold deferred re-time samples into the first sweep: best (minimum) of
+    * all samples per query. A query whose retry FAILED keeps its first
+    * successful timing — the retry can only improve the figure.
+    */
+  private[graft] def mergeBest(first: Seq[(String, Either[String, Double])],
+      retimes: Map[String, Double]): Seq[(String, Either[String, Double])] =
+    first.map {
+      case (name, Right(t)) => (name, Right(retimes.get(name).fold(t)(math.min(t, _))))
+      case other => other
     }
 
   private[graft] def renderLine(timed: Seq[(String, Double)], errors: Seq[String],
@@ -101,18 +126,15 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val first = ordered.map { case (name, fn) => (name, fn, time(name, fn)) }
-    val okTimes = first.collect { case (_, _, Right(t)) => t }.sorted
-    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    // Best-of-2 for outliers only: a clean run pays nothing extra; a load
-    // spike on a handful of queries costs one retry each.
-    val results = first.map {
-      case (name, fn, Right(t)) if t > 2.0 && t > 3.0 * median =>
-        time(name, fn) match {
-          case Right(t2) => (name, Right(math.min(t, t2)))
-          case Left(_)   => (name, Right(t))
-        }
-      case (name, _, r) => (name, r)
-    }
+    // Deferred best-of-2 for outliers only: a clean run pays nothing
+    // extra; a load spike on a handful of queries costs one retry each,
+    // taken after the whole sweep so the retry doesn't share the spike
+    // that flagged the first sample.
+    val flagged = flagOutliers(first.map { case (n, _, r) => (n, r) }).toSet
+    val retimes = first.collect {
+      case (name, fn, _) if flagged(name) => name -> time(name, fn)
+    }.collect { case (name, Right(t)) => name -> t }.toMap
+    val results = mergeBest(first.map { case (n, _, r) => (n, r) }, retimes)
 
     val errors = results.collect { case (_, Left(e)) => e }
     val timed = results.collect { case (name, Right(t)) => (name, t) }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Distributed graph primitives needed by dedup pipelines. The one that
   * matters at 100 TB: near-dup PAIRS (from [[DedupOps]]) must become
@@ -15,11 +16,15 @@ import org.apache.spark.sql.functions._
   * pointer depth, so the round count is O(log n) in the component size —
   * independent of component DIAMETER, unlike min-label propagation whose
   * round count grows with the longest dup chain. Every round is two
-  * edge-sized groupBy+join passes, no driver-side data movement; the only
-  * driver actions are the per-round convergence probe (a limit-1 job over
-  * an edge-sized violation frame) and eager `localCheckpoint`s that
-  * truncate the growing lineage (without them, round k replays all k-1
-  * prior joins and planning time goes quadratic).
+  * edge-sized groupBy+join passes, no driver-side data movement, and ONE
+  * driver action: the eager `localCheckpoint` that truncates the growing
+  * lineage (without it, round k replays all k-1 prior joins and planning
+  * time goes quadratic). Convergence is observed from that same action —
+  * the star-forest test is a per-center aggregate over the symmetrized
+  * edge set, which large-star's own groupBy already computes, so two extra
+  * aggregate columns and an `observe()` metric replace what used to be a
+  * separate per-round probe job (round 6's latency hotspot: ~3
+  * driver-coordinated jobs per round for a few thousand edges).
   *
   * The whole loop runs on its own `SparkSession.newSession()` (shared
   * SparkContext, private SQLConf) with `spark.sql.shuffle.partitions`
@@ -75,8 +80,11 @@ object GraphOps {
     // the pair graph is tiny relative to the corpus, and every round pays
     // per-task scheduling on every shuffle partition. ~1M edges per
     // partition keeps partitions comfortably in memory at any scale.
-    // (`coalesce` on the checkpointed frame moves no data.)
-    val eMat = loopSession.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
+    // (`coalesce` on the checkpointed frame moves no data.) The handoff
+    // reuses the executed plan's InternalRow RDD (Bridge) — no per-edge
+    // InternalRow→Row→InternalRow serde on entry or exit of the loop.
+    val eMat = Bridge.ofInternalRows(loopSession, e0.schema, Bridge.internalRows(e0))
+      .localCheckpoint(true)
     val nEdges = eMat.count()
     val parts = math.max(1L, math.min(
       callerSession.sparkContext.defaultParallelism.toLong,
@@ -86,9 +94,17 @@ object GraphOps {
     var it = 0
     var converged = nEdges == 0L
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      converged = isStarForest(e)
+      val obs = Observation()
+      e = smallStar(largeStarObserved(e, obs)).localCheckpoint(true)
       it += 1
+      // The metric describes this round's INPUT; 0 violations means the
+      // round was an identity pass over an already-converged forest (both
+      // star steps are no-ops on a star forest), i.e. the PREVIOUS round
+      // reached the fixpoint. Detecting it here costs one idempotent
+      // confirming round but zero extra jobs — `get` blocks only until the
+      // checkpoint action above delivers the metric.
+      converged = Option(obs.get("violations"))
+        .forall(_.asInstanceOf[Number].longValue == 0L)
     }
     require(converged, s"connectedComponents: not converged after $maxIter iterations")
     // At the fixpoint `e` is a star forest: every non-root node points
@@ -96,11 +112,15 @@ object GraphOps {
     // the (materialized) labels back to the caller's session; singletons
     // re-attach with one left join — iteration cost scaled with
     // duplication volume, only this final join is corpus-sized.
-    val labels = callerSession.createDataFrame(e.rdd, e.schema)
+    val labels = Bridge.ofInternalRows(callerSession, e.schema, Bridge.internalRows(e))
     val out = nodes.select(col(idCol).cast("long").as("id"))
       .join(labels.select(col("a").as("id"), col("b").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component_id"))
-    (out, it)
+    // `it` counts executed rounds including the final confirming pass, so
+    // contraction rounds NEEDED — the quantity the O(log n) bound speaks
+    // about, and what this returned before the probe was fused — is it-1
+    // (0 when the input was already a star forest).
+    (out, math.max(it - 1, 0))
   }
 
   /** Large-star: every node u connects its LARGER neighbors to
@@ -108,11 +128,29 @@ object GraphOps {
     * big→small orientation (emitted (v, m) has v > u ≥ m). May emit
     * duplicate edges (same (v, m) from different centers) — [[smallStar]]'s
     * groupBy and final distinct absorb them, saving a shuffle here.
+    *
+    * The star-forest fixpoint test on the INPUT rides along the per-center
+    * groupBy this step already runs. On the big→small edge set, `e` is a
+    * star forest iff no center of `sym` (a) has BOTH a smaller and a larger
+    * neighbor — an edge source that is also a target — or (b) has ≥ 2
+    * smaller neighbors — a multi-target source. (Forward: a root's
+    * neighbors are all larger, a child's single neighbor is its root.
+    * Reverse: for any edge (a,b), a>b, center a has a smaller neighbor, so
+    * no-mix ⇒ a is never a target, and ≤1-smaller ⇒ a has one target —
+    * exactly the star-forest conditions.) `sym` is duplicate-free (e is
+    * distinct and strictly oriented), so the counts are neighbor counts.
+    * The violation total lands in `obs` when the round's checkpoint action
+    * runs — no separate probe job.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStarObserved(e: DataFrame, obs: Observation): DataFrame = {
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    val mins = sym.groupBy("a").agg(min("b").as("m"))
-    sym.join(mins, "a")
+    val stats = sym.groupBy("a").agg(
+        min("b").as("m"), max("b").as("mx"),
+        sum(when(col("b") < col("a"), 1L).otherwise(0L)).as("n_smaller"))
+      .observe(obs, sum(when(
+          (col("m") < col("a") && col("mx") > col("a")) || col("n_smaller") >= 2L,
+          1L).otherwise(0L)).as("violations"))
+    sym.join(stats.select("a", "m"), "a")
       .where(col("b") > col("a"))
       .select(col("b").as("a"), least(col("m"), col("a")).as("b"))
   }
@@ -127,22 +165,5 @@ object GraphOps {
       .where(col("b") =!= col("m"))
       .select(col("b").as("a"), col("m").as("b"))
     nbrs.unionByName(mins.select(col("a"), col("m").as("b"))).distinct()
-  }
-
-  /** EXACT fixpoint test: the big→small edge set is converged iff it is a
-    * star forest — every source points at exactly one target and no
-    * target is itself a source. Both star steps preserve the graph's
-    * component structure, so at that point each star IS one original
-    * component and its root (smaller than every child by orientation) is
-    * the component min. Unlike a checksum this cannot fake convergence,
-    * and it needs no old⋈new comparison — one limit-1 job over an
-    * edge-sized violation frame.
-    */
-  private def isStarForest(e: DataFrame): Boolean = {
-    val srcStats = e.groupBy("a").agg(min("b").as("mn"), max("b").as("mx"))
-    val multiTarget = srcStats.where(col("mn") =!= col("mx")).select(col("a"))
-    val targetIsSource = e.join(srcStats.select(col("a").as("t")),
-        e("b") === col("t"), "left_semi").select(col("a"))
-    multiTarget.unionByName(targetIsSource).isEmpty
   }
 }

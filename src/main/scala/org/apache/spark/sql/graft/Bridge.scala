@@ -46,6 +46,22 @@ object Bridge {
       exp.extraOptimizations = rule +: exp.extraOptimizations
   }
 
+  /** The executed plan's `RDD[InternalRow]` — the columnar-adjacent internal
+    * representation, without the per-row InternalRow→Row→InternalRow serde
+    * that `df.rdd` pays. Pair with [[ofInternalRows]] to hand a frame to a
+    * sibling session (same SparkContext) at zero conversion cost.
+    */
+  def internalRows(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an internal-row RDD as a DataFrame on `spark` —
+    * `internalCreateDataFrame` is `private[sql]`; this is how Spark's own
+    * sources re-enter the Dataset API without an external-row round-trip.
+    */
+  def ofInternalRows(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Drain the async listener bus so tests can observe
     * `QueryExecutionListener` events synchronously — `sparkContext
     * .listenerBus` is `private[spark]`. Needed to assert on the INNER

@@ -70,6 +70,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"value\":0.00") && line.contains("\"queries\":{}"), line)
   }
 
+  test("outlier flagging: above 2s AND 3x median; failures never flagged") {
+    val samples = Seq[(String, Either[String, Double])](
+      ("q_fast", Right(0.4)), ("q_mid", Right(0.6)), ("q_slow", Right(6.0)),
+      ("q_big_but_typical", Right(1.9)), // > 3x median but under the 2s floor
+      ("q_fail", Left("q_fail:SparkException")))
+    assert(Bench.flagOutliers(samples) == Seq("q_slow"))
+    // A run whose median is itself large flags nothing at 3x.
+    val loaded = Seq[(String, Either[String, Double])](
+      ("a", Right(4.0)), ("b", Right(5.0)), ("c", Right(6.0)))
+    assert(Bench.flagOutliers(loaded).isEmpty)
+    assert(Bench.flagOutliers(Nil).isEmpty)
+  }
+
+  test("deferred re-times merge as best-of-all-samples; failures and unflagged untouched") {
+    val first = Seq[(String, Either[String, Double])](
+      ("q_spiked", Right(6.0)), ("q_ok", Right(0.5)),
+      ("q_fail", Left("q_fail:SparkException")))
+    val merged = Bench.mergeBest(first,
+      Map("q_spiked" -> 0.7, "q_fail" -> 9.9, "q_absent" -> 1.0))
+    assert(merged.toMap == Map(
+      "q_spiked" -> Right(0.7), "q_ok" -> Right(0.5),
+      "q_fail" -> Left("q_fail:SparkException")))
+    // A retry slower than the first sample never worsens the figure.
+    assert(Bench.mergeBest(Seq(("q", Right(1.0))), Map("q" -> 3.0)) ==
+      Seq(("q", Right(1.0))))
+  }
+
   test("mass-failure rounds truncate errors to fit the budget, keeping a count") {
     val errs = (1 to 80).map(i => f"failing_query_number_$i%03d:SparkException")
     val line = Bench.renderLine(queries(5), errs, "sf", 85)
