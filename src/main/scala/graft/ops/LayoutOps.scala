@@ -68,7 +68,10 @@ object LayoutOps {
     * to its running sum. Output values are independent of P (offsets
     * depend only on the global key order), which the spec asserts.
     *
-    * @param keyCol    unique numeric orderBy key (castable to long)
+    * @param keyCol    unique numeric orderBy key (castable to long);
+    *                  uniqueness is ENFORCED (duplicates throw) because a
+    *                  duplicate would make tie order — and every later
+    *                  offset — nondeterministic
     * @param weightCol non-negative token count (null → 0)
     */
   def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
@@ -86,17 +89,28 @@ object LayoutOps {
       .repartitionByRange(parts, col("k"))
       .sortWithinPartitions("k")
       .localCheckpoint(true)
-    // min(w) rides along the totals pass for free: a negative weight (bad
-    // tokenizer sentinel) would silently corrupt every later offset and
-    // diverge from the oracle's floor division — fail loudly instead.
+    // min(w) and the key-uniqueness check ride along the totals pass for
+    // free: a negative weight (bad tokenizer sentinel) would silently
+    // corrupt every later offset, and a DUPLICATE key makes the
+    // within-partition sort order among its rows arbitrary — offsets for
+    // the tied rows would be run-to-run nondeterministic and silently
+    // diverge from the single-reducer oracle. Both are contract
+    // violations; both fail loudly. (Range partitioning co-locates equal
+    // keys, so per-partition distinctness is global distinctness.)
     val stats = ranged.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("w")).as("t"), min(col("w")).as("mn"))
-      .as[(Int, Long, Long)].collect()
-    stats.find(_._3 < 0).foreach { case (_, _, mn) =>
+      .agg(sum(col("w")).as("t"), min(col("w")).as("mn"),
+        count(lit(1)).as("n"), countDistinct(col("k")).as("nd"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    stats.find(_._3 < 0).foreach { case (_, _, mn, _, _) =>
       throw new IllegalArgumentException(
         s"packByTokenBudget: negative weight $mn in '$weightCol' — token counts must be >= 0")
     }
-    val totals = stats.map { case (pid, t, _) => pid -> t }.toMap
+    stats.find(s => s._4 != s._5).foreach { case (_, _, _, n, nd) =>
+      throw new IllegalArgumentException(
+        s"packByTokenBudget: '$keyCol' must be unique — found ${n - nd} duplicate key row(s); " +
+          "duplicate keys make tie order, and therefore offsets, nondeterministic")
+    }
+    val totals = stats.map { case (pid, t, _, _, _) => pid -> t }.toMap
     val starts = (0 until parts).scanLeft(0L)((acc, pid) =>
       acc + totals.getOrElse(pid, 0L))
     val startsB = spark.sparkContext.broadcast(starts.toArray)

@@ -75,9 +75,28 @@ object MultimodalOps {
     // executor-side resolve() runs once per partition but reflection only
     // once per key. Keying on the name alone would let an unconfigured
     // stub-fallback (cached under the well-known name) silently satisfy a
-    // LATER explicit property naming that same class — serving the stub
+    // LATER explicit property naming that same name — serving the stub
     // where the contract promises a loud ClassNotFoundException.
     @volatile private var cached: Option[((Boolean, String), MediaDecoder)] = None
+
+    /** Load through the thread CONTEXT classloader first (Spark's
+      * `Utils.classForName` pattern): decoder jars shipped via `--jars`/
+      * `spark.jars` land in the executor's MutableURLClassLoader, which is
+      * the task thread's context loader but NOT an ancestor of the loader
+      * that defined this class — defining-loader-only resolution would
+      * silently stub out exactly that documented deploy path. Falls back
+      * to the defining loader (null context CL, or flat-classpath runs
+      * where only it sees the class).
+      */
+    private def loadClass(name: String): Class[_] = {
+      val defining = getClass.getClassLoader
+      Option(Thread.currentThread().getContextClassLoader) match {
+        case Some(ctx) =>
+          try Class.forName(name, true, ctx)
+          catch { case _: ClassNotFoundException => Class.forName(name, true, defining) }
+        case None => Class.forName(name, true, defining)
+      }
+    }
 
     def resolve(): MediaDecoder = {
       val configured = Option(System.getProperty(DecoderClassProp))
@@ -87,7 +106,7 @@ object MultimodalOps {
         case Some((k, d)) if k == key => d
         case _ =>
           val d =
-            try Class.forName(want).getDeclaredConstructor()
+            try loadClass(want).getDeclaredConstructor()
               .newInstance().asInstanceOf[MediaDecoder]
             catch {
               case _: ClassNotFoundException if configured.isEmpty => stub

@@ -188,8 +188,12 @@ object SimilarityOps {
     trainSession.conf.set("spark.sql.adaptive.enabled", "false")
     // persist (not localCheckpoint): the training set is corpus-sized at
     // trainFraction=1.0, so its blocks must be RELEASED when training
-    // ends (the Caching contract) — the finally below guarantees it.
-    val trainMat = trainSession.createDataFrame(train1.rdd, train1.schema).persist()
+    // ends (the Caching contract) — the finally below guarantees it. The
+    // session handoff moves the InternalRow RDD (Bridge), skipping the
+    // per-vector InternalRow→Row→InternalRow serde of `.rdd`.
+    val trainMat = org.apache.spark.sql.graft.Bridge.ofInternalRows(
+      trainSession, train1.schema,
+      org.apache.spark.sql.graft.Bridge.internalRows(train1)).persist()
     val centroids = try {
       val tparts = math.max(1L, math.min(
         callerSession.sparkContext.defaultParallelism.toLong,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentRow, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, EqualTo, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentRow, DenseRank, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, EqualTo, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.Bridge
@@ -18,7 +18,14 @@ import org.apache.spark.sql.graft.Bridge
   * partition too, but still sorts and windows the survivors; the rewrite
   * removes the sort entirely (bounded heaps, see TopKPerKeyExec).
   *
-  * Deliberately narrow: single row_number window expression with the
+  * The `rank()`/`dense_rank() <= k` idioms — which users write as often as
+  * row_number when boundary ties should survive — rewrite the same way,
+  * into the operator's keep-ties modes ([[RankMode]]/[[DenseRankMode]]).
+  * Rank semantics depend only on rows INSIDE each group under the same
+  * order, so per-group early pruning remains sound; only the per-key
+  * keep-set rule changes.
+  *
+  * Deliberately narrow: single rank-family window expression with the
   * default ROWS UNBOUNDED PRECEDING..CURRENT ROW frame, non-empty
   * PARTITION BY and ORDER BY, a bare `rn <= k`-shaped filter, and a
   * projection that drops rn. Anything else is left to stock Catalyst.
@@ -28,6 +35,16 @@ import org.apache.spark.sql.graft.Bridge
   * plans for sessions that didn't ask.
   */
 object RewriteRowNumberTopK extends Rule[LogicalPlan] {
+
+  /** The keep-set mode a rank-family window function maps to; None for
+    * anything the operator doesn't model.
+    */
+  private def modeOf(fn: Expression): Option[TopKMode] = fn match {
+    case RowNumber()   => Some(RowNumberMode)
+    case _: DenseRank  => Some(DenseRankMode)
+    case _: Rank       => Some(RankMode)
+    case _             => None
+  }
 
   /** cond ≡ "row_number ≤ k" → Some(k). */
   private def limitOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
@@ -41,9 +58,9 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Project(projList, Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+        Window(Seq(alias @ Alias(WindowExpression(fn, spec), _)),
                part, order, wchild, _)))
-        if part.nonEmpty && order.nonEmpty &&
+        if part.nonEmpty && order.nonEmpty && modeOf(fn).isDefined &&
           spec.frameSpecification ==
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) &&
           limitOf(cond, alias.exprId).exists(_ > 0) &&
@@ -56,7 +73,8 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
         case c => c
       }
       Project(projList,
-        TopKPerKeyNode(part, order, limitOf(cond, alias.exprId).get, inner))
+        TopKPerKeyNode(part, order, limitOf(cond, alias.exprId).get, inner,
+          modeOf(fn).get))
   }
 }
 

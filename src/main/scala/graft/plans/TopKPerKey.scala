@@ -38,11 +38,24 @@ import org.apache.spark.sql.graft.Bridge
   * the LLM-pipeline extension surface (top-k per group is the shape of
   * "best k docs per dedup cluster / per source / per query vector").
   */
+/** Which rank-family semantics bound the per-key keep-set. `RowNumberMode`
+  * keeps exactly k rows (make the order total for determinism); the rank
+  * modes keep TIES, so their keep-set is deterministic even on a non-total
+  * order — `RankMode` keeps every row with `rank() <= k` (all boundary
+  * ties survive, so the count can exceed k), `DenseRankMode` keeps the
+  * rows of the k best DISTINCT order-key values.
+  */
+sealed trait TopKMode extends Serializable
+case object RowNumberMode extends TopKMode
+case object RankMode extends TopKMode
+case object DenseRankMode extends TopKMode
+
 case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
@@ -58,7 +71,8 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    mode: TopKMode = RowNumberMode) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -79,9 +93,10 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val keepMode = mode
     val childOutput = child.output
     // The final stage must hold every key of its (hash-clustered) partition
-    // to guarantee ≤ k rows per key; only the partial stage may flush.
+    // to guarantee the per-key contract; only the partial stage may flush.
     val maxKeys = if (partial) TopKPerKeyExec.PartialMaxKeys else Int.MaxValue
     val flushMetric = longMetric("partialFlushes")
     child.execute().mapPartitions({ iter =>
@@ -89,52 +104,124 @@ case class TopKPerKeyExec(
       // serializable); only expressions + attributes are captured.
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
-      // Max-heap w.r.t. the sort order: head = worst kept row, so a new
-      // row either beats the head (replace) or is discarded in O(log k).
+
+      /** Per-key keep-set. `insert` sees a possibly-reused row buffer and
+        * must copy anything it keeps; `drain` yields best-first and is
+        * called at most once.
+        */
+      sealed trait KeyState {
+        def insert(row: InternalRow): Unit
+        def drain(): Iterator[InternalRow]
+      }
+
+      // RowNumberMode: max-heap w.r.t. the sort order (head = worst kept
+      // row), so a new row either beats the head (replace) or is discarded
+      // in O(log k). Exactly k rows; memory is k rows per key.
       val cmp = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-
-      // Snapshot + clear the map, yielding each heap best-first.
-      def drain(): Iterator[InternalRow] = {
-        import scala.jdk.CollectionConverters._
-        val snapshot = heaps.values.asScala.toArray
-        heaps.clear()
-        snapshot.iterator.flatMap { h =>
-          val out = new Array[InternalRow](h.size)
+      final class HeapState extends KeyState {
+        private val heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
+        override def insert(row: InternalRow): Unit =
+          if (heap.size < limit) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+        override def drain(): Iterator[InternalRow] = {
+          val out = new Array[InternalRow](heap.size)
           var i = out.length - 1
-          while (i >= 0) { out(i) = h.poll(); i -= 1 } // drain worst-first → reverse
+          while (i >= 0) { out(i) = heap.poll(); i -= 1 } // drain worst-first → reverse
           out.iterator
         }
+      }
+
+      // Rank modes group kept rows by distinct order-key value (TreeMap
+      // entry = one value, best first). DenseRankMode keeps ≤ k groups;
+      // RankMode keeps groups while strictly-better rows number < k
+      // (`rank <= k` ⟺ fewer than k rows strictly better). Memory is k
+      // rows/values per key PLUS boundary ties — ties are part of the
+      // result, so that growth is the output's, not the algorithm's.
+      final class RankState(dense: Boolean) extends KeyState {
+        private val groups =
+          new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](ord)
+        private var total = 0
+        private def put(row: InternalRow): Unit = {
+          val c = row.copy()
+          val list = new java.util.ArrayList[InternalRow](4)
+          list.add(c)
+          groups.put(c, list)
+          total += 1
+        }
+        private def removeLast(): Unit =
+          total -= groups.pollLastEntry().getValue.size
+        // Drop worst value-groups that k strictly-better rows already
+        // exclude; never fires while fewer than k better rows exist.
+        private def pruneRank(): Unit =
+          while (groups.size > 1 && total - groups.lastEntry().getValue.size >= limit)
+            removeLast()
+        override def insert(row: InternalRow): Unit = {
+          val tied = groups.get(row)
+          if (tied != null) { tied.add(row.copy()); total += 1; if (!dense) pruneRank() }
+          else if (dense) {
+            if (groups.size < limit) put(row)
+            else if (ord.compare(row, groups.lastKey()) < 0) { removeLast(); put(row) }
+            // else: k better distinct values exist → dense_rank > k, discard
+          } else {
+            // All `total` kept rows strictly better than a worse-than-last
+            // row → rank ≥ total+1 > k once total ≥ k: discard. Otherwise
+            // the row may still make rank ≤ k — keep and re-prune.
+            if (total < limit || ord.compare(row, groups.lastKey()) < 0) {
+              put(row); pruneRank()
+            }
+          }
+        }
+        override def drain(): Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          groups.values().asScala.iterator.flatMap(_.asScala)
+        }
+      }
+
+      def newState(): KeyState = keepMode match {
+        case RowNumberMode => new HeapState
+        case RankMode      => new RankState(dense = false)
+        case DenseRankMode => new RankState(dense = true)
+      }
+
+      val states = new java.util.LinkedHashMap[UnsafeRow, KeyState]()
+
+      // Snapshot + clear the map, yielding each key's keep-set best-first.
+      def drainAll(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        val snapshot = states.values.asScala.toArray
+        states.clear()
+        snapshot.iterator.flatMap(_.drain())
       }
 
       new Iterator[InternalRow] {
         private var out: Iterator[InternalRow] = Iterator.empty
         private def fill(): Unit = {
-          while (!out.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+          while (!out.hasNext && (iter.hasNext || !states.isEmpty)) {
             var flushed = false
             while (iter.hasNext && !flushed) {
               val row = iter.next()
               val key = keyProj(row) // reused buffer; bytes-equality lookup is safe
-              var heap = heaps.get(key)
-              if (heap == null) {
-                if (heaps.size >= maxKeys) {
-                  // Cap hit and a NEW key arrived: emit current heaps to the
-                  // shuffle and start fresh rather than growing unboundedly.
+              var state = states.get(key)
+              if (state == null) {
+                if (states.size >= maxKeys) {
+                  // Cap hit and a NEW key arrived: emit current keep-sets to
+                  // the shuffle and start fresh rather than growing
+                  // unboundedly. Safe in every mode — the final stage
+                  // re-merges per key, and a row dropped before the flush
+                  // had ≥ k rows (RankMode: strictly better / DenseRankMode:
+                  // k better distinct values) in its own segment alone.
                   flushMetric.add(1)
-                  out = drain()
+                  out = drainAll()
                   flushed = true
                 }
-                heap = new java.util.PriorityQueue[InternalRow](limit + 1, cmp)
-                heaps.put(key.copy(), heap)
+                state = newState()
+                states.put(key.copy(), state)
               }
-              if (heap.size < limit) heap.add(row.copy())
-              else if (ord.compare(row, heap.peek()) < 0) {
-                heap.poll(); heap.add(row.copy())
-              }
+              state.insert(row)
             }
-            if (!flushed && !iter.hasNext && !heaps.isEmpty) out = drain()
+            if (!flushed && !iter.hasNext && !states.isEmpty) out = drainAll()
           }
         }
         override def hasNext: Boolean = { fill(); out.hasNext }
@@ -160,9 +247,10 @@ object TopKPerKeyExec {
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, mode) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), mode),
+        mode) :: Nil
     case _ => Nil
   }
 }
@@ -173,10 +261,14 @@ object GraftPlans {
     * ((column, ascending) pairs) — semantically `row_number() OVER
     * (PARTITION BY keys ORDER BY ...) <= k`, planned as a map-side
     * bounded heap + single hash exchange. Make the order total (add a
-    * unique tie-break column) for deterministic results.
+    * unique tie-break column) for deterministic results. `mode` switches
+    * to the keep-ties rank semantics ([[RankMode]]: `rank() <= k`;
+    * [[DenseRankMode]]: `dense_rank() <= k`), whose keep-SET is
+    * deterministic even on a non-total order.
     */
   def topKPerKey(df: DataFrame, keys: Seq[String],
-      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderBy: Seq[(String, Boolean)], k: Int,
+      mode: TopKMode = RowNumberMode): DataFrame = {
     require(k > 0, s"topKPerKey: k must be positive, got $k")
     require(keys.nonEmpty && orderBy.nonEmpty, "topKPerKey: keys and orderBy required")
     val spark = df.sparkSession
@@ -189,6 +281,6 @@ object GraftPlans {
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    Bridge.ofRows(spark, TopKPerKeyNode(keys.map(attr), order, k, analyzed))
+    Bridge.ofRows(spark, TopKPerKeyNode(keys.map(attr), order, k, analyzed, mode))
   }
 }

@@ -893,6 +893,39 @@ object GraftQueries {
         cast(sum(ok) as bigint) AS ok_sum
       FROM j GROUP BY side ORDER BY side"""))
 
+  /** The keep-ties rank idiom through the optimizer rewrite (q33's setup,
+    * rank() instead of row_number): top-3 balance BUCKETS per nation with
+    * every boundary tie kept — `rank() <= k` rewritten to TopKPerKey's
+    * RankMode (RewriteRowNumberTopKSpec asserts Sort/Window-free). The
+    * deliberately coarse bucket (acctbal/100) guarantees real ties, and
+    * keep-ties makes the kept SET deterministic without a tie-break
+    * column — the property that distinguishes rank from row_number.
+    */
+  private val q39 = Q("q39_rank_topk",
+    (s, dir) => {
+      val s2 = s.newSession()
+      graft.plans.RowNumberTopKRewrite.enable(s2)
+      t(s2, dir, "customer").createOrReplaceTempView("customer_q39")
+      s2.sql("""
+        SELECT c_nationkey, c_custkey, bal_bucket FROM (
+          SELECT c_nationkey, c_custkey, bal_bucket,
+                 rank() OVER (PARTITION BY c_nationkey
+                   ORDER BY bal_bucket DESC) AS rnk
+          FROM (SELECT c_nationkey, c_custkey,
+                  cast(floor(c_acctbal / 100) as bigint) AS bal_bucket
+                FROM customer_q39))
+        WHERE rnk <= 3 ORDER BY c_nationkey, c_custkey""")
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey, bal_bucket FROM (
+        SELECT c_nationkey, c_custkey, bal_bucket,
+               rank() OVER (PARTITION BY c_nationkey
+                 ORDER BY bal_bucket DESC) AS rnk
+        FROM (SELECT c_nationkey, c_custkey,
+                cast(floor(c_acctbal / 100) as bigint) AS bal_bucket
+              FROM customer))
+      WHERE rnk <= 3 ORDER BY c_nationkey, c_custkey"""))
+
   // ------------------------------------------------------------- dedup
 
   private val d01 = Q("dedup_exact_stats",
@@ -1157,6 +1190,57 @@ object GraftQueries {
         SELECT e.b AS id, r.lbl FROM r JOIN e ON r.id = e.a)
       SELECT id AS doc_id, min(lbl) AS component_id
       FROM r GROUP BY id ORDER BY doc_id"""))
+
+  /** The composed NEAR-dup curation pipeline — the flagship shape a
+    * training-data pipeline materializes: MinHash-LSH candidate pairs
+    * (exact-Jaccard verified, the [[jaccardOracle]] edge set) → connected
+    * components over the pair graph → per-component canonical (min doc_id)
+    * → the keep-set of canonical documents, each carrying its component
+    * size and metadata. Unlike `curate_keep_set` (exact dedup only), the
+    * duplicate test here is fuzzy, so canonicalization MUST go through
+    * clustering: near-dup is not transitive, and pairwise survivors alone
+    * would keep one doc per PAIR, not per cluster. At 100 TB every stage
+    * stays bucketed/edge-sized (LSH bands, star contraction, label-sized
+    * size agg); only the final metadata join is corpus-sized — exactly the
+    * dedup_components posture plus one groupBy on labels.
+    */
+  private val d13 = Q("curate_near_dup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = DedupOps.minhashLshPairs(docs, threshold = 0.5)
+      val comps = GraphOps.connectedComponents(
+        docs.select(col("doc_id")), edges,
+        idCol = "doc_id", srcCol = "doc_a", dstCol = "doc_b")
+      val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, "component_id")
+        .select(col("id").as("doc_id"), col("n_members"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) >= 0.5),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+      r AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b AS id, r.lbl FROM r JOIN e ON r.id = e.a),
+      comp AS (SELECT id AS doc_id, min(lbl) AS component_id FROM r GROUP BY id),
+      sz AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
+      SELECT c.doc_id, sz.n_members, d.lang, d.source
+      FROM comp c
+      JOIN sz ON c.component_id = sz.component_id
+      JOIN documents d ON d.doc_id = c.doc_id
+      WHERE c.doc_id = c.component_id
+      ORDER BY c.doc_id"""))
 
   // -------------------------------------------------------- similarity
 
@@ -1793,8 +1877,8 @@ object GraftQueries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12,
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
     s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
     sm1, m01, m02, m03, m04, mq1)

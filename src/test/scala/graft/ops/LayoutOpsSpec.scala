@@ -78,6 +78,15 @@ class LayoutOpsSpec extends SparkSuite {
         "doc_id", "n_tokens", 10L).count()
     }
     assert(err.getMessage.contains("negative weight"), err.getMessage)
+    // A duplicate key makes tie order — and every later offset —
+    // nondeterministic; the documented uniqueness contract is ENFORCED,
+    // not assumed.
+    val dup = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudget(
+        Seq((1L, 5L), (2L, 3L), (2L, 4L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 10L).count()
+    }
+    assert(dup.getMessage.contains("must be unique"), dup.getMessage)
   }
 
   test("property: packByTokenBudget equals a sequential scan for random weights") {

@@ -390,6 +390,49 @@ class OpsSpec extends SparkSuite {
     assert(formats() == Set("utf8-text"))
   }
 
+  test("imageio decoder: REAL decode through the seam — codec dims, stub for text") {
+    import MultimodalOps.MediaDecoder
+    import spark.implicits._
+    // Deterministic in-memory raster → encoded bytes (pure JVM, headless).
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, x * 31 + y * 7)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = imageBytes("png", 17, 9)
+    val bmp = imageBytes("bmp", 5, 23)
+    val txt = "just text".getBytes("UTF-8")
+    val media = Seq(
+      (1L, png, "png", png.length),
+      (2L, bmp, "bmp", bmp.length),
+      (3L, txt, "utf8-text", txt.length))
+      .toDF("doc_id", "payload", "format", "n_bytes")
+    System.setProperty(MediaDecoder.DecoderClassProp,
+      classOf[graft.media.ImageIoMediaDecoder].getName)
+    try {
+      val got = MultimodalOps.decodeAll(spark, media).collect()
+        .map(d => d.doc_id -> d).toMap
+      // Real codec dimensions — NOT the stub's n_bytes-derived fakes.
+      assert((got(1L).fake_width, got(1L).fake_height, got(1L).fake_frames) == ((17, 9, 1L)))
+      assert((got(2L).fake_width, got(2L).fake_height, got(2L).fake_frames) == ((5, 23, 1L)))
+      assert(got(1L).fake_width != png.length % 64 || got(1L).fake_height != (png.length / 64) % 64)
+      // Non-image records in the same batch still take the stub path.
+      assert(got(3L) == MultimodalOps.decodeStub(
+        MultimodalOps.MediaRecord(3L, txt, "utf8-text", txt.length)))
+      // Corrupt image-tagged payloads fail loudly, never stub-fallback.
+      val bad = Seq((9L, "not an image".getBytes("UTF-8"), "png", 12))
+        .toDF("doc_id", "payload", "format", "n_bytes")
+      val err = intercept[Exception] {
+        MultimodalOps.decodeAll(spark, bad).collect()
+      }
+      val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      assert(chain.exists(t => Option(t.getMessage).exists(_.contains("undecodable"))))
+    } finally System.clearProperty(MediaDecoder.DecoderClassProp)
+  }
+
   test("cleanText: tags stripped, emails redacted, numbers masked, whitespace collapsed") {
     import spark.implicits._
     val docs = Seq(

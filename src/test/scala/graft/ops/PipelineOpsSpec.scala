@@ -89,6 +89,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
+  test("connectedComponents: labels are invariant to the input partition layout") {
+    import spark.implicits._
+    // Mixed shapes (two merged stars, a chain, singletons) with edges
+    // deliberately scattered across layouts: 1 partition, a prime count,
+    // and more partitions than edges. The loop narrows its own shuffle
+    // width from the edge volume (GraphOps width sizing), so the LABELS
+    // must depend only on the graph, never on how the frames arrived —
+    // the same invariance contract LayoutOpsSpec pins for shard packing.
+    val n = 200L
+    val nodes = (1L to n).toDF("id")
+    val edges = ((1L until 60L).map(i => (i, i + 1)) ++       // chain 1..60
+      (70L to 90L).map(i => (i, 65L)) ++                      // star at 65
+      (91L to 110L).map(i => (i, 70L)) ++                     // star merged into it
+      Seq((150L, 151L))).toDF("src", "dst")
+    val want = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 7, 64)) {
+      val got = GraphOps.connectedComponents(
+          nodes.repartition(parts), edges.repartition(parts))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+    assert(want(60L) == 1L && want(110L) == 65L && want(150L) == 150L)
+  }
+
   test("property: star-contraction CC equals reference union-find on random graphs") {
     import graft.PropCheck
     import org.scalacheck.{Gen, Prop}

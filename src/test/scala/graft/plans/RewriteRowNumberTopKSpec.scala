@@ -37,7 +37,7 @@ class RewriteRowNumberTopKSpec extends SparkSuite {
     assert(rewritten.collect().toSeq == stock.collect().toSeq)
   }
 
-  test("rewrite declines when rn is kept, filter is compound, or rank is used") {
+  test("rewrite declines when rn is kept, filter is compound, or percent_rank is used") {
     val s = rewriteSession()
     val kept = s.sql("""
       SELECT o_custkey, rn FROM (
@@ -50,11 +50,45 @@ class RewriteRowNumberTopKSpec extends SparkSuite {
           ORDER BY o_orderkey) AS rn FROM orders)
       WHERE rn <= 3 AND o_orderkey > 0""")
     assert(compound.queryExecution.executedPlan.toString.contains("Window"))
-    val ranked = s.sql("""
+    // Outside the rank family (a fractional rank has no keep-k form).
+    val pct = s.sql("""
       SELECT o_custkey, o_orderkey FROM (
-        SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey
-          ORDER BY o_totalprice DESC) AS rn FROM orders) WHERE rn <= 3""")
-    assert(ranked.queryExecution.executedPlan.toString.contains("Window"))
+        SELECT o_custkey, o_orderkey, percent_rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC) AS pr FROM orders) WHERE pr <= 0.5""")
+    assert(pct.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  /** rank()/dense_rank() <= k rewrite into the keep-ties TopKPerKey modes
+    * and must match the stock Window plan row-for-row — ties at the
+    * boundary are the interesting rows, so the order key is coarsened
+    * (totalprice div 10000) to force them.
+    */
+  test("rank and dense_rank idioms rewrite to TopKPerKey and match the window plan") {
+    for (fn <- Seq("rank", "dense_rank")) {
+      val idiomRk = s"""
+        SELECT o_custkey, o_orderkey, bucket FROM (
+          SELECT o_custkey, o_orderkey,
+                 cast(floor(o_totalprice / 10000) as bigint) AS bucket,
+                 $fn() OVER (PARTITION BY o_custkey
+                   ORDER BY cast(floor(o_totalprice / 10000) as bigint) DESC) AS rnk
+          FROM orders)
+        WHERE rnk <= 2 ORDER BY o_custkey, o_orderkey"""
+      val s = rewriteSession()
+      val rewritten = s.sql(idiomRk)
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(physical.contains("TopKPerKey"), s"$fn:\n$physical")
+      assert(!physical.contains("Window"), s"$fn:\n$physical")
+      spark.read.parquet(s"${sf()}/orders.parquet").createOrReplaceTempView("orders")
+      val stock = spark.sql(idiomRk)
+      assert(stock.queryExecution.executedPlan.toString.contains("Window"))
+      assert(rewritten.collect().toSeq == stock.collect().toSeq, fn)
+    }
+  }
+
+  test("the q39 gate query actually runs through the rewritten operator") {
+    val q39 = graft.queries.GraftQueries.all.find(_.name == "q39_rank_topk").get
+    val physical = q39.fn(spark, sf()).queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey") && !physical.contains("Window"), physical)
   }
 
   test("the q33 gate query actually runs through the rewritten operator") {

@@ -133,6 +133,49 @@ class TopKPerKeySpec extends SparkSuite {
     assert(got == want, s"${got.size} vs ${want.size} rows")
   }
 
+  test("RankMode keeps boundary ties; DenseRankMode keeps k distinct values") {
+    import spark.implicits._
+    // Group a under v asc: values 1,1,2,2,2,9. rank<=3 keeps 1,1,2,2,2
+    // (rank of the 2s is 3); dense_rank<=3 would ALSO keep 9 (3rd distinct
+    // value) — the two modes must disagree exactly there. Group b is
+    // all-ties: rank 1 for every row.
+    val df = Seq(
+      ("a", 1, 1L), ("a", 1, 2L), ("a", 2, 3L), ("a", 2, 4L), ("a", 2, 5L), ("a", 9, 6L),
+      ("b", 7, 7L), ("b", 7, 8L), ("b", 7, 9L)).toDF("k", "v", "id")
+      .repartition(4) // partial stages see partial groups
+    val rank = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", true)), 3, RankMode)
+      .orderBy("k", "id").as[(String, Int, Long)].collect().toSeq
+    assert(rank == Seq(
+      ("a", 1, 1L), ("a", 1, 2L), ("a", 2, 3L), ("a", 2, 4L), ("a", 2, 5L),
+      ("b", 7, 7L), ("b", 7, 8L), ("b", 7, 9L)))
+    val dense = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", true)), 3, DenseRankMode)
+      .orderBy("k", "id").as[(String, Int, Long)].collect().toSeq
+    assert(dense == Seq(
+      ("a", 1, 1L), ("a", 1, 2L), ("a", 2, 3L), ("a", 2, 4L), ("a", 2, 5L), ("a", 9, 6L),
+      ("b", 7, 7L), ("b", 7, 8L), ("b", 7, 9L)))
+  }
+
+  test("rank modes equal the window formulation on random ties, incl. the flush path") {
+    import spark.implicits._
+    val saved = TopKPerKeyExec.PartialMaxKeys
+    try {
+      TopKPerKeyExec.PartialMaxKeys = 16 // force mid-partition flushes (400 keys)
+      val rnd = new scala.util.Random(13)
+      val df = (1 to 4000).map(i =>
+          (s"k${rnd.nextInt(400)}", rnd.nextInt(8), i.toLong)) // 8 values → heavy ties
+        .toDF("k", "v", "id").repartition(3)
+      for ((mode, fn) <- Seq[(TopKMode, org.apache.spark.sql.Column)](
+          (RankMode, rank().over(Window.partitionBy("k").orderBy(col("v").asc))),
+          (DenseRankMode, dense_rank().over(Window.partitionBy("k").orderBy(col("v").asc))))) {
+        val got = GraftPlans.topKPerKey(df, Seq("k"), Seq(("v", true)), 2, mode)
+          .orderBy("k", "id").collect().toSeq
+        val want = df.withColumn("rn", fn).filter(col("rn") <= 2)
+          .drop("rn").orderBy("k", "id").collect().toSeq
+        assert(got == want, s"$mode: ${got.size} vs ${want.size}")
+      }
+    } finally TopKPerKeyExec.PartialMaxKeys = saved
+  }
+
   test("topKPerKey resolves columns case-insensitively and rejects unknowns") {
     import spark.implicits._
     val df = Seq(("a", 1)).toDF("k", "v")
