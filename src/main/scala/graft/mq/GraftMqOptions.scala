@@ -51,6 +51,10 @@ import java.util.Locale
   *  - `defaultTimestampMicros` — sink: timestamp stamped on written
   *                           messages when the written schema has no
   *                           `timestamp` column (epoch micros)
+  *  - `columnarReader`     — vectorized scan (default true): fill on-heap
+  *                           column vectors instead of per-row
+  *                           InternalRows; schemas containing `headers`
+  *                           fall back to the row reader automatically
   */
 final case class GraftMqOptions(
     topic: String,
@@ -69,7 +73,8 @@ final case class GraftMqOptions(
     startingTimestampMicros: Option[Long] = None,
     endingOffsets: String = "latest",
     minRowsPerBatch: Option[Long] = None,
-    maxTriggerDelayMs: Long = 15L * 60 * 1000) extends Serializable {
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
+    columnarReader: Boolean = true) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -170,6 +175,7 @@ object GraftMqOptions {
       endingOffsets = ending,
       minRowsPerBatch = get("minRowsPerBatch").map(_.toLong),
       maxTriggerDelayMs =
-        get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000))
+        get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000),
+      columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true))
   }
 }

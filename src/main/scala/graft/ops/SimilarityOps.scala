@@ -136,11 +136,17 @@ object SimilarityOps {
     def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
       // top-`take` list_ids by centroid similarity, as an array column —
       // centroids are literals, so assignment is a join-free codegen'd
-      // expression.
+      // expression. The CORPUS-sized pass is always take=1 (list
+      // assignment): a single O(nlist) array_max over (sim, id) structs,
+      // no per-row sort. The O(nlist log nlist) sort path only runs on
+      // the QUERY side (take=nprobe, queries ≪ corpus rows), so growing
+      // nlist to hundreds leaves the corpus pass linear; struct ordering
+      // (sim first, id tie-break) makes both paths pick identically.
       val sims = array(cents.map { case (id, c) =>
         struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
       }: _*)
-      slice(reverse(array_sort(sims)), 1, take)
+      if (take == 1) array(array_max(sims))
+      else slice(reverse(array_sort(sims)), 1, take)
     }
     // 1. Train the coarse quantizer: bucket means from a deterministic
     //    seed partition, then Lloyd iterations (assign → re-average) to

@@ -1551,8 +1551,17 @@ object GraftQueries {
       FROM c ORDER BY doc_id"""))
 
   /** Heavy hitters via the SpaceSaving TypedImperativeAggregate
-    * ([[graft.functions.ApproxTopK]]). capacity ≫ vocabulary here, so the
-    * sketch is exact (error 0) and the oracle is a plain top-k by count.
+    * ([[graft.functions.ApproxTopK]]). The 4096 capacity is
+    * EXACTNESS-CRITICAL, not a tuning knob: the generated corpus draws
+    * from a vocabulary of a few hundred distinct tokens, so capacity ≫
+    * vocabulary means no SpaceSaving eviction ever fires, every counter is
+    * exact (error 0), and the value-exact comparison against the plain
+    * top-k oracle below is legitimate. Shrinking capacity below the
+    * vocabulary would make counts approximate (nonzero `err`) and the
+    * oracle's `err = 0` column wrong BY DESIGN, not by bug. Memory-wise a
+    * 4096-entry sketch per partial aggregate is trivial; the single-
+    * reducer final merge handles one such sketch, sound at any corpus
+    * scale because sketch size, not corpus size, bounds the merge.
     */
   private val x06 = Q("text_top_tokens",
     (s, dir) => t(s, dir, "documents")
