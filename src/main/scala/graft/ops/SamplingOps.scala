@@ -42,6 +42,62 @@ object SamplingOps {
     pmod(hashOf(key, salt), lit(modulus.toLong)) < keep
   }
 
+  /** Mixture (re-)sampling: downsample each group so the output's
+    * composition matches integer target `weights` (e.g.
+    * `en→5, fr→2, de→2, ja→1` ⇒ a ~50/20/20/10 mix), keeping ALL of the
+    * scarcest group — the data-mixing step that turns raw per-source/
+    * per-language counts into a training mixture. Groups absent from
+    * `weights` are dropped.
+    *
+    * Math (all integer, so any engine reproduces the selection exactly):
+    * with `W = Σ weights` and per-group count `n_g`, the largest total
+    * honoring the mix is `T = min_g floor(n_g·W / w_g)` (the binding
+    * group is kept whole). Each group then keeps rows at rate
+    * `w_g·T / (W·n_g) ≤ 1`, decided per row by the pure-hash predicate
+    * `pmod(hash, W·n_g) < w_g·T` — membership is a codegen'd filter, so
+    * kept counts are Binomial around the target (exact proportions in
+    * expectation) rather than exactly capped. That trade is deliberate:
+    *
+    * Shape at 100 TB: the only corpus-scale work is one count per group
+    * (map-side partial agg) and one broadcast-joined filter pass. An
+    * exactly-capped variant needs a per-group global rank — a window
+    * partitioned by a FEW HUGE groups (one task per language at any
+    * cluster size), which is precisely the skew shape this library avoids
+    * ([[stratifiedCap]] is that shape, fine for its many-small-groups
+    * use). Modulo bias is ≤ (W·n_g)/2^60 — vanishing while `W·n_g` stays
+    * below ~2^50 (a quadrillion-row group would revisit this).
+    *
+    * Determinism contract: membership depends only on (key, salt,
+    * weights, per-group counts) — stable across partitioning and retries;
+    * adding rows to one group changes thresholds (counts moved), which is
+    * inherent to proportion targets.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String,
+      weights: Seq[(String, Long)], key: Column,
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: weights must be non-empty")
+    require(weights.forall(_._2 > 0),
+      s"mixtureSample: weights must be positive, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"mixtureSample: duplicate group in weights: $weights")
+    val bigW = weights.map(_._2).sum
+    val group = col("`" + groupCol.replace("`", "``") + "`")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val wDf = weights.toDF(groupCol, "_wt")
+    // Tiny aggregates: one row per weighted group, then the scalar T —
+    // broadcast back; no corpus data reaches the driver.
+    val counts = df.groupBy(group).agg(count(lit(1)).as("_n")).join(wDf, groupCol)
+    val tDf = counts.agg(min(expr(s"_n * $bigW div _wt")).as("_t"))
+    val rates = counts.crossJoin(broadcast(tDf))
+      .select(group,
+        (col("_n") * bigW).as("_den"),
+        (col("_wt") * col("_t")).as("_num"))
+    df.join(broadcast(rates), Seq(groupCol)) // inner: unweighted groups drop
+      .filter(pmod(hashOf(key, salt), col("_den")) < col("_num"))
+      .drop("_den", "_num")
+  }
+
   /** Stratified cap: at most `cap` rows per group, chosen by hash order of
     * `key` (deterministic; independent of input order). One shuffle on the
     * group columns — the balance step that keeps a dominant stratum (e.g.

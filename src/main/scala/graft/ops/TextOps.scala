@@ -192,6 +192,52 @@ object TextOps {
         "\\d+", "<NUM>"),
         "\\s+", " ")))
 
+  /** Split each document's token sequence into training-window chunks of
+    * at most `maxTokens` tokens, consecutive chunks overlapping by
+    * `overlap` tokens — the context-window packing precursor every LLM
+    * pipeline runs between curation and sequence packing (long documents
+    * must become model-sized pieces WITHOUT losing cross-boundary context,
+    * hence the overlap).
+    *
+    * Emits one row per (document, chunk): the id columns plus
+    * `chunk_idx` (0-based), `start_tok` (0-based token offset),
+    * `chunk_tokens` (token count — `maxTokens` except possibly the last),
+    * and `chunk_text` (space-rejoined tokens).
+    *
+    * Chunk count for an `n`-token document is 1 when `n <= maxTokens`,
+    * else `ceil((n - maxTokens) / stride) + 1` with
+    * `stride = maxTokens - overlap` — every token is covered and the
+    * final chunk ends exactly at the document's last token.
+    *
+    * Shape at 100 TB: pure per-row map + bounded 1→N explode (no shuffle,
+    * no state, no skew — a 100k-token outlier document emits ~100k/stride
+    * rows from its own partition). Stays inside whole-stage codegen:
+    * `sequence`/`slice`/`array_join` over an already-split token array.
+    */
+  def chunkByTokenBudget(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCols: Seq[String] = Seq("doc_id"), textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, s"chunkByTokenBudget: maxTokens=$maxTokens must be > 0")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkByTokenBudget: overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val ids = idCols.map(c => col("`" + c.replace("`", "``") + "`"))
+    val nChunks =
+      when(col("_n") <= maxTokens, lit(1))
+        .otherwise(expr(s"(_n - $maxTokens + ${stride - 1}) div $stride") + 1)
+    docs
+      .select(ids :+ tokens(text).as("_tk"): _*)
+      .withColumn("_n", size(col("_tk")))
+      // SQL `div` yields bigint; chunk ordinals are int by contract.
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), (nChunks - 1).cast("int"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("_chunk", slice(col("_tk"), col("start_tok") + 1, lit(maxTokens)))
+      .withColumn("chunk_tokens", size(col("_chunk")))
+      .withColumn("chunk_text", array_join(col("_chunk"), " "))
+      .drop("_tk", "_n", "_chunk")
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * word-`k`-gram shingle, slide a window of `w` consecutive hashes, keep
     * each window's minimum, dedupe. Any run of ≥ k+w-1 shared tokens

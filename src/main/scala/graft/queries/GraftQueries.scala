@@ -1242,6 +1242,46 @@ object GraftQueries {
       WHERE c.doc_id = c.component_id
       ORDER BY c.doc_id"""))
 
+  /** Benchmark decontamination ([[CurationOps.decontaminate]]): a
+    * deterministic ~10% hash-sample of documents stands in for the eval
+    * benchmark; every remaining (train) doc reports its count of distinct
+    * word-4-grams shared with ANY eval doc plus the keep flag. 4-grams
+    * because this corpus's 3-gram vocabulary is so reused that nearly
+    * every doc collides (425/453 at n=3 vs 61/453 at n=4) — real
+    * pipelines tune n the same way (8–13 on subword tokens). Eval grams
+    * broadcast; the corpus side never shuffles against them.
+    */
+  private val d14 = Q("curate_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = SamplingOps.hashSampleFlag(col("doc_id"), 10, 1, salt = "eval")
+      CurationOps.decontaminate(
+          docs.filter(!isEval), docs.filter(isEval), n = 4)
+        .select("doc_id", "lang", "n_contaminated", "kept")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, text,
+          (('0x' || substr(md5('eval' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 1)
+            AS is_eval
+        FROM documents),
+      tk AS (SELECT doc_id, lang, is_eval, string_split(text, ' ') AS t FROM d),
+      g AS (SELECT doc_id, lang, is_eval,
+              CASE WHEN len(t) >= 4
+                THEN list_distinct(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i : i+3], ' ')))
+                ELSE []::VARCHAR[] END AS grams
+            FROM tk),
+      eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+      tr AS (SELECT doc_id, lang, grams FROM g WHERE NOT is_eval),
+      h AS (SELECT doc_id, count(*) AS n_contaminated
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) x
+            JOIN eg USING (gram) GROUP BY doc_id)
+      SELECT tr.doc_id, tr.lang,
+        coalesce(h.n_contaminated, 0) AS n_contaminated,
+        CASE WHEN coalesce(h.n_contaminated, 0) = 0 THEN 1 ELSE 0 END AS kept
+      FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id"""))
+
   // -------------------------------------------------------- similarity
 
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1550,6 +1590,31 @@ object GraftQueries {
         cast(off // 10000 as bigint) AS shard_id
       FROM c ORDER BY doc_id"""))
 
+  /** Context-window chunking ([[TextOps.chunkByTokenBudget]]): every doc
+    * split into ≤40-token chunks overlapping by 8 — the map-side 1→N
+    * expansion between curation and shard packing. Chunk text is reported
+    * as md5 (proves byte-exact slicing without writing the text twice).
+    */
+  private val x13 = Q("text_chunk_budget",
+    (s, dir) => TextOps.chunkByTokenBudget(
+        t(s, dir, "documents"), maxTokens = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      n AS (SELECT doc_id, t, len(t) AS n FROM tk),
+      c AS (SELECT doc_id, t, n,
+              CASE WHEN n <= 40 THEN 1 ELSE (n - 40 + 31) // 32 + 1 END AS nc
+            FROM n),
+      e AS (SELECT doc_id, t, n, unnest(range(nc)) AS ci FROM c),
+      s AS (SELECT doc_id, cast(ci as int) AS chunk_idx,
+              cast(ci * 32 as int) AS start_tok,
+              t[ci*32 + 1 : least(ci*32 + 40, n)] AS ct FROM e)
+      SELECT doc_id, chunk_idx, start_tok, cast(len(ct) as int) AS chunk_tokens,
+        md5(array_to_string(ct, ' ')) AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_idx"""))
+
   /** Heavy hitters via the SpaceSaving TypedImperativeAggregate
     * ([[graft.functions.ApproxTopK]]). The 4096 capacity is
     * EXACTNESS-CRITICAL, not a tuning knob: the generated corpus draws
@@ -1765,6 +1830,31 @@ object GraftQueries {
         cast(sum(CASE WHEN rk <= 30 THEN doc_id END) as bigint) AS capped_id_sum
       FROM d GROUP BY lang ORDER BY lang"""))
 
+  /** Mixture sampling ([[SamplingOps.mixtureSample]]): resample the
+    * corpus to a 5/2/2/1 en/fr/de/es language mix (zh unweighted ⇒
+    * dropped) — the data-mixing step, as a pure-hash broadcast filter
+    * with integer thresholds the oracle reproduces bit-exactly. Row-level
+    * output so the gate checks MEMBERSHIP, not just per-group counts.
+    */
+  private val sm2 = Q("sample_mixture",
+    (s, dir) => SamplingOps.mixtureSample(
+        t(s, dir, "documents"), groupCol = "lang",
+        weights = Seq("en" -> 5L, "fr" -> 2L, "de" -> 2L, "es" -> 1L),
+        key = col("doc_id"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w AS (SELECT * FROM (VALUES ('en', 5), ('fr', 2), ('de', 2), ('es', 1))
+            t(lang, wt)),
+      j AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+      tt AS (SELECT min(n * 10 // wt) AS t FROM j),
+      r AS (SELECT lang, n * 10 AS den, wt * (SELECT t FROM tt) AS num FROM j)
+      SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5('mix' || cast(d.doc_id as varchar)), 1, 15))::bigint
+              % den < num
+      ORDER BY d.doc_id"""))
+
   // -------------------------------------------------------- multimodal
 
   private val m01 = Q("mm_decode_stats",
@@ -1887,10 +1977,10 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
     s01, s02, s03, s04, s05, s06, s07,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12,
-    sm1, m01, m02, m03, m04, mq1)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    sm1, sm2, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-7 pipeline operators: benchmark
+  * decontamination, context-window chunking, mixture sampling — the
+  * contract edges the single-corpus oracle queries can't reach (short
+  * docs, exact overlap boundaries, determinism under repartitioning,
+  * argument validation).
+  */
+class CurationOpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // ------------------------------------------------- decontaminate
+
+  test("decontaminate: shared n-grams flagged with exact distinct counts") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares 2 distinct 3-grams: "alpha beta gamma", "beta gamma delta"
+      (1L, "alpha beta gamma delta epsilon"),
+      // shares 1: "beta gamma delta"
+      (2L, "x beta gamma delta"),
+      // repeats a contaminated gram — still ONE distinct shared gram
+      (3L, "alpha beta gamma z alpha beta gamma"),
+      (4L, "totally clean document here")).toDF("doc_id", "text")
+    val byId = CurationOps.decontaminate(train, evalSet, n = 3)
+      .select("doc_id", "n_contaminated", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(byId == Map(
+      1L -> ((2L, 0)), 2L -> ((1L, 0)), 3L -> ((1L, 0)), 4L -> ((0L, 1))))
+  }
+
+  test("decontaminate: docs shorter than n have no grams and stay kept") {
+    val evalSet = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = CurationOps.decontaminate(train, evalSet, n = 3)
+      .select("doc_id", "n_contaminated", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 0L, 1), (2L, 0L, 1)))
+  }
+
+  test("decontaminate: n < 1 rejected") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CurationOps.decontaminate(df, df, n = 0)
+    }
+  }
+
+  // ---------------------------------------------- chunkByTokenBudget
+
+  test("chunkByTokenBudget: overlap windows tile the token sequence exactly") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // max=4, overlap=1 → stride 3 → ceil((10-4)/3)+1 = 3 chunks at 0,3,6.
+    val got = TextOps.chunkByTokenBudget(docs, maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "chunk_tokens", "chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0, 0, 4, "t1 t2 t3 t4"),
+      (1, 3, 4, "t4 t5 t6 t7"),
+      (2, 6, 4, "t7 t8 t9 t10")))
+    // Every consecutive pair overlaps by exactly `overlap` tokens and the
+    // final chunk ends at the last token.
+    assert(got.last._2 + got.last._3 == 10)
+  }
+
+  test("chunkByTokenBudget: short docs emit one whole-doc chunk; ragged tail kept") {
+    val docs = Seq(
+      (1L, "a b"),                                  // n <= max → 1 chunk
+      (2L, (1 to 9).map(i => s"w$i").mkString(" ")) // 9 tokens, max 4 ov 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkByTokenBudget(docs, maxTokens = 4, overlap = 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nc"), sum("chunk_tokens").as("tot"),
+        max("chunk_tokens").as("mx"), min("chunk_tokens").as("mn"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == ((1L, 2L, 2, 2)))
+    // 9 tokens / stride 4 → chunks of 4,4,1 — no token dropped, no pad.
+    assert(got(2L) == ((3L, 9L, 4, 1)))
+  }
+
+  test("chunkByTokenBudget: invalid budget/overlap rejected") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkByTokenBudget(df, maxTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkByTokenBudget(df, maxTokens = 4, overlap = 4)
+    }
+  }
+
+  // -------------------------------------------------- mixtureSample
+
+  test("mixtureSample: composition tracks weights, scarcest group kept whole-ish") {
+    // 400 a / 200 b / 100 c with weights 2/1/1 → T = min(400*4/2, 200*4/1,
+    // 100*4/1) = min(800, 800, 400) = 400 → expect ~200 a, ~100 b, ~100 c
+    // (c is binding: rate 1, kept entirely).
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 600).map(i => (i.toLong, "b")) ++
+      (601 to 700).map(i => (i.toLong, "c"))).toDF("doc_id", "grp")
+    val got = SamplingOps.mixtureSample(df, "grp",
+        Seq("a" -> 2L, "b" -> 1L, "c" -> 1L), col("doc_id"))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // c's rate is exactly 1 (num = den) → all 100 rows survive.
+    assert(got("c") == 100L)
+    // Hash-rate groups land Binomial(n, rate) around the target — allow
+    // generous slack, the point is composition not exact caps.
+    assert(got("a") > 150 && got("a") < 250, got.toString)
+    assert(got("b") > 70 && got("b") < 130, got.toString)
+  }
+
+  test("mixtureSample: deterministic under repartitioning; unweighted groups drop") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      (151 to 160).map(i => (i.toLong, "z"))).toDF("doc_id", "grp")
+    def ids(parts: Int) = SamplingOps.mixtureSample(
+        df.repartition(parts), "grp", Seq("a" -> 1L, "b" -> 1L), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val one = ids(1)
+    assert(one == ids(7) && one == ids(32))
+    val kept = SamplingOps.mixtureSample(df, "grp",
+      Seq("a" -> 1L, "b" -> 1L), col("doc_id"))
+    assert(kept.filter(col("grp") === "z").count() == 0)
+  }
+
+  test("mixtureSample: invalid weights rejected") {
+    val df = Seq((1L, "a")).toDF("doc_id", "grp")
+    intercept[IllegalArgumentException] {
+      SamplingOps.mixtureSample(df, "grp", Seq.empty, col("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SamplingOps.mixtureSample(df, "grp", Seq("a" -> 0L), col("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SamplingOps.mixtureSample(df, "grp", Seq("a" -> 1L, "a" -> 2L), col("doc_id"))
+    }
+  }
+}
