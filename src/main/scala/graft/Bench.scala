@@ -10,13 +10,14 @@ import org.apache.spark.sql.SparkSession
   * rounded to 2 decimals and, if the line would still overflow, the fastest
   * queries are folded into a single "other" bucket (their time still counts
   * toward "value"). Queries whose first run looks like a load spike (above
-  * 2 s and 3x the run median) are re-timed AFTER the full sweep completes —
-  * a machine-load spike lasts seconds-to-minutes, so an immediate retry
-  * tends to sample the same spike (round 6 recorded 6.04 s twice for a
-  * query that runs in 0.74 s); deferring decorrelates the samples in time.
-  * The best of all samples is reported, so a transiently loaded machine
-  * cannot fake a regression. Failures are never swallowed into a timing:
-  * they are listed in "errors".
+  * 2 s and 3x the run median) are re-timed after the full sweep completes,
+  * and the best of all samples is reported — placing the retry a full sweep
+  * away from the flagged sample separates the two in time, giving a
+  * seconds-long machine-load spike the least chance of covering both
+  * (round 6 recorded 6.04 s for a query whose warm time is 0.74 s; no
+  * within-process sampling scheme can fully defeat a spike that outlasts
+  * the sweep). Failures are never swallowed into a timing: they are listed
+  * in "errors".
   */
 object Bench {
   private[graft] val LineBudget = 1800 // chars; leaves room for the sbt trailer in a 2000-char tail

@@ -30,12 +30,20 @@ class ImageIoMediaDecoder extends MediaDecoder {
   override def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedMedia] =
     batch.map { r =>
       if (imageFormats.contains(r.format.toLowerCase(java.util.Locale.ROOT))) {
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.payload))
+        // MemoryCacheImageInputStream, not ImageIO.read(InputStream): the
+        // latter defaults to a DISK-cached stream wrapper — one temp-file
+        // create/write/delete per image on the executor hot path (and a
+        // hard failure on a read-only tmpdir) for a payload that is
+        // already fully in memory.
+        // ImageIO.read(ImageInputStream) closes the stream itself — no
+        // explicit close here (a second close throws "closed").
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(r.payload)))
         if (img == null)
           throw new IllegalArgumentException(
             s"ImageIoMediaDecoder: undecodable '${r.format}' payload (doc ${r.doc_id}, ${r.n_bytes} bytes)")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(r.payload).map(b => f"$b%02x").mkString
+        val hex = MultimodalOps.md5Hex(r.payload)
         DecodedMedia(
           doc_id = r.doc_id,
           n_bytes = r.n_bytes,

@@ -41,8 +41,8 @@ object CurationOps {
   def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"decontaminate: n=$n must be >= 1")
-    val id = col("`" + idCol.replace("`", "``") + "`")
-    val text = col("`" + textCol.replace("`", "``") + "`")
+    val id = ColNames.quotedCol(idCol)
+    val text = ColNames.quotedCol(textCol)
     // shinglesFromTokens is DISTINCT per document, so the post-join count
     // is "distinct shared grams" with a plain count(*) — no count(distinct).
     val evalGrams = evalSet

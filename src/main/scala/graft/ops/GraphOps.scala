@@ -93,7 +93,13 @@ object GraphOps {
     var e = eMat.coalesce(parts)
     var it = 0
     var converged = nEdges == 0L
-    while (!converged && it < maxIter) {
+    // `maxIter` bounds PRODUCTIVE contraction rounds. The fused metric
+    // describes each round's INPUT, so convergence after exactly maxIter
+    // productive rounds is only observable by the (idempotent) confirming
+    // round after them — hence the executed-round bound is maxIter + 1.
+    // Without the +1, a graph converging in exactly maxIter rounds would
+    // fail the require below on a fully-correct result.
+    while (!converged && it < maxIter + 1) {
       val obs = Observation()
       e = smallStar(largeStarObserved(e, obs)).localCheckpoint(true)
       it += 1
@@ -106,7 +112,8 @@ object GraphOps {
       converged = Option(obs.get("violations"))
         .forall(_.asInstanceOf[Number].longValue == 0L)
     }
-    require(converged, s"connectedComponents: not converged after $maxIter iterations")
+    require(converged,
+      s"connectedComponents: not converged after $maxIter contraction rounds")
     // At the fixpoint `e` is a star forest: every non-root node points
     // straight at its component min, roots appear only as targets. Hand
     // the (materialized) labels back to the caller's session; singletons

@@ -97,20 +97,31 @@ object LayoutOps {
     // diverge from the single-reducer oracle. Both are contract
     // violations; both fail loudly. (Range partitioning co-locates equal
     // keys, so per-partition distinctness is global distinctness.)
+    // countDistinct ignores NULLs, so null keys are counted separately:
+    // without the explicit null count, a single (unique) null key would be
+    // misreported as a duplicate — and it would anyway fail the typed
+    // decode below with an opaque error. Null keys violate the "numeric
+    // orderBy key" contract outright; say so.
     val stats = ranged.groupBy(spark_partition_id().as("pid"))
       .agg(sum(col("w")).as("t"), min(col("w")).as("mn"),
-        count(lit(1)).as("n"), countDistinct(col("k")).as("nd"))
-      .as[(Int, Long, Long, Long, Long)].collect()
-    stats.find(_._3 < 0).foreach { case (_, _, mn, _, _) =>
+        count(lit(1)).as("n"), countDistinct(col("k")).as("nd"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("nn"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    stats.find(_._3 < 0).foreach { case (_, _, mn, _, _, _) =>
       throw new IllegalArgumentException(
         s"packByTokenBudget: negative weight $mn in '$weightCol' — token counts must be >= 0")
     }
-    stats.find(s => s._4 != s._5).foreach { case (_, _, _, n, nd) =>
+    stats.find(_._6 > 0).foreach { case (_, _, _, _, _, nn) =>
+      throw new IllegalArgumentException(
+        s"packByTokenBudget: '$keyCol' has $nn null key row(s) — the orderBy key must be " +
+          "non-null (a null key has no position in the global key order)")
+    }
+    stats.find(s => s._4 != s._5).foreach { case (_, _, _, n, nd, _) =>
       throw new IllegalArgumentException(
         s"packByTokenBudget: '$keyCol' must be unique — found ${n - nd} duplicate key row(s); " +
           "duplicate keys make tie order, and therefore offsets, nondeterministic")
     }
-    val totals = stats.map { case (pid, t, _, _, _) => pid -> t }.toMap
+    val totals = stats.map { case (pid, t, _, _, _, _) => pid -> t }.toMap
     val starts = (0 until parts).scanLeft(0L)((acc, pid) =>
       acc + totals.getOrElse(pid, 0L))
     val startsB = spark.sparkContext.broadcast(starts.toArray)

@@ -187,10 +187,17 @@ object MultimodalOps {
         .as("out_h"))
   }
 
+  /** Lowercase-hex md5 of raw bytes — the ONE definition of the
+    * oracle-compared `content_md5` column, shared by the stub and every
+    * real decoder on the seam so the formats cannot drift.
+    */
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
   /** Deterministic fake decode: features derived only from the bytes. */
   def decodeStub(r: MediaRecord): DecodedMedia = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(r.payload).map(b => f"$b%02x").mkString
+    val hex = md5Hex(r.payload)
     DecodedMedia(
       doc_id = r.doc_id,
       n_bytes = r.n_bytes,

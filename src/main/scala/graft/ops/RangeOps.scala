@@ -35,11 +35,7 @@ object RangeOps {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"pointInIntervalJoin: column names collide across inputs: ${overlap.mkString(", ")}")
-    // Identifiers are backtick-escaped before SQL interpolation (and the
-    // quoted form is used for col() too, so dotted names resolve as plain
-    // names, not struct access) — the same hostile-column-name rule
-    // StatsOps follows.
-    def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+    def quoted(name: String): String = ColNames.quoted(name)
     val (p, s, e) = (quoted(pointCol), quoted(startCol), quoted(endCol))
     val ip = intervals
       .filter(col(s) < col(e)) // empty/inverted intervals match nothing

@@ -81,15 +81,20 @@ object SamplingOps {
     require(weights.map(_._1).distinct.size == weights.size,
       s"mixtureSample: duplicate group in weights: $weights")
     val bigW = weights.map(_._2).sum
-    val group = col("`" + groupCol.replace("`", "``") + "`")
+    val group = ColNames.quotedCol(groupCol)
     val sp = df.sparkSession
     import sp.implicits._
     val wDf = weights.toDF(groupCol, "_wt")
-    // Tiny aggregates: one row per weighted group, then the scalar T —
-    // broadcast back; no corpus data reaches the driver.
+    // Tiny aggregate: one row per weighted group; no corpus data reaches
+    // the driver. T folds in as a global window over those few rows —
+    // NOT as counts.agg(...) cross-joined back, which would duplicate the
+    // counts subplan and re-scan the corpus a third time (DataFrame
+    // branches don't dedup). The single-partition window is fine here
+    // because its input is weights.size rows, not corpus rows.
     val counts = df.groupBy(group).agg(count(lit(1)).as("_n")).join(wDf, groupCol)
-    val tDf = counts.agg(min(expr(s"_n * $bigW div _wt")).as("_t"))
-    val rates = counts.crossJoin(broadcast(tDf))
+    val rates = counts
+      .withColumn("_t", min(expr(s"_n * $bigW div _wt"))
+        .over(Window.partitionBy()))
       .select(group,
         (col("_n") * bigW).as("_den"),
         (col("_wt") * col("_t")).as("_num"))

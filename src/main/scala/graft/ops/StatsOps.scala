@@ -22,10 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
-  /** Backtick-quote an input column name for `col()` resolution so dots
-    * are not treated as struct access and embedded backticks stay literal.
-    */
-  private def quoted(c: String) = "`" + c.replace("`", "``") + "`"
+  private def quoted(c: String) = ColNames.quoted(c)
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")

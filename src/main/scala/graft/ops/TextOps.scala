@@ -70,7 +70,7 @@ object TextOps {
     // Backtick-quoted column reference, never interpolation into parsed
     // SQL text (the StatsOps rule): a dotted/quoted/hostile column name
     // must resolve as an identifier, not splice into the expression.
-    val text = col("`" + textCol.replace("`", "``") + "`")
+    val text = ColNames.quotedCol(textCol)
     val tk = tokens(text)
     docs
       .withColumn("n_tokens", size(tk))
@@ -220,8 +220,8 @@ object TextOps {
     require(overlap >= 0 && overlap < maxTokens,
       s"chunkByTokenBudget: overlap=$overlap must be in [0, maxTokens)")
     val stride = maxTokens - overlap
-    val text = col("`" + textCol.replace("`", "``") + "`")
-    val ids = idCols.map(c => col("`" + c.replace("`", "``") + "`"))
+    val text = ColNames.quotedCol(textCol)
+    val ids = idCols.map(ColNames.quotedCol)
     val nChunks =
       when(col("_n") <= maxTokens, lit(1))
         .otherwise(expr(s"(_n - $maxTokens + ${stride - 1}) div $stride") + 1)

@@ -87,6 +87,17 @@ class LayoutOpsSpec extends SparkSuite {
         "doc_id", "n_tokens", 10L).count()
     }
     assert(dup.getMessage.contains("must be unique"), dup.getMessage)
+    // A null key has no position in the global key order — rejected with
+    // a NULL-specific message, NOT misreported as a duplicate
+    // (countDistinct ignores nulls, so the duplicate check alone would
+    // miscount a single perfectly-unique null).
+    val nul = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudget(
+        Seq((Some(1L), 5L), (None, 3L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 10L).count()
+    }
+    assert(nul.getMessage.contains("null key"), nul.getMessage)
+    assert(!nul.getMessage.contains("must be unique"), nul.getMessage)
   }
 
   test("property: packByTokenBudget equals a sequential scan for random weights") {

@@ -46,6 +46,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(iters <= 8, s"diameter-63 path should contract in O(log n) rounds, took $iters")
   }
 
+  test("connectedComponents: maxIter bounds PRODUCTIVE rounds — converging in " +
+      "exactly maxIter rounds succeeds (fused probe observes one round late)") {
+    import spark.implicits._
+    val nodes = (1L to 3L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
+    // This path needs exactly 1 contraction round; the fused convergence
+    // metric only observes that from the NEXT (idempotent) round, so
+    // maxIter=1 must still succeed — the executed-round bound is
+    // maxIter + 1, not maxIter.
+    val (df, iters) = GraphOps.connectedComponentsWithIterations(
+      nodes, edges, maxIter = 1)
+    assert(df.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(iters == 1, s"expected 1 productive round, got $iters")
+    // A genuinely unconverged graph at maxIter still fails loudly.
+    val big = (1L to 64L).toDF("id")
+    val bigEdges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(big, bigEdges, maxIter = 1)
+    }
+    assert(err.getMessage.contains("not converged"), err.getMessage)
+  }
+
   test("connectedComponents: loop conf is session-isolated — concurrent " +
       "queries keep the caller's shuffle partition count") {
     import spark.implicits._
