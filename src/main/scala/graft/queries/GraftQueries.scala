@@ -1282,6 +1282,95 @@ object GraftQueries {
         CASE WHEN coalesce(h.n_contaminated, 0) = 0 THEN 1 ELSE 0 END AS kept
       FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id"""))
 
+  /** The north-star pipeline END TO END, one DataFrame program: quality
+    * floor + language filter → exact-dedup canonicalization →
+    * benchmark decontamination → context-window chunking → token-budget
+    * shard packing. What a training-data run actually materializes: a
+    * packed shard layout of curated, decontaminated chunks.
+    *
+    * The composition keeps each stage's scale shape: per-row quality
+    * signals are map-side and run BEFORE the fingerprint window (shuffled
+    * volume pre-pruned), eval grams broadcast against the already-curated
+    * canonical set, chunking is a shuffle-free 1→N map, and packing is
+    * the distributed two-phase prefix sum (the chunk key `doc_id*100 +
+    * chunk_idx` is unique because chunk counts here are ≪ 100 — an id
+    * packing the oracle reproduces with plain integer arithmetic).
+    */
+  private val d15 = Q("pipeline_pack_shards",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = SamplingOps.hashSampleFlag(col("doc_id"), 10, 1, salt = "eval")
+      // Benchmarks are EXTERNAL: eval grams come from the raw eval split,
+      // not the curated one.
+      val evalDocs = docs.filter(isEval)
+      val w = Window.partitionBy(md5(col("text")))
+      val canonical = TextOps.withQualityScore(docs)
+        .filter(col("lang") === "en" && col("quality_score") >= 0.5)
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id") && !isEval)
+        .select("doc_id", "text")
+      val kept = CurationOps.decontaminate(canonical, evalDocs, n = 4)
+        .filter(col("kept") === 1)
+        .select("doc_id", "text")
+      val chunks = TextOps.chunkByTokenBudget(kept, maxTokens = 40, overlap = 8)
+        .select((col("doc_id") * 100 + col("chunk_idx")).as("k"),
+          col("chunk_tokens"))
+      LayoutOps.packByTokenBudget(chunks, keyCol = "k",
+          weightCol = "chunk_tokens", budget = 2000L)
+        .select((col("k") / 100).cast("long").as("doc_id"),
+          pmod(col("k"), lit(100)).cast("int").as("chunk_idx"),
+          col("chunk_tokens"), col("token_offset"), col("shard_id"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk,
+          (('0x' || substr(md5('eval' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 1)
+            AS is_eval
+        FROM documents),
+      x AS (SELECT doc_id, lang, text, tk, is_eval,
+          cast(len(tk) as double) AS n_tok,
+          cast(len(list_distinct(tk)) as double) AS n_uniq,
+          cast(len(list_filter(tk, t -> t IN ('the','a','of','and','is','to'))) as double)
+            AS n_stop
+        FROM d),
+      q AS (SELECT doc_id, text, tk, is_eval, lang,
+          round(least(n_tok / 100.0, 1.0) * 0.4 + (n_uniq / n_tok) * 0.4
+            + (1.0 - n_stop / n_tok) * 0.2, 6) AS quality_score
+        FROM x),
+      f AS (SELECT doc_id, tk, is_eval,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM q WHERE lang = 'en' AND quality_score >= 0.5),
+      eg AS (SELECT DISTINCT unnest(
+              CASE WHEN len(tk) >= 4
+                THEN list_distinct(list_transform(range(1, len(tk) - 2),
+                       i -> array_to_string(tk[i : i+3], ' ')))
+                ELSE []::VARCHAR[] END) AS gram
+             FROM d WHERE is_eval),
+      tr AS (SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 4
+                 THEN list_distinct(list_transform(range(1, len(tk) - 2),
+                        i -> array_to_string(tk[i : i+3], ' ')))
+                 ELSE []::VARCHAR[] END AS grams
+             FROM f WHERE doc_id = canonical_id AND NOT is_eval),
+      dirty AS (SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) z
+                JOIN eg USING (gram)),
+      keep AS (SELECT doc_id, tk, len(tk) AS n FROM tr ANTI JOIN dirty USING (doc_id)),
+      c AS (SELECT doc_id, tk, n,
+              CASE WHEN n <= 40 THEN 1 ELSE (n - 40 + 31) // 32 + 1 END AS nc
+            FROM keep),
+      e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS ci FROM c),
+      ch AS (SELECT doc_id, cast(ci as int) AS chunk_idx,
+               doc_id * 100 + ci AS k,
+               len(tk[ci*32 + 1 : least(ci*32 + 40, n)]) AS w FROM e),
+      o AS (SELECT doc_id, chunk_idx, w,
+              coalesce(sum(w) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM ch)
+      SELECT doc_id, chunk_idx, cast(w as bigint) AS chunk_tokens,
+        cast(off as bigint) AS token_offset, cast(off // 2000 as bigint) AS shard_id
+      FROM o ORDER BY doc_id, chunk_idx"""))
+
   // -------------------------------------------------------- similarity
 
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -1977,7 +2066,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
     s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     sm1, sm2, m01, m02, m03, m04, mq1)
