@@ -133,4 +133,35 @@ class PlanAssertionsSpec extends SparkSuite {
       assert(!p.contains("Window"), s"$q: $p")
     }
   }
+
+  test("curate_decontaminate: eval grams broadcast — corpus never shuffles against them") {
+    // The 100 TB contract: the benchmark side is small, so the gram join
+    // must be a BroadcastHashJoin; a SortMergeJoin here would shuffle the
+    // corpus's exploded gram stream by gram value.
+    val p = plan("curate_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_chunk_budget: shuffle-free up to the presentation sort") {
+    // Chunking is a pure per-row map + bounded explode; the ONLY exchange
+    // in the plan must be the final orderBy's range partitioning.
+    val p = plan("text_chunk_budget")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy exchange:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sample_mixture: corpus filtered via broadcast rates, scanned at most twice") {
+    // One corpus scan feeds the per-group counts, one the filter pass; the
+    // T-fold must NOT duplicate the counts subplan into a third scan, and
+    // the rates must reach the corpus as a broadcast, not a shuffle.
+    val p = plan("sample_mixture")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
