@@ -1371,6 +1371,48 @@ object GraftQueries {
         cast(off as bigint) AS token_offset, cast(off // 2000 as bigint) AS shard_id
       FROM o ORDER BY doc_id, chunk_idx"""))
 
+  /** RELATIVE quality floor: keep each language's top 75% by quality
+    * score (per-lang P25 threshold) — the curation form real pipelines
+    * use instead of one absolute cutoff, because score distributions
+    * differ by language and a single constant either guts low-resource
+    * languages or keeps junk in high-resource ones.
+    *
+    * Scale note on the EXACT percentile: `percentile`'s per-group state
+    * is a value→count map, which is corpus-size-bounded only because
+    * quality_score is round(…,6) in [0,1] — ≤ ~10^6 distinct values per
+    * group no matter how many rows. Unbounded-domain metrics at 100 TB
+    * would switch to approx_percentile; bounded-domain scores get
+    * exactness for free. Thresholds (one row per lang) broadcast back.
+    */
+  private val d16 = Q("curate_quality_quantile",
+    (s, dir) => {
+      val scored = TextOps.withQualityScore(t(s, dir, "documents"))
+        .select("doc_id", "lang", "quality_score")
+      val floors = scored.groupBy("lang")
+        .agg(expr("round(percentile(quality_score, 0.25), 6)").as("q_floor"))
+      scored.join(broadcast(floors), "lang")
+        .filter(col("quality_score") >= col("q_floor"))
+        .select("doc_id", "lang", "quality_score", "q_floor")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      x AS (SELECT doc_id, lang,
+          cast(len(tk) as double) AS n_tok,
+          cast(len(list_distinct(tk)) as double) AS n_uniq,
+          cast(len(list_filter(tk, t -> t IN ('the','a','of','and','is','to'))) as double)
+            AS n_stop
+        FROM d),
+      q AS (SELECT doc_id, lang,
+          round(least(n_tok / 100.0, 1.0) * 0.4 + (n_uniq / n_tok) * 0.4
+            + (1.0 - n_stop / n_tok) * 0.2, 6) AS quality_score
+        FROM x),
+      th AS (SELECT lang, round(quantile_cont(quality_score, 0.25), 6) AS q_floor
+             FROM q GROUP BY lang)
+      SELECT doc_id, q.lang, quality_score, q_floor
+      FROM q JOIN th USING (lang)
+      WHERE quality_score >= q_floor ORDER BY doc_id"""))
+
   // -------------------------------------------------------- similarity
 
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -2066,7 +2108,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     sm1, sm2, m01, m02, m03, m04, mq1)
