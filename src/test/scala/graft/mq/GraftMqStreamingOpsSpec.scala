@@ -115,6 +115,58 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: source → quality floor → dedup → MQ sink, " +
+      "read back equals the batch formulation") {
+    // The streaming twin of the batch pipeline_pack_shards front half:
+    // the same per-row curation operators (TextOps.withQualityScore is a
+    // pure map) compose unchanged over a streaming DataFrame, duplicates
+    // drop in-stream within the watermark, and survivors land back on a
+    // graft-mq topic through the streaming sink — then a BATCH read of
+    // the sink topic must agree with the batch formulation over the
+    // source topic (same operators, batch dropDuplicates).
+    val src = "curate-stream-src"
+    val out = "curate-stream-out"
+    InMemoryMqBroker.drop(src)
+    InMemoryMqBroker.drop(out)
+    InMemoryMqBroker.getOrCreate(out, 1)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val junk = "the the the the the the the the the the"
+    Seq(good, junk, good, good + " extra", junk, good)
+      .zipWithIndex.foreach { case (v, i) =>
+        state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + i * 1000000L))
+      }
+
+    import spark.implicits._
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.withQualityScore(
+          df.select(col("timestamp"), col("value").cast("string").as("text")))
+        .filter(col("quality_score") >= 0.5)
+
+    val q = curate(spark.readStream.format("graft-mq")
+        .option("topic", src).option("numPartitions", "1")
+        .option("includeMetadata", "true").load())
+      .withWatermark("timestamp", "1 minute")
+      .dropDuplicatesWithinWatermark("text")
+      .select(col("text").cast("binary").as("value"))
+      .writeStream.format("graft-mq")
+      .option("topic", out).option("numPartitions", "1")
+      .option("checkpointLocation", tmp("curate-stream-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    val streamed = spark.read.format("graft-mq").option("topic", out)
+      .option("numPartitions", "1").load()
+      .select(col("value").cast("string")).as[String].collect().toSeq.sorted
+    val batch = curate(spark.read.format("graft-mq").option("topic", src)
+        .option("numPartitions", "1").option("includeMetadata", "true").load())
+      .dropDuplicates("text")
+      .select(col("text")).as[String].collect().toSeq.sorted
+    assert(streamed == Seq(good, good + " extra"), streamed.toString)
+    assert(streamed == batch)
+  }
+
   test("streaming near-dup: dedupe by content fingerprint within watermark") {
     val topic = "neardup-stream"
     InMemoryMqBroker.drop(topic)
