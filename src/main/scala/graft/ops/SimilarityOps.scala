@@ -358,6 +358,33 @@ object SimilarityOps {
       .limit(sampleSize))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× memory/IO reduction
+    * an ANN corpus takes before it ships to serving at scale. Adds
+    * `scale` (= max|x| / 127, the dequant multiplier) and `qvec`
+    * (`array<tinyint>`, element `floor(x / max|x| · 127)` ∈ [-127, 127]),
+    * so `|x − q·scale| ≤ scale` per element. All-zero vectors quantize to
+    * zeros with scale 0; a null vector stays null.
+    *
+    * Deterministic and engine-reproducible by construction: float→double
+    * widening is exact, the max / divide / floor chain is IEEE-identical
+    * everywhere — the DuckDB oracle recomputes it bit-for-bit. Pure
+    * per-row map (no shuffle). Built on higher-order functions, which
+    * evaluate interpreted: fine for a write-once pass over the corpus;
+    * a serving-path hot loop would get a native expression like the
+    * cosine kernel.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = ColNames.quotedCol(vecCol)
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    df.withColumn("_mx", mx)
+      .withColumn("scale", col("_mx") / 127d)
+      .withColumn("qvec",
+        when(col("_mx") === 0d, transform(v, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(v,
+            x => floor(x.cast("double") / col("_mx") * 127).cast("tinyint"))))
+      .drop("_mx")
+  }
+
   def labelPairStatsBrute(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
       col("label").as("la"))

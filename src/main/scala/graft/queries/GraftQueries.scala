@@ -1576,6 +1576,35 @@ object GraftQueries {
         round(max(cos), 6) AS max_cosine
       FROM p GROUP BY grp ORDER BY grp"""))
 
+  /** Int8 quantization ([[SimilarityOps.quantizeInt8]]): per-vector
+    * symmetric scale + quantized values, reduced to integer aggregates
+    * per vector (the array itself reduces like `text_winnow` does — the
+    * gate compares scalars). The float→double→max→divide→floor chain is
+    * IEEE-identical in DuckDB, so even the unrounded `scale` doubles
+    * hash-match.
+    */
+  private val s08 = Q("sim_quantize_int8",
+    (s, dir) => SimilarityOps.quantizeInt8(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("scale"),
+        size(col("qvec")).as("n_dims"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("q_sum"),
+        array_min(col("qvec")).cast("int").as("q_min"),
+        array_max(col("qvec")).cast("int").as("q_max"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM t),
+      q AS (SELECT vec_id, mx / 127 AS scale,
+              CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> cast(floor(x / mx * 127) as int)) END AS qv
+            FROM m)
+      SELECT vec_id, scale, cast(len(qv) as int) AS n_dims,
+        cast(list_sum(qv) as bigint) AS q_sum,
+        cast(list_min(qv) as int) AS q_min,
+        cast(list_max(qv) as int) AS q_max
+      FROM q ORDER BY vec_id"""))
+
   /** Per-label L2-norm stats via the codegen'd l2_norm expression; the
     * oracle recomputes the norm with DuckDB list arithmetic (same
     * sequential double summation → identical bits).
@@ -2109,7 +2138,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    s01, s02, s03, s04, s05, s06, s07,
+    s01, s02, s03, s04, s05, s06, s07, s08,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     sm1, sm2, m01, m02, m03, m04, mq1)
 

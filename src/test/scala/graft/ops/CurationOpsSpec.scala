@@ -127,6 +127,44 @@ class CurationOpsSpec extends SparkSuite {
     assert(kept.filter(col("grp") === "z").count() == 0)
   }
 
+  // ---------------------------------------------------- quantizeInt8
+
+  test("quantizeInt8: dequant error bounded by scale; extremes hit ±127") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 1.0f)),
+      (2L, Seq(0.0f, 0.0f)),               // all-zero → zeros, scale 0
+      (3L, Seq(-2.0f))                     // single negative extreme
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(df)
+      .select("vec_id", "scale", "qvec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2))).toSeq.sortBy(_._1)
+    val (_, s1, q1) = got(0)
+    assert(s1 == 1.0 / 127)
+    assert(q1.max == 127 && q1.min == -127)
+    // floor-based: every element within one scale step of the original.
+    val orig = Seq(0.5, -1.0, 0.25, 1.0)
+    q1.zip(orig).foreach { case (q, x) =>
+      assert(math.abs(x - q * s1) <= s1, s"dequant error for $x")
+    }
+    assert(got(1) == ((2L, 0.0, Seq[Byte](0, 0))))
+    assert(got(2)._3 == Seq[Byte](-127))
+  }
+
+  test("quantizeInt8: null vectors stay null; determinism across partitioning") {
+    val df = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.quantizeInt8(df).orderBy("vec_id").collect()
+    assert(!r(0).isNullAt(2) && r(1).isNullAt(1) && r(1).isNullAt(2))
+    val big = (1 to 200).map(i => (i.toLong, Seq(i * 0.01f, -i * 0.02f, 3.7f)))
+      .toDF("vec_id", "embedding")
+    def sums(parts: Int) = SimilarityOps.quantizeInt8(big.repartition(parts))
+      .select(col("vec_id"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sums(1) == sums(13))
+  }
+
   test("mixtureSample: invalid weights rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "grp")
     intercept[IllegalArgumentException] {
