@@ -1309,18 +1309,28 @@ object GraftQueries {
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("canonical_id") && !isEval)
         .select("doc_id", "text")
-      val kept = CurationOps.decontaminate(canonical, evalDocs, n = 4)
-        .filter(col("kept") === 1)
-        .select("doc_id", "text")
-      val chunks = TextOps.chunkByTokenBudget(kept, maxTokens = 40, overlap = 8)
-        .select((col("doc_id") * 100 + col("chunk_idx")).as("k"),
-          col("chunk_tokens"))
-      LayoutOps.packByTokenBudget(chunks, keyCol = "k",
-          weightCol = "chunk_tokens", budget = 2000L)
-        .select((col("k") / 100).cast("long").as("doc_id"),
-          pmod(col("k"), lit(100)).cast("int").as("chunk_idx"),
-          col("chunk_tokens"), col("token_offset"), col("shard_id"))
-        .orderBy("doc_id", "chunk_idx")
+      // `canonical` is referenced twice inside decontaminate (gram explode
+      // + the left join back) and DataFrame branches don't dedup (the
+      // mixtureSample lesson) — without the persist, the quality scoring
+      // and the fingerprint-window shuffle would run twice over the
+      // corpus. packByTokenBudget materializes its input EAGERLY (its
+      // ranged localCheckpoint + stats pass run inside the call), so the
+      // cache is fully consumed — and safely released — before return.
+      canonical.persist()
+      try {
+        val kept = CurationOps.decontaminate(canonical, evalDocs, n = 4)
+          .filter(col("kept") === 1)
+          .select("doc_id", "text")
+        val chunks = TextOps.chunkByTokenBudget(kept, maxTokens = 40, overlap = 8)
+          .select((col("doc_id") * 100 + col("chunk_idx")).as("k"),
+            col("chunk_tokens"))
+        LayoutOps.packByTokenBudget(chunks, keyCol = "k",
+            weightCol = "chunk_tokens", budget = 2000L)
+          .select((col("k") / 100).cast("long").as("doc_id"),
+            pmod(col("k"), lit(100)).cast("int").as("chunk_idx"),
+            col("chunk_tokens"), col("token_offset"), col("shard_id"))
+          .orderBy("doc_id", "chunk_idx")
+      } finally canonical.unpersist(blocking = false)
     },
     Some("""
       WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk,
