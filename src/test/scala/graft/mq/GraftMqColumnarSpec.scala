@@ -112,6 +112,13 @@ class GraftMqColumnarSpec extends SparkSuite {
     assert(err.getMessage.contains("earliest retained"), err.getMessage)
   }
 
+  test("empty topic: columnar scan returns zero rows, no empty batch emitted") {
+    InMemoryMqBroker.drop("col-empty")
+    InMemoryMqBroker.getOrCreate("col-empty", 2)
+    val df = read("col-empty", columnar = true, "includeMetadata" -> "true")
+    assert(df.count() == 0)
+  }
+
   test("multi-slab ranges (beyond one 4096-row batch) stay offset-exact") {
     val df = spark.read.format("graft-mq")
       .option("backend", "generated").option("numPartitions", "2")

@@ -165,6 +165,32 @@ class CurationOpsSpec extends SparkSuite {
     assert(sums(1) == sums(13))
   }
 
+  test("quantizeInt8: dequantized vectors preserve cosine top-1 neighbors") {
+    // The end use: ANN over the 4x-smaller corpus must still find the
+    // right neighbors. Deterministic pseudo-random 16-dim vectors (md5-
+    // driven, no RNG state); top-1-by-cosine under dequantization must
+    // match the exact top-1 for every query on this well-separated set.
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$d".getBytes("UTF-8"))
+        (h(0) / 128.0f) + (if (seed % 3 == d % 3) 1.5f else 0.0f)
+      }
+    val df = (1 to 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val deq = SimilarityOps.quantizeInt8(df)
+      .select(col("vec_id"),
+        transform(col("qvec"), q => q.cast("double") * col("scale"))
+          .cast("array<float>").as("embedding"))
+    def top1(corpus: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      SimilarityOps.bruteForceTopK(q, c, k = 1) // excludeSelf by default
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(top1(deq) == top1(df))
+  }
+
   test("mixtureSample: invalid weights rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "grp")
     intercept[IllegalArgumentException] {
