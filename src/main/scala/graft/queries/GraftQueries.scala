@@ -1842,6 +1842,51 @@ object GraftQueries {
     * The doc count joins in as a broadcast scalar — no driver-side
     * constant folding, the plan stays fully declarative.
     */
+  /** CCNet-style language-model quality scoring: a unigram LM trained on
+    * the corpus itself (token log-probabilities from global frequencies),
+    * each document scored by its mean token log-prob — low scores flag
+    * out-of-distribution/garbled text, the standard model-based quality
+    * gate between heuristic scoring and an external perplexity model.
+    * No smoothing needed: every scored token is in-vocab by construction
+    * (same corpus trains and scores); scoring a DIFFERENT corpus would
+    * add it.
+    *
+    * Shape at 100 TB: token frequencies are a vocab-bounded aggregate
+    * (map-side partial), the model broadcasts (vocab ≪ corpus), and
+    * scoring is one explode + broadcast join + per-doc agg. The per-doc
+    * mean sums decimal(18,12)-cast log-probs so the result is
+    * shuffle-order independent (the s07 idiom); `log` ≡ DuckDB `ln` on
+    * identical doubles (the x08 idiom). The tokenized frame is persisted
+    * across its two uses (train + score), not re-exploded.
+    */
+  private val x14 = Q("text_lm_score",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      val model = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .select(col("t"),
+          log(col("c").cast("double") / col("n").cast("double")).as("logp"))
+      graft.ops.Caching.withCached(tok) {
+        tok.join(broadcast(model), "t")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("logp").cast("decimal(18,12)")).cast("double")
+              / count(lit(1)), 6).as("lm_score"))
+      }.orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      tot AS (SELECT sum(c) AS n FROM f),
+      lp AS (SELECT t, ln(cast(c as double) / cast((SELECT n FROM tot) as double))
+               AS logp FROM f),
+      s AS (SELECT doc_id, count(*) AS n_tokens,
+              round(cast(sum(cast(logp as decimal(18,12))) as double) / count(*), 6)
+                AS lm_score
+            FROM tok JOIN lp USING (t) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, lm_score FROM s ORDER BY doc_id"""))
+
   private val x08 = Q("text_tfidf_top",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2149,7 +2194,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s06, s07, s08,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     sm1, sm2, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and
