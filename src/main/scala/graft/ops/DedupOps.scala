@@ -97,18 +97,66 @@ object DedupOps {
     }
   }
 
+  /** Run a pair pipeline on exact-set-duplicate REPRESENTATIVES, then
+    * expand verified pairs back to all members. Dup-heavy corpora (the
+    * realistic web-crawl case) make shingle-index candidate volume
+    * QUADRATIC in duplicate multiplicity: m copies of a document are
+    * m·(m−1)/2 pairs re-discovered through every shared shingle — a 10×
+    * replicated corpus measured 109× slower through the direct index.
+    * Collapsing set-identical docs first (key: md5 over the ORDER-
+    * NORMALIZED shingle set, so token order can't split a set class)
+    * makes candidate generation and verification canonical-sized; only
+    * the final expansion is output-sized — and the output IS inherently
+    * quadratic in multiplicity, because every copy-pair is a true pair.
+    *
+    * Expansion is exact, not approximate: Jaccard depends only on the
+    * shingle SETS, so every cross-class member pair inherits its rep
+    * pair's value verbatim, and within-class pairs are 1.0 by definition
+    * (emitted only for non-empty sets, matching the oracle's exclusion
+    * of sub-`shingleN`-token docs — and only when `threshold ≤ 1`).
+    */
+  private def withSetCollapse(base: DataFrame, threshold: Double)(
+      run: DataFrame => DataFrame): DataFrame = {
+    // Non-space separator (\u0001): shingles contain spaces (and can
+    // contain empty tokens), so an unseparated concat would be boundary-
+    // ambiguous between different sets.
+    val keyed = base.withColumn("fp",
+      md5(concat_ws("\u0001", array_sort(col("sh")))))
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"))
+    Caching.withCached(keyed, reps) {
+      val members = keyed.select(col("fp"), col("id"))
+      val repPairs = run(reps.select(col("id"), col("sh")))
+      val repFp = reps.select(col("id"), col("fp"))
+      val cross = repPairs
+        .join(repFp.select(col("id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+        .join(repFp.select(col("id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+        .join(members.select(col("fp").as("fp_a"), col("id").as("xa")), "fp_a")
+        .join(members.select(col("fp").as("fp_b"), col("id").as("xb")), "fp_b")
+        .select(least(col("xa"), col("xb")).as("doc_a"),
+          greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
+      val within = keyed.filter(size(col("sh")) > 0).select(col("fp"), col("id"))
+      val withinPairs = within.as("x")
+        .join(within.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      if (threshold <= 1.0) cross.unionByName(withinPairs) else cross
+    }
+  }
+
   /** Exact n-gram-Jaccard pairs via a shingle inverted index: explode
     * distinct shingles, self-equi-join on the shingle, count shared
     * shingles per pair (= |intersection|), then Jaccard from the per-doc
     * set sizes. No cross join anywhere; `maxShingleDf` drops degenerate
-    * ubiquitous shingles (stopword-run guard) — at this data's vocabulary
-    * no shingle comes close, so the result is still exact.
+    * ubiquitous shingles (stopword-run guard, counted over distinct SETS
+    * after the [[withSetCollapse]] duplicate collapse) — at this data's
+    * vocabulary no shingle comes close, so the result is still exact.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = shingleSets(docs, shingleN, idCol, textCol)
-    Caching.withCached(base) {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     // The inverted index joins on fnv64(shingle) — an 8-byte key instead
     // of a ~20-byte string roughly halves the heaviest shuffle. Distinct
@@ -140,7 +188,6 @@ object DedupOps {
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b"),
       threshold)
     }
-  }
 
   /** Shared scoring tail of the count-based Jaccard formulations:
     * jaccard = n_inter / (n_a + n_b − n_inter), rounded to 6 then
@@ -178,7 +225,7 @@ object DedupOps {
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
-    val base = shingleSets(docs, shingleN, idCol, textCol)
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
     val hashed = base.select(col("id"), size(col("sh")).as("n"),
       array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
     // Keep each doc's prefix: its (n - ceil(t*n) + 1) smallest hashes.
@@ -213,6 +260,7 @@ object DedupOps {
       .withColumn("n_inter",
         GraftFunctions.sorted_intersect_count(col("hs_a"), col("hs_b"))),
       threshold)
+    }
     }
   }
 

@@ -55,6 +55,34 @@ class OpsSpec extends SparkSuite {
         s"extra ${(prefix -- exact).size}")
   }
 
+  test("duplicate collapse: replicated docs expand to the exact pair set") {
+    import spark.implicits._
+    // 3 copies of A, 2 copies of B (A~B near-dup), 2 copies of a short doc
+    // (sub-shingle: must produce NO pairs), one unrelated doc. The
+    // collapse path must emit every within-set pair at jaccard 1.0 and
+    // every cross-set member pair at the rep pair's jaccard — the answer
+    // the direct all-pairs formulation gives.
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "alpha beta gamma delta epsilon eta"
+    val docs = Seq(
+      1L -> tA, 2L -> tA, 3L -> tA,
+      4L -> tB, 5L -> tB,
+      6L -> "hi", 7L -> "hi",
+      8L -> "completely different text with other words entirely"
+    ).toDF("doc_id", "text")
+    for (pairs <- Seq(DedupOps.jaccardPairs(docs, threshold = 0.5),
+        DedupOps.jaccardPairsPrefix(docs, threshold = 0.5))) {
+      val got = pairs.select("doc_a", "doc_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // Within-set: (1,2)(1,3)(2,3) and (4,5) at 1.0; never the short docs.
+      val within = Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0))
+      // Cross-set: every A-copy × B-copy at jaccard(A,B) = 3/5 (shingle
+      // sets of size 4 sharing 3).
+      val cross = (for (a <- 1L to 3L; b <- 4L to 5L) yield (a, b, 0.6)).toSet
+      assert(got == within ++ cross, s"got $got")
+    }
+  }
+
   test("banded embedding pairs: subset of brute force with identical cosines") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val brute = DedupOps.embeddingNearDupPairsBrute(emb, threshold = 0.4)
