@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines: exact, fingerprint,
@@ -34,9 +34,11 @@ object DedupOps {
     // expression into the pair-join filter and recomputes it per CANDIDATE
     // PAIR — O(pairs) hashing instead of O(docs). Same pattern as Spark
     // ML's LSH models.
-    val sh = docs.select(
-      col(idCol).as("id"),
-      GraftFunctions.simhash60(TextOps.tokens(col(textCol))).as("simhash"))
+    withTextCollapse(docs, idCol, textCol, "hamming", lit(0).cast("int"),
+        reps => reps /* identical copies always band together: all eligible */) { reps =>
+    val sh = reps.select(
+      col("id"),
+      GraftFunctions.simhash60(TextOps.tokens(col("text"))).as("simhash"))
     Caching.withCached(sh) {
     val banded = sh.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b =>
@@ -55,6 +57,7 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
     }
+    }
   }
 
   /** MinHash-LSH near-dup pairs over word-`n`-gram shingles, verified with
@@ -68,7 +71,7 @@ object DedupOps {
       bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3, seed: Long = 42L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
-    val base = shingleSets(docs, shingleN, idCol, textCol)
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
     Caching.withCached(base) {
     // Shingle-less docs (< shingleN tokens) are excluded BEFORE banding:
     // minhash of an empty set is the constant all-MaxValue signature, so
@@ -94,6 +97,7 @@ object DedupOps {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, base, threshold)
+    }
     }
   }
 
@@ -125,24 +129,68 @@ object DedupOps {
     val reps = keyed.groupBy("fp")
       .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"))
     Caching.withCached(keyed, reps) {
-      val members = keyed.select(col("fp"), col("id"))
       val repPairs = run(reps.select(col("id"), col("sh")))
-      val repFp = reps.select(col("id"), col("fp"))
-      val cross = repPairs
-        .join(repFp.select(col("id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-        .join(repFp.select(col("id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-        .join(members.select(col("fp").as("fp_a"), col("id").as("xa")), "fp_a")
-        .join(members.select(col("fp").as("fp_b"), col("id").as("xb")), "fp_b")
-        .select(least(col("xa"), col("xb")).as("doc_a"),
-          greatest(col("xa"), col("xb")).as("doc_b"), col("jaccard"))
-      val within = keyed.filter(size(col("sh")) > 0).select(col("fp"), col("id"))
-      val withinPairs = within.as("x")
-        .join(within.as("y"),
-          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-          lit(1.0).as("jaccard"))
-      if (threshold <= 1.0) cross.unionByName(withinPairs) else cross
+      val withinFps = reps
+        .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
+        .select(col("fp"))
+      expandCollapsed(keyed, reps, "jaccard", lit(1.0), withinFps, repPairs)
     }
+  }
+
+  /** [[withSetCollapse]]'s sibling for pipelines whose candidate AND
+    * verify logic depend on the full TEXT (token sequence / characters),
+    * not just the shingle set: simhash (token-sequence fingerprint),
+    * winnow candidates (positional windows), edit distance (characters).
+    * Text-identity is the collapse key (`split(text, " ")` is injective,
+    * so text-identical iff token-sequence-identical); copies of one text
+    * behave identically through any such pipeline, making the expansion
+    * exact. `withinEligible` filters the rep frame to classes whose
+    * copies DO pair under the op's own candidate rule (e.g. winnow-gated
+    * ops never pair docs with < minShared fingerprints, identical copies
+    * included) and `withinValue` is the payload an identical pair gets
+    * (hamming/dist 0, jaccard 1.0).
+    */
+  private def withTextCollapse(docs: DataFrame, idCol: String, textCol: String,
+      payloadCol: String, withinValue: Column,
+      withinEligible: DataFrame => DataFrame)(
+      run: DataFrame => DataFrame): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("fp", md5(col("text")))
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
+    Caching.withCached(keyed, reps) {
+      val repPairs = run(reps.select(col("id"), col("text")))
+      expandCollapsed(keyed, reps, payloadCol, withinValue,
+        withinEligible(reps).select(col("fp")), repPairs)
+    }
+  }
+
+  /** Shared expansion core of the collapse wrappers: map rep-pair ids back
+    * to class keys, fan out to every member pair (cross-class pairs
+    * inherit the rep payload; orientation is re-derived with
+    * least/greatest since member ids need not sort like their reps), and
+    * add within-class pairs for the eligible classes. Every join is an
+    * equi-join; the fan-out is output-sized — the true answer's size.
+    */
+  private def expandCollapsed(keyed: DataFrame, reps: DataFrame,
+      payloadCol: String, withinValue: Column, withinFps: DataFrame,
+      repPairs: DataFrame): DataFrame = {
+    val members = keyed.select(col("fp"), col("id"))
+    val repFp = reps.select(col("id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(members.select(col("fp").as("fp_a"), col("id").as("xa")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("id").as("xb")), "fp_b")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col(payloadCol))
+    val within = members.join(withinFps, "fp")
+    val withinPairs = within.as("x")
+      .join(within.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        withinValue.as(payloadCol))
+    cross.unionByName(withinPairs)
   }
 
   /** Exact n-gram-Jaccard pairs via a shingle inverted index: explode
@@ -315,10 +363,18 @@ object DedupOps {
       winnowW: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
-    val base = shingleSets(docs, shingleN, idCol, textCol)
-    val fps = winnowFpRows(docs, shingleN, winnowW, idCol, textCol)
-    Caching.withCached(base, fps) {
-      verifyJaccard(winnowCandidates(fps, minShared), base, threshold)
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    withTextCollapse(docs, idCol, textCol, "jaccard", lit(1.0),
+        // Identical copies share ALL their fingerprints, so they pair iff
+        // the doc has >= minShared of them — the same candidate rule the
+        // direct path applies to every pair.
+        reps => TextOps.winnowFingerprints(reps, "text", shingleN, winnowW)
+          .filter(size(col("winnow_fps")) >= minShared)) { reps =>
+      val base = shingleSets(reps, shingleN, "id", "text")
+      val fps = winnowFpRows(reps, shingleN, winnowW, "id", "text")
+      Caching.withCached(base, fps) {
+        verifyJaccard(winnowCandidates(fps, minShared), base, threshold)
+      }
     }
   }
 
@@ -360,9 +416,12 @@ object DedupOps {
     // caller spelling "unbounded" as Int.MaxValue.
     require(maxDist >= 0 && maxDist < Int.MaxValue,
       s"maxDist must be in [0, ${Int.MaxValue - 1}], got $maxDist")
-    val fps = winnowFpRows(docs, shingleN, winnowW, idCol, textCol)
-    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("ta"))
-    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("tb"))
+    withTextCollapse(docs, idCol, textCol, "dist", lit(0).cast("int"),
+        reps => TextOps.winnowFingerprints(reps, "text", shingleN, winnowW)
+          .filter(size(col("winnow_fps")) >= minShared)) { reps =>
+    val fps = winnowFpRows(reps, shingleN, winnowW, "id", "text")
+    val ta = reps.select(col("id").as("doc_a"), col("text").as("ta"))
+    val tb = reps.select(col("id").as("doc_b"), col("text").as("tb"))
     Caching.withCached(fps) {
       winnowCandidates(fps, minShared)
         .join(ta, "doc_a").join(tb, "doc_b")
@@ -371,6 +430,7 @@ object DedupOps {
         .withColumn("dist", expr(s"levenshtein(ta, tb, ${maxDist + 1})"))
         .filter(col("dist") >= 0 && col("dist") <= maxDist)
         .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
+    }
     }
   }
 

@@ -83,6 +83,55 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("duplicate collapse: text-keyed ops (simhash/winnow/edit) expand exactly") {
+    import spark.implicits._
+    // 40-token docs: A and B differ in the last token only → token 40
+    // touches exactly one 3-shingle, so jaccard = 37/39; the ≥10-token
+    // shared run guarantees winnow candidates (MOSS bound); minhash at
+    // j≈0.95 has ~1e-12 miss probability. Short "hi" copies have 0
+    // winnow fingerprints → winnow/edit must NOT pair them, while
+    // simhash (identical fingerprint, no gate) MUST at hamming 0.
+    val tA = (1 to 40).map(i => s"t$i").mkString(" ")
+    val tB = (1 to 39).map(i => s"t$i").mkString(" ") + " zz"
+    val docs = Seq(
+      1L -> tA, 2L -> tA, 3L -> tA,
+      4L -> tB, 5L -> tB,
+      6L -> "hi", 7L -> "hi"
+    ).toDF("doc_id", "text")
+    val withinLong = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    val crossAB = (for (a <- 1L to 3L; b <- 4L to 5L) yield (a, b)).toSet
+    val j = BigDecimal(37.0 / 39.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val winnow = DedupOps.winnowPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(winnow == withinLong.map { case (a, b) => (a, b, 1.0) }
+      ++ crossAB.map { case (a, b) => (a, b, j) }, s"winnow: $winnow")
+
+    val edit = DedupOps.editDistancePairs(docs, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // "t40" → "zz" is 3 edits; identical copies are 0; "hi" copies have
+    // no fingerprints and must not appear.
+    assert(edit == withinLong.map { case (a, b) => (a, b, 0) }
+      ++ crossAB.map { case (a, b) => (a, b, 3) }, s"edit: $edit")
+
+    val lsh = DedupOps.minhashLshPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == withinLong.map { case (a, b) => (a, b, 1.0) }
+      ++ crossAB.map { case (a, b) => (a, b, j) }, s"lsh: $lsh")
+
+    val sim = DedupOps.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Identical copies always pair at hamming 0 — including the short
+    // docs (simhash has no fingerprint gate). Cross pairs, if the two
+    // fingerprints land within the hamming bound, must be uniform
+    // across all member combinations.
+    val mustHave = (withinLong + ((6L, 7L))).map { case (a, b) => (a, b, 0) }
+    assert(mustHave.subsetOf(sim), s"sim: $sim")
+    val crossSim = sim -- mustHave
+    assert(crossSim.map(_._3).size <= 1 &&
+      (crossSim.isEmpty || crossSim.map(x => (x._1, x._2)) == crossAB), s"sim cross: $crossSim")
+  }
+
   test("banded embedding pairs: subset of brute force with identical cosines") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val brute = DedupOps.embeddingNearDupPairsBrute(emb, threshold = 0.4)
