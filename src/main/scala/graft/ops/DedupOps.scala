@@ -28,7 +28,8 @@ object DedupOps {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming < 4, "4 bands of 15 bits guarantee recall only for hamming <= 3")
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4 bands of 15 bits guarantee recall only for hamming in [0, 3]")
     // persist (via Caching.withCached): the fingerprint must be computed
     // once per DOCUMENT. Left lazy, the optimizer inlines the hash
     // expression into the pair-join filter and recomputes it per CANDIDATE
@@ -71,8 +72,10 @@ object DedupOps {
       bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3, seed: Long = 42L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = bands * rowsPerBand
+    // No inner persist: `base` is a pure projection of the collapse
+    // wrapper's already-persisted reps frame, so its repeated consumers
+    // (signature build + both verify sides) hit that cache directly.
     withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
-    Caching.withCached(base) {
     // Shingle-less docs (< shingleN tokens) are excluded BEFORE banding:
     // minhash of an empty set is the constant all-MaxValue signature, so
     // E empty docs would share every band key and enumerate O(E²)
@@ -98,7 +101,6 @@ object DedupOps {
       .distinct()
     verifyJaccard(candidates, base, threshold)
     }
-    }
   }
 
   /** Run a pair pipeline on exact-set-duplicate REPRESENTATIVES, then
@@ -121,19 +123,24 @@ object DedupOps {
     */
   private def withSetCollapse(base: DataFrame, threshold: Double)(
       run: DataFrame => DataFrame): DataFrame = {
-    // Non-space separator (\u0001): shingles contain spaces (and can
-    // contain empty tokens), so an unseparated concat would be boundary-
-    // ambiguous between different sets.
+    // Per-shingle md5 BEFORE concatenation: shingles are arbitrary
+    // strings (crawl text can contain any separator byte), so no in-band
+    // delimiter makes the serialization unambiguous - fixed-width hash
+    // chunks do. Two different sets colliding now needs an md5 collision.
     val keyed = base.withColumn("fp",
-      md5(concat_ws("\u0001", array_sort(col("sh")))))
+      md5(concat_ws("", array_sort(transform(col("sh"), s => md5(s))))))
     val reps = keyed.groupBy("fp")
       .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"))
-    Caching.withCached(keyed, reps) {
+    // Persist the NARROW (fp, id) projection for the fan-out joins, not
+    // the keyed frame with its shingle arrays — reps (canonical-sized)
+    // carries the only array payload that must stay cached.
+    val members = keyed.select(col("fp"), col("id"))
+    Caching.withCached(members, reps) {
       val repPairs = run(reps.select(col("id"), col("sh")))
       val withinFps = reps
         .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
         .select(col("fp"))
-      expandCollapsed(keyed, reps, "jaccard", lit(1.0), withinFps, repPairs)
+      expandCollapsed(members, reps, "jaccard", lit(1.0), withinFps, repPairs)
     }
   }
 
@@ -158,9 +165,12 @@ object DedupOps {
       .withColumn("fp", md5(col("text")))
     val reps = keyed.groupBy("fp")
       .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
-    Caching.withCached(keyed, reps) {
+    // As in [[withSetCollapse]]: cache the narrow (fp, id) projection and
+    // the canonical-sized reps — never the full corpus text payload.
+    val members = keyed.select(col("fp"), col("id"))
+    Caching.withCached(members, reps) {
       val repPairs = run(reps.select(col("id"), col("text")))
-      expandCollapsed(keyed, reps, payloadCol, withinValue,
+      expandCollapsed(members, reps, payloadCol, withinValue,
         withinEligible(reps).select(col("fp")), repPairs)
     }
   }
@@ -172,10 +182,9 @@ object DedupOps {
     * add within-class pairs for the eligible classes. Every join is an
     * equi-join; the fan-out is output-sized — the true answer's size.
     */
-  private def expandCollapsed(keyed: DataFrame, reps: DataFrame,
+  private def expandCollapsed(members: DataFrame, reps: DataFrame,
       payloadCol: String, withinValue: Column, withinFps: DataFrame,
       repPairs: DataFrame): DataFrame = {
-    val members = keyed.select(col("fp"), col("id"))
     val repFp = reps.select(col("id"), col("fp"))
     val cross = repPairs
       .join(repFp.select(col("id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
@@ -198,8 +207,13 @@ object DedupOps {
     * shingles per pair (= |intersection|), then Jaccard from the per-doc
     * set sizes. No cross join anywhere; `maxShingleDf` drops degenerate
     * ubiquitous shingles (stopword-run guard, counted over distinct SETS
-    * after the [[withSetCollapse]] duplicate collapse) — at this data's
-    * vocabulary no shingle comes close, so the result is still exact.
+    * after the [[withSetCollapse]] duplicate collapse — duplication alone
+    * no longer pushes a shingle over the cap) — at this data's vocabulary
+    * no shingle comes close, so the result is still exact. With an ACTIVE
+    * cap the result is inexact by documented design, and the collapse
+    * shifts it further: within-class pairs (identical texts — true dups
+    * by definition) are always emitted, where the pre-collapse index
+    * dropped them too once every shared shingle was capped.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,

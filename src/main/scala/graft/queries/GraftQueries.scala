@@ -1871,51 +1871,6 @@ object GraftQueries {
     * The doc count joins in as a broadcast scalar — no driver-side
     * constant folding, the plan stays fully declarative.
     */
-  /** CCNet-style language-model quality scoring: a unigram LM trained on
-    * the corpus itself (token log-probabilities from global frequencies),
-    * each document scored by its mean token log-prob — low scores flag
-    * out-of-distribution/garbled text, the standard model-based quality
-    * gate between heuristic scoring and an external perplexity model.
-    * No smoothing needed: every scored token is in-vocab by construction
-    * (same corpus trains and scores); scoring a DIFFERENT corpus would
-    * add it.
-    *
-    * Shape at 100 TB: token frequencies are a vocab-bounded aggregate
-    * (map-side partial), the model broadcasts (vocab ≪ corpus), and
-    * scoring is one explode + broadcast join + per-doc agg. The per-doc
-    * mean sums decimal(18,12)-cast log-probs so the result is
-    * shuffle-order independent (the s07 idiom); `log` ≡ DuckDB `ln` on
-    * identical doubles (the x08 idiom). The tokenized frame is persisted
-    * across its two uses (train + score), not re-exploded.
-    */
-  private val x14 = Q("text_lm_score",
-    (s, dir) => {
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      val model = tok.groupBy("t").agg(count(lit(1)).as("c"))
-        .withColumn("n", sum("c").over(Window.partitionBy()))
-        .select(col("t"),
-          log(col("c").cast("double") / col("n").cast("double")).as("logp"))
-      graft.ops.Caching.withCached(tok) {
-        tok.join(broadcast(model), "t")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(sum(col("logp").cast("decimal(18,12)")).cast("double")
-              / count(lit(1)), 6).as("lm_score"))
-      }.orderBy("doc_id")
-    },
-    Some("""
-      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-      f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-      tot AS (SELECT sum(c) AS n FROM f),
-      lp AS (SELECT t, ln(cast(c as double) / cast((SELECT n FROM tot) as double))
-               AS logp FROM f),
-      s AS (SELECT doc_id, count(*) AS n_tokens,
-              round(cast(sum(cast(logp as decimal(18,12))) as double) / count(*), 6)
-                AS lm_score
-            FROM tok JOIN lp USING (t) GROUP BY doc_id)
-      SELECT doc_id, n_tokens, lm_score FROM s ORDER BY doc_id"""))
-
   private val x08 = Q("text_tfidf_top",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1957,6 +1912,56 @@ object GraftQueries {
             FROM sc)
       SELECT source, cast(rank as int) AS rank, token, tfidf
       FROM r WHERE rank <= 3 ORDER BY source, rank"""))
+
+  /** CCNet-style language-model quality scoring: a unigram LM trained on
+    * the corpus itself (token log-probabilities from global frequencies),
+    * each document scored by its mean token log-prob — low scores flag
+    * out-of-distribution/garbled text, the standard model-based quality
+    * gate between heuristic scoring and an external perplexity model.
+    * No smoothing needed: every scored token is in-vocab by construction
+    * (same corpus trains and scores); scoring a DIFFERENT corpus would
+    * add it.
+    *
+    * Shape at 100 TB: token frequencies are a vocab-bounded aggregate
+    * (map-side partial), the model broadcasts (vocab ≪ corpus), and
+    * scoring is one explode + broadcast join + per-doc agg. The per-doc
+    * mean sums decimal(18,12)-cast log-probs so the result is
+    * shuffle-order independent (the s07 idiom); `log` ≡ DuckDB `ln` on
+    * identical doubles (the x08 idiom). The tokenized frame is persisted
+    * across its two uses (train + score), not re-exploded.
+    */
+  private val x14 = Q("text_lm_score",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      // Corpus total as a broadcast scalar (the x08 idiom), NOT an
+      // unpartitioned window — that would funnel the whole vocabulary
+      // through one task. `counts` is persisted alongside tok: it feeds
+      // both the total and the per-token model.
+      val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("n"))
+      val model = counts.crossJoin(broadcast(total))
+        .select(col("t"),
+          log(col("c").cast("double") / col("n").cast("double")).as("logp"))
+      graft.ops.Caching.withCached(tok, counts) {
+        tok.join(broadcast(model), "t")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("logp").cast("decimal(18,12)")).cast("double")
+              / count(lit(1)), 6).as("lm_score"))
+      }.orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      tot AS (SELECT sum(c) AS n FROM f),
+      lp AS (SELECT t, ln(cast(c as double) / cast((SELECT n FROM tot) as double))
+               AS logp FROM f),
+      s AS (SELECT doc_id, count(*) AS n_tokens,
+              round(cast(sum(cast(logp as decimal(18,12))) as double) / count(*), 6)
+                AS lm_score
+            FROM tok JOIN lp USING (t) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, lm_score FROM s ORDER BY doc_id"""))
 
   /** Winnowing fingerprint sets ([[TextOps.winnowFingerprints]], k=3 w=4):
     * per-doc count/min/max of the selected window minima — value-exact
