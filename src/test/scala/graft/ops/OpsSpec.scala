@@ -132,6 +132,34 @@ class OpsSpec extends SparkSuite {
       (crossSim.isEmpty || crossSim.map(x => (x._1, x._2)) == crossAB), s"sim cross: $crossSim")
   }
 
+  test("duplicate collapse: high-multiplicity corpus (20 copies each) stays exact") {
+    import spark.implicits._
+    // 50 distinct 12-token docs, 20 copies each (1000 docs) — the dup-
+    // heavy regime the collapse exists for. All distinct docs share no
+    // 3-shingles (disjoint token alphabets), so the exact answer is
+    // PRECISELY the within-class cliques: 50 × C(20,2) = 9500 pairs at
+    // jaccard 1.0. A regression to per-member candidate generation would
+    // show up here as a 190k-candidate-row join doing quadratic work.
+    val docs = (for {
+      d <- 0 until 50
+      c <- 0 until 20
+    } yield ((d * 100 + c).toLong,
+        (0 until 12).map(i => s"w${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = DedupOps.jaccardPairs(docs, threshold = 0.5)
+    assert(exact.count() == 9500)
+    assert(exact.filter(col("jaccard") =!= 1.0).count() == 0)
+    val winnow = DedupOps.winnowPairs(docs, threshold = 0.5)
+    assert(winnow.count() == 9500)
+    // Clustering the pair graph: every class is one component of 20.
+    val comps = GraphOps.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      exact.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val sizes = comps.groupBy("component_id").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length == 50 && sizes.forall(_ == 20L))
+  }
+
   test("banded embedding pairs: subset of brute force with identical cosines") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val brute = DedupOps.embeddingNearDupPairsBrute(emb, threshold = 0.4)
