@@ -1163,16 +1163,46 @@ object GraftQueries {
     * recursive CTE (label propagation to fixpoint) — an independent
     * formulation of the same reachability semantics.
     */
-  private val d10 = Q("dedup_components",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val edges = DedupOps.minhashLshPairs(docs, threshold = 0.5)
+  /** The near-dup CLUSTER GRAPH, at linear edge volume: clustering needs
+    * connectivity, not the full pair set, and an exact-dup class's
+    * m·(m−1)/2 clique edges connect exactly what m−1 STAR edges (member →
+    * class canonical) connect. So: star edges for exact-dup members (the
+    * canonical-assignment window shuffles only (doc_id, md5, n_tokens),
+    * never text) plus MinHash near-dup pairs among canonical
+    * representatives only. Sub-shingle docs (< 3 tokens) get no star
+    * edge — the pair graph's universe is shingled docs, so identical
+    * short docs stay singletons, as the reachability oracles dictate. A
+    * 100× replicated corpus has 24.7M clique pairs but only ~500k star +
+    * rep edges. Both derived edge sets are materialized inside
+    * connectedComponents (the oriented edge set is eagerly checkpointed),
+    * so the persist is fully consumed before release.
+    */
+  private def nearDupClusterComponents(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).as("ntok"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("h")))
+    keyed.persist()
+    try {
+      val starEdges = keyed
+        .filter(col("doc_id") =!= col("rep") && col("ntok") >= 3)
+        .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+      val repEdges = DedupOps.minhashLshPairs(
+          docs.join(keyed.filter(col("doc_id") === col("rep"))
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+            .select("doc_id", "text"),
+          threshold = 0.5)
+        .select("doc_a", "doc_b")
       GraphOps.connectedComponents(
-          docs.select(col("doc_id")), edges,
-          idCol = "doc_id", srcCol = "doc_a", dstCol = "doc_b")
-        .select(col("id").as("doc_id"), col("component_id"))
-        .orderBy("doc_id")
-    },
+        docs.select(col("doc_id")), starEdges.unionByName(repEdges),
+        idCol = "doc_id", srcCol = "doc_a", dstCol = "doc_b")
+    } finally keyed.unpersist(blocking = false)
+  }
+
+  private val d10 = Q("dedup_components",
+    (s, dir) => nearDupClusterComponents(t(s, dir, "documents"))
+      .select(col("id").as("doc_id"), col("component_id"))
+      .orderBy("doc_id"),
     Some("""
       WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
@@ -1207,39 +1237,8 @@ object GraftQueries {
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // CLUSTERING needs connectivity, not the full pair set: an exact-dup
-      // class's m·(m−1)/2 clique edges connect exactly what m−1 STAR
-      // edges (member → class canonical) connect, so the graph is built
-      // from linear star edges plus near-dup pairs among the canonical
-      // representatives only — edge volume stays linear in duplication
-      // where the expanded pair set is quadratic (a 10× replicated corpus
-      // measured 250k expanded pairs vs ~50k star+rep edges). Star edges
-      // skip sub-shingle docs (< 3 tokens): the pair graph's universe is
-      // shingled docs, so identical short docs stay singletons.
-      // The canonical-assignment window shuffles only (doc_id, md5,
-      // n_tokens) — never the text payload; representative docs are then
-      // fetched by id. Both derived edge sets are materialized inside
-      // connectedComponents (the oriented edge set is eagerly
-      // checkpointed), so the persist is fully consumed before release.
-      val keyed = docs
-        .select(col("doc_id"), md5(col("text")).as("h"),
-          size(TextOps.tokens(col("text"))).as("ntok"))
-        .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("h")))
-      keyed.persist()
-      val comps = try {
-        val starEdges = keyed
-          .filter(col("doc_id") =!= col("rep") && col("ntok") >= 3)
-          .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
-        val repEdges = DedupOps.minhashLshPairs(
-            docs.join(keyed.filter(col("doc_id") === col("rep"))
-              .select("doc_id"), Seq("doc_id"), "left_semi")
-              .select("doc_id", "text"),
-            threshold = 0.5)
-          .select("doc_a", "doc_b")
-        GraphOps.connectedComponents(
-          docs.select(col("doc_id")), starEdges.unionByName(repEdges),
-          idCol = "doc_id", srcCol = "doc_a", dstCol = "doc_b")
-      } finally keyed.unpersist(blocking = false)
+      // Linear-edge cluster graph — see [[nearDupClusterComponents]].
+      val comps = nearDupClusterComponents(docs)
       val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
       comps.filter(col("id") === col("component_id"))
         .join(sizes, "component_id")
