@@ -57,26 +57,42 @@ object LayoutOps {
     * shards. Returns (key, weight, token_offset, shard_id), where
     * `token_offset` = sum of weights of all earlier keys.
     *
-    * Semantically this is `sum(weight) OVER (ORDER BY key ROWS UNBOUNDED
+    * Single-column convenience form of [[packByTokenBudgetKeys]].
+    *
+    * @param keyCol    unique orderBy key; uniqueness is ENFORCED
+    *                  (duplicates throw) because a duplicate would make
+    *                  tie order — and every later offset — nondeterministic
+    * @param weightCol non-negative token count (null → 0)
+    */
+  def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame =
+    packByTokenBudgetKeys(df, Seq(keyCol), weightCol, budget, numPartitions)
+
+  /** Multi-column token-budget shard assignment: rows ordered
+    * lexicographically by `keyCols` (e.g. `(doc_id, chunk_idx)` for
+    * chunked documents) get the global prefix-sum offset and shard id of
+    * [[packByTokenBudget]] without squeezing a compound key into one
+    * integer — the capacity constant that arithmetic encodings
+    * (`doc_id * K + chunk_idx`) smuggle in is gone.
+    *
+    * Semantically this is `sum(weight) OVER (ORDER BY key… ROWS UNBOUNDED
     * PRECEDING)` — but a GLOBAL ordered window is a single-reducer plan,
     * the one shape that cannot scale. Shipped instead as the classic
-    * distributed prefix sum: range-partition by key and sort within
-    * partitions (each partition = a contiguous key span), aggregate one
-    * tiny per-partition total (P rows to the driver — the scan stays
+    * distributed prefix sum: range-partition by the key columns and sort
+    * within partitions (each partition = a contiguous key span), aggregate
+    * one tiny per-partition total (P rows to the driver — the scan stays
     * distributed), scan-left those totals into per-partition start
     * offsets, then a single stateless pass adds each partition's offset
     * to its running sum. Output values are independent of P (offsets
     * depend only on the global key order), which the spec asserts.
     *
-    * @param keyCol    unique numeric orderBy key (castable to long);
-    *                  uniqueness is ENFORCED (duplicates throw) because a
-    *                  duplicate would make tie order — and every later
-    *                  offset — nondeterministic
-    * @param weightCol non-negative token count (null → 0)
+    * Output columns: `keyCols… , weightCol, token_offset, shard_id`,
+    * with the key columns keeping their input types.
     */
-  def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
-      budget: Long, numPartitions: Int = 0): DataFrame = {
+  def packByTokenBudgetKeys(df: DataFrame, keyCols: Seq[String],
+      weightCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"packByTokenBudget: budget must be positive, got $budget")
+    require(keyCols.nonEmpty, "packByTokenBudget: no key columns")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
@@ -84,10 +100,10 @@ object LayoutOps {
     // localCheckpoint pins the partition layout: both the totals pass and
     // the offset pass must see identical partition ids.
     val ranged = df
-      .select(col(keyCol).cast("long").as("k"),
-        coalesce(col(weightCol).cast("long"), lit(0L)).as("w"))
-      .repartitionByRange(parts, col("k"))
-      .sortWithinPartitions("k")
+      .select(keyCols.map(col) :+
+        coalesce(col(weightCol).cast("long"), lit(0L)).as(weightCol): _*)
+      .repartitionByRange(parts, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.head, keyCols.tail: _*)
       .localCheckpoint(true)
     // min(w) and the key-uniqueness check ride along the totals pass for
     // free: a negative weight (bad tokenizer sentinel) would silently
@@ -97,28 +113,30 @@ object LayoutOps {
     // diverge from the single-reducer oracle. Both are contract
     // violations; both fail loudly. (Range partitioning co-locates equal
     // keys, so per-partition distinctness is global distinctness.)
-    // countDistinct ignores NULLs, so null keys are counted separately:
-    // without the explicit null count, a single (unique) null key would be
-    // misreported as a duplicate — and it would anyway fail the typed
-    // decode below with an opaque error. Null keys violate the "numeric
-    // orderBy key" contract outright; say so.
+    // countDistinct over the key STRUCT does not ignore a struct whose
+    // fields are null (the struct value itself is non-null), so null key
+    // components are counted separately: a null component has no position
+    // in the global key order and violates the contract outright; say so.
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val w = col(weightCol)
     val stats = ranged.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("w")).as("t"), min(col("w")).as("mn"),
-        count(lit(1)).as("n"), countDistinct(col("k")).as("nd"),
-        sum(when(col("k").isNull, 1L).otherwise(0L)).as("nn"))
+      .agg(sum(w).as("t"), min(w).as("mn"),
+        count(lit(1)).as("n"), countDistinct(struct(keyCols.map(col): _*)).as("nd"),
+        sum(when(anyKeyNull, 1L).otherwise(0L)).as("nn"))
       .as[(Int, Long, Long, Long, Long, Long)].collect()
+    val keyDesc = keyCols.mkString("(", ", ", ")")
     stats.find(_._3 < 0).foreach { case (_, _, mn, _, _, _) =>
       throw new IllegalArgumentException(
         s"packByTokenBudget: negative weight $mn in '$weightCol' — token counts must be >= 0")
     }
     stats.find(_._6 > 0).foreach { case (_, _, _, _, _, nn) =>
       throw new IllegalArgumentException(
-        s"packByTokenBudget: '$keyCol' has $nn null key row(s) — the orderBy key must be " +
+        s"packByTokenBudget: $keyDesc has $nn null key row(s) — the orderBy key must be " +
           "non-null (a null key has no position in the global key order)")
     }
     stats.find(s => s._4 != s._5).foreach { case (_, _, _, n, nd, _) =>
       throw new IllegalArgumentException(
-        s"packByTokenBudget: '$keyCol' must be unique — found ${n - nd} duplicate key row(s); " +
+        s"packByTokenBudget: $keyDesc must be unique — found ${n - nd} duplicate key row(s); " +
           "duplicate keys make tie order, and therefore offsets, nondeterministic")
     }
     val totals = stats.map { case (pid, t, _, _, _, _) => pid -> t }.toMap
@@ -126,13 +144,20 @@ object LayoutOps {
       acc + totals.getOrElse(pid, 0L))
     val startsB = spark.sparkContext.broadcast(starts.toArray)
     val b = budget
-    ranged.as[(Long, Long)].mapPartitions { it =>
+    val widx = ranged.schema.fieldIndex(weightCol)
+    val outSchema = ranged.schema
+      .add("token_offset", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("shard_id", org.apache.spark.sql.types.LongType, nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    ranged.mapPartitions { it =>
       var acc = startsB.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (k, w) =>
+      it.map { r =>
+        val wv = r.getLong(widx)
         val off = acc
-        acc += w
-        (k, w, off, off / b)
+        acc += wv
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ off :+ (off / b))
       }
-    }.toDF(keyCol, weightCol, "token_offset", "shard_id")
+    }
   }
 }
