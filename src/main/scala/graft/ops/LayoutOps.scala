@@ -87,12 +87,24 @@ object LayoutOps {
     * depend only on the global key order), which the spec asserts.
     *
     * Output columns: `keyCols… , weightCol, token_offset, shard_id`,
-    * with the key columns keeping their input types.
+    * with the key columns keeping their input types. Ordering is each key
+    * column's NATIVE Spark ordering (numeric by value, strings binary
+    * lexicographic, dates chronological) — a string-typed numeric id
+    * orders "10" before "2"; cast keys to the type whose order you mean
+    * BEFORE calling, because this function never casts or re-types them.
+    *
+    * `weightCol` must not also be a key column: the weight is coalesced
+    * and cast to long internally, which would silently change the key's
+    * type and null semantics — rejected loudly instead.
     */
   def packByTokenBudgetKeys(df: DataFrame, keyCols: Seq[String],
       weightCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"packByTokenBudget: budget must be positive, got $budget")
     require(keyCols.nonEmpty, "packByTokenBudget: no key columns")
+    require(!keyCols.contains(weightCol),
+      s"packByTokenBudget: weight column '$weightCol' cannot also be a key column — " +
+        "the weight is coalesced/cast to long internally, which would silently " +
+        "re-type the key; pass a distinct weight column")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions

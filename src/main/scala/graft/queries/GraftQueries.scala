@@ -23,8 +23,26 @@ object GraftQueries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTsNanos(df) else df
+  }
+
+  /** events.ts arrives as long NANOS when the parquet stores
+    * TIMESTAMP(NANOS) (read under `nanosAsLong`) but as TIMESTAMP(MICROS)
+    * — surfaced as TIMESTAMP_NTZ — when the generator writes µs.
+    * Normalize BOTH layouts to long nanos at the one load site so every
+    * event-time helper below sees a single representation; µs → ns is
+    * exact (*1000), and the NTZ→instant cast is UTC because every entry
+    * point pins `spark.sql.session.timeZone=UTC` (matching DuckDB's
+    * naive-as-UTC `epoch_ns`).
+    */
+  private def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000)
+    }
 
   /** Run SQL-surface queries in an isolated child session (`newSession`:
     * same SparkContext, own sessionState/catalog) with the named tables
@@ -1320,9 +1338,9 @@ object GraftQueries {
     * signals are map-side and run BEFORE the fingerprint window (shuffled
     * volume pre-pruned), eval grams broadcast against the already-curated
     * canonical set, chunking is a shuffle-free 1→N map, and packing is
-    * the distributed two-phase prefix sum (the chunk key `doc_id*100 +
-    * chunk_idx` is unique because chunk counts here are ≪ 100 — an id
-    * packing the oracle reproduces with plain integer arithmetic).
+    * the distributed two-phase prefix sum over the COMPOUND key
+    * `(doc_id, chunk_idx)` — no arithmetic id encoding, so there is no
+    * per-document chunk-count capacity constant to outgrow.
     */
   private val d15 = Q("pipeline_pack_shards",
     (s, dir) => {
@@ -1350,12 +1368,10 @@ object GraftQueries {
           .filter(col("kept") === 1)
           .select("doc_id", "text")
         val chunks = TextOps.chunkByTokenBudget(kept, maxTokens = 40, overlap = 8)
-          .select((col("doc_id") * 100 + col("chunk_idx")).as("k"),
-            col("chunk_tokens"))
-        LayoutOps.packByTokenBudget(chunks, keyCol = "k",
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+        LayoutOps.packByTokenBudgetKeys(chunks, Seq("doc_id", "chunk_idx"),
             weightCol = "chunk_tokens", budget = 2000L)
-          .select((col("k") / 100).cast("long").as("doc_id"),
-            pmod(col("k"), lit(100)).cast("int").as("chunk_idx"),
+          .select(col("doc_id"), col("chunk_idx"),
             col("chunk_tokens"), col("token_offset"), col("shard_id"))
           .orderBy("doc_id", "chunk_idx")
       } finally canonical.unpersist(blocking = false)
@@ -1399,10 +1415,9 @@ object GraftQueries {
             FROM keep),
       e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS ci FROM c),
       ch AS (SELECT doc_id, cast(ci as int) AS chunk_idx,
-               doc_id * 100 + ci AS k,
                len(tk[ci*32 + 1 : least(ci*32 + 40, n)]) AS w FROM e),
       o AS (SELECT doc_id, chunk_idx, w,
-              coalesce(sum(w) OVER (ORDER BY k
+              coalesce(sum(w) OVER (ORDER BY doc_id, chunk_idx
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
             FROM ch)
       SELECT doc_id, chunk_idx, cast(w as bigint) AS chunk_tokens,

@@ -100,6 +100,68 @@ class LayoutOpsSpec extends SparkSuite {
     assert(!nul.getMessage.contains("must be unique"), nul.getMessage)
   }
 
+  test("packByTokenBudgetKeys: compound (doc_id, chunk_idx) equals the " +
+      "global-window formulation, at any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Multi-chunk docs with deliberately non-aligned chunk counts, and a
+    // chunk_idx range that would overflow any `doc_id * K + chunk_idx`
+    // encoding with K <= 128.
+    val rows = for {
+      d <- 1L to 12L
+      c <- 0 until (if (d % 3 == 0) 130 else 4)
+    } yield (d, c, (d * 7 + c * 3) % 50)
+    val df = rows.toDF("doc_id", "chunk_idx", "w")
+    val win = Window.orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .select(col("doc_id"), col("chunk_idx"), col("w").cast("long"),
+        coalesce(sum("w").over(win), lit(0L)).as("token_offset"))
+      .withColumn("shard_id", expr("token_offset div 300"))
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    for (parts <- Seq(1, 7, 64)) {
+      val got = LayoutOps.packByTokenBudgetKeys(df, Seq("doc_id", "chunk_idx"),
+          "w", budget = 300L, numPartitions = parts)
+        .orderBy("doc_id", "chunk_idx")
+        .as[(Long, Int, Long, Long, Long)].collect().toSeq
+      assert(got == want, s"parts=$parts: ${got.take(3)} vs ${want.take(3)}")
+    }
+    // Key columns keep their input types (doc_id long, chunk_idx int).
+    val schema = LayoutOps.packByTokenBudgetKeys(df, Seq("doc_id", "chunk_idx"),
+      "w", 300L).schema
+    assert(schema("doc_id").dataType.typeName == "long", schema.treeString)
+    assert(schema("chunk_idx").dataType.typeName == "integer", schema.treeString)
+  }
+
+  test("packByTokenBudgetKeys: duplicate compound key, null key component, " +
+      "and weightCol-in-keyCols all fail loudly") {
+    import spark.implicits._
+    // (1,0) appears twice — unique per-column, duplicate as a compound.
+    val dup = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudgetKeys(
+        Seq((1L, 0, 5L), (1L, 0, 3L), (2L, 0, 4L)).toDF("doc_id", "chunk_idx", "w"),
+        Seq("doc_id", "chunk_idx"), "w", 10L).count()
+    }
+    assert(dup.getMessage.contains("must be unique"), dup.getMessage)
+    // One NULL component: the compound is otherwise unique, so only the
+    // null check can catch it — and it must, with the null-specific text.
+    val nul = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudgetKeys(
+        Seq((Some(1L), 0, 5L), (None, 1, 3L)).toDF("doc_id", "chunk_idx", "w"),
+        Seq("doc_id", "chunk_idx"), "w", 10L).count()
+    }
+    assert(nul.getMessage.contains("null key"), nul.getMessage)
+    assert(!nul.getMessage.contains("must be unique"), nul.getMessage)
+    // The weight column doubling as a key would be silently re-typed by
+    // the internal coalesce/cast — rejected before any job runs.
+    val wk = intercept[IllegalArgumentException] {
+      LayoutOps.packByTokenBudgetKeys(
+        Seq((1L, 5L)).toDF("doc_id", "w"), Seq("doc_id", "w"), "w", 10L)
+    }
+    assert(wk.getMessage.contains("cannot also be a key column"), wk.getMessage)
+  }
+
   test("property: packByTokenBudget equals a sequential scan for random weights") {
     import graft.PropCheck
     import org.scalacheck.{Gen, Prop}

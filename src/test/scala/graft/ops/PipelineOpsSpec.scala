@@ -235,4 +235,32 @@ class PipelineOpsSpec extends SparkSuite {
       .executedPlan.toString
     assert(!plan.contains("Exchange"), s"frame sampling must be map-side:\n$plan")
   }
+
+  test("pipeline pack stage survives a >100-chunk document (no capacity " +
+      "constant in the chunk key)") {
+    import spark.implicits._
+    // 4200 whitespace tokens at maxTokens=40 / overlap=8 (stride 32) →
+    // 131 chunks — past the 100-chunk ceiling an arithmetic
+    // `doc_id * 100 + chunk_idx` key encoding silently corrupts. The
+    // compound-key pack must handle it exactly.
+    val long = (0 until 4200).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, long), (8L, "short doc here"), (9L, long + " tail"))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkByTokenBudget(docs, maxTokens = 40, overlap = 8)
+      .select("doc_id", "chunk_idx", "chunk_tokens")
+    val perDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc(7L) > 100, s"expected >100 chunks, got ${perDoc(7L)}")
+    val packed = LayoutOps.packByTokenBudgetKeys(chunks,
+        Seq("doc_id", "chunk_idx"), "chunk_tokens", budget = 2000L)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(packed.length == perDoc.values.sum)
+    // Sequential-scan invariant: each offset = previous offset + weight,
+    // across the 100-chunk boundary and across document boundaries.
+    packed.sliding(2).foreach {
+      case Array((_, _, w1, o1, _), (_, _, _, o2, _)) => assert(o2 == o1 + w1)
+      case _ =>
+    }
+    assert(packed.forall { case (_, _, _, o, s) => s == o / 2000L })
+  }
 }
