@@ -97,6 +97,35 @@ class BenchLineSpec extends AnyFunSuite {
       Seq(("q", Right(1.0))))
   }
 
+  test("warm merge: best warm sample wins; warm-failure falls back to cold; spread is median") {
+    val cold = Seq[(String, Either[String, Double])](
+      ("q_a", Right(5.0)), ("q_b", Right(2.0)),
+      ("q_warm_failed", Right(3.0)),
+      ("q_fail", Left("q_fail:SparkException")))
+    val sweeps = Seq(
+      Map("q_a" -> 1.0, "q_b" -> 1.0),
+      Map("q_a" -> 1.5, "q_b" -> 1.1))
+    val (merged, spread) = Bench.warmMerge(cold, sweeps)
+    assert(merged.toMap == Map(
+      "q_a" -> Right(1.0), "q_b" -> Right(1.0),
+      "q_warm_failed" -> Right(3.0), // all warm attempts failed → cold time kept
+      "q_fail" -> Left("q_fail:SparkException")))
+    // Per-query spreads: q_a (1.5-1.0)/1.0=0.5, q_b (1.1-1.0)/1.0=0.1 → median
+    // of [0.1, 0.5] picks index size/2 = 0.5.
+    assert(math.abs(spread - 0.5) < 1e-9)
+    // No warm sweeps at all: cold passes through, spread undefined → 0.
+    assert(Bench.warmMerge(cold, Nil) == ((cold, 0.0)))
+  }
+
+  test("extra JSON members render before sf and the line stays valid") {
+    val line = Bench.renderLine(queries(73), Nil, "sf0.1", 73,
+      "\"mode\":\"warm2\",\"cold_total\":41.20,\"spread_med\":0.08")
+    assert(line.contains("\"mode\":\"warm2\",\"cold_total\":41.20,\"spread_med\":0.08,\"sf\":\"sf0.1\"}"), line)
+    assert(line.length <= Bench.LineBudget)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
   test("mass-failure rounds truncate errors to fit the budget, keeping a count") {
     val errs = (1 to 80).map(i => f"failing_query_number_$i%03d:SparkException")
     val line = Bench.renderLine(queries(5), errs, "sf", 85)
