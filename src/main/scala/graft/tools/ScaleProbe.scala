@@ -1,0 +1,261 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkEntry
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-multiplicity scale probe (SURVEY.md §8): replicate the
+  * `documents` table `factor`× — every doc becomes a `factor`-copy exact
+  * dup class, the dup-heavy regime real web crawls live in — and run the
+  * named dedup/clustering/packing queries on the base and replicated
+  * corpora, asserting the EXACT expansion algebra of each result shape
+  * plus a wall-time-ratio ceiling. This automates the round-7 hand
+  * recipe that caught candidate generation going quadratic in duplicate
+  * multiplicity (the pre-collapse inverted index measured 109× slower on
+  * a 10× corpus; the collapsed one ~constant-time plus the output-sized
+  * expansion).
+  *
+  * Replica ids are `origId * factor + k` (k in [0, factor)), so
+  * `origOf(id) = id / factor` recovers the base doc and every assertion
+  * can be written as a distributed set comparison against the base
+  * result — nothing corpus-sized is ever collected.
+  *
+  * Checked shapes:
+  *  - pairs `(doc_a, doc_b, payload)`: cross-class orig-pairs must equal
+  *    the base pair set exactly (same payloads) with every base pair
+  *    expanded to exactly factor² member pairs; within-class pairs must
+  *    form full C(factor, 2) cliques at the op's identical-copy payload,
+  *    covering at least every doc that pairs in the base result.
+  *  - components `(doc_id, component_id)`: factor× rows, and the
+  *    orig-mapped (doc, component) set identical to base (min-member
+  *    labels survive the id mapping because min commutes with it).
+  *  - keep-set (`curate_near_dup`): orig-mapped kept set == base kept
+  *    set; row count within [base, factor×base] (sub-shingle singletons
+  *    legitimately keep every copy).
+  *  - pack (`pipeline_pack_shards`): offsets are a correct prefix sum in
+  *    key order starting at 0 and shard_id == offset / budget (the
+  *    replicated corpus exercises the multi-partition path ~factor×
+  *    harder). Row-count algebra is NOT asserted: the pipeline's eval
+  *    split hashes doc_id, so replicas land in different splits by
+  *    design.
+  *
+  * Usage: `runMain graft.tools.ScaleProbe <sfDir> <factor> [queries...]`
+  * (defaults below). Exits non-zero on any failed assertion. The
+  * wall-time ceiling (repSec ≤ factor × baseSec) is enforced only when
+  * the base run itself is slow enough to be signal (> 3 s) — sub-second
+  * bases drown in job-overhead noise; ScaleProbeSpec runs the algebra
+  * checks at a small factor on sf0.001 in every `sbt test`.
+  */
+object ScaleProbe {
+
+  /** Per-query check shape; `withinPayload` is the payload an
+    * identical-copy pair carries (jaccard 1.0, hamming/dist 0).
+    */
+  sealed trait Kind
+  final case class PairsKind(withinPayload: Double) extends Kind
+  case object ComponentsKind extends Kind
+  case object KeepSetKind extends Kind
+  final case class PackKind(budget: Long) extends Kind
+
+  val defaultQueries: Seq[(String, Kind)] = Seq(
+    "dedup_simhash_pairs" -> PairsKind(0.0),
+    "dedup_minhash_lsh" -> PairsKind(1.0),
+    "dedup_jaccard_exact" -> PairsKind(1.0),
+    "dedup_jaccard_prefix" -> PairsKind(1.0),
+    "dedup_winnow_pairs" -> PairsKind(1.0),
+    "dedup_edit_distance" -> PairsKind(0.0),
+    "dedup_components" -> ComponentsKind,
+    "curate_near_dup" -> KeepSetKind,
+    "pipeline_pack_shards" -> PackKind(2000L))
+
+  final case class Result(query: String, baseRows: Long, repRows: Long,
+      baseSec: Double, repSec: Double, failures: Seq[String]) {
+    def ok: Boolean = failures.isEmpty
+  }
+
+  /** Write the replicated documents table into `outDir` and symlink every
+    * other table from `baseDir` (queries under probe only read documents,
+    * but the dir must look like a full sf dir to any table loader).
+    */
+  def replicateDir(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 2, s"replication factor must be >= 2, got $factor")
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    Files.list(Paths.get(baseDir)).forEach { p =>
+      val link = out.resolve(p.getFileName)
+      if (p.getFileName.toString != "documents.parquet" && !Files.exists(link))
+        Files.createSymbolicLink(link, p)
+    }
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.select(
+        explode(array((0 until factor).map(lit): _*)).as("_k"),
+        col("*"))
+      .select((col("doc_id") * factor + col("_k")).as("doc_id") +:
+        docs.columns.filter(_ != "doc_id").map(col): _*)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+  }
+
+  private def origOf(c: Column, factor: Int): Column =
+    floor(c / factor).cast("long")
+
+  /** Cross-class pairs must be the base pair set × factor² with identical
+    * payloads; within-class pairs full identical-payload cliques covering
+    * at least every base-paired doc.
+    */
+  private def checkPairs(base: DataFrame, rep: DataFrame, factor: Int,
+      withinPayload: Double): Seq[String] = {
+    val payload = base.columns(2)
+    val errs = Seq.newBuilder[String]
+    val r = rep.select(origOf(col("doc_a"), factor).as("oa"),
+      origOf(col("doc_b"), factor).as("ob"), col(payload))
+    val cross = r.filter(col("oa") =!= col("ob"))
+    val within = r.filter(col("oa") === col("ob"))
+
+    val g = cross.groupBy("oa", "ob", payload).agg(count(lit(1)).as("cnt"))
+    g.persist()
+    try {
+      val badFanout = g.filter(col("cnt") =!= factor.toLong * factor).count()
+      if (badFanout > 0)
+        errs += s"$badFanout cross orig-pairs not expanded exactly factor^2"
+      val mapped = g.select(col("oa").as("doc_a"), col("ob").as("doc_b"), col(payload))
+      val baseSel = base.select(col("doc_a"), col("doc_b"), col(payload))
+      val onlyRep = mapped.except(baseSel).count()
+      val onlyBase = baseSel.except(mapped).count()
+      if (onlyRep > 0) errs += s"$onlyRep replicated cross pairs absent from base result"
+      if (onlyBase > 0) errs += s"$onlyBase base pairs lost under replication"
+    } finally g.unpersist(blocking = false)
+
+    val clique = factor.toLong * (factor - 1) / 2
+    val wg = within.groupBy("oa").agg(count(lit(1)).as("cnt"),
+      sum(when(col(payload) =!= withinPayload, 1L).otherwise(0L)).as("badp"))
+    wg.persist()
+    try {
+      val badClique = wg.filter(col("cnt") =!= clique).count()
+      if (badClique > 0)
+        errs += s"$badClique dup classes without a full C(factor,2) within clique"
+      val badPayload = wg.filter(col("badp") > 0).count()
+      if (badPayload > 0)
+        errs += s"$badPayload dup classes with non-identity within payload"
+      val basePaired = base.select(col("doc_a").as("d"))
+        .union(base.select(col("doc_b").as("d"))).distinct()
+      val missing = basePaired.except(wg.select(col("oa").as("d"))).count()
+      if (missing > 0)
+        errs += s"$missing base-paired docs missing their within-class clique"
+    } finally wg.unpersist(blocking = false)
+    errs.result()
+  }
+
+  private def checkComponents(base: DataFrame, rep: DataFrame,
+      factor: Int): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"components rows $repRows != factor * base ($baseRows)"
+    val mapped = rep.select(origOf(col("doc_id"), factor).as("doc_id"),
+      origOf(col("component_id"), factor).as("component_id")).distinct()
+    val onlyRep = mapped.except(base).count()
+    val onlyBase = base.except(mapped).count()
+    if (onlyRep > 0) errs += s"$onlyRep replicated memberships absent from base"
+    if (onlyBase > 0) errs += s"$onlyBase base memberships lost under replication"
+    errs.result()
+  }
+
+  private def checkKeepSet(base: DataFrame, rep: DataFrame,
+      factor: Int): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val baseKept = base.select(col("doc_id"))
+    val baseRows = baseKept.count()
+    val repRows = rep.count()
+    if (repRows < baseRows || repRows > baseRows * factor)
+      errs += s"keep-set rows $repRows outside [base, factor*base] = [$baseRows, ${baseRows * factor}]"
+    val mapped = rep.select(origOf(col("doc_id"), factor).as("doc_id")).distinct()
+    val onlyRep = mapped.except(baseKept).count()
+    val onlyBase = baseKept.except(mapped).count()
+    if (onlyRep > 0) errs += s"$onlyRep replicated kept docs absent from base keep-set"
+    if (onlyBase > 0) errs += s"$onlyBase base kept docs lost under replication"
+    errs.result()
+  }
+
+  /** Offsets must be a prefix sum in (doc_id, chunk_idx) order from 0 and
+    * shard_id == offset / budget. Probe-side single-partition window: the
+    * pack RESULT is chunk-sized, and this is a test tool, not a shipped
+    * operator.
+    */
+  private def checkPack(rep: DataFrame, budget: Long): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    if (rep.filter(col("shard_id") =!= floor(col("token_offset") / budget)).count() > 0)
+      errs += "shard_id != token_offset / budget"
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id", "chunk_idx")
+    val seq = rep.select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("token_offset"))
+      .withColumn("expected", coalesce(
+        lag(col("token_offset") + col("chunk_tokens"), 1).over(w), lit(0L)))
+    if (seq.filter(col("token_offset") =!= col("expected")).count() > 0)
+      errs += "token_offset is not the prefix sum of chunk_tokens in key order"
+    errs.result()
+  }
+
+  def run(spark: SparkSession, baseDir: String, repDir: String, factor: Int,
+      queries: Seq[(String, Kind)], timeCeiling: Option[Double]): Seq[Result] = {
+    queries.map { case (name, kind) =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query '$name'"))
+      def timed(dir: String): (DataFrame, Long, Double) = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val n = df.count()
+        (df, n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (baseDf, baseRows, baseSec) = timed(baseDir)
+      val (repDf, repRows, repSec) = timed(repDir)
+      val failures = Seq.newBuilder[String]
+      failures ++= (kind match {
+        case PairsKind(p) => checkPairs(baseDf, repDf, factor, p)
+        case ComponentsKind => checkComponents(baseDf, repDf, factor)
+        case KeepSetKind => checkKeepSet(baseDf, repDf, factor)
+        case PackKind(budget) => checkPack(repDf, budget)
+      })
+      timeCeiling.foreach { c =>
+        if (baseSec > 3.0 && repSec > c * baseSec)
+          failures += f"wall-time ratio ${repSec / baseSec}%.1f exceeds ceiling $c%.1f"
+      }
+      Result(name, baseRows, repRows, baseSec, repSec, failures.result())
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val names = if (args.length > 2) args.drop(2).toSeq else defaultQueries.map(_._1)
+    val byName = defaultQueries.toMap
+    val queries = names.map(n => n -> byName.getOrElse(n,
+      throw new IllegalArgumentException(s"no check kind registered for '$n'")))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val repDir = s"/tmp/graft_scale_probe_f$factor"
+    replicateDir(spark, baseDir, repDir, factor)
+    val results = run(spark, baseDir, repDir, factor, queries,
+      timeCeiling = Some(factor.toDouble))
+    results.foreach { r =>
+      val status = if (r.ok) "PASS" else "FAIL"
+      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d rows ${r.baseSec}%7.2f s" +
+        f"  x$factor ${r.repRows}%9d rows ${r.repSec}%7.2f s" +
+        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
+    }
+    spark.stop()
+    if (results.exists(!_.ok)) sys.exit(1)
+  }
+}
