@@ -130,18 +130,39 @@ object DedupOps {
     val keyed = base.withColumn("fp",
       md5(concat_ws("", array_sort(transform(col("sh"), s => md5(s))))))
     val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"))
+      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
+        count(lit(1)).as("cnt"))
     // Persist the NARROW (fp, id) projection for the fan-out joins, not
     // the keyed frame with its shingle arrays — reps (canonical-sized)
     // carries the only array payload that must stay cached.
     val members = keyed.select(col("fp"), col("id"))
     Caching.withCached(members, reps) {
       val repPairs = run(reps.select(col("id"), col("sh")))
-      val withinFps = reps
-        .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
-        .select(col("fp"))
-      expandCollapsed(members, reps, "jaccard", lit(1.0), withinFps, repPairs)
+      if (maxClassSize(reps) <= 1L) repPairs
+      else {
+        val withinFps = reps
+          .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
+          .select(col("fp"))
+        expandCollapsed(members, reps, "jaccard", lit(1.0), withinFps, repPairs)
+      }
     }
+  }
+
+  /** Largest duplicate-class size of a collapse wrapper's reps frame —
+    * the dup-light fast-path switch: when every class is a singleton, the
+    * expansion is the identity (cross mapping maps each rep to itself,
+    * within cliques are empty), so the wrappers return the rep pairs
+    * directly and skip five joins plus the members self-join — on
+    * dup-light corpora (most curated inputs) the collapse machinery then
+    * costs only the fingerprint groupBy. A 1-ROW driver aggregate over
+    * the already-persisted canonical-sized reps frame, like the
+    * P-row/centroid materializations pinned by CollectLintSpec — bounded
+    * by design, never corpus-sized. Empty corpus → max is null → treated
+    * as singleton (expansion of nothing is nothing either way).
+    */
+  private def maxClassSize(reps: DataFrame): Long = {
+    val row = reps.agg(max(col("cnt"))).head()
+    if (row.isNullAt(0)) 1L else row.getLong(0)
   }
 
   /** [[withSetCollapse]]'s sibling for pipelines whose candidate AND
@@ -164,13 +185,15 @@ object DedupOps {
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("fp", md5(col("text")))
     val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"))
+      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"),
+        count(lit(1)).as("cnt"))
     // As in [[withSetCollapse]]: cache the narrow (fp, id) projection and
     // the canonical-sized reps — never the full corpus text payload.
     val members = keyed.select(col("fp"), col("id"))
     Caching.withCached(members, reps) {
       val repPairs = run(reps.select(col("id"), col("text")))
-      expandCollapsed(members, reps, payloadCol, withinValue,
+      if (maxClassSize(reps) <= 1L) repPairs
+      else expandCollapsed(members, reps, payloadCol, withinValue,
         withinEligible(reps).select(col("fp")), repPairs)
     }
   }

@@ -132,6 +132,41 @@ class OpsSpec extends SparkSuite {
       (crossSim.isEmpty || crossSim.map(x => (x._1, x._2)) == crossAB), s"sim cross: $crossSim")
   }
 
+  test("dup-light fast path: singleton-class corpus equals the full-corpus restriction") {
+    // sf0.001 texts are all distinct → every collapse class is a
+    // singleton and the wrappers take the skip path (no expansion joins).
+    // Planting exact copies (ids + 100000) builds the dup-heavy sibling
+    // corpus that takes the EXPANSION path. For any pairwise-exact op,
+    // pairs among a SUBSET of docs are exactly the superset result
+    // restricted to pairs inside the subset — so the two paths must agree
+    // on the original ids, payloads included.
+    val kept = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val docs = kept.unionByName(
+      kept.filter(col("doc_id") < 50).select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs.count() > keptIds.size, "planted dups missing")
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      ("jaccard", DedupOps.jaccardPairs(docs, threshold = 0.5),
+        DedupOps.jaccardPairs(kept, threshold = 0.5)),
+      ("simhash", DedupOps.simhashPairs(docs),
+        DedupOps.simhashPairs(kept)),
+      ("winnow", DedupOps.winnowPairs(docs, threshold = 0.5),
+        DedupOps.winnowPairs(kept, threshold = 0.5)))
+    for ((name, full, light) <- cases) {
+      val payload = full.columns(2)
+      val restricted = full.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+        .filter { case (a, b, _) => keptIds(a) && keptIds(b) }.toSet
+      val got = light.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+      assert(got == restricted,
+        s"$name: skip path diverged — missing ${(restricted -- got).size}, " +
+          s"extra ${(got -- restricted).size}")
+      assert(restricted.nonEmpty, s"$name: expected surviving near-dup pairs ($payload)")
+    }
+  }
+
   test("duplicate collapse: high-multiplicity corpus (20 copies each) stays exact") {
     import spark.implicits._
     // 50 distinct 12-token docs, 20 copies each (1000 docs) — the dup-
