@@ -60,6 +60,11 @@ object GraftFunctions {
   def lsh_signature(v: Column, bits: Int, table: Int): Column =
     col(HyperplaneLshSignature(expr(v), bits, table))
 
+  /** Cosine over int8-quantized vectors (`array<tinyint>`) — integer dot
+    * and norms, scales cancel (codegen'd).
+    */
+  def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(expr(a), expr(b)))
+
   /** SpaceSaving heavy-hitters aggregate: top-k (item, count, error) by
     * count desc. Exact when `capacity` ≥ distinct items; fixed memory
     * otherwise.
@@ -81,7 +86,10 @@ object GraftFunctions {
       "_FUNC_(tokens) - 60-bit md5-derived simhash of a token array",
       es => SimHash60(es.head)),
     reg("fnv64", classOf[Fnv64], arity = 1,
-      "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)))
+      "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)),
+    reg("int8_cosine", classOf[Int8Cosine], arity = 2,
+      "_FUNC_(a, b) - cosine of two int8-quantized (tinyint array) vectors",
+      es => Int8Cosine(es.head, es(1))))
 
   // ExpressionInfo's 3-arg ctor is (className, db, name) — passing usage
   // there garbles DESCRIBE FUNCTION (ADVICE r01 low) — and the 5-arg form

@@ -141,6 +141,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cosine over int8-quantized vectors (`array<tinyint>`, the
+  * [[graft.ops.SimilarityOps.quantizeInt8]] output). Cosine is
+  * scale-invariant, so the per-vector dequant scales cancel and the whole
+  * score is integer arithmetic: dot and squared norms accumulate in
+  * `long` (exact — 127² × dims overflows long only past ~5·10¹⁴
+  * elements), one double divide at the end. This is the IVF probe's hot
+  * kernel: the streamed candidate payload is the 1-byte-per-element qvec
+  * (4× narrower than fp32) and the loop is add/multiply on ints — no
+  * float loads — with fp32 exact re-rank reserved for the shortlist.
+  * Null elements count as 0; mismatched lengths or a zero norm yield
+  * NULL, mirroring [[CosineSimilarity]].
+  */
+case class Int8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_cosine"
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
+    while (i < n) {
+      val xv: Long = if (x.isNullAt(i)) 0L else x.getByte(i).toLong
+      val yv: Long = if (y.isNullAt(i)) 0L else y.getByte(i).toLong
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    val denom = math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $dot = 0L; long $nx = 0L; long $ny = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $xv = $a.isNullAt($i) ? 0L : (long) $a.getByte($i);
+         |    final long $yv = $b.isNullAt($i) ? 0L : (long) $b.getByte($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  final double $denom = Math.sqrt((double) $nx) * Math.sqrt((double) $ny);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class L2Norm(child: Expression)
     extends UnaryExpression with VectorArrayCodegen {
 

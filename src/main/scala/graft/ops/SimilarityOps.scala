@@ -131,23 +131,62 @@ object SimilarityOps {
       trainIters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
-    def centroidSim(v: Column, c: Array[Double]): Column =
-      GraftFunctions.cosine_sim(v, typedLit(c))
-    def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
-      // top-`take` list_ids by centroid similarity, as an array column —
-      // centroids are literals, so assignment is a join-free codegen'd
-      // expression. The CORPUS-sized pass is always take=1 (list
-      // assignment): a single O(nlist) array_max over (sim, id) structs,
-      // no per-row sort. The O(nlist log nlist) sort path only runs on
-      // the QUERY side (take=nprobe, queries ≪ corpus rows), so growing
-      // nlist to hundreds leaves the corpus pass linear; struct ordering
-      // (sim first, id tie-break) makes both paths pick identically.
-      val sims = array(cents.map { case (id, c) =>
-        struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
-      }: _*)
-      if (take == 1) array(array_max(sims))
-      else slice(reverse(array_sort(sims)), 1, take)
-    }
+    val centroids = trainIvfCentroids(corpus, nlist, trainIters, trainFraction)
+    // An empty corpus trains no quantizer: return the standard (empty)
+    // result shape, matching bruteForceTopK/lshTopK on the same input —
+    // the three top-k entry points are interchangeable.
+    if (centroids.isEmpty) return emptyTopK(queries, corpus)
+    // A corpus with fewer rows than nlist yields fewer seed lists; clamp
+    // nprobe so probing still works (probing every existing list).
+    val effectiveProbe = math.min(nprobe, centroids.size)
+    val argmaxAssign = argmaxWith(centroids) _
+    val assignedCorpus = corpus
+      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
+    val probedQueries = queries
+      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
+      .select(col("query_id"), col("qv"), col("probe.id").as("list_id"))
+    // Probe: equi-join on list_id, exact re-rank.
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private def emptyTopK(queries: DataFrame, corpus: DataFrame): DataFrame =
+    queries.limit(0).crossJoin(corpus.limit(0))
+      .select(col("query_id"), lit(0).cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"))
+
+  private def centroidSim(v: Column, c: Array[Double]): Column =
+    GraftFunctions.cosine_sim(v, typedLit(c))
+
+  /** top-`take` list_ids by centroid similarity, as an array column —
+    * centroids are literals, so assignment is a join-free codegen'd
+    * expression. The CORPUS-sized pass is always take=1 (list
+    * assignment): a single O(nlist) array_max over (sim, id) structs,
+    * no per-row sort. The O(nlist log nlist) sort path only runs on
+    * the QUERY side (take=nprobe, queries ≪ corpus rows), so growing
+    * nlist to hundreds leaves the corpus pass linear; struct ordering
+    * (sim first, id tie-break) makes both paths pick identically.
+    */
+  private def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
+    val sims = array(cents.map { case (id, c) =>
+      struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
+    }: _*)
+    if (take == 1) array(array_max(sims))
+    else slice(reverse(array_sort(sims)), 1, take)
+  }
+
+  /** Shared coarse-quantizer trainer of [[ivfTopK]] and [[ivfTopKQ8]];
+    * corpus carries `(vec_id, cv)`. Returns the (possibly < nlist on tiny
+    * corpora, empty on an empty corpus) centroid model.
+    */
+  private def trainIvfCentroids(corpus: DataFrame, nlist: Int,
+      trainIters: Int, trainFraction: Double): Seq[(Int, Array[Double])] = {
     // 1. Train the coarse quantizer: bucket means from a deterministic
     //    seed partition, then Lloyd iterations (assign → re-average) to
     //    movement < ε. Every step is deterministic: hash-sampled training
@@ -200,7 +239,7 @@ object SimilarityOps {
     val trainMat = org.apache.spark.sql.graft.Bridge.ofInternalRows(
       trainSession, train1.schema,
       org.apache.spark.sql.graft.Bridge.internalRows(train1)).persist()
-    val centroids = try {
+    try {
       val tparts = math.max(1L, math.min(
         callerSession.sparkContext.defaultParallelism.toLong,
         trainMat.count() / 100000L + 1L)).toInt
@@ -229,26 +268,55 @@ object SimilarityOps {
       }
       cents
     } finally trainMat.unpersist(blocking = false)
-    // An empty corpus trains no quantizer: return the standard (empty)
-    // result shape, matching bruteForceTopK/lshTopK on the same input —
-    // the three top-k entry points are interchangeable.
-    if (centroids.isEmpty)
-      return queries.limit(0).crossJoin(corpus.limit(0))
-        .select(col("query_id"), lit(0).cast("int").as("rank"),
-          col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"))
-    // A corpus with fewer rows than nlist yields fewer seed lists; clamp
-    // nprobe so probing still works (probing every existing list).
+  }
+
+  /** [[ivfTopK]] with int8-quantized probe scoring: the corpus-sized
+    * candidate join carries only the 1-byte-per-element qvec (4× narrower
+    * shuffle/broadcast payload than fp32) and scores with the integer
+    * [[graft.functions.Int8Cosine]] kernel — cosine is scale-invariant,
+    * so the per-vector dequant scales cancel and no dequantization
+    * happens in the hot loop. The top `rerank · k` int8 candidates per
+    * query are then re-ranked with exact fp32 cosine (corpus vectors join
+    * back by id — only the shortlist, queries·rerank·k rows, ever touches
+    * fp32 again), which absorbs quantization noise: int8 ordering only
+    * has to get the true top-k INTO the shortlist, not rank it.
+    *
+    * Same trainer, assignment, and output shape as [[ivfTopK]]; recall vs
+    * brute force is spec-asserted (no SQL oracle — approximate by
+    * design, like its siblings).
+    */
+  def ivfTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
+      trainIters: Int = 10, trainFraction: Double = 1.0,
+      rerank: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val centroids = trainIvfCentroids(corpus, nlist, trainIters, trainFraction)
+    if (centroids.isEmpty) return emptyTopK(queries, corpus)
     val effectiveProbe = math.min(nprobe, centroids.size)
     val argmaxAssign = argmaxWith(centroids) _
-    val assignedCorpus = corpus
-      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
-    val probedQueries = queries
+    // Assignment stays fp32 (one map pass, full precision decides the
+    // lists); the probe payload is (list_id, vec_id, qvec) only.
+    val qCorpus = quantizeInt8(
+        corpus.select(col("vec_id"), col("cv"))
+          .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id")),
+        vecCol = "cv")
+      .select(col("list_id"), col("vec_id"), col("qvec").as("cq"))
+    val qQueries = quantizeInt8(queries.select(col("query_id"), col("qv")), vecCol = "qv")
       .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
-      .select(col("query_id"), col("qv"), col("probe.id").as("list_id"))
-    // 3. Probe: equi-join on list_id, exact re-rank.
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
+      .select(col("query_id"), col("probe.id").as("list_id"), col("qvec").as("qq"))
+    val w8 = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("vec_id").asc)
+    val shortlist = qCorpus.join(broadcast(qQueries), Seq("list_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .withColumn("cos8", GraftFunctions.int8_cosine(col("qq"), col("cq")))
+      .withColumn("r8", row_number().over(w8))
+      .filter(col("r8") <= k.toLong * rerank)
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

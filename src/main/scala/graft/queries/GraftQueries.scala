@@ -1566,6 +1566,20 @@ object GraftQueries {
     },
     None)
 
+  // Int8-quantized IVF probe ([[SimilarityOps.ivfTopKQ8]]): the candidate
+  // join streams 1-byte qvecs and scores with the integer int8_cosine
+  // kernel; exact fp32 re-rank of the top rerank·k shortlist. Approximate
+  // like its siblings — no SQL oracle; recall vs brute force and the
+  // int8-kernel error bound are asserted in OpsSpec.
+  private val s05b = Q("sim_topk_ivf_q8",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
+          trainFraction = 0.25, trainIters = 5, rerank = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Cosine via BUILT-IN higher-order functions — `zip_with` (elementwise
     * product) + `aggregate` (sum fold) — the no-custom-code alternative to
     * the native CosineSimilarity expression; both paths against the same
@@ -2241,7 +2255,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
-    s01, s02, s03, s04, s05, s06, s07, s08,
+    s01, s02, s03, s04, s05, s05b, s06, s07, s08,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     sm1, sm2, m01, m02, m03, m04, mq1)
 

@@ -60,6 +60,27 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     assert(SortedIntersectCount(arr(null, 1L, 2L), arr(null, 2L)).eval(null) == 1)
   }
 
+  test("int8_cosine == reference double-arithmetic cosine for arbitrary byte vectors") {
+    import org.apache.spark.sql.types.ByteType
+    val bytes = Gen.listOf(Gen.choose(-127, 127).map(_.toByte))
+    check(Prop.forAll(bytes, bytes) { (a: List[Byte], b: List[Byte]) =>
+      val e = Int8Cosine(
+        Literal(new GenericArrayData(a.toArray), ArrayType(ByteType)),
+        Literal(new GenericArrayData(b.toArray), ArrayType(ByteType)))
+      val got = e.eval(null)
+      if (a.size != b.size) got == null
+      else {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        if (na * nb == 0.0) got == null
+        // Long accumulation is exact; the reference's double sums are too
+        // at these magnitudes (< 2^53) — equality must be bitwise.
+        else got == dot / (na * nb)
+      }
+    })
+  }
+
   test("word ngrams kernel == reference sliding join for arbitrary tokens") {
     check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
       (ts: List[String], n: Int, distinct: Boolean) =>

@@ -381,6 +381,78 @@ class OpsSpec extends SparkSuite {
       "empty-corpus schemas must agree across brute/LSH/IVF")
   }
 
+  test("int8_cosine: scale cancellation keeps quantized cosine within the error bound") {
+    import spark.implicits._
+    // Quantization error per element is <= scale = max|x|/127, so the
+    // cosine of two quantized unit-direction vectors stays within ~2/127
+    // + cross terms of the fp32 cosine — assert a conservative 0.05 on
+    // real embeddings, and exactness on axis vectors (no rounding).
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val q = SimilarityOps.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("embedding"), col("qvec"))
+    val pairs = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.GraftFunctions.cosine_sim(
+          col("a.embedding"), col("b.embedding")).as("c32"),
+        graft.functions.GraftFunctions.int8_cosine(
+          col("a.qvec"), col("b.qvec")).as("c8"))
+    val maxErr = pairs.agg(max(abs(col("c32") - col("c8")))).head().getDouble(0)
+    assert(maxErr < 0.05, s"int8 cosine error $maxErr exceeds bound")
+    // Exact on axis-aligned vectors: quantization is lossless there, and
+    // mismatched lengths / zero vectors go NULL like the fp32 kernel.
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, not
+    // array<tinyint>.
+    val axes = Seq(
+      (Seq[Byte](127, 0, 0), Seq[Byte](127, 0, 0), Option(1.0)),
+      (Seq[Byte](127, 0, 0), Seq[Byte](0, 127, 0), Option(0.0)),
+      (Seq[Byte](127, 0, 0), Seq[Byte](-127, 0, 0), Option(-1.0)),
+      (Seq[Byte](0, 0, 0), Seq[Byte](127, 0, 0), Option.empty[Double]),
+      (Seq[Byte](127, 0), Seq[Byte](127, 0, 0), Option.empty[Double]))
+    val got = axes.toDF("x", "y", "want")
+      .select(graft.functions.GraftFunctions.int8_cosine(col("x"), col("y")).as("c"),
+        col("want"))
+      .collect()
+    got.foreach { r =>
+      val want = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val c = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      assert(c == want, s"axis case: got $c want $want")
+    }
+  }
+
+  test("ivfTopKQ8: int8 probe + fp32 re-rank tracks fp32 IVF recall") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = hits(SimilarityOps.bruteForceTopK(q, c, k = 5))
+    // Full probe + generous re-rank: the int8 shortlist must surface the
+    // true top-k for fp32 re-rank to find — equality with brute force,
+    // not just recall, because re-rank cosines are exact fp32.
+    val fullQ8 = SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 4, nprobe = 4,
+      rerank = 8)
+    assert(hits(fullQ8) == brute,
+      "full-probe q8 with generous re-rank must equal brute force")
+    // Re-ranked cosines are the exact fp32 values (not dequantized int8).
+    val bruteRows = SimilarityOps.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    fullQ8.collect().foreach { r =>
+      assert(r.getDouble(3) == bruteRows((r.getLong(0), r.getLong(2))),
+        "q8 re-rank must report exact fp32 cosines")
+    }
+    // The registered config: recall within a whisker of the fp32 IVF
+    // sibling at the same parameters (int8 only orders the shortlist).
+    val ivf = hits(SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
+      trainIters = 5, trainFraction = 0.25))
+    val q8 = hits(SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
+      trainIters = 5, trainFraction = 0.25, rerank = 4))
+    val rIvf = ivf.intersect(brute).size.toDouble / brute.size
+    val rQ8 = q8.intersect(brute).size.toDouble / brute.size
+    assert(rQ8 >= rIvf - 0.05,
+      s"q8 recall $rQ8 fell more than 0.05 below fp32 IVF recall $rIvf")
+  }
+
   test("ivfTopK: Lloyd training lifts recall; >= 0.9 within data's reach") {
     // These synthetic embeddings are near-uniform on the sphere, so
     // recall at nprobe/nlist is capped near the covered corpus fraction
@@ -690,9 +762,11 @@ class OpsSpec extends SparkSuite {
 
   test("oracle coverage: every query has an oracle or a documented reason") {
     val noOracle = GraftQueries.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // Only the genuinely non-SQL-expressible ops lack oracles: the two
-    // approximate ANN paths (LSH, IVF) and the MQ-source read (no DuckDB
-    // table). IVF exactness at nprobe==nlist is asserted below.
-    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "mq_wordcount"))
+    // Only the genuinely non-SQL-expressible ops lack oracles: the three
+    // approximate ANN paths (LSH, IVF, int8 IVF) and the MQ-source read
+    // (no DuckDB table). IVF exactness at nprobe==nlist and q8 recall are
+    // asserted below.
+    assert(noOracle ==
+      Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8", "mq_wordcount"))
   }
 }
