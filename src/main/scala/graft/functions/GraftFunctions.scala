@@ -65,6 +65,9 @@ object GraftFunctions {
     */
   def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(expr(a), expr(b)))
 
+  /** Byte-level BPE token count under the bundled [[Bpe]] merge table. */
+  def bpe_token_count(c: Column): Column = col(BpeTokenCount(expr(c)))
+
   /** SpaceSaving heavy-hitters aggregate: top-k (item, count, error) by
     * count desc. Exact when `capacity` ≥ distinct items; fixed memory
     * otherwise.
@@ -89,7 +92,10 @@ object GraftFunctions {
       "_FUNC_(str) - 64-bit FNV-1a hash of a string", es => Fnv64(es.head)),
     reg("int8_cosine", classOf[Int8Cosine], arity = 2,
       "_FUNC_(a, b) - cosine of two int8-quantized (tinyint array) vectors",
-      es => Int8Cosine(es.head, es(1))))
+      es => Int8Cosine(es.head, es(1))),
+    reg("bpe_token_count", classOf[BpeTokenCount], arity = 1,
+      "_FUNC_(text) - byte-level BPE token count (bundled merge table)",
+      es => BpeTokenCount(es.head)))
 
   // ExpressionInfo's 3-arg ctor is (className, db, name) — passing usage
   // there garbles DESCRIBE FUNCTION (ADVICE r01 low) — and the 5-arg form

@@ -1958,6 +1958,34 @@ object GraftQueries {
     * identical doubles (the x08 idiom). The tokenized frame is persisted
     * across its two uses (train + score), not re-exploded.
     */
+  /** [[x12]]'s subword sibling: token-budget shard packing weighted by
+    * the byte-level BPE count ([[graft.functions.BpeTokenCount]], bundled
+    * merge table) instead of whitespace tokens — what a real training
+    * pipeline packs by. Value-exact: the oracle replays the identical
+    * merge table via [[graft.functions.Bpe.duckdbTokenCountExpr]] (one
+    * replace per merge over the hex rendering), so the weights — and
+    * therefore every offset and shard id — must match bit-for-bit.
+    */
+  private val x15 = Q("text_shard_pack_bpe",
+    (s, dir) => LayoutOps.packByTokenBudget(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            GraftFunctions.bpe_token_count(col("text")).as("n_tokens")),
+        keyCol = "doc_id", weightCol = "n_tokens", budget = 10000L)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+              ${graft.functions.Bpe.duckdbTokenCountExpr("text")} AS n_tokens
+            FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM d)
+      SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        cast(off as bigint) AS token_offset,
+        cast(off // 10000 as bigint) AS shard_id
+      FROM c ORDER BY doc_id"""))
+
   private val x14 = Q("text_lm_score",
     (s, dir) => {
       val tok = t(s, dir, "documents")
@@ -2256,7 +2284,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
     sm1, sm2, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and

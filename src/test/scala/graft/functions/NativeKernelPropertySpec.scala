@@ -81,6 +81,49 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE segmentation == iterative lowest-rank reference for arbitrary strings") {
+    // Independent reference: the canonical BPE inference loop — find the
+    // LOWEST-RANK merge whose pair occurs anywhere in the current token
+    // sequence, apply it as one left-to-right pass, repeat until no merge
+    // applies. The production kernel applies each rank exactly once in
+    // order; for a valid table (sides are bases or earlier results —
+    // enforced at Bpe class load) the two must coincide, and this
+    // property is the proof for the bundled table over arbitrary input,
+    // unicode and pathological repeats included.
+    val rank = Bpe.merges.zipWithIndex.map { case ((a, b), r) => (a, b) -> r }.toMap
+    def referenceTokens(bytes: Array[Byte]): List[String] = {
+      var toks = bytes.map(b => f"${b & 0xff}%02X").toList
+      var done = false
+      while (!done) {
+        val present = toks.zip(toks.drop(1)).flatMap(p => rank.get(p).map(p -> _))
+        if (present.isEmpty) done = true
+        else {
+          val ((a, b), _) = present.minBy(_._2)
+          val out = List.newBuilder[String]
+          var rest = toks
+          while (rest.nonEmpty) rest match {
+            case x :: y :: tail if x == a && y == b => out += x + y; rest = tail
+            case x :: tail => out += x; rest = tail
+            case Nil => ()
+          }
+          toks = out.result()
+        }
+      }
+      toks
+    }
+    val text: Gen[String] = Gen.oneOf(
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', ',', 'ü', '字')))
+        .map(_.mkString),
+      // Pathological: runs of one char (odd/even), and the high-merge words
+      Gen.oneOf("ttttt", "tttt", "the theatre is in the thing",
+        "   ", "ininining", ", . 2019 2020"))
+    check(Prop.forAll(text) { (s: String) =>
+      val bytes = s.getBytes("UTF-8")
+      val want = referenceTokens(bytes)
+      Bpe.tokensHex(bytes) == want && Bpe.tokenCount(bytes) == want.size
+    })
+  }
+
   test("word ngrams kernel == reference sliding join for arbitrary tokens") {
     check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
       (ts: List[String], n: Int, distinct: Boolean) =>
