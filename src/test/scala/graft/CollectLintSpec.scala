@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source lint for the two scale contracts prose can't enforce:
+  *
+  *  1. NO Scala UDFs in main source — every per-row kernel is either a
+  *     built-in function or a native Catalyst expression (the codegen
+  *     rule the whole functions/ package exists for). `udf(` appearing
+  *     anywhere in main is a regression.
+  *  2. Driver materializations (`collect`/`head`/`first`/
+  *     `toLocalIterator`) are pinned to an EXACT allowlist of documented
+  *     model-sized sites. Each is bounded by config, not corpus:
+  *     IVF centroid fitting (nlist×dims rows), the pack's per-partition
+  *     totals (P rows), and the collapse wrappers' max-class-size switch
+  *     (1 row). Moving, adding, or duplicating a site fails this spec —
+  *     the diff must then update the allowlist, making every new driver
+  *     materialization a REVIEWED decision instead of a silent scale
+  *     leak.
+  *
+  * Matching is done on comment-stripped source so scaladoc may discuss
+  * `collect()` freely; string literals in main source don't mention these
+  * tokens today (and a false positive is a loud, fixable failure, never a
+  * silent pass).
+  */
+class CollectLintSpec extends AnyFunSuite {
+
+  private val mainRoot = Paths.get("src/main/scala")
+
+  /** (relative path → expected occurrence count) of driver
+    * materializations; everything not listed must have zero.
+    */
+  private val allowedCollects: Map[String, Int] = Map(
+    "graft/ops/SimilarityOps.scala" -> 1, // meansOf: nlist×dims centroid model fit
+    "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
+    "graft/ops/DedupOps.scala" -> 1) // maxClassSize: 1-row dup-class switch
+
+  private val collectPattern =
+    """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r
+  private val udfPattern = """(^|[^\w.])udf\s*\(""".r
+
+  private def stripComments(src: String): String = {
+    // Block comments (incl. scaladoc), then line comments. Good enough
+    // for lint: the repo has no /* inside string literals.
+    val noBlock = """(?s)/\*.*?\*/""".r.replaceAllIn(src, "")
+    noBlock.linesIterator.map { l =>
+      val i = l.indexOf("//")
+      if (i >= 0) l.substring(0, i) else l
+    }.mkString("\n")
+  }
+
+  private def mainSources: Seq[(String, String)] = {
+    val files = Files.walk(mainRoot).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+    assert(files.nonEmpty, s"no sources under $mainRoot — lint running from wrong cwd?")
+    files.map { p: Path =>
+      (mainRoot.relativize(p).toString,
+        stripComments(new String(Files.readAllBytes(p), "UTF-8")))
+    }
+  }
+
+  test("driver materializations stay on the documented bounded sites") {
+    val counts = mainSources.map { case (rel, src) =>
+      rel -> collectPattern.findAllIn(src).size
+    }.filter(_._2 > 0).toMap
+    assert(counts == allowedCollects,
+      s"driver-materialization sites changed.\n  found: $counts\n  " +
+        s"allowed: $allowedCollects\nA new collect/head/first in an operator " +
+        "is a scale decision — justify it in the allowlist or remove it.")
+  }
+
+  test("no Scala UDFs anywhere in main source") {
+    val offenders = mainSources.collect {
+      case (rel, src) if udfPattern.findFirstIn(src).isDefined => rel
+    }
+    assert(offenders.isEmpty,
+      s"udf( found in $offenders — use a built-in function or a native expression")
+  }
+}
