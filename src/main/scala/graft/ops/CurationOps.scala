@@ -43,19 +43,24 @@ object CurationOps {
     require(n >= 1, s"decontaminate: n=$n must be >= 1")
     val id = ColNames.quotedCol(idCol)
     val text = ColNames.quotedCol(textCol)
+    // Working id name chosen to MISS every caller column (a caller
+    // column literally named "_id" used to collide with the fixed name
+    // and break the rename-back join).
+    val tmpId = Iterator.from(0).map(i => s"_graft_decon_id$i")
+      .find(c => !train.columns.contains(c) && c != "gram").get
     // shinglesFromTokens is DISTINCT per document, so the post-join count
     // is "distinct shared grams" with a plain count(*) — no count(distinct).
     val evalGrams = evalSet
       .select(explode(TextOps.shingles(text, n)).as("gram"))
       .distinct()
-    val trainGrams = train.select(id.as("_id"),
+    val trainGrams = train.select(id.as(tmpId),
       explode(TextOps.shingles(text, n)).as("gram"))
     val hits = trainGrams
       .join(broadcast(evalGrams), "gram")
-      .groupBy(col("_id"))
+      .groupBy(col(tmpId))
       .agg(count(lit(1)).as("n_contaminated"))
     train
-      .join(hits.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .join(hits.withColumnRenamed(tmpId, idCol), Seq(idCol), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("kept", when(col("n_contaminated") === 0, 1).otherwise(0))
   }

@@ -47,7 +47,8 @@ object SamplingOps {
     * `en→5, fr→2, de→2, ja→1` ⇒ a ~50/20/20/10 mix), keeping ALL of the
     * scarcest group — the data-mixing step that turns raw per-source/
     * per-language counts into a training mixture. Groups absent from
-    * `weights` are dropped.
+    * `weights` fail loudly unless `dropUnweightedGroups` opts into
+    * dropping them (param doc below).
     *
     * Math (all integer, so any engine reproduces the selection exactly):
     * with `W = Σ weights` and per-group count `n_g`, the largest total
@@ -72,9 +73,17 @@ object SamplingOps {
     * adding rows to one group changes thresholds (counts moved), which is
     * inherent to proportion targets.
     */
+  /** @param dropUnweightedGroups groups absent from `weights` (and
+    *        null-group rows) are a CONTRACT QUESTION, not a default:
+    *        `true` drops them silently (the caller is declaring "my
+    *        weights are the keep-list"); the default `false` fails loudly
+    *        at execution on the first unweighted row — a typo'd language
+    *        code silently discarding a corpus slice is exactly the bug a
+    *        curation pipeline can't afford.
+    */
   def mixtureSample(df: DataFrame, groupCol: String,
       weights: Seq[(String, Long)], key: Column,
-      salt: String = "mix"): DataFrame = {
+      salt: String = "mix", dropUnweightedGroups: Boolean = false): DataFrame = {
     require(weights.nonEmpty, "mixtureSample: weights must be non-empty")
     require(weights.forall(_._2 > 0),
       s"mixtureSample: weights must be positive, got $weights")
@@ -91,14 +100,32 @@ object SamplingOps {
     // counts subplan and re-scan the corpus a third time (DataFrame
     // branches don't dedup). The single-partition window is fine here
     // because its input is weights.size rows, not corpus rows.
-    val counts = df.groupBy(group).agg(count(lit(1)).as("_n")).join(wDf, groupCol)
+    val grpCounts = df.groupBy(group).agg(count(lit(1)).as("_n"))
+    // Strict default: validate on the GROUP-cardinality counts frame, not
+    // the corpus join — a corpus-side left join + null-filtering predicate
+    // gets optimized back into an inner join (EliminateOuterJoin), which
+    // would silently swallow the raise_error. Here the coalesce sits in a
+    // plain projection between the tiny left join and the window — no
+    // filter above it for the optimizer to exploit — and fires while the
+    // broadcast rates are materialized. Null-group rows also land here
+    // (no weight can match null) and fail loudly.
+    val counts =
+      if (dropUnweightedGroups) grpCounts.join(wDf, groupCol)
+      else grpCounts.join(wDf, Seq(groupCol), "left")
+        .withColumn("_wt", coalesce(col("_wt"), raise_error(concat(
+          lit("mixtureSample: group '"), group.cast("string"),
+          lit("' has no weight — list every group or pass " +
+            "dropUnweightedGroups = true"))).cast("long")))
     val rates = counts
       .withColumn("_t", min(expr(s"_n * $bigW div _wt"))
         .over(Window.partitionBy()))
       .select(group,
         (col("_n") * bigW).as("_den"),
         (col("_wt") * col("_t")).as("_num"))
-    df.join(broadcast(rates), Seq(groupCol)) // inner: unweighted groups drop
+    // Inner join: with the strict default, the validation above has
+    // already guaranteed every group is weighted, so nothing drops here;
+    // with the opt-in, dropping IS the declared contract.
+    df.join(broadcast(rates), Seq(groupCol))
       .filter(pmod(hashOf(key, salt), col("_den")) < col("_num"))
       .drop("_den", "_num")
   }

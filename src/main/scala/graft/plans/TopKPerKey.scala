@@ -50,6 +50,15 @@ case object RowNumberMode extends TopKMode
 case object RankMode extends TopKMode
 case object DenseRankMode extends TopKMode
 
+/** Logical top-k-per-key node: child's rows restricted to the best `k`
+  * per `keys` group under `order`, with `mode` picking the rank-family
+  * bound ([[TopKMode]]). Output schema/attributes are the child's —
+  * the operator only filters. Planned by [[TopKPerKeyStrategy]] as a
+  * partial/final [[TopKPerKeyExec]] pair; constructed via
+  * [[GraftPlans.topKPerKey]] (resolved attributes required) or rewritten
+  * from `row_number()`-filter windows by
+  * [[graft.plans.RewriteRowNumberTopK]].
+  */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],

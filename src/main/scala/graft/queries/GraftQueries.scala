@@ -35,13 +35,19 @@ object GraftQueries {
     * event-time helper below sees a single representation; µs → ns is
     * exact (*1000), and the NTZ→instant cast is UTC because every entry
     * point pins `spark.sql.session.timeZone=UTC` (matching DuckDB's
-    * naive-as-UTC `epoch_ns`).
+    * naive-as-UTC `epoch_ns`). Any OTHER ts type (string, int seconds, a
+    * future generator change) is a contract violation and fails loudly —
+    * a catch-all cast would silently misinterpret it.
     */
   private def normalizeTsNanos(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => df.withColumn("ts",
         unix_micros(col("ts").cast("timestamp")) * 1000)
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unexpected type $other — expected long nanos " +
+          "(nanosAsLong) or timestamp/timestamp_ntz micros")
     }
 
   /** Run SQL-surface queries in an isolated child session (`newSession`:
@@ -2145,7 +2151,8 @@ object GraftQueries {
     (s, dir) => SamplingOps.mixtureSample(
         t(s, dir, "documents"), groupCol = "lang",
         weights = Seq("en" -> 5L, "fr" -> 2L, "de" -> 2L, "es" -> 1L),
-        key = col("doc_id"))
+        key = col("doc_id"),
+        dropUnweightedGroups = true) // zh deliberately excluded from the mix
       .select("doc_id", "lang")
       .orderBy("doc_id"),
     Some("""

@@ -32,6 +32,24 @@ class CurationOpsSpec extends SparkSuite {
       1L -> ((2L, 0)), 2L -> ((1L, 0)), 3L -> ((1L, 0)), 4L -> ((0L, 1))))
   }
 
+  test("decontaminate: caller columns named _id/_graft_decon_id0 don't collide") {
+    // The working id name is picked to miss caller columns; a literal
+    // "_id" (the old fixed name) and even the generator's first choice
+    // must both survive untouched.
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon", "keep-me", "keep-too"),
+      (4L, "totally clean document here", "other", "also"))
+      .toDF("doc_id", "text", "_id", "_graft_decon_id0")
+    val got = CurationOps.decontaminate(train, evalSet, n = 3)
+      .select("doc_id", "_id", "_graft_decon_id0", "n_contaminated", "kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, "keep-me", "keep-too", 2L, 0),
+      (4L, "other", "also", 0L, 1)))
+  }
+
   test("decontaminate: docs shorter than n have no grams and stay kept") {
     val evalSet = Seq((9L, "a b c")).toDF("doc_id", "text")
     val train = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
@@ -113,18 +131,34 @@ class CurationOpsSpec extends SparkSuite {
     assert(got("b") > 70 && got("b") < 130, got.toString)
   }
 
-  test("mixtureSample: deterministic under repartitioning; unweighted groups drop") {
+  test("mixtureSample: deterministic under repartitioning; unweighted drop is opt-in") {
     val df = ((1 to 100).map(i => (i.toLong, "a")) ++
       (101 to 150).map(i => (i.toLong, "b")) ++
       (151 to 160).map(i => (i.toLong, "z"))).toDF("doc_id", "grp")
     def ids(parts: Int) = SamplingOps.mixtureSample(
-        df.repartition(parts), "grp", Seq("a" -> 1L, "b" -> 1L), col("doc_id"))
+        df.repartition(parts), "grp", Seq("a" -> 1L, "b" -> 1L), col("doc_id"),
+        dropUnweightedGroups = true)
       .select("doc_id").as[Long].collect().sorted.toSeq
     val one = ids(1)
     assert(one == ids(7) && one == ids(32))
     val kept = SamplingOps.mixtureSample(df, "grp",
-      Seq("a" -> 1L, "b" -> 1L), col("doc_id"))
+      Seq("a" -> 1L, "b" -> 1L), col("doc_id"), dropUnweightedGroups = true)
     assert(kept.filter(col("grp") === "z").count() == 0)
+    // Default contract: an unweighted group fails LOUDLY at execution
+    // (silently discarding a slice is the bug), naming the group.
+    val e = intercept[Exception] {
+      SamplingOps.mixtureSample(df, "grp",
+        Seq("a" -> 1L, "b" -> 1L), col("doc_id")).count()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("has no weight"), s"unexpected error: $messages")
+    // All groups weighted → the strict default samples identically to
+    // the opt-in path.
+    val strictIds = SamplingOps.mixtureSample(df.filter(col("grp") =!= "z"),
+        "grp", Seq("a" -> 1L, "b" -> 1L), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(strictIds == one)
   }
 
   // ---------------------------------------------------- quantizeInt8
