@@ -496,10 +496,29 @@ object DedupOps {
     require(bands * bitsPerBand <= dims,
       s"embeddingNearDupPairs: bands*bitsPerBand = ${bands * bitsPerBand} " +
         s"exceeds dims = $dims — the sign signature would read past the vector")
-    val sig = emb.select(col(idCol).as("id"),
+    // Same duplicate collapse as the text pair family: identical VECTORS
+    // (duplicate docs embed identically — the dup-heavy crawl regime)
+    // share every sign band, so the uncollapsed band join is quadratic in
+    // duplicate multiplicity (m copies = C(m,2) candidate pairs per
+    // band). Collapse on the exact vector value (md5 over the JSON
+    // rendering — 128-bit, deterministic within a JVM run), run the band
+    // pipeline on representatives, expand afterwards: cosine depends
+    // only on the vector, so cross-class pairs inherit the rep cosine
+    // verbatim and within-class pairs are identical-vector pairs — the
+    // direct path scores those round(1.0, 6) whenever the vector has
+    // non-zero norm (null/zero-norm cosine is NULL and never pairs).
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fp", md5(to_json(struct(col("v")))))
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
+        count(lit(1)).as("cnt"))
+    val members = keyed.select(col("fp"), col("id"))
+    Caching.withCached(members, reps) {
+    val repVecs = reps.select(col("id"), col("v"))
+    val sig = repVecs.select(col("id"),
       explode(array((0 until bands).map { b =>
         val bucket = (0 until bitsPerBand).map { j =>
-          when(element_at(col(vecCol), b * bitsPerBand + j + 1) >= 0,
+          when(element_at(col("v"), b * bitsPerBand + j + 1) >= 0,
             lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _)
         struct(lit(b).as("band"), bucket.as("bucket"))
@@ -508,18 +527,33 @@ object DedupOps {
     // Same Caching contract as every sibling pair op: the sign-signature
     // projection feeds BOTH sides of the self-join (and the caller's
     // actions would otherwise re-run the whole lazy pipeline per action).
-    Caching.withCached(sig) {
-    val cand = sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
-      .distinct()
-    val va = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val vb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
-      .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    val repPairs = Caching.withCached(sig) {
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+        .distinct()
+      val va = repVecs.select(col("id").as("vec_a"), col("v").as("va"))
+      val vb = repVecs.select(col("id").as("vec_b"), col("v").as("vb"))
+      cand.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    }
+    if (maxClassSize(reps) <= 1L) repPairs
+    else {
+      // Within-class eligibility mirrors the direct path: non-null vector
+      // with positive norm (cosine defined, = 1.0 ≥ threshold iff t ≤ 1).
+      val withinFps = reps
+        .filter(col("v").isNotNull &&
+          GraftFunctions.l2_norm(col("v")) > 0d && lit(threshold) <= 1.0)
+        .select(col("fp"))
+      expandCollapsed(members, reps, "cosine", lit(1.0), withinFps,
+          repPairs.withColumnRenamed("vec_a", "doc_a")
+            .withColumnRenamed("vec_b", "doc_b"))
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+    }
     }
   }
 

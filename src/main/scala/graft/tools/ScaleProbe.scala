@@ -51,10 +51,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** Per-query check shape; `withinPayload` is the payload an
-    * identical-copy pair carries (jaccard 1.0, hamming/dist 0).
+    * identical-copy pair carries (jaccard/cosine 1.0, hamming/dist 0) and
+    * `idA`/`idB` the pair-id column names (`doc_a`/`doc_b` for text ops,
+    * `vec_a`/`vec_b` for the embedding op).
     */
   sealed trait Kind
-  final case class PairsKind(withinPayload: Double) extends Kind
+  final case class PairsKind(withinPayload: Double,
+      idA: String = "doc_a", idB: String = "doc_b") extends Kind
   case object ComponentsKind extends Kind
   case object KeepSetKind extends Kind
   final case class PackKind(budget: Long) extends Kind
@@ -66,6 +69,7 @@ object ScaleProbe {
     "dedup_jaccard_prefix" -> PairsKind(1.0),
     "dedup_winnow_pairs" -> PairsKind(1.0),
     "dedup_edit_distance" -> PairsKind(0.0),
+    "dedup_embedding_pairs" -> PairsKind(1.0, idA = "vec_a", idB = "vec_b"),
     "dedup_components" -> ComponentsKind,
     "curate_near_dup" -> KeepSetKind,
     "pipeline_pack_shards" -> PackKind(2000L))
@@ -75,28 +79,32 @@ object ScaleProbe {
     def ok: Boolean = failures.isEmpty
   }
 
-  /** Write the replicated documents table into `outDir` and symlink every
-    * other table from `baseDir` (queries under probe only read documents,
-    * but the dir must look like a full sf dir to any table loader).
+  /** Write replicated documents and embeddings tables into `outDir` and
+    * symlink every other table from `baseDir` (the dir must look like a
+    * full sf dir to any table loader).
     */
   def replicateDir(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
     require(factor >= 2, s"replication factor must be >= 2, got $factor")
+    val replicated = Map("documents.parquet" -> "doc_id",
+      "embeddings.parquet" -> "vec_id")
     val out = Paths.get(outDir)
     Files.createDirectories(out)
     Files.list(Paths.get(baseDir)).forEach { p =>
       val link = out.resolve(p.getFileName)
-      if (p.getFileName.toString != "documents.parquet" && !Files.exists(link))
+      if (!replicated.contains(p.getFileName.toString) && !Files.exists(link))
         Files.createSymbolicLink(link, p)
     }
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    docs.select(
-        explode(array((0 until factor).map(lit): _*)).as("_k"),
-        col("*"))
-      .select((col("doc_id") * factor + col("_k")).as("doc_id") +:
-        docs.columns.filter(_ != "doc_id").map(col): _*)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    replicated.foreach { case (table, idCol) =>
+      val base = spark.read.parquet(s"$baseDir/$table")
+      base.select(
+          explode(array((0 until factor).map(lit): _*)).as("_k"),
+          col("*"))
+        .select((col(idCol) * factor + col("_k")).as(idCol) +:
+          base.columns.filter(_ != idCol).map(col): _*)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
+    }
   }
 
   private def origOf(c: Column, factor: Int): Column =
@@ -107,11 +115,12 @@ object ScaleProbe {
     * at least every base-paired doc.
     */
   private def checkPairs(base: DataFrame, rep: DataFrame, factor: Int,
-      withinPayload: Double): Seq[String] = {
+      kind: PairsKind): Seq[String] = {
+    val PairsKind(withinPayload, idA, idB) = kind
     val payload = base.columns(2)
     val errs = Seq.newBuilder[String]
-    val r = rep.select(origOf(col("doc_a"), factor).as("oa"),
-      origOf(col("doc_b"), factor).as("ob"), col(payload))
+    val r = rep.select(origOf(col(idA), factor).as("oa"),
+      origOf(col(idB), factor).as("ob"), col(payload))
     val cross = r.filter(col("oa") =!= col("ob"))
     val within = r.filter(col("oa") === col("ob"))
 
@@ -121,8 +130,8 @@ object ScaleProbe {
       val badFanout = g.filter(col("cnt") =!= factor.toLong * factor).count()
       if (badFanout > 0)
         errs += s"$badFanout cross orig-pairs not expanded exactly factor^2"
-      val mapped = g.select(col("oa").as("doc_a"), col("ob").as("doc_b"), col(payload))
-      val baseSel = base.select(col("doc_a"), col("doc_b"), col(payload))
+      val mapped = g.select(col("oa").as(idA), col("ob").as(idB), col(payload))
+      val baseSel = base.select(col(idA), col(idB), col(payload))
       val onlyRep = mapped.except(baseSel).count()
       val onlyBase = baseSel.except(mapped).count()
       if (onlyRep > 0) errs += s"$onlyRep replicated cross pairs absent from base result"
@@ -140,8 +149,8 @@ object ScaleProbe {
       val badPayload = wg.filter(col("badp") > 0).count()
       if (badPayload > 0)
         errs += s"$badPayload dup classes with non-identity within payload"
-      val basePaired = base.select(col("doc_a").as("d"))
-        .union(base.select(col("doc_b").as("d"))).distinct()
+      val basePaired = base.select(col(idA).as("d"))
+        .union(base.select(col(idB).as("d"))).distinct()
       val missing = basePaired.except(wg.select(col("oa").as("d"))).count()
       if (missing > 0)
         errs += s"$missing base-paired docs missing their within-class clique"
@@ -215,7 +224,7 @@ object ScaleProbe {
       val (repDf, repRows, repSec) = timed(repDir)
       val failures = Seq.newBuilder[String]
       failures ++= (kind match {
-        case PairsKind(p) => checkPairs(baseDf, repDf, factor, p)
+        case p: PairsKind => checkPairs(baseDf, repDf, factor, p)
         case ComponentsKind => checkComponents(baseDf, repDf, factor)
         case KeepSetKind => checkKeepSet(baseDf, repDf, factor)
         case PackKind(budget) => checkPack(repDf, budget)

@@ -21,8 +21,8 @@ class ScaleProbeSpec extends SparkSuite {
     // One query per check kind keeps the suite fast while covering every
     // assertion path; the CLI default list runs all nine.
     val queries = ScaleProbe.defaultQueries.filter { case (n, _) =>
-      Set("dedup_jaccard_exact", "dedup_simhash_pairs", "dedup_components",
-        "curate_near_dup", "pipeline_pack_shards")(n)
+      Set("dedup_jaccard_exact", "dedup_simhash_pairs", "dedup_embedding_pairs",
+        "dedup_components", "curate_near_dup", "pipeline_pack_shards")(n)
     }
     val results = ScaleProbe.run(spark, sf(), repDir, factor, queries,
       timeCeiling = None)
