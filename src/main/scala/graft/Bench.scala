@@ -138,20 +138,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Let larger single-file tables split across cores at the scan (no
-      // shuffle); single-row-group files still scan as one task.
-      .config("spark.sql.files.minPartitionNum", cpus)
-      .config("spark.ui.enabled", "false")
-      // Same session tz as Verify/DuckDB: normalizeTsNanos's NTZ→timestamp
-      // cast is session-tz-dependent, so an unpinned bench session on a
-      // non-UTC host would time (and cache) tz-shifted events plans.
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus)
     // Warmup (untimed): JVM/codegen/parquet-reader init otherwise lands on
     // whichever query happens to run first (~8 s of noise at local[32]).
     // Swallowing Throwable is safe HERE and only here: the warmup result

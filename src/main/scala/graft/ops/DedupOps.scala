@@ -542,11 +542,16 @@ object DedupOps {
     }
     if (maxClassSize(reps) <= 1L) repPairs
     else {
-      // Within-class eligibility mirrors the direct path: non-null vector
-      // with positive norm (cosine defined, = 1.0 ≥ threshold iff t ≤ 1).
+      // Within-class eligibility is LITERALLY the direct path's own test
+      // on an identical pair: raw cosine_sim(v, v) >= threshold (the
+      // op's filter runs on the raw cosine, rounding is display-only —
+      // matching the oracle's WHERE). This inherits every edge case for
+      // free: null/zero-norm vectors give NULL cosine and never pair,
+      // and at threshold = 1.0 the raw self-cosine is 1 ± ~2 ulp, so the
+      // expansion drops or keeps the clique exactly as the uncollapsed
+      // join would.
       val withinFps = reps
-        .filter(col("v").isNotNull &&
-          GraftFunctions.l2_norm(col("v")) > 0d && lit(threshold) <= 1.0)
+        .filter(GraftFunctions.cosine_sim(col("v"), col("v")) >= threshold)
         .select(col("fp"))
       expandCollapsed(members, reps, "cosine", lit(1.0), withinFps,
           repPairs.withColumnRenamed("vec_a", "doc_a")

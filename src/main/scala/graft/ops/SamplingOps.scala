@@ -112,8 +112,11 @@ object SamplingOps {
     val counts =
       if (dropUnweightedGroups) grpCounts.join(wDf, groupCol)
       else grpCounts.join(wDf, Seq(groupCol), "left")
+        // Inner coalesce: concat of a NULL group value would null the
+        // whole message — the null-group failure must still NAME itself.
         .withColumn("_wt", coalesce(col("_wt"), raise_error(concat(
-          lit("mixtureSample: group '"), group.cast("string"),
+          lit("mixtureSample: group '"),
+          coalesce(group.cast("string"), lit("NULL")),
           lit("' has no weight — list every group or pass " +
             "dropUnweightedGroups = true"))).cast("long")))
     val rates = counts

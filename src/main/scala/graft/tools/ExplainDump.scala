@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.queries.GraftQueries
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev tool: dump formatted physical plans for the named queries (or a
   * default plan-review set) so pushdown/broadcast/codegen can be eyeballed.
@@ -13,13 +13,7 @@ object ExplainDump {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter_pushdown", "q05_region_nation_revenue",
         "q01_pricing_summary", "dedup_minhash_lsh", "sim_topk_bruteforce")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import graft.SparkEntry
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -89,12 +89,24 @@ object ScaleProbe {
     val replicated = Map("documents.parquet" -> "doc_id",
       "embeddings.parquet" -> "vec_id")
     val out = Paths.get(outDir)
-    Files.createDirectories(out)
-    Files.list(Paths.get(baseDir)).forEach { p =>
-      val link = out.resolve(p.getFileName)
-      if (!replicated.contains(p.getFileName.toString) && !Files.exists(link))
-        Files.createSymbolicLink(link, p)
+    // Wipe any previous probe output first: the CLI reuses a fixed /tmp
+    // path, and stale symlinks from a run against a DIFFERENT baseDir
+    // would silently mix scale factors (or, dangling, crash link
+    // creation). The dir is probe-owned by contract — callers pass a
+    // scratch path.
+    if (Files.exists(out)) {
+      Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
     }
+    Files.createDirectories(out)
+    // Absolute targets (a relative baseDir would make targets resolve
+    // against outDir); the listing stream must be closed (it holds a
+    // directory handle).
+    val listing = Files.list(Paths.get(baseDir).toAbsolutePath.normalize())
+    try listing.forEach { p =>
+      if (!replicated.contains(p.getFileName.toString))
+        Files.createSymbolicLink(out.resolve(p.getFileName), p)
+    } finally listing.close()
     replicated.foreach { case (table, idCol) =>
       val base = spark.read.parquet(s"$baseDir/$table")
       base.select(
@@ -245,15 +257,7 @@ object ScaleProbe {
     val queries = names.map(n => n -> byName.getOrElse(n,
       throw new IllegalArgumentException(s"no check kind registered for '$n'")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.minPartitionNum", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(cpus)
     val repDir = s"/tmp/graft_scale_probe_f$factor"
     replicateDir(spark, baseDir, repDir, factor)
     val results = run(spark, baseDir, repDir, factor, queries,

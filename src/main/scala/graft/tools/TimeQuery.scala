@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.queries.GraftQueries
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev tool: time individual queries (post-warmup) without running the
   * whole bench. Usage: runMain graft.tools.TimeQuery <sfDir> <query ...>
@@ -11,14 +11,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // UTC like Bench/Verify: normalizeTsNanos is session-tz-dependent.
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()

@@ -43,9 +43,15 @@ class CollectLintSpec extends AnyFunSuite {
   private val udfPattern = """(^|[^\w.])udf\s*\(""".r
 
   private def stripComments(src: String): String = {
-    // Block comments (incl. scaladoc), then line comments. Good enough
-    // for lint: the repo has no /* inside string literals.
-    val noBlock = """(?s)/\*.*?\*/""".r.replaceAllIn(src, "")
+    // Order matters: string literals FIRST (the oracle SQL blocks contain
+    // `//` — DuckDB integer division — which a naive line-comment strip
+    // would treat as a comment, hiding anything after them on the same
+    // physical line), then block comments, then line comments. Triple-
+    // quoted before single-quoted so the quotes inside """…""" don't
+    // start a phantom string.
+    val noTriple = "(?s)\"\"\".*?\"\"\"".r.replaceAllIn(src, "\"S\"")
+    val noString = "\"(?:[^\"\\\\\\n]|\\\\.)*\"".r.replaceAllIn(noTriple, "\"S\"")
+    val noBlock = """(?s)/\*.*?\*/""".r.replaceAllIn(noString, "")
     noBlock.linesIterator.map { l =>
       val i = l.indexOf("//")
       if (i >= 0) l.substring(0, i) else l
