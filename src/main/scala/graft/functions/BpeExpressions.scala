@@ -1,9 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic byte-level BPE tokenizer with a bundled merge table —
@@ -165,16 +167,26 @@ object Bpe {
     }
   }
 
-  /** DuckDB SQL computing the identical token count for varchar
-    * expression `c` — one replace per merge over the `||`-separated hex
-    * rendering (see class scaladoc for why replace == the merge pass).
+  /** DuckDB SQL rendering varchar expression `c`'s BPE token stream as
+    * the `||`-separated uppercase-hex string — one replace per merge
+    * (see class scaladoc for why replace == the merge pass). The `||`
+    * separator/edge invariant survives every replace, so
+    * `string_split(…, '||')` recovers `['', tok1, …, tokN, '']`.
     */
-  def duckdbTokenCountExpr(c: String): String = {
+  def duckdbRenderedExpr(c: String): String = {
     val encoded = s"'||' || array_to_string(list_transform(" +
       s"range(1, len(hex($c))//2 + 1), i -> substr(hex($c), 2*i-1, 2)), '||') || '||'"
-    val replaced = merges.foldLeft(encoded) { case (s, (a, b)) =>
+    merges.foldLeft(encoded) { case (s, (a, b)) =>
       s"replace($s, '|$a||$b|', '|$a$b|')"
     }
+  }
+
+  /** DuckDB SQL computing the identical token count for varchar
+    * expression `c` (0 for empty — the empty rendering '||||' would
+    * otherwise read as one phantom empty token).
+    */
+  def duckdbTokenCountExpr(c: String): String = {
+    val replaced = duckdbRenderedExpr(c)
     s"CASE WHEN len($c) = 0 THEN 0 ELSE " +
       s"(len($replaced) - len(replace($replaced, '|', ''))) // 2 - 1 END"
   }
@@ -193,6 +205,62 @@ case class BpeTokenCount(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     Bpe.tokenCount(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bpe_chunks(text, maxTokens, overlap) → array<struct<chunk_idx,
+  * start_tok, n_tokens, chunk_bytes>>: context-window chunking where the
+  * budget currency is BPE TOKENS, not whitespace words — the subword
+  * sibling of [[graft.ops.TextOps.chunkByTokenBudget]] with the same
+  * window rule (`stride = maxTokens − overlap`; `nc = 1` for `n ≤
+  * maxTokens`, else `ceil((n − maxTokens)/stride) + 1`; empty text → no
+  * chunks). BPE tokens are contiguous byte slices of the document, so a
+  * chunk of tokens IS a contiguous byte range — `chunk_bytes` is that
+  * raw slice (byte-level chunk boundaries may split a multi-byte
+  * character, exactly like chunking on real token ids; compare via
+  * `hex`, not lossy string round-trips). Null in → empty, matching the
+  * whitespace chunker's no-rows behavior.
+  */
+case class BpeChunks(child: Expression, maxTokens: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(maxTokens > 0, s"bpe_chunks: maxTokens=$maxTokens must be positive")
+  require(overlap >= 0 && overlap < maxTokens,
+    s"bpe_chunks: overlap=$overlap must be in [0, maxTokens)")
+  private val stride = maxTokens - overlap
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("start_tok", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("chunk_bytes", BinaryType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bpe_chunks"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val bounds = Bpe.segment(bytes)
+    val n = bounds.length - 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val nc = if (n <= maxTokens) 1 else (n - maxTokens + stride - 1) / stride + 1
+    val out = new Array[Any](nc)
+    var ci = 0
+    while (ci < nc) {
+      val st = ci * stride
+      val en = math.min(st + maxTokens, n)
+      out(ci) = InternalRow(ci, st, en - st,
+        java.util.Arrays.copyOfRange(bytes, bounds(st), bounds(en)))
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

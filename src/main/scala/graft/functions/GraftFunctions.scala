@@ -68,6 +68,12 @@ object GraftFunctions {
   /** Byte-level BPE token count under the bundled [[Bpe]] merge table. */
   def bpe_token_count(c: Column): Column = col(BpeTokenCount(expr(c)))
 
+  /** BPE-budget context-window chunks (array of chunk structs carrying
+    * the raw byte slice) — [[BpeChunks]].
+    */
+  def bpe_chunks(c: Column, maxTokens: Int, overlap: Int): Column =
+    col(BpeChunks(expr(c), maxTokens, overlap))
+
   /** SpaceSaving heavy-hitters aggregate: top-k (item, count, error) by
     * count desc. Exact when `capacity` ≥ distinct items; fixed memory
     * otherwise.

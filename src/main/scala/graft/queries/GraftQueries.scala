@@ -1992,6 +1992,43 @@ object GraftQueries {
         cast(off // 10000 as bigint) AS shard_id
       FROM c ORDER BY doc_id"""))
 
+  /** [[x13]]'s subword sibling: context-window chunking where the budget
+    * currency is BPE tokens ([[graft.functions.BpeChunks]]). Value-exact
+    * end to end: BPE tokens are contiguous byte slices, so each chunk is
+    * a contiguous byte range reported as `hex(chunk_bytes)` — and the
+    * oracle's chunk hex is just the concatenation of the replayed token
+    * hex strings in the window, no byte arithmetic at all.
+    */
+  private val x16 = Q("text_chunk_budget_bpe",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(GraftFunctions.bpe_chunks(col("text"), maxTokens = 40, overlap = 8))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"), col("c.n_tokens").as("n_tokens"),
+        hex(col("c.chunk_bytes")).as("chunk_hex"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""
+      WITH d AS (SELECT doc_id, text,
+              ${graft.functions.Bpe.duckdbRenderedExpr("text")} AS s
+            FROM documents),
+      p AS (SELECT doc_id, text, string_split(s, '||') AS parts FROM d),
+      t2 AS (SELECT doc_id,
+              CASE WHEN len(text) = 0 THEN []::VARCHAR[]
+                ELSE parts[2:len(parts)-1] END AS toks
+            FROM p),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t2),
+      c AS (SELECT doc_id, toks, n,
+              CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+                ELSE (n - 40 + 31) // 32 + 1 END AS nc
+            FROM n),
+      e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS ci FROM c)
+      SELECT doc_id, cast(ci as int) AS chunk_idx,
+        cast(ci*32 as int) AS start_tok,
+        cast(least(ci*32 + 40, n) - ci*32 as int) AS n_tokens,
+        array_to_string(toks[ci*32 + 1 : least(ci*32 + 40, n)], '') AS chunk_hex
+      FROM e ORDER BY doc_id, chunk_idx"""))
+
   private val x14 = Q("text_lm_score",
     (s, dir) => {
       val tok = t(s, dir, "documents")
@@ -2291,7 +2328,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
     sm1, sm2, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and

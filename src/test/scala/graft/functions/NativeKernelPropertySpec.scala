@@ -124,6 +124,33 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpe_chunks windows tile the token stream and carry exact byte slices") {
+    val text: Gen[String] = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', 'ü', '字'))).map(_.mkString)
+    val params: Gen[(Int, Int)] = for {
+      mt <- Gen.choose(1, 12)
+      ov <- Gen.choose(0, mt - 1)
+    } yield (mt, ov)
+    check(Prop.forAll(text, params) { case (s: String, (mt: Int, ov: Int)) =>
+      val bytes = s.getBytes("UTF-8")
+      val toks = Bpe.tokensHex(bytes)
+      val got = BpeChunks(Literal.create(UTF8String.fromString(s), StringType), mt, ov)
+        .eval(null).asInstanceOf[ArrayData]
+      val rows = (0 until got.numElements()).map(i => got.getStruct(i, 4))
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getBinary(3).map(b => f"${b & 0xff}%02X").mkString))
+      val stride = mt - ov
+      val n = toks.size
+      val wantNc = if (n == 0) 0 else if (n <= mt) 1 else (n - mt + stride - 1) / stride + 1
+      rows.size == wantNc && rows.zipWithIndex.forall { case ((ci, st, nt, hexStr), i) =>
+        ci == i && st == i * stride && nt == math.min(st + mt, n) - st &&
+          // The chunk's bytes are exactly its window's tokens, so the
+          // hex concatenation must match the reference token stream.
+          hexStr == toks.slice(st, st + nt).mkString
+      } && (n == 0 || rows.last._2 + rows.last._3 == n) // last window reaches the end
+    })
+  }
+
   test("word ngrams kernel == reference sliding join for arbitrary tokens") {
     check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
       (ts: List[String], n: Int, distinct: Boolean) =>
