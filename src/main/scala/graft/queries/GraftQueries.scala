@@ -2029,6 +2029,54 @@ object GraftQueries {
         array_to_string(toks[ci*32 + 1 : least(ci*32 + 40, n)], '') AS chunk_hex
       FROM e ORDER BY doc_id, chunk_idx"""))
 
+  /** The subword pipeline composition: BPE-budget chunking ([[x16]]) →
+    * compound-key token-budget shard packing — `pipeline_pack_shards`'
+    * budget currency upgraded from whitespace words to BPE tokens in
+    * both stages. Value-exact: chunk weights replay through the oracle's
+    * replace pipeline, the prefix sum over `(doc_id, chunk_idx)` is the
+    * same single-window formulation the distributed two-phase pack must
+    * reproduce bit-for-bit.
+    */
+  private val x17 = Q("pipeline_pack_bpe",
+    (s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(GraftFunctions.bpe_chunks(col("text"), maxTokens = 40, overlap = 8))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.n_tokens").as("n_tokens"))
+      LayoutOps.packByTokenBudgetKeys(chunks, Seq("doc_id", "chunk_idx"),
+          weightCol = "n_tokens", budget = 2000L)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("token_offset"), col("shard_id"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, text,
+              ${graft.functions.Bpe.duckdbRenderedExpr("text")} AS s
+            FROM documents),
+      p AS (SELECT doc_id, text, string_split(s, '||') AS parts FROM d),
+      t2 AS (SELECT doc_id,
+              CASE WHEN len(text) = 0 THEN []::VARCHAR[]
+                ELSE parts[2:len(parts)-1] END AS toks
+            FROM p),
+      n AS (SELECT doc_id, len(toks) AS n FROM t2),
+      c AS (SELECT doc_id, n,
+              CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+                ELSE (n - 40 + 31) // 32 + 1 END AS nc
+            FROM n),
+      e AS (SELECT doc_id, n, unnest(range(nc)) AS ci FROM c),
+      ch AS (SELECT doc_id, cast(ci as int) AS chunk_idx,
+               least(ci*32 + 40, n) - ci*32 AS w FROM e),
+      o AS (SELECT doc_id, chunk_idx, w,
+              coalesce(sum(w) OVER (ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM ch)
+      SELECT doc_id, chunk_idx, cast(w as bigint) AS n_tokens,
+        cast(off as bigint) AS token_offset,
+        cast(off // 2000 as bigint) AS shard_id
+      FROM o ORDER BY doc_id, chunk_idx"""))
+
   private val x14 = Q("text_lm_score",
     (s, dir) => {
       val tok = t(s, dir, "documents")
@@ -2328,7 +2376,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
     sm1, sm2, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and
