@@ -67,6 +67,25 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("rangepartitioning"), s"expected a range repartition:\n$p")
   }
 
+  test("BPE pack/pipeline keep the two-phase prefix-sum shape (no global window)") {
+    // Same invariant as text_shard_pack, for the subword variants: the
+    // BPE weights must not tempt a plan back into the single-reducer
+    // ordered window.
+    for (q <- Seq("text_shard_pack_bpe", "pipeline_pack_bpe")) {
+      val p = allExecutedPlans(q).mkString("\n===\n")
+      assert(!p.contains("Window"), s"$q: global window crept in:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q: single-reducer exchange crept in:\n$p")
+      assert(p.contains("rangepartitioning"), s"$q: expected a range repartition:\n$p")
+    }
+  }
+
+  test("sim_topk_ivf_q8: probe joins broadcast the query side, no nested loops") {
+    val p = finalPlan("sim_topk_ivf_q8")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q8 probe degenerated to pair enumeration:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
+  }
+
   test("gated near-dup ops plan no pair-enumerating nested-loop joins") {
     // These three replaced all-pairs formulations (round-3 verdict): pair
     // generation must stay candidate-gated equi-joins. A conditionless
