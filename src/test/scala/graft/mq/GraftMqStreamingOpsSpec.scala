@@ -167,6 +167,42 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming BPE budget filter: stateless subword counting over the stream") {
+    // bpe_token_count is a pure per-row expression, so the subword budget
+    // currency composes over a streaming DataFrame unchanged — the
+    // streaming filter must keep exactly the messages the batch
+    // formulation keeps, with identical counts.
+    val src = "bpe-stream-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val msgs = Seq("the theatre is in the thing", "hi", "",
+      "a longer message with many words that should cost more tokens")
+    msgs.zipWithIndex.foreach { case (v, i) =>
+      state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + i * 1000000L))
+    }
+    def counted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("value").cast("string").as("text"))
+        .withColumn("n_bpe", graft.functions.GraftFunctions.bpe_token_count(col("text")))
+        .filter(col("n_bpe") >= 5)
+    val q = counted(spark.readStream.format("graft-mq")
+        .option("topic", src).option("numPartitions", "1").load())
+      .writeStream.format("memory").queryName("bpe_stream")
+      .option("checkpointLocation", tmp("bpe-stream-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val streamed = spark.table("bpe_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val batch = counted(spark.read.format("graft-mq")
+        .option("topic", src).option("numPartitions", "1").load())
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"streamed=$streamed batch=$batch")
+    // And the counts are the kernel's own (not some per-engine variant).
+    streamed.foreach { case (t, n) =>
+      assert(n == graft.functions.Bpe.tokenCount(t.getBytes("UTF-8")))
+    }
+  }
+
   test("streaming near-dup: dedupe by content fingerprint within watermark") {
     val topic = "neardup-stream"
     InMemoryMqBroker.drop(topic)
