@@ -50,6 +50,59 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Z-order (Morton) layout: each of `zCols` is min/max-scaled to a
+    * `bitsPerDim`-bit integer, the bits are interleaved into one z-value,
+    * and the data is range-sharded + sorted on it — so every output file
+    * covers a compact HYPER-RECTANGLE of the key space and parquet
+    * footer min/max stats prune files for range predicates on ANY of the
+    * z columns, not just a single sort key (the multi-dimensional
+    * generalization of [[writeRangeSharded]]; same mechanics Delta/
+    * Iceberg OPTIMIZE ZORDER uses). The locality guarantee is what makes
+    * multi-tenant scans cheap at 100 TB: a reader filtering on the
+    * SECOND dimension of a range-sharded layout scans everything, while
+    * z-order bounds every file's span in every indexed dimension.
+    *
+    * Scaling is linear min/max (one tiny agg row, broadcast back — no
+    * driver action): simple and exactly reproducible, with the usual
+    * caveat that heavy skew in a dimension compresses its useful bits
+    * (rank/quantile scaling is the skew-robust upgrade; same interleave
+    * afterwards). Null z-column values yield a null z-value and cluster
+    * together at one end — they prune like any other file range.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      shards: Int, bitsPerDim: Int = 16, maxRecordsPerFile: Long = 0L): Unit = {
+    require(zCols.size >= 2,
+      s"writeZOrdered: need >= 2 z columns (got $zCols) — use writeRangeSharded for one")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 62,
+      s"writeZOrdered: bitsPerDim=$bitsPerDim x ${zCols.size} dims must fit a long")
+    require(shards > 0, s"writeZOrdered: shards must be positive, got $shards")
+    val dims = zCols.size
+    val maxV = (1L << bitsPerDim) - 1
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_zmn_$c"), max(col(c)).cast("double").as(s"_zmx_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val withB = df.crossJoin(broadcast(bounds))
+    val scaled = zCols.map { c =>
+      val mn = col(s"_zmn_$c"); val mx = col(s"_zmx_$c")
+      val range = when(mx > mn, mx - mn).otherwise(lit(1.0))
+      least(lit(maxV),
+        floor((col(c).cast("double") - mn) / range * maxV + 0.5).cast("long"))
+    }
+    val z = (0 until bitsPerDim).flatMap { b =>
+      scaled.zipWithIndex.map { case (s, d) =>
+        // bit b of dim d lands at interleaved position b*dims + d.
+        shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * dims + d)
+      }
+    }.reduce(_.bitwiseOR(_))
+    withB.withColumn("_z", z)
+      .repartitionByRange(shards, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z" +: zCols.flatMap(c => Seq(s"_zmn_$c", s"_zmx_$c")): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Token-budget shard assignment: documents ordered by `keyCol` are laid
     * out as one contiguous token stream, and each doc's shard is its
     * global token OFFSET divided by `budget` — exactly how a training

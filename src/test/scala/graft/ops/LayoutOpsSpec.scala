@@ -27,6 +27,46 @@ class LayoutOpsSpec extends SparkSuite {
     assert(counts <= 50L, s"file exceeded maxRecordsPerFile: $counts rows")
   }
 
+  test("writeZOrdered: every file spans a compact rectangle in BOTH dims; lossless") {
+    import spark.implicits._
+    // Uniform 64x64 grid (4096 rows) — the shape where z-order's locality
+    // guarantee is provable: 16 shards over a 2-D Morton order give each
+    // file a ~quarter-by-quarter tile, while range-sharding on x alone
+    // leaves every file covering the FULL y domain.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val out = Files.createTempDirectory("layout-z").toString
+    LayoutOps.writeZOrdered(grid, out, Seq("x", "y"), shards = 16, bitsPerDim = 6)
+
+    val back = spark.read.parquet(out)
+    // Lossless: exact same rows (layout must never drop/alter data).
+    assert(back.count() == 4096)
+    assert(back.select("x", "y", "payload").except(grid).count() == 0)
+    assert(grid.except(back.select("x", "y", "payload")).count() == 0)
+    // Locality: per-file normalized span in EACH dim well under the full
+    // domain (range-sharding on x would put span_y == 1.0 in every
+    // file). 16 tiles of a 64x64 Morton grid are 16x16 squares; allow
+    // generous slack for shard-boundary straddling.
+    val spans = back.select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg(
+        ((max("x") - min("x")) / 63.0).as("sx"),
+        ((max("y") - min("y")) / 63.0).as("sy"))
+      .as[(String, Double, Double)].collect()
+    assert(spans.length > 1, "expected multiple z-order files")
+    val avgArea = spans.map { case (_, sx, sy) => sx * sy }.sum / spans.length
+    assert(avgArea < 0.15, s"z-order files not local: avgArea=$avgArea " +
+      spans.map { case (_, sx, sy) => f"($sx%.2f,$sy%.2f)" }.mkString(" "))
+    assert(spans.forall { case (_, _, sy) => sy < 0.9 },
+      "some file spans the full y domain — that's range-sharding, not z-order")
+    // Both-dim prunability: a tight predicate on y alone touches a
+    // minority of files (the span stats readers use for skipping).
+    val touched = spans.count { case (_, _, sy0) => true } // all files
+    val yHit = back.filter(col("y") < 8)
+      .select(input_file_name()).distinct().count()
+    assert(yHit.toDouble / touched <= 0.5,
+      s"y-predicate touched $yHit of $touched files — no second-dim locality")
+  }
+
   test("packByTokenBudget equals the global-window formulation, at any partition count") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
