@@ -1258,6 +1258,56 @@ object GraftQueries {
     * size agg); only the final metadata join is corpus-sized — exactly the
     * dedup_components posture plus one groupBy on labels.
     */
+  /** [[d13]]'s embedding-space twin — SEMANTIC dedup, the modern
+    * pipeline's third dedup axis after exact and lexical near-dup:
+    * sign-band LSH-gated cosine pairs ([[DedupOps.embeddingNearDupPairs]],
+    * duplicate-collapsed) → connected components → per-component
+    * canonical (min vec_id) keep-set with component size and label.
+    * Same 100 TB shape as the lexical pipeline: banded equi-join
+    * candidates, linear star-edge clustering, label-sized aggregates.
+    */
+  private val d17 = Q("curate_semantic_dedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = DedupOps.embeddingNearDupPairs(emb, threshold = 0.4, dims = 64)
+        .select("vec_a", "vec_b")
+      val comps = GraphOps.connectedComponents(
+        emb.select(col("vec_id")), pairs,
+        idCol = "vec_id", srcCol = "vec_a", dstCol = "vec_b")
+      val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, "component_id")
+        .select(col("id").as("vec_id"), col("n_members"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      sig AS (SELECT vec_id, band,
+                list_sum(list_transform(range(8),
+                  j -> CASE WHEN v[band*8 + j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS bucket
+              FROM t, unnest(range(8)) AS r(band)),
+      c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      pr AS (SELECT vec_a, vec_b
+             FROM c JOIN t x ON c.vec_a = x.vec_id JOIN t y ON c.vec_b = y.vec_id
+             WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+      e AS (SELECT vec_a AS a, vec_b AS b FROM pr
+            UNION ALL SELECT vec_b AS a, vec_a AS b FROM pr),
+      r AS (
+        SELECT vec_id AS id, vec_id AS lbl FROM t
+        UNION
+        SELECT e.b AS id, r.lbl FROM r JOIN e ON r.id = e.a),
+      comp AS (SELECT id AS vec_id, min(lbl) AS component_id FROM r GROUP BY id),
+      sz AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
+      SELECT c.vec_id, sz.n_members, t.label
+      FROM comp c
+      JOIN sz ON c.component_id = sz.component_id
+      JOIN t ON t.vec_id = c.vec_id
+      WHERE c.vec_id = c.component_id
+      ORDER BY c.vec_id"""))
+
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2374,7 +2424,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
     sm1, sm2, m01, m02, m03, m04, mq1)
