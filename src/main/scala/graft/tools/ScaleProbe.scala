@@ -59,7 +59,7 @@ object ScaleProbe {
   final case class PairsKind(withinPayload: Double,
       idA: String = "doc_a", idB: String = "doc_b") extends Kind
   case object ComponentsKind extends Kind
-  case object KeepSetKind extends Kind
+  final case class KeepSetKind(idCol: String = "doc_id") extends Kind
   final case class PackKind(budget: Long) extends Kind
 
   val defaultQueries: Seq[(String, Kind)] = Seq(
@@ -71,7 +71,8 @@ object ScaleProbe {
     "dedup_edit_distance" -> PairsKind(0.0),
     "dedup_embedding_pairs" -> PairsKind(1.0, idA = "vec_a", idB = "vec_b"),
     "dedup_components" -> ComponentsKind,
-    "curate_near_dup" -> KeepSetKind,
+    "curate_near_dup" -> KeepSetKind(),
+    "curate_semantic_dedup" -> KeepSetKind(idCol = "vec_id"),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -187,18 +188,18 @@ object ScaleProbe {
   }
 
   private def checkKeepSet(base: DataFrame, rep: DataFrame,
-      factor: Int): Seq[String] = {
+      factor: Int, idCol: String): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    val baseKept = base.select(col("doc_id"))
+    val baseKept = base.select(col(idCol))
     val baseRows = baseKept.count()
     val repRows = rep.count()
     if (repRows < baseRows || repRows > baseRows * factor)
       errs += s"keep-set rows $repRows outside [base, factor*base] = [$baseRows, ${baseRows * factor}]"
-    val mapped = rep.select(origOf(col("doc_id"), factor).as("doc_id")).distinct()
+    val mapped = rep.select(origOf(col(idCol), factor).as(idCol)).distinct()
     val onlyRep = mapped.except(baseKept).count()
     val onlyBase = baseKept.except(mapped).count()
-    if (onlyRep > 0) errs += s"$onlyRep replicated kept docs absent from base keep-set"
-    if (onlyBase > 0) errs += s"$onlyBase base kept docs lost under replication"
+    if (onlyRep > 0) errs += s"$onlyRep replicated kept rows absent from base keep-set"
+    if (onlyBase > 0) errs += s"$onlyBase base kept rows lost under replication"
     errs.result()
   }
 
@@ -238,7 +239,7 @@ object ScaleProbe {
       failures ++= (kind match {
         case p: PairsKind => checkPairs(baseDf, repDf, factor, p)
         case ComponentsKind => checkComponents(baseDf, repDf, factor)
-        case KeepSetKind => checkKeepSet(baseDf, repDf, factor)
+        case KeepSetKind(idCol) => checkKeepSet(baseDf, repDf, factor, idCol)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>
