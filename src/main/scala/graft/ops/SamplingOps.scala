@@ -42,6 +42,34 @@ object SamplingOps {
     pmod(hashOf(key, salt), lit(modulus.toLong)) < keep
   }
 
+  /** Deterministic named-split assignment (train/val/test — the one
+    * split every training pipeline makes): with integer `splits`
+    * weights summing to W, each row's split is the label whose
+    * cumulative weight range contains `pmod(hash(key), W)` — so the
+    * split is an exact-integer, engine-reproducible function of the key
+    * alone. Membership is stable across partitioning, retries, and
+    * corpus growth (new keys land in splits at the weight proportions;
+    * existing keys never move). Disjoint and exhaustive by
+    * construction: every row gets exactly one label. Pure map — no
+    * shuffle, no state.
+    */
+  def withHashSplit(df: DataFrame, splits: Seq[(String, Int)], key: Column,
+      salt: String = "split", outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "withHashSplit: splits must be non-empty")
+    require(splits.forall(_._2 > 0),
+      s"withHashSplit: weights must be positive, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"withHashSplit: duplicate split label in $splits")
+    val total = splits.map(_._2.toLong).sum
+    val h = pmod(hashOf(key, salt), lit(total))
+    val cum = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val assigned = splits.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), bound)) =>
+        Some(acc.fold(when(h < bound, label))(_.when(h < bound, label)))
+    }.get
+    df.withColumn(outCol, assigned)
+  }
+
   /** Mixture (re-)sampling: downsample each group so the output's
     * composition matches integer target `weights` (e.g.
     * `en→5, fr→2, de→2, ja→1` ⇒ a ~50/20/20/10 mix), keeping ALL of the

@@ -2282,6 +2282,27 @@ object GraftQueries {
     * with integer thresholds the oracle reproduces bit-exactly. Row-level
     * output so the gate checks MEMBERSHIP, not just per-group counts.
     */
+  /** Named train/val/test split ([[SamplingOps.withHashSplit]]): 8/1/1
+    * by exact-integer hash ranges — row-level output so the gate checks
+    * MEMBERSHIP (which doc landed in which split), not just counts.
+    */
+  private val sm3 = Q("sample_split",
+    (s, dir) => SamplingOps.withHashSplit(
+        t(s, dir, "documents").select("doc_id"),
+        splits = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+        key = col("doc_id"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CASE
+          WHEN ('0x' || substr(md5('split' || cast(doc_id as varchar)), 1, 15))::bigint
+               % 10 < 8 THEN 'train'
+          WHEN ('0x' || substr(md5('split' || cast(doc_id as varchar)), 1, 15))::bigint
+               % 10 < 9 THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents ORDER BY doc_id"""))
+
   private val sm2 = Q("sample_mixture",
     (s, dir) => SamplingOps.mixtureSample(
         t(s, dir, "documents"), groupCol = "lang",
@@ -2427,7 +2448,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
-    sm1, sm2, m01, m02, m03, m04, mq1)
+    sm1, sm2, sm3, m01, m02, m03, m04, mq1)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

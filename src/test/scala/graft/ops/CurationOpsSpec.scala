@@ -225,6 +225,36 @@ class CurationOpsSpec extends SparkSuite {
     assert(top1(deq) == top1(df))
   }
 
+  test("withHashSplit: disjoint-exhaustive, proportional, stable under growth") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+    val splits = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val got = SamplingOps.withHashSplit(df, splits, col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    // Exhaustive: every row labeled; disjoint is structural (one column).
+    assert(got.size == 2000 && got.values.forall(Set("train", "val", "test")))
+    // Proportions Binomial around 8/1/1.
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 140 && counts("val") < 260, counts.toString)
+    assert(counts("test") > 140 && counts("test") < 260, counts.toString)
+    // Growth stability: adding rows never moves an existing key's split.
+    val grown = SamplingOps.withHashSplit((1L to 4000L).toDF("doc_id"),
+        splits, col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(got.forall { case (k, v) => grown(k) == v })
+    // Contract violations fail loudly.
+    intercept[IllegalArgumentException] {
+      SamplingOps.withHashSplit(df, Seq.empty, col("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SamplingOps.withHashSplit(df, Seq("a" -> 0), col("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SamplingOps.withHashSplit(df, Seq("a" -> 1, "a" -> 2), col("doc_id"))
+    }
+  }
+
   test("mixtureSample: invalid weights rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "grp")
     intercept[IllegalArgumentException] {
