@@ -51,7 +51,10 @@ object SamplingOps {
     * corpus growth (new keys land in splits at the weight proportions;
     * existing keys never move). Disjoint and exhaustive by
     * construction: every row gets exactly one label. Pure map — no
-    * shuffle, no state.
+    * shuffle, no state. A NULL key would null the hash and leave the
+    * row unlabeled — the opposite of the disjoint-and-exhaustive
+    * contract — so it fails loudly at execution instead (same loud-
+    * failure stance as [[mixtureSample]]'s unweighted-group check).
     */
   def withHashSplit(df: DataFrame, splits: Seq[(String, Int)], key: Column,
       salt: String = "split", outCol: String = "split"): DataFrame = {
@@ -67,7 +70,12 @@ object SamplingOps {
       case (acc, ((label, _), bound)) =>
         Some(acc.fold(when(h < bound, label))(_.when(h < bound, label)))
     }.get
-    df.withColumn(outCol, assigned)
+    // The when-chain is exhaustive for any non-null h (the last bound is
+    // the full weight sum), so this otherwise() only fires on a null key.
+    df.withColumn(outCol, assigned.otherwise(raise_error(lit(
+      s"withHashSplit: null split key — every row must carry a non-null " +
+        s"key so it lands in exactly one of ${splits.map(_._1).mkString("/")}"))
+      .cast("string")))
   }
 
   /** Mixture (re-)sampling: downsample each group so the output's
@@ -123,11 +131,7 @@ object SamplingOps {
     import sp.implicits._
     val wDf = weights.toDF(groupCol, "_wt")
     // Tiny aggregate: one row per weighted group; no corpus data reaches
-    // the driver. T folds in as a global window over those few rows —
-    // NOT as counts.agg(...) cross-joined back, which would duplicate the
-    // counts subplan and re-scan the corpus a third time (DataFrame
-    // branches don't dedup). The single-partition window is fine here
-    // because its input is weights.size rows, not corpus rows.
+    // the driver.
     val grpCounts = df.groupBy(group).agg(count(lit(1)).as("_n"))
     // Strict default: validate on the GROUP-cardinality counts frame, not
     // the corpus join — a corpus-side left join + null-filtering predicate
@@ -147,12 +151,24 @@ object SamplingOps {
           coalesce(group.cast("string"), lit("NULL")),
           lit("' has no weight — list every group or pass " +
             "dropUnweightedGroups = true"))).cast("long")))
-    val rates = counts
-      .withColumn("_t", min(expr(s"_n * $bigW div _wt"))
-        .over(Window.partitionBy()))
-      .select(group,
-        (col("_n") * bigW).as("_den"),
-        (col("_wt") * col("_t")).as("_num"))
+    // T folds in by aggregating the tiny counts frame and cross-joining
+    // the one-row result back — NOT via a partition-less window, which is
+    // value-identical but makes Spark print "No Partition Defined for
+    // Window operation! Moving all data to a single partition" into every
+    // run's log (the frame IS weights.size rows, so the warning is noise —
+    // but noise a reader re-adjudicates every round). counts is persisted
+    // (Caching.withCached) so the agg + select pair reads the corpus-fed
+    // groupBy once, and the checkpointed rates frame (weights.size rows)
+    // is self-contained before the corpus-wide filter consumes it. The
+    // strict-default raise_error above now fires here, when withCached
+    // materializes rates — same loud failure, one action earlier.
+    val rates = Caching.withCached(counts) {
+      counts
+        .crossJoin(broadcast(counts.agg(min(expr(s"_n * $bigW div _wt")).as("_t"))))
+        .select(group,
+          (col("_n") * bigW).as("_den"),
+          (col("_wt") * col("_t")).as("_num"))
+    }
     // Inner join: with the strict default, the validation above has
     // already guaranteed every group is weighted, so nothing drops here;
     // with the opt-in, dropping IS the declared contract.

@@ -314,7 +314,12 @@ object SimilarityOps {
       .filter(col("r8") <= k.toLong * rerank)
       .select("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    shortlist
+    // broadcast the SHORTLIST side of the re-rank join: it is bounded by
+    // queries·rerank·k rows by construction, while the corpus side is the
+    // full vector table — without the hint an SMJ here would shuffle the
+    // whole corpus by vec_id, undoing the narrow-payload win the int8
+    // probe just bought (ADVICE r11; plan-asserted in PlanAssertionsSpec).
+    broadcast(shortlist)
       .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))

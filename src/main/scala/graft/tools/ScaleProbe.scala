@@ -50,6 +50,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Ownership marker [[replicateDir]] drops in its output directory; the
+    * recursive wipe refuses any non-empty directory that lacks it. */
+  val ProbeMarker = "_GRAFT_PROBE"
+
   /** Per-query check shape; `withinPayload` is the payload an
     * identical-copy pair carries (jaccard/cosine 1.0, hamming/dist 0) and
     * `idA`/`idB` the pair-id column names (`doc_a`/`doc_b` for text ops,
@@ -93,13 +97,21 @@ object ScaleProbe {
     // Wipe any previous probe output first: the CLI reuses a fixed /tmp
     // path, and stale symlinks from a run against a DIFFERENT baseDir
     // would silently mix scale factors (or, dangling, crash link
-    // creation). The dir is probe-owned by contract — callers pass a
-    // scratch path.
+    // creation). Recursive deletion is gated on the marker file a
+    // previous probe run dropped — "probe-owned by contract" is ENFORCED,
+    // so a typo'd or reused path (somebody's data dir) is refused loudly
+    // instead of silently wiped (ADVICE r11).
+    val marker = out.resolve(ProbeMarker)
     if (Files.exists(out)) {
+      val empty = { val s = Files.list(out); try !s.findAny().isPresent finally s.close() }
+      require(empty || Files.exists(marker),
+        s"replicateDir: refusing to wipe non-empty '$outDir' — it lacks the " +
+          s"$ProbeMarker marker, so it was not written by a previous probe run")
       Files.walk(out).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(out)
+    Files.writeString(marker, "scratch directory owned by graft.tools.ScaleProbe\n")
     // Absolute targets (a relative baseDir would make targets resolve
     // against outDir); the listing stream must be closed (it holds a
     // directory handle).

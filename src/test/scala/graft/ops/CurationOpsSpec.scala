@@ -253,6 +253,16 @@ class CurationOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       SamplingOps.withHashSplit(df, Seq("a" -> 1, "a" -> 2), col("doc_id"))
     }
+    // A NULL key would null the hash and leave the row silently unlabeled
+    // — the opposite of disjoint-and-exhaustive; it must fail loudly at
+    // execution (ADVICE r11).
+    val nullKey = Seq(Some(1L), None).toDF("doc_id")
+    val err = intercept[Exception] {
+      SamplingOps.withHashSplit(nullKey, splits, col("doc_id")).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null split key"), s"unexpected error: $msgs")
   }
 
   test("mixtureSample: invalid weights rejected") {

@@ -60,7 +60,7 @@ class LayoutOpsSpec extends SparkSuite {
       "some file spans the full y domain — that's range-sharding, not z-order")
     // Both-dim prunability: a tight predicate on y alone touches a
     // minority of files (the span stats readers use for skipping).
-    val touched = spans.count { case (_, _, sy0) => true } // all files
+    val touched = spans.length // all files
     val yHit = back.filter(col("y") < 8)
       .select(input_file_name()).distinct().count()
     assert(yHit.toDouble / touched <= 0.5,

@@ -84,6 +84,12 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q8 probe degenerated to pair enumeration:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
+    // The fp32 re-rank join (shortlist ⋈ corpus on vec_id) must broadcast
+    // the bounded shortlist, not sort-merge the corpus — an SMJ there
+    // shuffles the full vector table and undoes the int8 narrow-payload
+    // win (ADVICE r11). With every join broadcast, no SMJ may appear.
+    assert(!p.contains("SortMergeJoin"),
+      s"q8 re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
   }
 
   test("gated near-dup ops plan no pair-enumerating nested-loop joins") {
