@@ -65,6 +65,12 @@ object GraftFunctions {
     */
   def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(expr(a), expr(b)))
 
+  /** Injective IEEE-754 byte layout of a float/double array — the
+    * formatting-independent fingerprint base (md5 over it keys
+    * exact-vector-equality classes).
+    */
+  def vector_bytes(a: Column): Column = col(VectorBytes(expr(a)))
+
   /** Byte-level BPE token count under the bundled [[Bpe]] merge table. */
   def bpe_token_count(c: Column): Column = col(BpeTokenCount(expr(c)))
 

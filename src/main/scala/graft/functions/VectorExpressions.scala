@@ -203,6 +203,52 @@ case class Int8Cosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** vector_bytes(array<float|double>) → binary: an INJECTIVE byte layout
+  * of the vector — per element a presence marker byte (0 = null element,
+  * 1 = present) followed by the 8 IEEE-754 big-endian bits of the value
+  * widened to double (float→double widening is exact, so a float and its
+  * double widening agree; `doubleToLongBits` canonicalizes NaNs). Length
+  * is implicit in the byte length (9·n), so no two distinct
+  * (length, per-element value-or-null) vectors share an encoding.
+  *
+  * Exists for the duplicate-collapse fingerprint in
+  * [[graft.ops.DedupOps.embeddingNearDupPairs]]: `md5(vector_bytes(v))`
+  * keys exact-vector-equality classes from the bit pattern alone, where
+  * the JSON rendering it replaces depended on float formatting (stable
+  * within a JVM run, but a formatting dependency all the same). Runs once
+  * per vector — off the pairwise hot path, so CodegenFallback is fine
+  * (the [[HashUtil]] policy).
+  */
+case class VectorBytes(child: Expression)
+    extends UnaryExpression with VectorArrayCodegen
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vector_bytes"
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(acceptedVector)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val et = elemType(child.dataType)
+    val n = x.numElements()
+    val out = new Array[Byte](9 * n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val off = 9 * i
+        out(off) = 1
+        val bits = java.lang.Double.doubleToLongBits(evalGet(et, x, i))
+        var j = 0
+        while (j < 8) { out(off + 1 + j) = (bits >>> (56 - 8 * j)).toByte; j += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class L2Norm(child: Expression)
     extends UnaryExpression with VectorArrayCodegen {
 

@@ -15,10 +15,89 @@ import org.apache.spark.sql.functions._
   *  - per-document work (hashing, signatures) is a map-side projection;
   *  - the verify step runs only on candidate pairs, which banding keeps
   *    ~linear in the number of true near-dups;
-  *  - skew guard: a `df(bucket)`-style cap drops degenerate buckets
-  *    (e.g. an all-common shingle) instead of letting one reducer explode.
+  *  - skew guards: the shingle-index ops cap degenerate ubiquitous
+  *    shingles (`maxShingleDf`), and the banded LSH self-joins grid-split
+  *    hot buckets ([[selfJoinWithinBuckets]]) so a popular bucket of
+  *    DISTINCT members — the case duplicate collapse cannot touch —
+  *    spreads across ~(n/splitTarget)² bounded tasks instead of
+  *    serializing one reducer.
   */
 object DedupOps {
+
+  /** Buckets with more members than this are grid-split by
+    * [[selfJoinWithinBuckets]]. 4096 members ≈ 8.4M same-bucket
+    * comparisons — the most one task is allowed to own. */
+  private[ops] val HotBucketThreshold = 4096L
+
+  /** Sub-group size the grid split aims for: each (g1, g2) block compares
+    * ≤ splitTarget² ≈ 4.2M element pairs, whatever the bucket size. */
+  private[ops] val HotBucketSplitTarget = 2048L
+
+  /** Within-bucket candidate pairs with a HOT-BUCKET SKEW GUARD — the
+    * shared self-join core of the three banded LSH pair generators
+    * (simhash / minhash / embedding sign bands). Input: one row per
+    * (member id, bucket key), key columns `keyCols`, plus `carry`
+    * columns to surface on both sides. Output: `id_a < id_b` pairs per
+    * bucket with `<c>_a`/`<c>_b` for each carry column; duplicates only
+    * arise inside split buckets and callers `.distinct()` (they already
+    * must, across bands).
+    *
+    * Why: a band self-join is quadratic WITHIN a bucket, and one
+    * overloaded bucket serializes the whole stage onto one reducer — the
+    * scale-killer anisotropic real embeddings hit (a popular sign
+    * orthant can hold a large corpus fraction of DISTINCT vectors, which
+    * duplicate collapse cannot touch). The guard:
+    *
+    *  1. counts members per bucket (map-side partial agg; the
+    *     over-threshold survivors are few by definition and broadcast);
+    *  2. rows in cold buckets take the plain `a.id < b.id` equi-join —
+    *     byte-identical to the unguarded op, zero extra shuffle volume;
+    *  3. rows in hot buckets are hash-assigned to `s = ceil(n /
+    *     splitTarget)` sub-groups and the bucket's pair space is covered
+    *     as the upper-triangular GRID of sub-group blocks: the a-side
+    *     replicates each row to blocks (g, g..s-1), the b-side to blocks
+    *     (0..g, g), and the join keys on (bucket, block) — every pair
+    *     lands in exactly one block (its members' group pair), except
+    *     same-group pairs which both orientations emit and `.distinct()`
+    *     folds. Each block compares ≤ ~splitTarget² pairs, so no task
+    *     exceeds the documented ceiling no matter how hot the bucket;
+    *     replication cost (s+1 copies of hot-bucket rows) is paid ONLY
+    *     by hot buckets. Candidate volume itself is unchanged — banding
+    *     semantics decide candidacy, the guard only decides WHERE the
+    *     comparisons run.
+    */
+  private[ops] def selfJoinWithinBuckets(banded: DataFrame, keyCols: Seq[String],
+      carry: Seq[String], hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
+    require(hotBucketThreshold >= 1, s"hotBucketThreshold must be >= 1, got $hotBucketThreshold")
+    require(splitTarget >= 1, s"splitTarget must be >= 1, got $splitTarget")
+    val keys = keyCols.map(col)
+    def keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    def out(aLess: Column) =
+      Seq(when(aLess, col("a.id")).otherwise(col("b.id")).as("id_a"),
+        when(aLess, col("b.id")).otherwise(col("a.id")).as("id_b")) ++
+        carry.flatMap(c => Seq(
+          when(aLess, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
+          when(aLess, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
+    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > hotBucketThreshold)
+    val tagged = banded.join(broadcast(hot), keyCols, "left")
+    val cold = tagged.filter(col("_bn").isNull).drop("_bn")
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        keyEq && col("a.id") < col("b.id"))
+      .select(out(lit(true)): _*)
+    val hotRows = tagged.filter(col("_bn").isNotNull)
+      .withColumn("_s", ceil(col("_bn").cast("double") / splitTarget).cast("int"))
+      .withColumn("_g", pmod(xxhash64(col("id")), col("_s")).cast("int"))
+      .drop("_bn")
+    val aSide = hotRows.withColumn("_b2", explode(sequence(col("_g"), col("_s") - 1)))
+    val bSide = hotRows.withColumn("_b1", explode(sequence(lit(0), col("_g"))))
+    val hotPairs = aSide.as("a").join(bSide.as("b"),
+        keyEq && col("a._g") === col("b._b1") && col("a._b2") === col("b._g") &&
+          col("a.id") =!= col("b.id"))
+      .select(out(col("a.id") < col("b.id")): _*)
+    coldPairs.unionByName(hotPairs)
+  }
 
   /** Pairs `(doc_a, doc_b)` (a<b) whose SimHash60 fingerprints differ by at
     * most `maxHamming` bits. Banding gives exactness-by-pigeonhole: with 4
@@ -27,7 +106,9 @@ object DedupOps {
     * every qualifying pair; `bit_count(xor)` then verifies exactly.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       "4 bands of 15 bits guarantee recall only for hamming in [0, 3]")
     // persist (via Caching.withCached): the fingerprint must be computed
@@ -47,12 +128,10 @@ object DedupOps {
             shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7fffL)).as("bval"))): _*))
           .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    selfJoinWithinBuckets(banded, Seq("band", "bval"), Seq("simhash"),
+        hotBucketThreshold, splitTarget)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("simhash_a").as("sh_a"), col("simhash_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -70,7 +149,9 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
       bands: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3, seed: Long = 42L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     val k = bands * rowsPerBand
     // No inner persist: `base` is a pure projection of the collapse
     // wrapper's already-persisted reps frame, so its repeated consumers
@@ -93,11 +174,9 @@ object DedupOps {
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*))
           .as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bkey"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    val candidates = selfJoinWithinBuckets(banded, Seq("band", "bkey"), Nil,
+        hotBucketThreshold, splitTarget)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, base, threshold)
     }
@@ -491,7 +570,9 @@ object DedupOps {
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double, dims: Int,
       bands: Int = 8, bitsPerBand: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
     require(bands * bitsPerBand <= dims,
       s"embeddingNearDupPairs: bands*bitsPerBand = ${bands * bitsPerBand} " +
@@ -500,15 +581,17 @@ object DedupOps {
     // (duplicate docs embed identically — the dup-heavy crawl regime)
     // share every sign band, so the uncollapsed band join is quadratic in
     // duplicate multiplicity (m copies = C(m,2) candidate pairs per
-    // band). Collapse on the exact vector value (md5 over the JSON
-    // rendering — 128-bit, deterministic within a JVM run), run the band
-    // pipeline on representatives, expand afterwards: cosine depends
+    // band). Collapse on the exact vector value (md5 over the injective
+    // IEEE-754 byte layout, [[graft.functions.VectorBytes]] — 128-bit,
+    // bit-pattern-keyed, so no dependency on float FORMATTING like the
+    // JSON rendering it replaced), run the band pipeline on
+    // representatives, expand afterwards: cosine depends
     // only on the vector, so cross-class pairs inherit the rep cosine
     // verbatim and within-class pairs are identical-vector pairs — the
     // direct path scores those round(1.0, 6) whenever the vector has
     // non-zero norm (null/zero-norm cosine is NULL and never pairs).
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("fp", md5(to_json(struct(col("v")))))
+      .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
     val reps = keyed.groupBy("fp")
       .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
         count(lit(1)).as("cnt"))
@@ -528,10 +611,9 @@ object DedupOps {
     // projection feeds BOTH sides of the self-join (and the caller's
     // actions would otherwise re-run the whole lazy pipeline per action).
     val repPairs = Caching.withCached(sig) {
-      val cand = sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      val cand = selfJoinWithinBuckets(sig, Seq("band", "bucket"), Nil,
+          hotBucketThreshold, splitTarget)
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
         .distinct()
       val va = repVecs.select(col("id").as("vec_a"), col("v").as("va"))
       val vb = repVecs.select(col("id").as("vec_b"), col("v").as("vb"))

@@ -88,8 +88,19 @@ object ScaleProbe {
     * symlink every other table from `baseDir` (the dir must look like a
     * full sf dir to any table loader).
     */
+  /** @param perturbEmbeddings skewed profile: replica `k`'s embedding is
+    *        scaled by (1 + k·1e-6) — sign-preserving, so every replica
+    *        stays in its original sign buckets while being a DISTINCT
+    *        vector. That is the regime the plain replication probe cannot
+    *        see: duplicate collapse cannot shrink the buckets, and only
+    *        the hot-bucket grid split (DedupOps.selfJoinWithinBuckets)
+    *        keeps within-bucket work spread. Cosines are unchanged up to
+    *        last-ulp rounding (cosine is scale-invariant), so pair
+    *        ID-algebra still holds while payloads are compared only to
+    *        round-6 tolerance by [[runSkew]]'s checks.
+    */
   def replicateDir(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, perturbEmbeddings: Boolean = false): Unit = {
     require(factor >= 2, s"replication factor must be >= 2, got $factor")
     val replicated = Map("documents.parquet" -> "doc_id",
       "embeddings.parquet" -> "vec_id")
@@ -122,14 +133,69 @@ object ScaleProbe {
     } finally listing.close()
     replicated.foreach { case (table, idCol) =>
       val base = spark.read.parquet(s"$baseDir/$table")
-      base.select(
+      val exploded = base.select(
           explode(array((0 until factor).map(lit): _*)).as("_k"),
           col("*"))
+      val perturbed =
+        if (perturbEmbeddings && table == "embeddings.parquet")
+          exploded.withColumn("embedding", transform(col("embedding"), x =>
+            (x.cast("double") * (lit(1.0) + col("_k").cast("double") * 1e-6))
+              .cast("float")))
+        else exploded
+      perturbed
         .select((col(idCol) * factor + col("_k")).as(idCol) +:
           base.columns.filter(_ != idCol).map(col): _*)
         .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
     }
+  }
+
+  /** Skewed-profile probe for the embedding pair op: replicate with
+    * sign-preserving DISTINCT perturbations ([[replicateDir]]'s
+    * `perturbEmbeddings`), run [[graft.ops.DedupOps.embeddingNearDupPairs]]
+    * with the hot-bucket guard forced active at probe scale, and assert
+    * the ID-algebra: cross orig-pairs exactly the base pair set, and a
+    * full C(factor, 2) within clique for every positive-norm orig (a
+    * zero/null vector has NULL cosine and never pairs). Payloads are NOT
+    * compared — scaling preserves cosine only to the last ulp. No
+    * wall-time ceiling either: every within-clique pair is a TRUE pair,
+    * so the output itself is quadratic in `factor` (that inherent growth
+    * is the output's size, not a plan regression).
+    */
+  def runSkew(spark: SparkSession, baseDir: String, repDir: String, factor: Int,
+      hotBucketThreshold: Long, splitTarget: Long): Result = {
+    import graft.ops.DedupOps
+    def pairs(dir: String, hot: Long, split: Long): DataFrame =
+      DedupOps.embeddingNearDupPairs(spark.read.parquet(s"$dir/embeddings.parquet"),
+        threshold = 0.4, dims = 64, hotBucketThreshold = hot, splitTarget = split)
+    val t0 = System.nanoTime()
+    val baseDf = pairs(baseDir, Long.MaxValue, Long.MaxValue)
+    val baseRows = baseDf.count()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val repDf = pairs(repDir, hotBucketThreshold, splitTarget)
+    val repRows = repDf.count()
+    val tRep = (System.nanoTime() - t1) / 1e9
+    val errs = Seq.newBuilder[String]
+    val mapped = repDf.select(origOf(col("vec_a"), factor).as("oa"),
+      origOf(col("vec_b"), factor).as("ob"))
+    val cross = mapped.filter(col("oa") =!= col("ob")).distinct()
+    val baseSel = baseDf.select(col("vec_a").as("oa"), col("vec_b").as("ob"))
+    val onlyRep = cross.except(baseSel).count()
+    val onlyBase = baseSel.except(cross).count()
+    if (onlyRep > 0) errs += s"$onlyRep skewed cross pairs absent from base result"
+    if (onlyBase > 0) errs += s"$onlyBase base pairs lost under skewed replication"
+    val clique = factor.toLong * (factor - 1) / 2
+    val within = mapped.filter(col("oa") === col("ob"))
+      .groupBy("oa").agg(count(lit(1)).as("cnt"))
+    val badClique = within.filter(col("cnt") =!= clique).count()
+    if (badClique > 0) errs += s"$badClique skewed dup classes without a full within clique"
+    val pairable = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .filter(graft.functions.GraftFunctions.l2_norm(col("embedding")) > 0.0)
+      .select(col("vec_id").as("oa"))
+    val missing = pairable.except(within.select("oa")).count()
+    if (missing > 0) errs += s"$missing positive-norm origs missing their within clique"
+    Result("dedup_embedding_pairs[skew]", baseRows, repRows, tBase, tRep, errs.result())
   }
 
   private def origOf(c: Column, factor: Int): Column =
@@ -266,6 +332,24 @@ object ScaleProbe {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val names = if (args.length > 2) args.drop(2).toSeq else defaultQueries.map(_._1)
+    // `... <sfDir> <factor> skew` runs the skewed embedding profile
+    // (distinct same-bucket vectors — the hot-bucket guard's regime)
+    // instead of the replication suite.
+    if (names == Seq("skew")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = graft.Sessions.local(cpus)
+      val repDir = s"/tmp/graft_scale_probe_skew_f$factor"
+      replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = true)
+      val r = runSkew(spark, baseDir, repDir, factor,
+        hotBucketThreshold = 64L, splitTarget = 32L)
+      val status = if (r.ok) "PASS" else "FAIL"
+      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d rows ${r.baseSec}%7.2f s" +
+        f"  x$factor ${r.repRows}%9d rows ${r.repSec}%7.2f s" +
+        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
+      spark.stop()
+      if (!r.ok) sys.exit(1)
+      return
+    }
     val byName = defaultQueries.toMap
     val queries = names.map(n => n -> byName.getOrElse(n,
       throw new IllegalArgumentException(s"no check kind registered for '$n'")))

@@ -151,6 +151,35 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("vector_bytes fingerprints key exact-vector-equality classes") {
+    import org.apache.spark.sql.types.FloatType
+    // Values chosen to collide under naive formatting/widening mistakes:
+    // ±0.0 (equal under ==, distinct bit patterns), NaN (self-unequal,
+    // one canonical class), nulls vs 0.0, and near-equal floats.
+    val elem: Gen[Option[Float]] = Gen.frequency(
+      5 -> Gen.oneOf(0.0f, -0.0f, 1.0f, 1.0000001f, Float.NaN,
+        Float.MinPositiveValue, -1.5f).map(Some(_)),
+      1 -> Gen.const(None))
+    val vec: Gen[List[Option[Float]]] = Gen.choose(0, 5).flatMap(Gen.listOfN(_, elem))
+    def bytesOf(v: List[Option[Float]]): Seq[Byte] = {
+      val lit = Literal.create(
+        new GenericArrayData(v.map(_.map(Float.box).orNull).toArray),
+        ArrayType(FloatType, containsNull = true))
+      VectorBytes(lit).eval(null).asInstanceOf[Array[Byte]].toSeq
+    }
+    // Exact equality class key: element count + per-element
+    // (present, canonical bit pattern) — what "the same vector" means.
+    def classKey(v: List[Option[Float]]): Seq[Option[Long]] =
+      v.map(_.map(f => java.lang.Double.doubleToLongBits(f.toDouble)))
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      (bytesOf(a) == bytesOf(b)) == (classKey(a) == classKey(b))
+    })
+    // Prefix injectivity: a shorter vector never encodes as a prefix-equal
+    // byte string of a longer one's class (lengths differ => bytes differ).
+    assert(bytesOf(List(Some(1.0f))) != bytesOf(List(Some(1.0f), Some(0.0f))))
+    assert(bytesOf(List(None)) != bytesOf(List(Some(0.0f))))
+  }
+
   test("word ngrams kernel == reference sliding join for arbitrary tokens") {
     check(Prop.forAll(tokens, Gen.choose(1, 4), Gen.oneOf(true, false)) {
       (ts: List[String], n: Int, distinct: Boolean) =>

@@ -34,4 +34,27 @@ class ScaleProbeSpec extends SparkSuite {
     val base = spark.read.parquet(s"${sf()}/documents.parquet").count()
     assert(spark.read.parquet(s"$repDir/documents.parquet").count() == base * factor)
   }
+
+  test("factor-3 skewed probe: distinct same-bucket replicas — guard active, ID algebra holds") {
+    // The skewed profile is the regime plain replication cannot see:
+    // replicas are DISTINCT vectors (scaled 1 + k·1e-6, signs preserved),
+    // so duplicate collapse cannot shrink the band buckets and the
+    // hot-bucket grid split is what carries the within-bucket work. The
+    // tiny forced thresholds make buckets hot at sf0.001 scale.
+    val factor = 3
+    val repDir = tmp("graft-probe-skew") + "/rep"
+    ScaleProbe.replicateDir(spark, sf(), repDir, factor, perturbEmbeddings = true)
+    // Perturbed replicas really are distinct vector VALUES (collapse sees
+    // factor× distinct rows, not one class).
+    val distinctVecs = spark.read.parquet(s"$repDir/embeddings.parquet")
+      .select("embedding").distinct().count()
+    val baseVecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("embedding").distinct().count()
+    assert(distinctVecs > baseVecs * (factor - 1),
+      s"perturbation failed to make replicas distinct: $distinctVecs vs base $baseVecs")
+    val r = ScaleProbe.runSkew(spark, sf(), repDir, factor,
+      hotBucketThreshold = 4L, splitTarget = 4L)
+    assert(r.ok, r.failures.mkString("; "))
+    assert(r.repRows > r.baseRows, "skewed run should add the within cliques")
+  }
 }
