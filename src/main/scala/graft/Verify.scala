@@ -7,6 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Verify-run marker: queries whose oracle reads a side artifact
+    // (GraftQueries.verifyDump — the ANN dump, the MQ row dump, the
+    // z-order roundtrip files) write it only under this flag, so the
+    // artifacts the DuckDB compare reads are exactly the ones THIS run
+    // produced, and a later Bench run can't rewrite them underneath the
+    // oracle.
+    System.setProperty("graft.verify.dump", "1")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -63,6 +63,24 @@ object GraftQueries {
     s2.sql(sql)
   }
 
+  /** Side-artifact dump for oracles over non-table inputs (the ANN
+    * shortlists, the generated MQ rows): a handful of oracles must see
+    * data DuckDB has no table for, so during a Verify run (flag set by
+    * [[graft.Verify]]) the query writes those rows to a FIXED /tmp path
+    * and the oracle SQL reads them back with `read_parquet`. Outside
+    * Verify (Bench, ad-hoc use) nothing is written — the artifact the
+    * DuckDB compare reads is always the one the same Verify run produced.
+    * The flow contract is run-Verify-then-compare, which is the driver's
+    * (and the verify skill's) order anyway.
+    */
+  private def verifyDump(df: DataFrame, path: String): Unit =
+    if (sys.props.contains("graft.verify.dump"))
+      df.write.mode("overwrite").parquet(path)
+
+  private val AnnDumpPath = "/tmp/graft_sim_ann_dump"
+  private val MqDumpPath = "/tmp/graft_mq_wordcount_dump"
+  private val ZOrderRoundtripPath = "/tmp/graft_zorder_roundtrip"
+
   /** Exact money sum: double → decimal(18,2) (exact for 2-dp data) →
     * order-independent decimal sum → double. Identical in DuckDB.
     */
@@ -1636,6 +1654,79 @@ object GraftQueries {
     },
     None)
 
+  /** Recall@k of every ANN path against brute force, as a VALUE-EXACT
+    * correctness row (the three `sim_topk_*` approximate paths themselves
+    * are rows-only — this pins their recall arithmetic instead): the ANN
+    * results (exactly the registered queries' parameters) are dumped via
+    * [[verifyDump]], and the DuckDB oracle recomputes the brute-force
+    * top-k INDEPENDENTLY (same tie-break-by-id idiom as
+    * `sim_topk_bruteforce`) and scores the dumped shortlists against it —
+    * so a Spark-side ranking or recall-arithmetic bug hash-mismatches.
+    * The spec-level recall floors in OpsSpec remain defense-in-depth.
+    *
+    * The ABSOLUTE recall values reflect the synthetic testdata: the
+    * generated embeddings are near-orthogonal random vectors, which
+    * bucket poorly under 12-bit hyperplane LSH (few collisions → recall
+    * near zero at test scale, the known LSH behavior on structureless
+    * data — OpsSpec's lshTopK note) and give IVF no cluster structure to
+    * exploit (recall ≈ nprobe/nlist-ish). On real clustered embeddings
+    * both paths are tuned by bits/tables/nlist/nprobe; this row pins the
+    * MEASUREMENT, parameter-identical to the registered sim_topk_* rows.
+    */
+  private val s09 = Q("sim_recall_ann",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      val ann = Seq(
+        "lsh" -> SimilarityOps.lshTopK(q, c, k = 5),
+        "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
+          trainFraction = 0.25, trainIters = 5),
+        "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
+          trainFraction = 0.25, trainIters = 5, rerank = 4))
+        .map { case (p, df) =>
+          df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
+        }
+        .reduce(_ unionByName _)
+        // Eager checkpoint: the union is consumed by the dump and two
+        // joins below; without it each action re-runs all three ANN
+        // pipelines.
+        .localCheckpoint(true)
+      verifyDump(ann, AnnDumpPath)
+      val brute = SimilarityOps.bruteForceTopK(q, c, k = 5)
+        .select("query_id", "neighbor_id")
+      Caching.withCached(brute) {
+        val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
+          .groupBy("path").agg(count(lit(1)).as("n_hits"))
+        ann.select("path").distinct()
+          .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_expected"))))
+          .join(hits, Seq("path"), "left")
+          .select(col("path"), col("n_expected"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double")
+              / col("n_expected"), 6).as("recall"))
+      }.orderBy("path")
+    },
+    Some(s"""
+      WITH ann AS (SELECT path, query_id, neighbor_id
+                   FROM read_parquet('$AnnDumpPath/*.parquet')),
+      t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 10),
+      scored AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, t.v) AS cos
+        FROM q, t WHERE t.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored),
+      brute AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+      hits AS (SELECT a.path, count(*) AS n_hits
+        FROM ann a JOIN brute b USING (query_id, neighbor_id) GROUP BY a.path),
+      d AS (SELECT count(*) AS n_expected FROM brute)
+      SELECT p.path, d.n_expected, coalesce(h.n_hits, 0) AS n_hits,
+        round(cast(coalesce(h.n_hits, 0) as double) / d.n_expected, 6) AS recall
+      FROM (SELECT DISTINCT path FROM ann) p
+      CROSS JOIN d LEFT JOIN hits h ON h.path = p.path
+      ORDER BY p.path"""))
+
   /** Cosine via BUILT-IN higher-order functions — `zip_with` (elementwise
     * product) + `aggregate` (sum fold) — the no-custom-code alternative to
     * the native CosineSimilarity expression; both paths against the same
@@ -2429,26 +2520,96 @@ object GraftQueries {
 
   // The reference demo (streaming WordCount, README.md:74-124) as a batch
   // read over the deterministic generated backend. No DuckDB table backs
-  // the MQ source → rows-only check; exactness is covered by
+  // the MQ source, so the Verify run dumps the generated rows
+  // ([[verifyDump]] — the backend is deterministic, the dump IS the
+  // planned offset range) and the oracle wordcounts the dump: the
+  // groupBy/count aggregation gets real rows/schema/hash columns instead
+  // of the old rows-only check. Streaming exactness remains covered by
   // GraftMqStreamSpec.
   private val mq1 = Q("mq_wordcount",
-    (s, _) => s.read.format("graft-mq")
-      .option("backend", "generated").option("numPartitions", "8")
-      .option("rowsPerBatch", "125000").option("seed", "42") // 1M rows: source-throughput probe
-      .load()
-      .select(explode(split(col("value").cast("string"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy("word"),
-    None)
+    (s, _) => {
+      val raw = s.read.format("graft-mq")
+        .option("backend", "generated").option("numPartitions", "8")
+        .option("rowsPerBatch", "125000").option("seed", "42") // 1M rows: source-throughput probe
+        .load()
+        .select(col("value").cast("string").as("value"))
+      verifyDump(raw, MqDumpPath)
+      raw.select(explode(split(col("value"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+    Some(s"""
+      WITH w AS (SELECT unnest(string_split(value, ' ')) AS word
+                 FROM read_parquet('$MqDumpPath/*.parquet'))
+      SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY word"""))
+
+  // ---------------------------------------------------------- layout
+
+  /** Z-order layout roundtrip ([[LayoutOps.writeZOrdered]]) as a
+    * correctness row: write documents z-ordered on (doc_id, n_chars),
+    * read the files back, and aggregate row identity + per-file min/max
+    * rectangle stats. The oracle recomputes row identity (n_rows,
+    * bit_xor of the md5-prefix id hash) INDEPENDENTLY from the
+    * `documents` table — a dropped or altered row hash-mismatches — and
+    * the file-level stats (n_files, span sums) from the same written
+    * files via `read_parquet(..., filename=true)`. The write runs during
+    * Verify (or when the artifact is absent); locality/pruning
+    * guarantees stay spec-asserted in LayoutOpsSpec.
+    */
+  private val ly1 = Q("layout_zorder_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      if (sys.props.contains("graft.verify.dump") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(ZOrderRoundtripPath)))
+        LayoutOps.writeZOrdered(docs, ZOrderRoundtripPath,
+          Seq("doc_id", "n_chars"), shards = 8, bitsPerDim = 12)
+      val back = s.read.parquet(ZOrderRoundtripPath)
+        .select(input_file_name().as("f"), col("doc_id"), col("n_chars"))
+      val perFile = back.groupBy("f").agg(
+        count(lit(1)).as("rows"),
+        (max("n_chars") - min("n_chars")).as("span_c"),
+        (max("doc_id") - min("doc_id")).as("span_i"))
+      perFile.agg(
+          count(lit(1)).as("n_files"),
+          sum(col("rows")).as("n_rows"),
+          sum(col("span_c")).as("span_chars_sum"),
+          sum(col("span_i")).as("span_id_sum"))
+        .crossJoin(back.agg(
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15)" +
+            ", 16, 10) as bigint))").as("id_hash"),
+          sum(col("n_chars")).as("chars_sum")))
+        .select("n_files", "n_rows", "id_hash", "chars_sum",
+          "span_chars_sum", "span_id_sum")
+    },
+    Some(s"""
+      WITH f AS (SELECT filename, doc_id, n_chars
+                 FROM read_parquet('$ZOrderRoundtripPath/*.parquet', filename=true)),
+      per AS (SELECT filename, count(*) AS rows_,
+                max(n_chars) - min(n_chars) AS span_c,
+                max(doc_id) - min(doc_id) AS span_i
+              FROM f GROUP BY filename),
+      agg AS (SELECT count(*) AS n_files,
+                cast(sum(span_c) as bigint) AS span_chars_sum,
+                cast(sum(span_i) as bigint) AS span_id_sum
+              FROM per),
+      ident AS (SELECT count(*) AS n_rows,
+                  bit_xor(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint)
+                    AS id_hash
+                FROM documents),
+      chars AS (SELECT cast(sum(n_chars) as bigint) AS chars_sum FROM f)
+      SELECT agg.n_files, ident.n_rows, ident.id_hash, chars.chars_sum,
+        agg.span_chars_sum, agg.span_id_sum
+      FROM agg, ident, chars"""))
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
-    s01, s02, s03, s04, s05, s05b, s06, s07, s08,
+    s01, s02, s03, s04, s05, s05b, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
-    sm1, sm2, sm3, m01, m02, m03, m04, mq1)
+    sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

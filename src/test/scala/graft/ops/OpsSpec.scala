@@ -763,10 +763,11 @@ class OpsSpec extends SparkSuite {
   test("oracle coverage: every query has an oracle or a documented reason") {
     val noOracle = GraftQueries.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // Only the genuinely non-SQL-expressible ops lack oracles: the three
-    // approximate ANN paths (LSH, IVF, int8 IVF) and the MQ-source read
-    // (no DuckDB table). IVF exactness at nprobe==nlist and q8 recall are
-    // asserted below.
-    assert(noOracle ==
-      Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8", "mq_wordcount"))
+    // approximate ANN paths (LSH, IVF, int8 IVF) — whose recall arithmetic
+    // is nonetheless pinned value-exactly by sim_recall_ann, and whose
+    // exactness floors are asserted below. mq_wordcount gained a real
+    // oracle via the Verify-run row dump; layout_zorder_roundtrip
+    // likewise oracles the write path.
+    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8"))
   }
 }
