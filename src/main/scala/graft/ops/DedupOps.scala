@@ -48,8 +48,12 @@ object DedupOps {
     * orthant can hold a large corpus fraction of DISTINCT vectors, which
     * duplicate collapse cannot touch). The guard:
     *
-    *  1. counts members per bucket (map-side partial agg; the
-    *     over-threshold survivors are few by definition and broadcast);
+    *  1. counts members per bucket (map-side partial agg) and reads the
+    *     MAX count — one bounded row — as a switch: if no bucket exceeds
+    *     the threshold, the op IS the original unguarded equi-join (no
+    *     tag join, no union; the accounting pass is the only cost);
+    *     otherwise the over-threshold survivors are few by definition
+    *     and broadcast;
     *  2. rows in cold buckets take the plain `a.id < b.id` equi-join —
     *     byte-identical to the unguarded op, zero extra shuffle volume;
     *  3. rows in hot buckets are hash-assigned to `s = ceil(n /
@@ -79,8 +83,25 @@ object DedupOps {
         carry.flatMap(c => Seq(
           when(aLess, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
           when(aLess, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
-    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > hotBucketThreshold)
+    // Guard switch: one bounded-size agg (map-side combine shrinks the
+    // shuffle to ~distinct-bucket volume) and a 1-row driver read — the
+    // same documented switch idiom as maxClassSize. In the healthy case
+    // (no bucket over threshold — every registered dataset, and any
+    // production corpus whose banding is doing its job) the plan is then
+    // the ORIGINAL unguarded a<b equi-join: the always-on guard's extra
+    // broadcast-tag join + two-branch union tripled the warm wall time of
+    // every banded pair op (measured 2.1 s → 6.2 s at sf0.1) while the
+    // hot side stayed empty. The grid-split machinery is only BUILT when
+    // an over-threshold bucket actually exists.
+    val bucketCounts = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+    val maxRow = bucketCounts.agg(max(col("_bn"))).head()
+    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxBucket <= hotBucketThreshold) {
+      return banded.as("a").join(banded.as("b"),
+          keyEq && col("a.id") < col("b.id"))
+        .select(out(lit(true)): _*)
+    }
+    val hot = bucketCounts.filter(col("_bn") > hotBucketThreshold)
     val tagged = banded.join(broadcast(hot), keyCols, "left")
     val cold = tagged.filter(col("_bn").isNull).drop("_bn")
     val coldPairs = cold.as("a").join(cold.as("b"),
@@ -355,15 +376,90 @@ object DedupOps {
 
   /** Shared scoring tail of the count-based Jaccard formulations:
     * jaccard = n_inter / (n_a + n_b − n_inter), rounded to 6 then
-    * thresholded — one place so the exact and prefix-filtered operators
-    * cannot silently diverge on rounding/threshold boundary semantics.
+    * thresholded — one place so the exact, prefix-filtered, and
+    * cross-corpus operators cannot silently diverge on rounding/threshold
+    * boundary semantics. `aCol`/`bCol` name the pair-id columns
+    * (`doc_a`/`doc_b` for the symmetric family, `new_id`/`ref_id` for
+    * the asymmetric reference join).
     */
-  private def jaccardFromCounts(pairs: DataFrame, threshold: Double): DataFrame =
+  private def jaccardFromCounts(pairs: DataFrame, threshold: Double,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     pairs
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col(aCol), col(bCol), col("jaccard"))
+
+  /** Asymmetric exact-Jaccard near-dup join: every NEW document against a
+    * REFERENCE corpus — the incremental-crawl staple (dedupe today's
+    * batch against the already-curated training set) the symmetric pair
+    * ops can't express without re-pairing the reference against itself.
+    * Output: one row per qualifying `(new_id, ref_id)` with
+    * `jaccard >= threshold`; new×new and ref×ref pairs are never formed,
+    * so the join cost scales with the BATCH, not the accumulated corpus².
+    *
+    * Shape mirrors [[jaccardPairs]]: candidates via the shingle inverted
+    * index joined ACROSS sides only (equi-join on fnv64(shingle) — same
+    * 8-byte key / collision trade), intersection by count, verify via the
+    * shared [[jaccardFromCounts]] tail. Both sides are set-collapsed
+    * first (same md5-chunk fingerprint as [[withSetCollapse]]): the
+    * candidate and verify stages run on canonical sets, and only the
+    * final expansion is output-sized. The asymmetric expansion needs no
+    * within-clique branch — a new doc identical to a ref doc pairs
+    * through the rep pair itself (equal sets → jaccard 1.0), and copies
+    * WITHIN one side never pair by contract. `maxShingleDf` counts
+    * document frequency over BOTH collapsed sides: a shingle ubiquitous
+    * in either corpus carries no near-dup signal.
+    */
+  def jaccardPairsAgainstRef(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    def keyed(docs: DataFrame): DataFrame =
+      shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",
+        md5(concat_ws("", array_sort(transform(col("sh"), x => md5(x))))))
+    def repsOf(k: DataFrame): DataFrame = k.groupBy("fp")
+      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
+        count(lit(1)).as("cnt"))
+    val nk = keyed(newDocs); val rk = keyed(refDocs)
+    val nReps = repsOf(nk); val rReps = repsOf(rk)
+    val nMembers = nk.select(col("fp"), col("id"))
+    val rMembers = rk.select(col("fp"), col("id"))
+    Caching.withCached(nMembers, rMembers, nReps, rReps) {
+      def inv(reps: DataFrame): DataFrame =
+        reps.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), GraftFunctions.fnv64(col("s")).as("shingle"))
+      val nInv = inv(nReps); val rInv = inv(rReps)
+      val (nIdx, rIdx) =
+        if (maxShingleDf == Int.MaxValue) (nInv, rInv)
+        else {
+          val keep = nInv.select("shingle").unionAll(rInv.select("shingle"))
+            .groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDf)
+            .select("shingle")
+          (nInv.join(keep, Seq("shingle"), "left_semi"),
+            rInv.join(keep, Seq("shingle"), "left_semi"))
+        }
+      val inter = nIdx.as("a").join(rIdx.as("b"),
+          col("a.shingle") === col("b.shingle"))
+        .groupBy(col("a.id").as("new_id"), col("b.id").as("ref_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      val nSizes = nReps.select(col("id").as("new_id"), size(col("sh")).as("n_a"))
+      val rSizes = rReps.select(col("id").as("ref_id"), size(col("sh")).as("n_b"))
+      val repPairs = jaccardFromCounts(
+        inter.join(nSizes, "new_id").join(rSizes, "ref_id"),
+        threshold, "new_id", "ref_id")
+      if (math.max(maxClassSize(nReps), maxClassSize(rReps)) <= 1L) repPairs
+      else
+        repPairs
+          .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")
+          .join(rReps.select(col("id").as("ref_id"), col("fp").as("fp_r")), "ref_id")
+          .join(nMembers.select(col("fp").as("fp_n"), col("id").as("xn")), "fp_n")
+          .join(rMembers.select(col("fp").as("fp_r"), col("id").as("xr")), "fp_r")
+          .select(col("xn").as("new_id"), col("xr").as("ref_id"), col("jaccard"))
+    }
+  }
 
   /** Exact Jaccard pairs with prefix filtering (PPJoin family): under a
     * fixed global total order on shingles, two sets with Jaccard ≥ t MUST

@@ -1326,6 +1326,59 @@ object GraftQueries {
       WHERE c.vec_id = c.component_id
       ORDER BY c.vec_id"""))
 
+  /** Incremental (cross-corpus) dedup verdicts
+    * ([[DedupOps.jaccardPairsAgainstRef]]): a "new crawl batch" (sources
+    * src0-src3) deduped against the "already-curated reference" (every
+    * other source) — one verdict row per new doc with its qualifying
+    * ref-match count, best Jaccard, and keep flag. The asymmetric join
+    * never pairs new×new or ref×ref, so at 100 TB the cost scales with
+    * the batch (shingle index join + count agg), not the accumulated
+    * corpus²; the oracle recomputes the exact new×ref Jaccard matrix
+    * over the same split.
+    */
+  private val d18 = Q("curate_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSources = Seq("src0", "src1", "src2", "src3")
+      val newBatch = docs.filter(col("source").isin(newSources: _*))
+      val ref = docs.filter(!col("source").isin(newSources: _*))
+      val matches = DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_ref_dups"), max(col("jaccard")).as("best_jaccard"))
+        .withColumnRenamed("new_id", "doc_id")
+      newBatch.select(col("doc_id"), col("lang"), col("source"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+          col("best_jaccard"),
+          (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH newb AS (SELECT doc_id, lang, source, text FROM documents
+                    WHERE source IN ('src0','src1','src2','src3')),
+      ref AS (SELECT doc_id, text FROM documents
+              WHERE source NOT IN ('src0','src1','src2','src3')),
+      tn AS (SELECT doc_id, string_split(text, ' ') AS tk FROM newb),
+      tr AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ref),
+      sn AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM tn WHERE len(tk) >= 3),
+      sr AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM tr WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+              round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                / cast(len(list_distinct(list_concat(a.sh, b.sh))) as double), 6) AS jaccard
+            FROM sn a CROSS JOIN sr b),
+      m AS (SELECT new_id, count(*) AS n_ref_dups, max(jaccard) AS best_jaccard
+            FROM p WHERE jaccard >= 0.5 GROUP BY new_id)
+      SELECT n.doc_id, n.lang, n.source,
+        coalesce(m.n_ref_dups, 0) AS n_ref_dups, m.best_jaccard,
+        coalesce(m.n_ref_dups, 0) = 0 AS keep
+      FROM newb n LEFT JOIN m ON m.new_id = n.doc_id
+      ORDER BY n.doc_id"""))
+
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2606,7 +2659,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)

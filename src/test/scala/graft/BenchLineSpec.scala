@@ -117,6 +117,45 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.warmMerge(cold, Nil) == ((cold, 0.0)))
   }
 
+  test("spread escalation: noisy sweeps trigger extra runs that displace the poisoned sweep") {
+    val cold = Seq[(String, Either[String, Double])](
+      ("q_a", Right(5.0)), ("q_b", Right(5.0)), ("q_c", Right(5.0)))
+    val clean = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    val poisoned = Map("q_a" -> 2.0, "q_b" -> 2.0, "q_c" -> 2.0) // run-long load spike
+    // Base sweeps: one clean + one poisoned → per-query spread 1.0 > bar.
+    var ran = 0
+    val (merged, spread, extra) = Bench.escalateWarm(cold, Seq(clean, poisoned),
+      () => { ran += 1; Map("q_a" -> 1.05, "q_b" -> 1.05, "q_c" -> 1.05) },
+      bar = 0.20, maxExtra = 2)
+    // ONE extra clean-ish sweep displaces the poisoned one from each
+    // query's best-2 window: spread (1.05-1.0)/1.0 = 0.05 <= bar.
+    assert(ran == 1 && extra == 1)
+    assert(spread <= 0.20, s"spread=$spread")
+    // The reported figure stays the global minimum.
+    assert(merged.toMap == Map("q_a" -> Right(1.0), "q_b" -> Right(1.0), "q_c" -> Right(1.0)))
+  }
+
+  test("spread escalation: persistent noise stops at the cap with extra count surfaced") {
+    val cold = Seq[(String, Either[String, Double])](("q", Right(5.0)))
+    var ran = 0
+    val noisy = Iterator(Map("q" -> 1.0), Map("q" -> 3.0), Map("q" -> 2.0), Map("q" -> 4.0))
+    val (_, spread, extra) = Bench.escalateWarm(cold,
+      Seq(noisy.next(), noisy.next()), () => { ran += 1; noisy.next() },
+      bar = 0.20, maxExtra = 2)
+    assert(ran == 2 && extra == 2) // capped — never unbounded
+    assert(spread > 0.20) // still high → main() marks spread_escalated on the line
+  }
+
+  test("spread escalation: quiet sweeps never escalate and reduce to warmMerge") {
+    val cold = Seq[(String, Either[String, Double])](("q", Right(5.0)))
+    val sweeps = Seq(Map("q" -> 1.0), Map("q" -> 1.1))
+    val (merged, spread, extra) = Bench.escalateWarm(cold, sweeps,
+      () => fail("must not run a sweep when spread is under the bar"),
+      bar = 0.20, maxExtra = 2)
+    assert(extra == 0)
+    assert((merged, spread) == Bench.warmMerge(cold, sweeps))
+  }
+
   test("extra JSON members render before sf and the line stays valid") {
     val line = Bench.renderLine(queries(73), Nil, "sf0.1", 73,
       "\"mode\":\"warm2\",\"cold_total\":41.20,\"spread_med\":0.08")

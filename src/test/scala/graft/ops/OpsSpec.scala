@@ -55,6 +55,44 @@ class OpsSpec extends SparkSuite {
         s"extra ${(prefix -- exact).size}")
   }
 
+  test("cross-corpus jaccard: asymmetric join == symmetric pairs crossing the split") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val newSources = Seq("src0", "src1", "src2", "src3")
+    val newBatch = docs.filter(col("source").isin(newSources: _*))
+    val ref = docs.filter(!col("source").isin(newSources: _*))
+    val got = DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Ground truth: the symmetric exact pairs over the WHOLE corpus,
+    // restricted to pairs that cross the split, reoriented new→ref.
+    val newIds = newBatch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val refIds = ref.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = DedupOps.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (if (newIds(a) && refIds(b)) Seq((a, b, j)) else Nil) ++
+          (if (newIds(b) && refIds(a)) Seq((b, a, j)) else Nil)
+      }.toSet
+    assert(expected.nonEmpty, "expected planted cross-split near-dups in testdata")
+    assert(got == expected,
+      s"asym missed ${(expected -- got).size}, extra ${(got -- expected).size}")
+  }
+
+  test("cross-corpus jaccard: collapse expands exactly; within-side copies never pair") {
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "alpha beta gamma delta epsilon eta"
+    // Copies of A on BOTH sides: new copies must each pair with the ref
+    // copy of A at 1.0 and with B at jaccard(A,B) = 3/5 — but never with
+    // each other (new×new), and ref docs never pair among themselves.
+    val newDocs = Seq(1L -> tA, 2L -> tA, 3L -> "hi").toDF("doc_id", "text")
+    val refDocs = Seq(10L -> tA, 11L -> tB, 12L -> "hi",
+      13L -> "completely different text with other words entirely").toDF("doc_id", "text")
+    val got = DedupOps.jaccardPairsAgainstRef(newDocs, refDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set((1L, 10L, 1.0), (2L, 10L, 1.0), (1L, 11L, 0.6), (2L, 11L, 0.6))
+    assert(got == expected, s"got $got")
+  }
+
   test("duplicate collapse: replicated docs expand to the exact pair set") {
     import spark.implicits._
     // 3 copies of A, 2 copies of B (A~B near-dup), 2 copies of a short doc
