@@ -126,20 +126,31 @@ object SimilarityOps {
     * training (sampling is the standard IVF practice — centroids need
     * only the density shape); the full corpus is assigned exactly once.
     */
+  /** @param centroids pre-trained quantizer model to reuse instead of
+    *                   training here — the production pattern (train the
+    *                   coarse quantizer once, serve many query batches /
+    *                   days of corpus growth against it) and the reason
+    *                   [[trainIvfCentroids]] is public. `None` trains
+    *                   from `corpus` with the given parameters; passing
+    *                   the model trained by the same parameters is
+    *                   result-identical (training is deterministic).
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
-      trainIters: Int = 10, trainFraction: Double = 1.0): DataFrame = {
+      trainIters: Int = 10, trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
-    val centroids = trainIvfCentroids(corpus, nlist, trainIters, trainFraction)
+    val centroids0 = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
     // An empty corpus trains no quantizer: return the standard (empty)
     // result shape, matching bruteForceTopK/lshTopK on the same input —
     // the three top-k entry points are interchangeable.
-    if (centroids.isEmpty) return emptyTopK(queries, corpus)
+    if (centroids0.isEmpty) return emptyTopK(queries, corpus)
     // A corpus with fewer rows than nlist yields fewer seed lists; clamp
     // nprobe so probing still works (probing every existing list).
-    val effectiveProbe = math.min(nprobe, centroids.size)
-    val argmaxAssign = argmaxWith(centroids) _
+    val effectiveProbe = math.min(nprobe, centroids0.size)
+    val argmaxAssign = argmaxWith(centroids0) _
     val assignedCorpus = corpus
       .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
     val probedQueries = queries
@@ -183,9 +194,12 @@ object SimilarityOps {
 
   /** Shared coarse-quantizer trainer of [[ivfTopK]] and [[ivfTopKQ8]];
     * corpus carries `(vec_id, cv)`. Returns the (possibly < nlist on tiny
-    * corpora, empty on an empty corpus) centroid model.
+    * corpora, empty on an empty corpus) centroid model. Public so callers
+    * can train ONCE and serve many probe calls against the same model
+    * (the production IVF pattern — and what sim_recall_ann does to score
+    * both IVF paths without paying two identical k-means fits).
     */
-  private def trainIvfCentroids(corpus: DataFrame, nlist: Int,
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int,
       trainIters: Int, trainFraction: Double): Seq[(Int, Array[Double])] = {
     // 1. Train the coarse quantizer: bucket means from a deterministic
     //    seed partition, then Lloyd iterations (assign → re-average) to
@@ -288,14 +302,16 @@ object SimilarityOps {
   def ivfTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
       trainIters: Int = 10, trainFraction: Double = 1.0,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4,
+      centroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
     require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
     require(rerank >= 1, s"rerank must be >= 1, got $rerank")
-    val centroids = trainIvfCentroids(corpus, nlist, trainIters, trainFraction)
-    if (centroids.isEmpty) return emptyTopK(queries, corpus)
-    val effectiveProbe = math.min(nprobe, centroids.size)
-    val argmaxAssign = argmaxWith(centroids) _
+    val centroids0 = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
+    if (centroids0.isEmpty) return emptyTopK(queries, corpus)
+    val effectiveProbe = math.min(nprobe, centroids0.size)
+    val argmaxAssign = argmaxWith(centroids0) _
     // Assignment stays fp32 (one map pass, full precision decides the
     // lists); the probe payload is (list_id, vec_id, qvec) only.
     val qCorpus = quantizeInt8(

@@ -1729,12 +1729,19 @@ object GraftQueries {
   private val s09 = Q("sim_recall_ann",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
+      // One quantizer fit feeds BOTH IVF paths (training is deterministic,
+      // so results are identical to each path fitting its own — the
+      // registered sim_topk_ivf/ivf_q8 rows still train independently);
+      // without the reuse this row paid two identical k-means fits.
+      val cents = SimilarityOps.trainIvfCentroids(c, nlist = 8,
+        trainIters = 5, trainFraction = 0.25)
       val ann = Seq(
         "lsh" -> SimilarityOps.lshTopK(q, c, k = 5),
         "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
-          trainFraction = 0.25, trainIters = 5),
+          trainFraction = 0.25, trainIters = 5, centroids = Some(cents)),
         "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
-          trainFraction = 0.25, trainIters = 5, rerank = 4))
+          trainFraction = 0.25, trainIters = 5, rerank = 4,
+          centroids = Some(cents)))
         .map { case (p, df) =>
           df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
         }

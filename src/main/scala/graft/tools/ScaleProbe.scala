@@ -66,6 +66,16 @@ object ScaleProbe {
   final case class KeepSetKind(idCol: String = "doc_id") extends Kind
   final case class PackKind(budget: Long) extends Kind
 
+  /** Per-doc verdict rows `(id, match-count, payload, keep)` — the
+    * incremental-dedup shape: under ×factor replication of BOTH sides of
+    * the split every replica must report factor× its orig's match count
+    * with payload and keep verdict unchanged (matching is text-exact, so
+    * replication scales counts and nothing else).
+    */
+  final case class VerdictKind(idCol: String = "doc_id",
+      countCol: String = "n_ref_dups", payloadCol: String = "best_jaccard",
+      keepCol: String = "keep") extends Kind
+
   val defaultQueries: Seq[(String, Kind)] = Seq(
     "dedup_simhash_pairs" -> PairsKind(0.0),
     "dedup_minhash_lsh" -> PairsKind(1.0),
@@ -77,6 +87,7 @@ object ScaleProbe {
     "dedup_components" -> ComponentsKind,
     "curate_near_dup" -> KeepSetKind(),
     "curate_semantic_dedup" -> KeepSetKind(idCol = "vec_id"),
+    "curate_incremental_dedup" -> VerdictKind(),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -300,6 +311,40 @@ object ScaleProbe {
     errs.result()
   }
 
+  /** Every replica row must agree with its orig's verdict, with the match
+    * count scaled by factor (each matching ref orig now has factor
+    * text-identical ref copies) and payload/keep untouched. Set
+    * comparisons are null-safe, so a no-match orig's null payload is
+    * compared exactly.
+    */
+  private def checkVerdict(base: DataFrame, rep: DataFrame, factor: Int,
+      kind: VerdictKind): Seq[String] = {
+    val VerdictKind(idCol, countCol, payloadCol, keepCol) = kind
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"verdict rows $repRows != factor * base ($baseRows)"
+    val mapped = rep.select(origOf(col(idCol), factor).as(idCol),
+      col(countCol), col(payloadCol), col(keepCol))
+    val g = mapped.groupBy(idCol, countCol, payloadCol, keepCol)
+      .agg(count(lit(1)).as("cnt"))
+    g.persist()
+    try {
+      val split = g.filter(col("cnt") =!= factor.toLong).count()
+      if (split > 0)
+        errs += s"$split orig docs whose replicas disagree on the verdict"
+      val expected = base.select(col(idCol),
+        (col(countCol) * factor).as(countCol), col(payloadCol), col(keepCol))
+      val got = g.select(col(idCol), col(countCol), col(payloadCol), col(keepCol))
+      val onlyRep = got.except(expected).count()
+      val onlyBase = expected.except(got).count()
+      if (onlyRep > 0) errs += s"$onlyRep replicated verdicts absent from scaled base"
+      if (onlyBase > 0) errs += s"$onlyBase scaled base verdicts lost under replication"
+    } finally g.unpersist(blocking = false)
+    errs.result()
+  }
+
   def run(spark: SparkSession, baseDir: String, repDir: String, factor: Int,
       queries: Seq[(String, Kind)], timeCeiling: Option[Double]): Seq[Result] = {
     queries.map { case (name, kind) =>
@@ -318,6 +363,7 @@ object ScaleProbe {
         case p: PairsKind => checkPairs(baseDf, repDf, factor, p)
         case ComponentsKind => checkComponents(baseDf, repDf, factor)
         case KeepSetKind(idCol) => checkKeepSet(baseDf, repDf, factor, idCol)
+        case v: VerdictKind => checkVerdict(baseDf, repDf, factor, v)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>

@@ -399,6 +399,27 @@ class OpsSpec extends SparkSuite {
     assert(partial.groupBy(_.getLong(0)).values.forall(_.length <= 5))
   }
 
+  test("ivf centroid reuse: a pre-trained model gives results identical to in-call training") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val cents = SimilarityOps.trainIvfCentroids(c, nlist = 4, trainIters = 3,
+      trainFraction = 1.0)
+    // Training is deterministic, so injecting the same-parameter model
+    // must be a pure perf refactor: byte-identical results on both paths.
+    val own = SimilarityOps.ivfTopK(q, c, k = 5, nlist = 4, nprobe = 2,
+      trainIters = 3).collect().toSeq
+    val reused = SimilarityOps.ivfTopK(q, c, k = 5, nlist = 4, nprobe = 2,
+      trainIters = 3, centroids = Some(cents)).collect().toSeq
+    assert(own.nonEmpty && reused == own)
+    val own8 = SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 4, nprobe = 2,
+      trainIters = 3, rerank = 4).collect().toSeq
+    val reused8 = SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 4, nprobe = 2,
+      trainIters = 3, rerank = 4, centroids = Some(cents)).collect().toSeq
+    assert(own8.nonEmpty && reused8 == own8)
+  }
+
   test("empty corpus: brute/LSH/IVF top-k all return an empty standard frame") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

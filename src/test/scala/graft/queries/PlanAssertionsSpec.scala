@@ -54,6 +54,15 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("curate_incremental_dedup: cross-corpus candidates are equi-joins, never pair enumeration") {
+    // The asymmetric join's whole scale contract is that candidates come
+    // from the shingle inverted index across sides — a nested-loop or
+    // cartesian anywhere would silently reintroduce batch×corpus pairing.
+    val p = allExecutedPlans("curate_incremental_dedup").mkString("\n===\n")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_shard_pack plans no global window and no single-partition exchange") {
     // The whole point of the two-phase prefix sum: the semantic twin is
     // `sum() OVER (ORDER BY key)` — a Window over Exchange SinglePartition

@@ -19,10 +19,11 @@ class ScaleProbeSpec extends SparkSuite {
     val repDir = tmp("graft-probe") + "/rep"
     ScaleProbe.replicateDir(spark, sf(), repDir, factor)
     // One query per check kind keeps the suite fast while covering every
-    // assertion path; the CLI default list runs all nine.
+    // assertion path; the CLI default list runs the full set.
     val queries = ScaleProbe.defaultQueries.filter { case (n, _) =>
       Set("dedup_jaccard_exact", "dedup_simhash_pairs", "dedup_embedding_pairs",
-        "dedup_components", "curate_near_dup", "pipeline_pack_shards")(n)
+        "dedup_components", "curate_near_dup", "curate_incremental_dedup",
+        "pipeline_pack_shards")(n)
     }
     val results = ScaleProbe.run(spark, sf(), repDir, factor, queries,
       timeCeiling = None)
