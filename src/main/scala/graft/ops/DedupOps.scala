@@ -94,9 +94,7 @@ object DedupOps {
     // hot side stayed empty. The grid-split machinery is only BUILT when
     // an over-threshold bucket actually exists.
     val bucketCounts = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
-    val maxRow = bucketCounts.agg(max(col("_bn"))).head()
-    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxBucket <= hotBucketThreshold) {
+    if (maxLongOf(bucketCounts, "_bn") <= hotBucketThreshold) {
       return banded.as("a").join(banded.as("b"),
           keyEq && col("a.id") < col("b.id"))
         .select(out(lit(true)): _*)
@@ -260,9 +258,17 @@ object DedupOps {
     * by design, never corpus-sized. Empty corpus → max is null → treated
     * as singleton (expansion of nothing is nothing either way).
     */
-  private def maxClassSize(reps: DataFrame): Long = {
-    val row = reps.agg(max(col("cnt"))).head()
-    if (row.isNullAt(0)) 1L else row.getLong(0)
+  private def maxClassSize(reps: DataFrame): Long =
+    math.max(1L, maxLongOf(reps, "cnt"))
+
+  /** The ONE driver-side max read behind every plan switch in this file
+    * (dup-class size, hot-bucket counts): aggregates an already-bounded
+    * frame to a single row. Bounded by construction at every call site —
+    * never corpus-sized; pinned by CollectLintSpec.
+    */
+  private def maxLongOf(df: DataFrame, c: String): Long = {
+    val row = df.agg(max(col(c))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   /** [[withSetCollapse]]'s sibling for pipelines whose candidate AND
@@ -694,15 +700,7 @@ object DedupOps {
     val members = keyed.select(col("fp"), col("id"))
     Caching.withCached(members, reps) {
     val repVecs = reps.select(col("id"), col("v"))
-    val sig = repVecs.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        val bucket = (0 until bitsPerBand).map { j =>
-          when(element_at(col("v"), b * bitsPerBand + j + 1) >= 0,
-            lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _)
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val sig = signBandRows(repVecs, bands, bitsPerBand)
     // Same Caching contract as every sibling pair op: the sign-signature
     // projection feeds BOTH sides of the self-join (and the caller's
     // actions would otherwise re-run the whole lazy pipeline per action).
@@ -737,6 +735,139 @@ object DedupOps {
         .withColumnRenamed("doc_a", "vec_a")
         .withColumnRenamed("doc_b", "vec_b")
     }
+    }
+  }
+
+  /** Sign-band LSH rows `(id, band, bucket)` for vector frame `(id, v)` —
+    * the shared candidate signature of [[embeddingNearDupPairs]] and
+    * [[embeddingPairsAgainstRef]]: band `b`'s bucket packs the signs of
+    * dimensions `b·bits+1 .. (b+1)·bits` into an int (codegen'd, join-free).
+    */
+  private def signBandRows(vecs: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
+    vecs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val bucket = (0 until bitsPerBand).map { j =>
+          when(element_at(col("v"), b * bitsPerBand + j + 1) >= 0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** Cross-side candidate pairs within equal buckets — the BIPARTITE
+    * sibling of [[selfJoinWithinBuckets]] for asymmetric (new-vs-
+    * reference) ops. Same skew exposure, same remedy: a popular bucket
+    * serializes |a-bucket|·|b-bucket| comparisons onto one reducer, so
+    *
+    *  1. both sides' bucket member counts aggregate (bounded results);
+    *     a 1-row max read switches — if neither side has a bucket over
+    *     the threshold the op IS the plain cross-side equi-join;
+    *  2. otherwise over-threshold buckets (either side) broadcast with
+    *     their per-side sub-group counts `sA = ceil(an/splitTarget)`,
+    *     `sB = ceil(bn/splitTarget)`; cold-bucket rows keep the plain
+    *     join, hot a-rows land in sub-group `gA = hash(id) % sA` and
+    *     replicate across all `sB` b-sub-groups (b-rows mirror with
+    *     `gB`, replicating across `sA`), and the join keys on
+    *     `(bucket, gA, gB)` — every cross pair lands in EXACTLY ONE
+    *     block (no distinct needed at this layer), and each block
+    *     compares ≤ ~splitTarget² pairs regardless of bucket size.
+    */
+  private[ops] def joinAcrossBuckets(aBanded: DataFrame, bBanded: DataFrame,
+      keyCols: Seq[String], hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
+    require(hotBucketThreshold >= 1 && splitTarget >= 1)
+    val keys = keyCols.map(col)
+    def keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    def out = Seq(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(keys: _*).agg(count(lit(1)).as(n))
+    val aCounts = counts(aBanded, "_an")
+    val bCounts = counts(bBanded, "_bn")
+    if (math.max(maxLongOf(aCounts, "_an"),
+        maxLongOf(bCounts, "_bn")) <= hotBucketThreshold) {
+      return aBanded.as("a").join(bBanded.as("b"), keyEq).select(out: _*)
+    }
+    val hot = aCounts.join(bCounts, keyCols, "full")
+      .na.fill(0L, Seq("_an", "_bn"))
+      .filter(col("_an") > hotBucketThreshold || col("_bn") > hotBucketThreshold)
+      .withColumn("_sa",
+        greatest(ceil(col("_an").cast("double") / splitTarget), lit(1)).cast("int"))
+      .withColumn("_sb",
+        greatest(ceil(col("_bn").cast("double") / splitTarget), lit(1)).cast("int"))
+      .select(keys ++ Seq(col("_sa"), col("_sb")): _*)
+    val aTagged = aBanded.join(broadcast(hot), keyCols, "left")
+    val bTagged = bBanded.join(broadcast(hot), keyCols, "left")
+    val coldPairs = aTagged.filter(col("_sa").isNull).drop("_sa", "_sb").as("a")
+      .join(bTagged.filter(col("_sa").isNull).drop("_sa", "_sb").as("b"), keyEq)
+      .select(out: _*)
+    val aHot = aTagged.filter(col("_sa").isNotNull)
+      .withColumn("_ga", pmod(xxhash64(col("id")), col("_sa")).cast("int"))
+      .withColumn("_gb", explode(sequence(lit(0), col("_sb") - 1)))
+    val bHot = bTagged.filter(col("_sa").isNotNull)
+      .withColumn("_hb", pmod(xxhash64(col("id")), col("_sb")).cast("int"))
+      .withColumn("_ha", explode(sequence(lit(0), col("_sa") - 1)))
+    val hotPairs = aHot.as("a").join(bHot.as("b"),
+        keyEq && col("a._ga") === col("b._ha") && col("a._gb") === col("b._hb"))
+      .select(out: _*)
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** Asymmetric embedding near-dup: every NEW vector against a REFERENCE
+    * corpus — the semantic axis of incremental dedup, sibling of
+    * [[jaccardPairsAgainstRef]] (lexical) with the same contract: output
+    * `(new_id, ref_id, cosine)` for cross-side band-gated pairs with
+    * cosine ≥ `threshold`; new×new and ref×ref pairs are never formed,
+    * so a daily batch pays batch-sized candidate generation against the
+    * accumulated index, never corpus². Same candidate semantics as
+    * [[embeddingNearDupPairs]] (sign-band LSH, [[signBandRows]]), same
+    * vector-value collapse on both sides (fp32 verify runs on canonical
+    * vectors; expansion is output-sized and cross-side only), and the
+    * bipartite hot-bucket guard ([[joinAcrossBuckets]]) bounds
+    * within-bucket work exactly like the symmetric op's grid split.
+    */
+  def embeddingPairsAgainstRef(newEmb: DataFrame, refEmb: DataFrame,
+      threshold: Double, dims: Int,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
+    require(bands * bitsPerBand <= dims,
+      s"embeddingPairsAgainstRef: bands*bitsPerBand = ${bands * bitsPerBand} " +
+        s"exceeds dims = $dims — the sign signature would read past the vector")
+    def keyed(emb: DataFrame): DataFrame =
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
+    def repsOf(k: DataFrame): DataFrame = k.groupBy("fp")
+      .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
+        count(lit(1)).as("cnt"))
+    val nk = keyed(newEmb); val rk = keyed(refEmb)
+    val nReps = repsOf(nk); val rReps = repsOf(rk)
+    val nMembers = nk.select(col("fp"), col("id"))
+    val rMembers = rk.select(col("fp"), col("id"))
+    Caching.withCached(nMembers, rMembers, nReps, rReps) {
+      val nSig = signBandRows(nReps.select(col("id"), col("v")), bands, bitsPerBand)
+      val rSig = signBandRows(rReps.select(col("id"), col("v")), bands, bitsPerBand)
+      val repPairs = Caching.withCached(nSig, rSig) {
+        val cand = joinAcrossBuckets(nSig, rSig, Seq("band", "bucket"),
+            hotBucketThreshold, splitTarget)
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
+          .distinct()
+        cand
+          .join(nReps.select(col("id").as("new_id"), col("v").as("nv")), "new_id")
+          .join(rReps.select(col("id").as("ref_id"), col("v").as("rv")), "ref_id")
+          .withColumn("cosine", GraftFunctions.cosine_sim(col("nv"), col("rv")))
+          .filter(col("cosine") >= threshold)
+          .select(col("new_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+      }
+      if (math.max(maxClassSize(nReps), maxClassSize(rReps)) <= 1L) repPairs
+      else
+        repPairs
+          .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")
+          .join(rReps.select(col("id").as("ref_id"), col("fp").as("fp_r")), "ref_id")
+          .join(nMembers.select(col("fp").as("fp_n"), col("id").as("xn")), "fp_n")
+          .join(rMembers.select(col("fp").as("fp_r"), col("id").as("xr")), "fp_r")
+          .select(col("xn").as("new_id"), col("xr").as("ref_id"), col("cosine"))
     }
   }
 

@@ -1379,6 +1379,56 @@ object GraftQueries {
       FROM newb n LEFT JOIN m ON m.new_id = n.doc_id
       ORDER BY n.doc_id"""))
 
+  /** Semantic incremental dedup ([[DedupOps.embeddingPairsAgainstRef]]):
+    * the embedding-space sibling of curate_incremental_dedup — a "new"
+    * vector batch (vec_id % 5 == 0) screened against the "reference"
+    * index (the rest), one verdict row per new vector. Candidates are
+    * the same sign-band gate as dedup_embedding_pairs (the oracle
+    * replays the banding), verified with exact fp32 cosine; the
+    * asymmetric join never pairs within a side, and the bipartite
+    * hot-bucket grid bounds within-bucket work at scale.
+    */
+  private val d19 = Q("curate_incremental_semantic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val newV = emb.filter(col("vec_id") % 5 === 0)
+      val refV = emb.filter(col("vec_id") % 5 =!= 0)
+      val matches = DedupOps.embeddingPairsAgainstRef(newV, refV,
+          threshold = 0.4, dims = 64)
+        .groupBy("new_id")
+        .agg(count(lit(1)).as("n_ref_dups"), max(col("cosine")).as("best_cosine"))
+        .withColumnRenamed("new_id", "vec_id")
+      newV.select(col("vec_id"), col("label"))
+        .join(matches, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+          col("best_cosine"),
+          (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      sig AS (SELECT vec_id, band,
+                list_sum(list_transform(range(8),
+                  j -> CASE WHEN v[band*8 + j + 1] >= 0 THEN (1 << j) ELSE 0 END)) AS bucket
+              FROM t, unnest(range(8)) AS r(band)),
+      nw AS (SELECT vec_id, label FROM t WHERE vec_id % 5 = 0),
+      rf AS (SELECT vec_id FROM t WHERE vec_id % 5 <> 0),
+      c AS (SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS ref_id
+            FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+            JOIN nw ON a.vec_id = nw.vec_id JOIN rf ON b.vec_id = rf.vec_id),
+      p AS (SELECT new_id, ref_id,
+              round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+            FROM c JOIN t x ON c.new_id = x.vec_id JOIN t y ON c.ref_id = y.vec_id
+            WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+      m AS (SELECT new_id, count(*) AS n_ref_dups, max(cosine) AS best_cosine
+            FROM p GROUP BY new_id)
+      SELECT n.vec_id, n.label,
+        coalesce(m.n_ref_dups, 0) AS n_ref_dups, m.best_cosine,
+        coalesce(m.n_ref_dups, 0) = 0 AS keep
+      FROM nw n LEFT JOIN m ON m.new_id = n.vec_id
+      ORDER BY n.vec_id"""))
+
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2666,7 +2716,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)

@@ -87,6 +87,12 @@ object ScaleProbe {
     "dedup_components" -> ComponentsKind,
     "curate_near_dup" -> KeepSetKind(),
     "curate_semantic_dedup" -> KeepSetKind(idCol = "vec_id"),
+    // curate_incremental_semantic is NOT probed: its new/ref split keys on
+    // vec_id % 5, which the probe's id remapping (origId*factor + k) does
+    // not preserve — replicas of one orig land on both sides and the
+    // ×factor verdict algebra no longer holds. Its correctness is pinned
+    // by the oracle row and the DedupSkewSpec/OpsSpec equality tests; the
+    // VerdictKind machinery itself is exercised by the lexical row below.
     "curate_incremental_dedup" -> VerdictKind(),
     "pipeline_pack_shards" -> PackKind(2000L))
 

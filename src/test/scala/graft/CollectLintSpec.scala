@@ -36,9 +36,10 @@ class CollectLintSpec extends AnyFunSuite {
   private val allowedCollects: Map[String, Int] = Map(
     "graft/ops/SimilarityOps.scala" -> 1, // meansOf: nlist×dims centroid model fit
     "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
-    "graft/ops/DedupOps.scala" -> 2) // maxClassSize + selfJoinWithinBuckets
-                                     // hot-bucket switch: 1-row reads that
-                                     // pick a plan, both bounded by agg
+    "graft/ops/DedupOps.scala" -> 1) // maxLongOf: the one 1-row max read
+                                     // behind every plan switch (dup-class
+                                     // size, hot-bucket counts) — bounded
+                                     // by agg at every call site
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

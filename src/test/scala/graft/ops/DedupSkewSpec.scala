@@ -15,6 +15,51 @@ import org.apache.spark.sql.functions._
   */
 class DedupSkewSpec extends SparkSuite {
 
+  test("joinAcrossBuckets: bipartite grid covers the cross pair space exactly once") {
+    import spark.implicits._
+    // One hot bucket (40 × 60 distinct members) + one cold bucket on the
+    // plain-join path; every cross pair must appear EXACTLY once (the
+    // bipartite grid assigns each pair to one (gA, gB) block — no
+    // duplicate-emitting same-group case like the triangular self-join).
+    val a = ((0L until 40L).map(i => (i, 0, "hot")) ++
+        Seq((90L, 0, "cold"), (91L, 0, "cold"))).toDF("id", "band", "bkey")
+    val b = ((100L until 160L).map(i => (i, 0, "hot")) ++
+        Seq((190L, 0, "cold"))).toDF("id", "band", "bkey")
+    def run(hot: Long) = DedupOps.joinAcrossBuckets(a, b, Seq("band", "bkey"),
+      hotBucketThreshold = hot, splitTarget = 8L)
+    val want = ((for (x <- 0L until 40L; y <- 100L until 160L) yield (x, y)) ++
+      (for (x <- Seq(90L, 91L); y <- Seq(190L)) yield (x, y))).toSet
+    for (guarded <- Seq(run(8L), run(1000000L))) {
+      val rows = guarded.as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.toSet.size, "a cross pair was emitted twice")
+      assert(rows.toSet == want)
+    }
+    // One-side-hot mixed case: a hot, b small — sub-group counts adapt
+    // per side and coverage still holds.
+    val bSmall = Seq((100L, 0, "hot"), (101L, 0, "hot")).toDF("id", "band", "bkey")
+    val mixed = DedupOps.joinAcrossBuckets(a.filter(col("bkey") === "hot"), bSmall,
+        Seq("band", "bkey"), hotBucketThreshold = 8L, splitTarget = 8L)
+      .as[(Long, Long)].collect().toSeq
+    assert(mixed.size == mixed.toSet.size)
+    assert(mixed.toSet == (for (x <- 0L until 40L; y <- Seq(100L, 101L)) yield (x, y)).toSet)
+  }
+
+  test("embeddingPairsAgainstRef: guard forced onto every bucket == default result") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val newV = emb.filter(col("vec_id") % 5 === 0)
+    val refV = emb.filter(col("vec_id") % 5 =!= 0)
+    def run(hot: Long, split: Long) =
+      DedupOps.embeddingPairsAgainstRef(newV, refV, threshold = 0.4, dims = 64,
+          hotBucketThreshold = hot, splitTarget = split)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = run(DedupOps.HotBucketThreshold, DedupOps.HotBucketSplitTarget)
+    val forced = run(1L, 4L)
+    assert(default.nonEmpty)
+    assert(forced == default,
+      s"guard changed the asym result: missing ${(default -- forced).size}, " +
+        s"extra ${(forced -- default).size}")
+  }
+
   test("selfJoinWithinBuckets: grid split covers exactly the bucket pair space") {
     import spark.implicits._
     // One 60-member bucket of DISTINCT ids + one cold 3-member bucket.

@@ -93,6 +93,47 @@ class OpsSpec extends SparkSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("cross-corpus embedding pairs == symmetric band-gated pairs crossing the split") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val newV = emb.filter(col("vec_id") % 5 === 0)
+    val refV = emb.filter(col("vec_id") % 5 =!= 0)
+    val got = DedupOps.embeddingPairsAgainstRef(newV, refV, threshold = 0.4, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Same banding, same verify — the asym result must be the symmetric
+    // pair set restricted to pairs crossing the split, reoriented new→ref.
+    val newIds = newV.select("vec_id").collect().map(_.getLong(0)).toSet
+    val refIds = refV.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = DedupOps.embeddingNearDupPairs(emb, threshold = 0.4, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) =>
+        (if (newIds(a) && refIds(b)) Seq((a, b, c)) else Nil) ++
+          (if (newIds(b) && refIds(a)) Seq((b, a, c)) else Nil)
+      }.toSet
+    assert(expected.nonEmpty, "expected planted cross-split embedding near-dups")
+    assert(got == expected,
+      s"asym missed ${(expected -- got).size}, extra ${(got -- expected).size}")
+  }
+
+  test("cross-corpus embedding pairs: vector collapse expands cross-side only") {
+    import spark.implicits._
+    val vA = Array(1f, 0f, 0f, 0f)
+    val vB = Array(1f, 1f, 0f, 0f) // cos(vA, vB) = 1/sqrt(2)
+    val vC = Array(-1f, -1f, -1f, -1f) // different sign buckets — never a candidate
+    val newE = Seq(1L -> vA, 2L -> vA).toDF("vec_id", "embedding")
+    val refE = Seq(10L -> vA, 11L -> vB, 12L -> vC).toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingPairsAgainstRef(newE, refE, threshold = 0.5,
+        dims = 4, bands = 2, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Both identical new copies pair with the identical ref (1.0) and the
+    // near ref (≈0.707107); new×new never pairs, vC never qualifies.
+    assert(got.map { case (a, b, _) => (a, b) } ==
+      Set((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L)), s"got $got")
+    got.foreach { case (_, b, c) =>
+      if (b == 10L) assert(c == 1.0, s"identical-vector pair cosine $c")
+      else assert(math.abs(c - 0.707107) < 1e-6, s"near pair cosine $c")
+    }
+  }
+
   test("duplicate collapse: replicated docs expand to the exact pair set") {
     import spark.implicits._
     // 3 copies of A, 2 copies of B (A~B near-dup), 2 copies of a short doc
