@@ -289,4 +289,83 @@ object TextOps {
             .otherwise(array().cast("array<long>"))), 1)
       }), 1))
   }
+
+  /** Byte-level BPE merge-table TRAINING over a corpus — the learn side of
+    * the bundled-inference tokenizer family ([[graft.functions.Bpe]]):
+    * "train the tokenizer on your corpus" instead of shipping a fixed
+    * table. Classic word-type BPE (the Sennrich scheme): the corpus
+    * collapses to its WORD VOCABULARY with frequencies in ONE corpus pass
+    * (whitespace tokens — the project-wide `string_split(text, ' ')`
+    * contract), and every training step runs on the vocab-bounded frame:
+    * count adjacent token pairs weighted by word frequency (overlapping
+    * adjacencies all count — 'aaa' contributes (a,a) twice), pick the
+    * most frequent (ties broken by the pair string ascending — total
+    * order, replayable), merge it everywhere, repeat.
+    *
+    * Token state is a delimited hex string `||t1||t2||…||`: tokens are
+    * uppercase hex over the word's UTF-8 bytes, `||`-joined and
+    * `||`-bounded, so applying merge (L, R) is ONE `replace` of
+    * `|L||R|` with `|LR|` — alignment-safe (a match must span whole
+    * tokens; the double delimiter keeps consecutive pair occurrences
+    * replaceable because neighbours only share one bar each) and greedy
+    * left-to-right on overlaps, the standard BPE apply. Step k re-derives
+    * tokenization from the persisted base vocab via the k-replace chain
+    * (O(numMerges²) vocab-sized map work, no iterative checkpoint chain);
+    * the one driver read per step is the 1-row argmax — the same
+    * model-fit pattern as the IVF centroid loop.
+    *
+    * 100 TB posture: the corpus is touched exactly once (word-count
+    * groupBy, map-side combined; `sampleFraction` hash-samples DOCUMENTS
+    * before it when even one pass is too dear); training itself is
+    * vocabulary-sized. Returns up to `numMerges` `(left, right, count)`
+    * hex-token merges in rank order — fewer only when the vocabulary
+    * exhausts its adjacent pairs first.
+    */
+  def trainBpeMerges(docs: DataFrame, numMerges: Int,
+      textCol: String = "text", sampleFraction: Double = 1.0): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(sampleFraction > 0 && sampleFraction <= 1.0)
+    val base0 = if (sampleFraction >= 1.0) docs
+      else docs.filter(SamplingOps.hashSampleFlag(md5(col(textCol)),
+        modulus = 1000000, keep = math.max(1, (sampleFraction * 1e6).toInt),
+        salt = "bpe"))
+    val words = base0.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks0", concat(lit("||"),
+        array_join(regexp_extract_all(hex(encode(col("w"), "UTF-8")), lit("(..)"), lit(1)),
+          "||"),
+        lit("||")))
+      .select("toks0", "cnt")
+    // Manual persist (the Caching contract inlined): the result here is a
+    // driver-side MODEL, not a DataFrame, so withCached's eager-checkpoint
+    // shape doesn't apply — the finally still guarantees release.
+    words.persist()
+    try {
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var learned = List.empty[(String, String)]
+      var exhausted = false
+      while (!exhausted && learned.size < numMerges) {
+        val tokCol = learned.reverse.foldLeft(col("toks0")) { case (c, (l, r)) =>
+          replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        }
+        val tArr = filter(split(tokCol, "\\|+"), x => length(x) > 0)
+        val pairs = when(size(tArr) >= 2,
+          transform(sequence(lit(1), size(tArr) - 1),
+            i => concat(element_at(tArr, i), lit(" "), element_at(tArr, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val best = words.select(explode(pairs).as("pr"), col("cnt"))
+          .groupBy("pr").agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pr").asc)
+          .limit(1).collect().headOption
+        best match {
+          case Some(row) =>
+            val Array(l, r) = row.getString(0).split(" ", 2)
+            merges += ((l, r, row.getLong(1)))
+            learned = (l, r) :: learned
+          case None => exhausted = true
+        }
+      }
+      merges.result()
+    } finally words.unpersist(blocking = false)
+  }
 }

@@ -2288,6 +2288,63 @@ object GraftQueries {
     * same single-window formulation the distributed two-phase pack must
     * reproduce bit-for-bit.
     */
+  /** Corpus-trained BPE merge table ([[TextOps.trainBpeMerges]]): 8
+    * word-type BPE merges learned from the documents corpus — rank,
+    * hex-token left/right sides, weighted pair count. The DuckDB oracle
+    * replays the FULL training loop as a generated chain of per-step
+    * CTEs (count pairs → argmax with the same count-desc/pair-asc
+    * tie-break → one alignment-safe delimited replace), so a drift in
+    * counting (overlap semantics), tie-breaking, or merge application
+    * hash-mismatches. The result is model-sized by construction
+    * (numMerges rows built driver-side, like the IVF centroid model).
+    */
+  private val x18 = Q("text_bpe_train",
+    (s, dir) => {
+      val merges = TextOps.trainBpeMerges(t(s, dir, "documents"), numMerges = 8)
+      val rows = merges.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      s.createDataFrame(rows).toDF("merge_rank", "left_hex", "right_hex", "pair_count")
+        .orderBy("merge_rank")
+    },
+    Some(bpeTrainOracleSql(8)))
+
+  /** Generated oracle for [[x18]]: `w0` is the hex-delimited word
+    * vocabulary with frequencies; step `k` counts adjacent pairs of the
+    * step-`k-1` tokenization, picks the argmax (count DESC, pair string
+    * ASC — hex alphabet sorts above the space separator, so the pair
+    * string order IS the (left, right) tuple order), and applies the
+    * merge with the same `|L||R|` → `|LR|` delimited replace as the
+    * Scala trainer. DuckDB's replace scans left-to-right non-overlapping
+    * — the identical greedy semantics.
+    */
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { k =>
+      s"""p$k AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pr, cnt
+            FROM (SELECT list_filter(string_split_regex(toks, '\\|+'), x -> x <> '') AS t, cnt FROM w${k - 1})),
+      c$k AS (SELECT pr, sum(cnt) AS c FROM p$k GROUP BY pr),
+      b$k AS MATERIALIZED (SELECT pr, c FROM c$k ORDER BY c DESC, pr LIMIT 1),
+      w$k AS MATERIALIZED (SELECT replace(toks,
+                '|' || replace((SELECT pr FROM b$k), ' ', '||') || '|',
+                '|' || replace((SELECT pr FROM b$k), ' ', '') || '|') AS toks, cnt
+              FROM w${k - 1})"""
+    }.mkString(",\n      ")
+    val finals = (1 to numMerges).map { k =>
+      s"""SELECT $k AS merge_rank,
+        string_split((SELECT pr FROM b$k), ' ')[1] AS left_hex,
+        string_split((SELECT pr FROM b$k), ' ')[2] AS right_hex,
+        (SELECT c FROM b$k)::BIGINT AS pair_count"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH w0 AS (
+        SELECT '||' || array_to_string(list_transform(range(1, len(h) // 2 + 1),
+                 i -> h[2*i-1:2*i]), '||') || '||' AS toks, cnt
+        FROM (SELECT hex(w) AS h, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w)),
+      $steps
+      SELECT merge_rank, left_hex, right_hex, pair_count FROM ($finals)
+      ORDER BY merge_rank"""
+  }
+
   private val x17 = Q("pipeline_pack_bpe",
     (s, dir) => {
       val chunks = t(s, dir, "documents")
@@ -2718,7 +2775,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
     s01, s02, s03, s04, s05, s05b, s06, s07, s08, s09,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)
 
   // A duplicated name would silently last-win in the .toMap below and

@@ -36,6 +36,9 @@ class CollectLintSpec extends AnyFunSuite {
   private val allowedCollects: Map[String, Int] = Map(
     "graft/ops/SimilarityOps.scala" -> 1, // meansOf: nlist×dims centroid model fit
     "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
+    "graft/ops/TextOps.scala" -> 1,  // trainBpeMerges: 1-row argmax per
+                                     // merge step — the model fit, like
+                                     // the IVF centroid loop
     "graft/ops/DedupOps.scala" -> 1) // maxLongOf: the one 1-row max read
                                      // behind every plan switch (dup-class
                                      // size, hot-bucket counts) — bounded

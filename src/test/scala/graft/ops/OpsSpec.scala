@@ -55,6 +55,66 @@ class OpsSpec extends SparkSuite {
         s"extra ${(prefix -- exact).size}")
   }
 
+  test("trainBpeMerges == reference word-type BPE trainer, incl. overlap counting and ties") {
+    import spark.implicits._
+    // Reference implementation: word-type BPE over (word -> freq), pairs
+    // counted over ALL adjacencies (overlaps included), argmax by (count
+    // desc, "L R" string asc), merge applied greedily left-to-right.
+    def refTrain(corpus: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      def hexTokens(w: String): Vector[String] =
+        w.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+      val vocab = scala.collection.mutable.Map.empty[Vector[String], Long]
+      corpus.flatMap(_.split(" ", -1)).foreach { w =>
+        val t = hexTokens(w); vocab(t) = vocab.getOrElse(t, 0L) + 1
+      }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var state = vocab.toMap
+      var done = false
+      for (_ <- 1 to k if !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (t, c) =>
+          t.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, s"$a $b") }
+          out += ((l, r, c))
+          state = state.groupMapReduce { case (t, _) =>
+            // greedy left-to-right merge of (l, r)
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < t.size) {
+              if (i + 1 < t.size && t(i) == l && t(i + 1) == r) { b += l + r; i += 2 }
+              else { b += t(i); i += 1 }
+            }
+            b.result()
+          }(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    // 'aaa'-style overlap (61,61 twice per word), competing pairs, a tie
+    // broken by pair string, multi-word docs with repeats.
+    val corpus = Seq(
+      "aaa bb aaa cc", "bb cc bb", "aaa aaa", "dd dd dd dd")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.ops.TextOps.trainBpeMerges(docs, numMerges = 5)
+    assert(got == refTrain(corpus, 5), s"got $got want ${refTrain(corpus, 5)}")
+    // Learned sides are well-formed: base byte hex or an earlier result.
+    val formed = scala.collection.mutable.Set[String]()
+    got.foreach { case (l, r, _) =>
+      assert(l.length == 2 || formed(l), s"left '$l' not derivable")
+      assert(r.length == 2 || formed(r), s"right '$r' not derivable")
+      formed += l + r
+    }
+    // Exhaustion: a vocabulary of single-byte words has no pairs — empty
+    // table, no error.
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(graft.ops.TextOps.trainBpeMerges(tiny, numMerges = 3).isEmpty)
+  }
+
   test("cross-corpus jaccard: asymmetric join == symmetric pairs crossing the split") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val newSources = Seq("src0", "src1", "src2", "src3")
