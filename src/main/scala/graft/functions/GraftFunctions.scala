@@ -65,6 +65,22 @@ object GraftFunctions {
     */
   def int8_cosine(a: Column, b: Column): Column = col(Int8Cosine(expr(a), expr(b)))
 
+  /** ADC lookup score for product-quantized vectors: Σ_s tables[s][codes[s]]
+    * (codegen'd — the PQ probe's hot kernel).
+    */
+  def pq_adc_score(codes: Column, tables: Column): Column =
+    col(PqAdcScore(expr(codes), expr(tables)))
+
+  /** m-byte PQ encoding of a vector under a trained codebook (codegen'd;
+    * the codebook rides as a model-sized reference object).
+    */
+  def pq_encode(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    col(PqEncode(expr(v), codebooks))
+
+  /** Per-query ADC lookup tables under a trained codebook (codegen'd). */
+  def pq_tables(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    col(PqTables(expr(v), codebooks))
+
   /** Injective IEEE-754 byte layout of a float/double array — the
     * formatting-independent fingerprint base (md5 over it keys
     * exact-vector-equality classes).
@@ -87,6 +103,20 @@ object GraftFunctions {
   def approx_top_k(c: Column, k: Int, capacity: Int): Column =
     col(ApproxTopK(expr(c), k, capacity).toAggregateExpression())
 
+  /** Bloom-filter aggregate over long keys (binary result; fixed
+    * numBits/8-byte state, map-side OR-merge) — the batch side of the
+    * broadcast Bloom join gate.
+    */
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int = 5): Column =
+    col(BloomAgg(expr(c), numBits, numHashes).toAggregateExpression())
+
+  /** Membership probe against a [[bloom_agg]] filter — false means
+    * definitely absent (no false negatives), so filtering the big side
+    * of a join with it is result-identical.
+    */
+  def bloom_might_contain(bloom: Column, key: Column): Column =
+    col(BloomMightContain(expr(bloom), expr(key)))
+
   /** SQL registrations for [[graft.GraftExtensions]]. */
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
     reg("cosine_sim", classOf[CosineSimilarity], arity = 2,
@@ -105,6 +135,9 @@ object GraftFunctions {
     reg("int8_cosine", classOf[Int8Cosine], arity = 2,
       "_FUNC_(a, b) - cosine of two int8-quantized (tinyint array) vectors",
       es => Int8Cosine(es.head, es(1))),
+    reg("pq_adc_score", classOf[PqAdcScore], arity = 2,
+      "_FUNC_(codes, tables) - PQ asymmetric-distance lookup: sum of tables[s][codes[s]]",
+      es => PqAdcScore(es.head, es(1))),
     reg("bpe_token_count", classOf[BpeTokenCount], arity = 1,
       "_FUNC_(text) - byte-level BPE token count (bundled merge table)",
       es => BpeTokenCount(es.head)))

@@ -203,6 +203,71 @@ case class Int8Cosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** pq_adc_score(codes array<tinyint>, tables array<array<double>>) →
+  * double: asymmetric-distance-computation lookup for product-quantized
+  * similarity ([[graft.ops.SimilarityOps.ivfTopKPq]]) — the sum over
+  * subspaces s of `tables[s][codes[s]]`, where `tables` is the per-QUERY
+  * table of sub-codeword dot products and `codes` is a corpus vector's
+  * m-byte PQ encoding. This is the PQ probe's hot kernel: the streamed
+  * candidate payload is m bytes per corpus vector (vs 1 byte/dim int8,
+  * 4 bytes/dim fp32) and scoring is m table lookups — no vector
+  * arithmetic at all — so it must stay inside whole-stage codegen
+  * (an interpreted HOF here would negate the point of compressing the
+  * payload). Null inputs, length mismatch, a null element, or a code
+  * outside its table yield NULL (defensive, mirroring the kernels
+  * above).
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(ByteType), ArrayType(ArrayType(DoubleType)))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (codes, tables) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = codes.numElements()
+    if (n != tables.numElements()) return null
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i) || tables.isNullAt(i)) return null
+      val c: Int = codes.getByte(i).toInt
+      val t = tables.getArray(i)
+      if (c < 0 || c >= t.numElements() || t.isNullAt(c)) return null
+      s += t.getDouble(c); i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val t = ctx.freshName("t"); val bad = ctx.freshName("bad")
+      val arrayData = classOf[ArrayData].getName
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0; boolean $bad = false;
+         |  for (int $i = 0; $i < $n && !$bad; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    final int $c = (int) $a.getByte($i);
+         |    final $arrayData $t = $b.getArray($i);
+         |    if ($c < 0 || $c >= $t.numElements() || $t.isNullAt($c)) { $bad = true; break; }
+         |    $s += $t.getDouble($c);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** vector_bytes(array<float|double>) → binary: an INJECTIVE byte layout
   * of the vector — per element a presence marker byte (0 = null element,
   * 1 = present) followed by the 8 IEEE-754 big-endian bits of the value

@@ -417,10 +417,26 @@ object DedupOps {
     * document frequency over BOTH collapsed sides: a shingle ubiquitous
     * in either corpus carries no near-dup signal.
     */
+  /** @param refGateBits size (in bits) of the broadcast Bloom filter of
+    *                     BATCH shingle keys that gates the REFERENCE
+    *                     inverted index before it shuffles (≤ 0 disables).
+    *                     A Bloom has no false negatives, so gating is
+    *                     result-identical no matter the sizing — false
+    *                     positives only admit unmatchable rows — while
+    *                     the reference side's shuffle shrinks from
+    *                     corpus-shingle-sized to ~batch-matched-sized:
+    *                     the asymmetry this op exists for, now enforced
+    *                     map-side. The filter itself is fixed-size state
+    *                     (bits/8 bytes however many shingles stream
+    *                     through) built by one batch-sized aggregate and
+    *                     broadcast as a single row; the 2²²-bit default
+    *                     (512 KiB) holds ~400k batch shingles under 1% fp.
+    */
   def jaccardPairsAgainstRef(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      refGateBits: Int = 1 << 22): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     def keyed(docs: DataFrame): DataFrame =
       shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",
@@ -436,7 +452,16 @@ object DedupOps {
       def inv(reps: DataFrame): DataFrame =
         reps.select(col("id"), explode(col("sh")).as("s"))
           .select(col("id"), GraftFunctions.fnv64(col("s")).as("shingle"))
-      val nInv = inv(nReps); val rInv = inv(rReps)
+      val nInv = inv(nReps)
+      // Bloom gate BEFORE the df count: for any shingle the batch holds,
+      // every reference row passes (no false negatives), so cross-side
+      // df — the only df that can reach a pair — is unchanged; ref-only
+      // shingles may survive the df filter they'd otherwise fail, but
+      // they match nothing in nIdx and cannot reach the output.
+      val rInv =
+        if (refGateBits <= 0) inv(rReps)
+        else bloomGateAgainst(inv(rReps), col("shingle"),
+          nInv, col("shingle"), refGateBits)
       val (nIdx, rIdx) =
         if (maxShingleDf == Int.MaxValue) (nInv, rInv)
         else {
@@ -754,6 +779,23 @@ object DedupOps {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
+  /** Drop rows of `big` whose `bigKey` cannot appear among `small`'s
+    * `smallKey`s, via a Bloom filter of the small side
+    * ([[graft.functions.BloomAgg]]): result-identical by
+    * no-false-negatives, and the big (reference-corpus) side shrinks
+    * MAP-SIDE, before any shuffle. The filter reaches the rows as a
+    * SCALAR SUBQUERY (evaluated once, injected into a plain Filter) —
+    * a 1-row join here is constant-folded by Catalyst into a
+    * BroadcastNestedLoopJoin, which is indistinguishable in a plan audit
+    * from the pair-enumeration failure mode these ops ban outright.
+    */
+  private def bloomGateAgainst(big: DataFrame, bigKey: Column,
+      small: DataFrame, smallKey: Column, bits: Int): DataFrame =
+    big.filter(GraftFunctions.bloom_might_contain(
+      org.apache.spark.sql.graft.Bridge.scalarSubquery(
+        small.agg(GraftFunctions.bloom_agg(smallKey, bits).as("_bl"))),
+      bigKey))
+
   /** Cross-side candidate pairs within equal buckets — the BIPARTITE
     * sibling of [[selfJoinWithinBuckets]] for asymmetric (new-vs-
     * reference) ops. Same skew exposure, same remedy: a popular bucket
@@ -825,12 +867,24 @@ object DedupOps {
     * bipartite hot-bucket guard ([[joinAcrossBuckets]]) bounds
     * within-bucket work exactly like the symmetric op's grid split.
     */
+  /** @param refGateBits broadcast Bloom gate of the BATCH's (band,
+    *                     bucket) keys over the REFERENCE side's band rows
+    *                     (≤ 0 disables) — reference rows in buckets the
+    *                     batch never populates drop map-side before the
+    *                     candidate join (result-identical: Bloom has no
+    *                     false negatives, and a ref row whose bucket has
+    *                     no batch row joins nothing). Matters most at
+    *                     wide bucket spaces (large bitsPerBand) and
+    *                     small daily batches, where most of the
+    *                     accumulated index is unmatchable.
+    */
   def embeddingPairsAgainstRef(newEmb: DataFrame, refEmb: DataFrame,
       threshold: Double, dims: Int,
       bands: Int = 8, bitsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       hotBucketThreshold: Long = HotBucketThreshold,
-      splitTarget: Long = HotBucketSplitTarget): DataFrame = {
+      splitTarget: Long = HotBucketSplitTarget,
+      refGateBits: Int = 1 << 22): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
     require(bands * bitsPerBand <= dims,
       s"embeddingPairsAgainstRef: bands*bitsPerBand = ${bands * bitsPerBand} " +
@@ -847,7 +901,12 @@ object DedupOps {
     val rMembers = rk.select(col("fp"), col("id"))
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
       val nSig = signBandRows(nReps.select(col("id"), col("v")), bands, bitsPerBand)
-      val rSig = signBandRows(rReps.select(col("id"), col("v")), bands, bitsPerBand)
+      // (band, bucket) packs into one long — band in the high 32 bits —
+      // for the Bloom key; bucket < 2^30 by the bitsPerBand bound.
+      def bandKey = col("band").cast("long") * 4294967296L + col("bucket")
+      val rSig0 = signBandRows(rReps.select(col("id"), col("v")), bands, bitsPerBand)
+      val rSig = if (refGateBits <= 0) rSig0
+        else bloomGateAgainst(rSig0, bandKey, nSig, bandKey, refGateBits)
       val repPairs = Caching.withCached(nSig, rSig) {
         val cand = joinAcrossBuckets(nSig, rSig, Seq("band", "bucket"),
             hotBucketThreshold, splitTarget)

@@ -234,31 +234,7 @@ object SimilarityOps {
       else train0.filter(SamplingOps.hashSampleFlag(col("vec_id"),
         modulus = 1000000, keep = math.max(1, (trainFraction * 1e6).toInt),
         salt = "ivf"))
-    // Every Lloyd pass re-scans the training set, so materialize it once
-    // and run the passes on a private session (same SparkContext, own
-    // SQLConf) with the shuffle width sized to the SAMPLE volume and AQE
-    // off — each pass's (list_id, pos) aggregate is sample-sized, and
-    // paying the caller's corpus-wide partition count plus adaptive
-    // re-planning per pass would dominate training time. The caller's
-    // session conf is never touched; the corpus-wide assign/probe join
-    // below still plans at the caller's width.
-    val callerSession = corpus.sparkSession
-    val trainSession = callerSession.newSession()
-    trainSession.conf.set("spark.sql.adaptive.enabled", "false")
-    // persist (not localCheckpoint): the training set is corpus-sized at
-    // trainFraction=1.0, so its blocks must be RELEASED when training
-    // ends (the Caching contract) — the finally below guarantees it. The
-    // session handoff moves the InternalRow RDD (Bridge), skipping the
-    // per-vector InternalRow→Row→InternalRow serde of `.rdd`.
-    val trainMat = org.apache.spark.sql.graft.Bridge.ofInternalRows(
-      trainSession, train1.schema,
-      org.apache.spark.sql.graft.Bridge.internalRows(train1)).persist()
-    try {
-      val tparts = math.max(1L, math.min(
-        callerSession.sparkContext.defaultParallelism.toLong,
-        trainMat.count() / 100000L + 1L)).toInt
-      trainSession.conf.set("spark.sql.shuffle.partitions", tparts.toString)
-      val train = trainMat.coalesce(tparts)
+    withIsolatedTraining(train1) { train =>
       var cents = meansOf(
         train.select(pmod(col("vec_id"), lit(nlist)).as("list_id"), col("cv")))
       // A degenerate sample (few rows, or ids covering few residues mod
@@ -281,6 +257,38 @@ object SimilarityOps {
         it += 1
       }
       cents
+    }
+  }
+
+  /** Shared Lloyd-loop scaffolding of [[trainIvfCentroids]] and
+    * [[trainPqCodebooks]]: every training pass re-scans the training set,
+    * so materialize it once and run the passes on a private session (same
+    * SparkContext, own SQLConf) with the shuffle width sized to the
+    * SAMPLE volume and AQE off — each pass's aggregate is sample-sized,
+    * and paying the caller's corpus-wide partition count plus adaptive
+    * re-planning per pass would dominate training time. The caller's
+    * session conf is never touched; corpus-wide assign/probe joins still
+    * plan at the caller's width.
+    *
+    * persist (not localCheckpoint): the training set is corpus-sized at
+    * trainFraction=1.0, so its blocks must be RELEASED when training
+    * ends (the Caching contract) — the finally guarantees it. The
+    * session handoff moves the InternalRow RDD (Bridge), skipping the
+    * per-vector InternalRow→Row→InternalRow serde of `.rdd`.
+    */
+  private def withIsolatedTraining[T](df: DataFrame)(f: DataFrame => T): T = {
+    val callerSession = df.sparkSession
+    val trainSession = callerSession.newSession()
+    trainSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val trainMat = org.apache.spark.sql.graft.Bridge.ofInternalRows(
+      trainSession, df.schema,
+      org.apache.spark.sql.graft.Bridge.internalRows(df)).persist()
+    try {
+      val tparts = math.max(1L, math.min(
+        callerSession.sparkContext.defaultParallelism.toLong,
+        trainMat.count() / 100000L + 1L)).toInt
+      trainSession.conf.set("spark.sql.shuffle.partitions", tparts.toString)
+      f(trainMat.coalesce(tparts))
     } finally trainMat.unpersist(blocking = false)
   }
 
@@ -335,6 +343,204 @@ object SimilarityOps {
     // full vector table — without the hint an SMJ here would shuffle the
     // whole corpus by vec_id, undoing the narrow-payload win the int8
     // probe just bought (ADVICE r11; plan-asserted in PlanAssertionsSpec).
+    broadcast(shortlist)
+      .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Product-quantizer model: per subspace `s ∈ [0, m)`, the (code →
+    * sub-centroid) codebook with codes contiguous `0..n-1`, so a code is
+    * also the positional index into the per-query ADC table.
+    */
+  type PqCodebooks = Seq[(Int, Seq[(Int, Array[Double])])]
+
+  /** Product-quantization codebooks for [[ivfTopKPq]]: `m` sub-codebooks
+    * of up to `ksub` sub-centroids each, trained by the same deterministic
+    * Lloyd recipe as [[trainIvfCentroids]] (hash-sampled training set,
+    * modulo seed, decimal means, movement-ε stop) but in L2 over UNIT
+    * vectors — cosine(q, x) = ⟨q̂, x̂⟩, and minimizing per-subspace L2
+    * reconstruction error on x̂ is exactly minimizing the error of the
+    * dot products the ADC score sums (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * All m subspaces train in ONE aggregate per pass: each training row
+    * explodes to its m (subspace, sub-vector, code) slices and a single
+    * (s, code, pos) grouped mean rebuilds every sub-centroid — pass count
+    * is `trainIters`, not `m × trainIters`. The per-pass collect is the
+    * model fit (m·ksub·dsub = dims·ksub values — config-sized, like the
+    * IVF centroid collect). A mis-declared `dims` fails loudly: every
+    * trained sub-centroid must come back exactly `dims / m` wide.
+    */
+  def trainPqCodebooks(corpus: DataFrame, dims: Int, m: Int, ksub: Int,
+      trainIters: Int, trainFraction: Double): PqCodebooks = {
+    require(m >= 1 && dims >= m && dims % m == 0,
+      s"dims=$dims must be a positive multiple of m=$m")
+    require(ksub >= 1 && ksub <= 128, s"ksub=$ksub outside 1..128 (codes are tinyint)")
+    require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
+    val dsub = dims / m
+    // Training rows carry the raw vector plus its materialized norm, so
+    // the assignment expression never re-folds l2_norm per codeword.
+    val base = corpus.select(col("vec_id"), col("cv"),
+      graft.functions.GraftFunctions.l2_norm(col("cv")).as("nrm"))
+    val train1 = if (trainFraction >= 1.0) base
+      else base.filter(SamplingOps.hashSampleFlag(col("vec_id"),
+        modulus = 1000000, keep = math.max(1, (trainFraction * 1e6).toInt),
+        salt = "pq"))
+    // (vec_id, cv, nrm) → m rows (s, code, sub) with sub the UNIT
+    // sub-vector (zero vectors contribute zero sub-vectors, the "zero
+    // unit" convention shared with labelPairMeans).
+    def exploded(train: DataFrame, codes: Column): DataFrame = train
+      .withColumn("codes", codes)
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), s =>
+        struct(s.as("s"),
+          transform(slice(col("cv"), s * lit(dsub) + lit(1), lit(dsub)),
+            x => when(col("nrm") > 0.0, x.cast("double") / col("nrm"))
+              .otherwise(lit(0.0))).as("sub"),
+          element_at(col("codes"), s + lit(1)).as("code")))).as("e"),
+        size(col("cv")).as("vlen"))
+      .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sub").as("sub"),
+        col("vlen"))
+    // Decimal component means per (subspace, code, position) — the
+    // order-independent mean idiom of meansOf; the collect is the model.
+    // The piggybacked vlen bounds validate `dims` against the ACTUAL
+    // corpus width: declaring dims short would silently ignore the
+    // vector tail, declaring it long would train truncated sub-centroids
+    // — both fail loudly here instead.
+    def pqMeans(assigned: DataFrame): Map[Int, Seq[(Int, Array[Double])]] = {
+      val rows = assigned
+        .select(col("s"), col("code"), col("vlen"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("s", "code", "pos").agg(
+          (sum(col("v").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("mv"),
+          min(col("vlen")).as("lmin"), max(col("vlen")).as("lmax"))
+        .collect()
+      rows.foreach { r =>
+        val (lmin, lmax) = (r.getAs[Number]("lmin").intValue(), r.getAs[Number]("lmax").intValue())
+        require(lmin == dims && lmax == dims,
+          s"trainPqCodebooks: dims=$dims declared but corpus vectors have " +
+            s"width $lmin..$lmax — dims mis-declared for this corpus")
+      }
+      rows
+        .groupBy(r => (r.getAs[Number]("s").intValue(), r.getAs[Number]("code").intValue()))
+        .map { case ((s, code), rs) =>
+          require(rs.length == dsub,
+            s"trainPqCodebooks: subspace $s code $code trained ${rs.length} " +
+              s"components, expected dsub=$dsub")
+          ((s, code), rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mv")).toArray)
+        }
+        .groupBy(_._1._1)
+        .map { case (s, entries) =>
+          (s, entries.toSeq.map { case ((_, code), arr) => (code, arr) }.sortBy(_._1))
+        }
+    }
+    // Contiguous 0..n-1 codes from the seed on (a sparse seed can skip
+    // residues): a code is then exactly the positional index — both the
+    // ADC-table lookup contract AND what pq_encode emits, so the Lloyd
+    // loop's code-keyed matching stays aligned across passes.
+    def toBooks(mp: Map[Int, Seq[(Int, Array[Double])]]): PqCodebooks =
+      mp.toSeq.sortBy(_._1).map { case (s, words) =>
+        (s, words.sortBy(_._1).zipWithIndex.map { case ((_, c), i) => (i, c) })
+      }
+    val seedCodes = array_repeat(pmod(col("vec_id"), lit(ksub)).cast("int"), m)
+    withIsolatedTraining(train1) { train =>
+      var cbs: PqCodebooks = toBooks(pqMeans(exploded(train, seedCodes)))
+      // A degenerate sample (ids covering few residues mod ksub) seeds
+      // fewer than ksub codewords; re-seed from the full corpus before
+      // accepting a smaller codebook (the trainIvfCentroids convention).
+      if (cbs.exists(_._2.size < ksub) && trainFraction < 1.0)
+        cbs = toBooks(pqMeans(exploded(base, seedCodes)))
+      var it = 0
+      var moved = Double.MaxValue
+      while (cbs.nonEmpty && it < trainIters && moved > 1e-6) {
+        val next = pqMeans(exploded(train,
+          GraftFunctions.pq_encode(col("cv"), bookArrays(cbs)).cast("array<int>")))
+        // A codeword that loses all members keeps its previous centroid,
+        // so codebook sizes stay constant across passes.
+        val updated = cbs.map { case (s, words) =>
+          val nm = next.getOrElse(s, Seq.empty).toMap
+          (s, words.map { case (j, c) => (j, nm.getOrElse(j, c)) })
+        }
+        moved = cbs.zip(updated).flatMap { case ((_, ws), (_, us)) =>
+          ws.zip(us).map { case ((_, a), (_, b)) =>
+            math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+          }
+        }.maxOption.getOrElse(0.0)
+        cbs = updated
+        it += 1
+      }
+      cbs
+    }
+  }
+
+  /** Positional codebook arrays for the native PQ kernels — valid because
+    * [[trainPqCodebooks]] keeps codes contiguous 0..n-1 per subspace.
+    */
+  private def bookArrays(cbs: PqCodebooks): Seq[Seq[Array[Double]]] =
+    cbs.sortBy(_._1).map(_._2.sortBy(_._1).map(_._2))
+
+  /** [[ivfTopK]] with product-quantized probe scoring (IVF-PQ, the
+    * memory-bound ANN design of Jégou et al. TPAMI 2011): the coarse
+    * quantizer routes as in [[ivfTopK]], but the corpus-sized candidate
+    * join carries only an m-BYTE PQ code per vector — at the defaults,
+    * 16 bytes against the q8 path's dims bytes and fp32's 4·dims — and
+    * scores with the [[graft.functions.PqAdcScore]] lookup kernel: the
+    * query side precomputes its m·ksub table of sub-codeword dots
+    * (broadcast with the probes), so scoring a candidate is m table
+    * lookups, zero vector arithmetic. The top `rerank · k` ADC candidates
+    * per query re-rank in exact fp32 exactly as [[ivfTopKQ8]] — ADC only
+    * has to get the true top-k INTO the shortlist.
+    *
+    * 100 TB posture: PQ is what makes a corpus-scale ANN index fit in
+    * cluster memory — 16 bytes/vector is 16× less candidate shuffle than
+    * fp32 — while training and tables stay config-sized. Same trainer
+    * isolation, output shape, and determinism contract as its siblings;
+    * recall vs brute force is pinned by sim_recall_ann and spec floors.
+    *
+    * @param dims vector dimensionality (must divide into m equal
+    *             subspaces; validated against the corpus during training)
+    */
+  def ivfTopKPq(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ksub: Int = 16,
+      excludeSelf: Boolean = true,
+      trainIters: Int = 10, trainFraction: Double = 1.0, rerank: Int = 4,
+      centroids: Option[Seq[(Int, Array[Double])]] = None,
+      codebooks: Option[PqCodebooks] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
+    if (cents.isEmpty) return emptyTopK(queries, corpus)
+    val cbs = codebooks.getOrElse(
+      trainPqCodebooks(corpus, dims, m, ksub, trainIters, trainFraction))
+    if (cbs.isEmpty || cbs.forall(_._2.isEmpty)) return emptyTopK(queries, corpus)
+    val effectiveProbe = math.min(nprobe, cents.size)
+    val argmaxAssign = argmaxWith(cents) _
+    // Corpus probe payload: (list_id, vec_id, m-byte codes) — nothing else.
+    val books = bookArrays(cbs)
+    val assignedCorpus = corpus.select(col("vec_id"), col("cv"))
+      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
+      .withColumn("codes", GraftFunctions.pq_encode(col("cv"), books))
+      .select(col("list_id"), col("vec_id"), col("codes"))
+    val probedQueries = queries.select(col("query_id"), col("qv"))
+      .withColumn("tables", GraftFunctions.pq_tables(col("qv"), books))
+      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
+      .select(col("query_id"), col("probe.id").as("list_id"), col("tables"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .withColumn("adc", GraftFunctions.pq_adc_score(col("codes"), col("tables")))
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= k.toLong * rerank)
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // broadcast the bounded shortlist for the fp32 re-rank, exactly as
+    // ivfTopKQ8 (plan-asserted): an SMJ here would shuffle the full
+    // vector table and undo the 16-byte-payload win.
     broadcast(shortlist)
       .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")

@@ -1757,6 +1757,21 @@ object GraftQueries {
     },
     None)
 
+  // IVF-PQ probe ([[SimilarityOps.ivfTopKPq]]): the candidate join streams
+  // a 16-BYTE product-quantization code per corpus vector (vs dims bytes
+  // int8, 4·dims fp32) and scores via the pq_adc_score lookup kernel
+  // against per-query broadcast tables; exact fp32 re-rank of the top
+  // rerank·k shortlist. Approximate like its siblings — no SQL oracle;
+  // recall is pinned value-exactly by sim_recall_ann and spec floors.
+  private val s05c = Q("sim_topk_ivfpq",
+    (s, dir) => {
+      val (q, c) = queriesAndCorpus(s, dir)
+      SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64, nlist = 8, nprobe = 2,
+          m = 16, ksub = 16, trainFraction = 0.25, trainIters = 5, rerank = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Recall@k of every ANN path against brute force, as a VALUE-EXACT
     * correctness row (the three `sim_topk_*` approximate paths themselves
     * are rows-only — this pins their recall arithmetic instead): the ANN
@@ -1790,6 +1805,10 @@ object GraftQueries {
         "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5, centroids = Some(cents)),
         "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
+          trainFraction = 0.25, trainIters = 5, rerank = 4,
+          centroids = Some(cents)),
+        "ivf_pq" -> SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64,
+          nlist = 8, nprobe = 2, m = 16, ksub = 16,
           trainFraction = 0.25, trainIters = 5, rerank = 4,
           centroids = Some(cents)))
         .map { case (p, df) =>
@@ -2774,7 +2793,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
-    s01, s02, s03, s04, s05, s05b, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)
 

@@ -46,6 +46,17 @@ object Bridge {
       exp.extraOptimizations = rule +: exp.extraOptimizations
   }
 
+  /** A 1-row/1-column DataFrame as a scalar-subquery EXPRESSION: the
+    * engine-native way to thread a small computed value (a Bloom filter,
+    * a threshold) into a corpus-sized Filter/Project — the consuming plan
+    * gets a plain Filter with the subquery evaluated once, instead of a
+    * 1-row join that Catalyst constant-folds into a
+    * BroadcastNestedLoopJoin.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].logicalPlan))
+
   /** The executed plan's `RDD[InternalRow]` — the columnar-adjacent internal
     * representation, without the per-row InternalRow→Row→InternalRow serde
     * that `df.rdd` pays. Pair with [[ofInternalRows]] to hand a frame to a

@@ -34,7 +34,9 @@ class CollectLintSpec extends AnyFunSuite {
     * materializations; everything not listed must have zero.
     */
   private val allowedCollects: Map[String, Int] = Map(
-    "graft/ops/SimilarityOps.scala" -> 1, // meansOf: nlist×dims centroid model fit
+    "graft/ops/SimilarityOps.scala" -> 2, // meansOf: nlist×dims centroid model
+                                          // fit; pqMeans: dims×ksub PQ codebook
+                                          // fit — both config-sized per pass
     "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
     "graft/ops/TextOps.scala" -> 1,  // trainBpeMerges: 1-row argmax per
                                      // merge step — the model fit, like

@@ -81,6 +81,93 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("pq_adc_score == reference table-lookup sum for arbitrary codes/tables") {
+    import org.apache.spark.sql.types.{ByteType, DoubleType => DT}
+    val gen = for {
+      m <- Gen.choose(0, 12)
+      ksub <- Gen.choose(1, 16)
+      codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1).map(_.toByte))
+      tables <- Gen.listOfN(m, Gen.listOfN(ksub,
+        Gen.choose(-1000000, 1000000).map(_ / 1000.0)))
+      // sometimes desync lengths / push a code out of range
+      drop <- Gen.oneOf(0, 0, 0, 1)
+      bump <- Gen.oneOf(false, false, true)
+    } yield (if (bump && codes.nonEmpty) (ksub.toByte :: codes.tail) else codes,
+      tables.drop(drop))
+    check(Prop.forAll(gen) { case (codes, tables) =>
+      val e = PqAdcScore(
+        Literal(new GenericArrayData(codes.toArray), ArrayType(ByteType)),
+        Literal(new GenericArrayData(
+          tables.map(t => new GenericArrayData(t.toArray)).toArray),
+          ArrayType(ArrayType(DT))))
+      val got = e.eval(null)
+      if (codes.size != tables.size) got == null
+      else if (codes.zip(tables).exists { case (c, t) => c < 0 || c >= t.size }) got == null
+      // Sequential double sums on both sides — equality must be bitwise.
+      else got == codes.zip(tables).map { case (c, t) => t(c) }.sum
+    })
+  }
+
+  test("bloom codec: no false negatives; partial-merge == union build, byte-identical") {
+    val keys = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    val params = for {
+      bits <- Gen.oneOf(64, 128, 1024)
+      hashes <- Gen.choose(1, 8)
+    } yield (bits, hashes)
+    check(Prop.forAll(keys, keys, params) { case (a, b, (bits, hashes)) =>
+      val ba = BloomCodec.create(bits, hashes); a.foreach(BloomCodec.add(ba, _))
+      val bb = BloomCodec.create(bits, hashes); b.foreach(BloomCodec.add(bb, _))
+      val merged = BloomCodec.mergeInto(ba.clone(), bb)
+      val direct = BloomCodec.create(bits, hashes)
+      (a ++ b).foreach(BloomCodec.add(direct, _))
+      // Every inserted key must probe true (the gate's correctness
+      // contract), and OR-of-partials must equal the single-pass build
+      // bit for bit (the aggregate's mergeability contract).
+      (a ++ b).forall(BloomCodec.mightContain(merged, _)) &&
+        a.forall(BloomCodec.mightContain(ba, _)) &&
+        java.util.Arrays.equals(merged, direct)
+    })
+  }
+
+  test("pq_encode == reference folded-norm argmax; tables consistent with encode") {
+    import org.apache.spark.sql.types.FloatType
+    val vecGen = Gen.choose(2, 4).flatMap(msub =>
+      Gen.listOfN(msub * 3, Gen.choose(-1000, 1000).map(_ / 250.0f)).map((msub, _)))
+    val bookGen = Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.listOfN(3, Gen.choose(-1000, 1000).map(_ / 250.0))))
+    check(Prop.forAll(vecGen, bookGen) { case ((m, v), book0) =>
+      // One shared sub-codebook per subspace keeps the generator simple;
+      // contents still arbitrary.
+      val books: Seq[Seq[Array[Double]]] = Seq.fill(m)(book0.map(_.toArray))
+      val lit = Literal(new GenericArrayData(v.toArray), ArrayType(FloatType))
+      val codes = PqEncode(lit, books).eval(null).asInstanceOf[GenericArrayData]
+      val tables = PqTables(lit, books).eval(null)
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[GenericArrayData])
+      // Reference replays the EXACT arithmetic contract (left-to-right
+      // double dot, 2·dot/‖v‖ − ‖c‖², zero-norm → −‖c‖², ties → smallest
+      // code) so equality is bitwise.
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val expect = (0 until m).map { s =>
+        val sub = v.slice(s * 3, s * 3 + 3).map(_.toDouble)
+        val scores = book0.map { c =>
+          val n2 = c.map(x => x * x).sum
+          if (nrm > 0.0) sub.zip(c).map { case (a, b) => a * b }.sum * 2 / nrm - n2
+          else -n2
+        }
+        scores.indexOf(scores.max)
+      }
+      val gotCodes = (0 until m).map(i => codes.array(i).asInstanceOf[Byte].toInt)
+      val tablesOk = (0 until m).forall { s =>
+        val sub = v.slice(s * 3, s * 3 + 3).map(_.toDouble)
+        book0.zipWithIndex.forall { case (c, j) =>
+          val want = if (nrm > 0.0) sub.zip(c).map { case (a, b) => a * b }.sum / nrm else 0.0
+          tables(s).getDouble(j) == want
+        }
+      }
+      gotCodes == expect && tablesOk
+    })
+  }
+
   test("BPE segmentation == iterative lowest-rank reference for arbitrary strings") {
     // Independent reference: the canonical BPE inference loop — find the
     // LOWEST-RANK merge whose pair occurs anywhere in the current token

@@ -153,6 +153,45 @@ class OpsSpec extends SparkSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("cross-corpus jaccard: Bloom ref-gate is result-identical at any sizing") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val newSources = Seq("src0", "src1")
+    val newBatch = docs.filter(col("source").isin(newSources: _*))
+    val ref = docs.filter(!col("source").isin(newSources: _*))
+    def pairs(gateBits: Int): Set[(Long, Long, Double)] =
+      DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5,
+          refGateBits = gateBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ungated = pairs(0)
+    assert(ungated.nonEmpty, "expected planted cross-split near-dups in testdata")
+    // The default gate and a pathologically tiny (fp-saturated) gate must
+    // both be identical to no gate — false positives only admit rows that
+    // cannot pair, false negatives do not exist.
+    assert(pairs(1 << 22) == ungated, "default Bloom gate changed results")
+    assert(pairs(64) == ungated, "saturated Bloom gate changed results")
+    // Also through the df-filtered path (gate sits before the df count).
+    val u2 = DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5,
+        maxShingleDf = 50, refGateBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val g2 = DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5,
+        maxShingleDf = 50, refGateBits = 1 << 22)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(g2 == u2, "Bloom gate changed results under the df filter")
+  }
+
+  test("cross-corpus embedding pairs: Bloom band-bucket ref-gate is result-identical") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val newBatch = emb.filter(col("vec_id") % 5 === 0)
+    val ref = emb.filter(col("vec_id") % 5 =!= 0)
+    def pairs(gateBits: Int): Set[(Long, Long)] =
+      DedupOps.embeddingPairsAgainstRef(newBatch, ref, threshold = 0.9,
+          dims = 64, refGateBits = gateBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ungated = pairs(0)
+    assert(pairs(1 << 22) == ungated, "default Bloom band gate changed results")
+    assert(pairs(64) == ungated, "saturated Bloom band gate changed results")
+  }
+
   test("cross-corpus embedding pairs == symmetric band-gated pairs crossing the split") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val newV = emb.filter(col("vec_id") % 5 === 0)
@@ -613,6 +652,80 @@ class OpsSpec extends SparkSuite {
       s"q8 recall $rQ8 fell more than 0.05 below fp32 IVF recall $rIvf")
   }
 
+  test("ivfTopKPq: ADC shortlist + fp32 re-rank; full probe with generous re-rank equals brute force") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = hits(SimilarityOps.bruteForceTopK(q, c, k = 5))
+    // Full probe + a re-rank window covering every candidate: the ADC
+    // ordering becomes irrelevant (the exact fp32 re-rank sees all
+    // candidates), so IVF-PQ must EQUAL brute force — this pins the
+    // plumbing (codes, tables, lookup, re-rank join) independently of
+    // quantization quality.
+    val n = c.count().toInt
+    val fullPq = SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64,
+      nlist = 4, nprobe = 4, m = 16, ksub = 16, trainIters = 3,
+      rerank = n / 5 + 1)
+    assert(hits(fullPq) == brute,
+      "full-probe IVF-PQ with an all-candidate re-rank window must equal brute force")
+    // Re-ranked cosines are the exact fp32 values (not ADC estimates).
+    val bruteRows = SimilarityOps.bruteForceTopK(q, c, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    fullPq.collect().foreach { r =>
+      assert(r.getDouble(3) == bruteRows((r.getLong(0), r.getLong(2))),
+        "IVF-PQ re-rank must report exact fp32 cosines")
+    }
+    // The registered config (16-byte codes, nprobe=2, rerank=4): recall
+    // within a whisker of the fp32 IVF sibling at the same coarse
+    // parameters — ADC only has to surface the true top-k into the
+    // shortlist, the re-rank orders it exactly.
+    val ivf = hits(SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
+      trainIters = 5, trainFraction = 0.25))
+    val pq = hits(SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64,
+      nlist = 8, nprobe = 2, m = 16, ksub = 16,
+      trainIters = 5, trainFraction = 0.25, rerank = 4))
+    val rIvf = ivf.intersect(brute).size.toDouble / brute.size
+    val rPq = pq.intersect(brute).size.toDouble / brute.size
+    assert(rPq >= rIvf - 0.1,
+      s"IVF-PQ recall $rPq fell more than 0.1 below fp32 IVF recall $rIvf")
+  }
+
+  test("trainPqCodebooks: deterministic, contiguous codes, reuse is result-identical") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val b1 = SimilarityOps.trainPqCodebooks(c, dims = 64, m = 8, ksub = 8,
+      trainIters = 3, trainFraction = 1.0)
+    val b2 = SimilarityOps.trainPqCodebooks(c, dims = 64, m = 8, ksub = 8,
+      trainIters = 3, trainFraction = 1.0)
+    // Training is deterministic: same corpus + parameters → identical model.
+    assert(b1.map { case (s, ws) => (s, ws.map { case (j, a) => (j, a.toSeq) }) } ==
+      b2.map { case (s, ws) => (s, ws.map { case (j, a) => (j, a.toSeq) }) })
+    // Codes are contiguous per subspace (the positional ADC-table contract).
+    b1.foreach { case (s, ws) =>
+      assert(ws.map(_._1) == ws.indices.toSeq, s"subspace $s codes not contiguous")
+      ws.foreach { case (_, a) => assert(a.length == 8, "sub-centroid width != dsub") }
+    }
+    // Injecting the same-parameter model is a pure perf refactor:
+    // byte-identical results on both paths.
+    val own = SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64, nlist = 4,
+      nprobe = 2, m = 8, ksub = 8, trainIters = 3, rerank = 4).collect().toSeq
+    val reused = SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64, nlist = 4,
+      nprobe = 2, m = 8, ksub = 8, trainIters = 3, rerank = 4,
+      codebooks = Some(b1)).collect().toSeq
+    assert(own.nonEmpty && reused == own)
+    // Mis-declared dims fail loudly at training, not silently at scoring.
+    val thrown = intercept[Exception] {
+      SimilarityOps.trainPqCodebooks(c, dims = 32, m = 8, ksub = 8,
+        trainIters = 0, trainFraction = 1.0)
+    }
+    assert(thrown.getMessage.contains("dims"), thrown.getMessage)
+  }
+
   test("ivfTopK: Lloyd training lifts recall; >= 0.9 within data's reach") {
     // These synthetic embeddings are near-uniform on the sphere, so
     // recall at nprobe/nlist is capped near the covered corpus fraction
@@ -928,6 +1041,7 @@ class OpsSpec extends SparkSuite {
     // exactness floors are asserted below. mq_wordcount gained a real
     // oracle via the Verify-run row dump; layout_zorder_roundtrip
     // likewise oracles the write path.
-    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8"))
+    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8",
+      "sim_topk_ivfpq"))
   }
 }

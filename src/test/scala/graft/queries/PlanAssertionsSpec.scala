@@ -61,6 +61,11 @@ class PlanAssertionsSpec extends SparkSuite {
     val p = allExecutedPlans("curate_incremental_dedup").mkString("\n===\n")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // The reference-side inverted index must pass the broadcast Bloom
+    // gate before it shuffles into the candidate join (result-identical
+    // by no-false-negatives; the map-side scale asymmetry of the op).
+    assert(p.contains("bloom_might_contain"),
+      s"expected the Bloom ref-gate in the incremental-dedup plan:\n$p")
   }
 
   test("text_shard_pack plans no global window and no single-partition exchange") {
@@ -99,6 +104,21 @@ class PlanAssertionsSpec extends SparkSuite {
     // win (ADVICE r11). With every join broadcast, no SMJ may appear.
     assert(!p.contains("SortMergeJoin"),
       s"q8 re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
+  }
+
+  test("sim_topk_ivfpq: ADC probe broadcasts queries, re-rank broadcasts the shortlist") {
+    val p = finalPlan("sim_topk_ivfpq")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-PQ probe degenerated to pair enumeration:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
+    // Same contract as the q8 sibling: the fp32 re-rank join must
+    // broadcast the bounded shortlist — an SMJ would shuffle the full
+    // vector table and undo the 16-byte-code payload win.
+    assert(!p.contains("SortMergeJoin"),
+      s"IVF-PQ re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
+    // The ADC kernel itself must be in the plan (scoring via lookups,
+    // not a resurrected vector-arithmetic path).
+    assert(p.contains("pq_adc_score"), s"expected the ADC lookup kernel in:\n$p")
   }
 
   test("gated near-dup ops plan no pair-enumerating nested-loop joins") {
