@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated query names — a targeted oracle
+    // check during development. The driver always calls the 2-arg form,
+    // which is unchanged (all queries).
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, Option.empty[Set[String]])
+      case Array(s, o, names) => (s, o, Some(names.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Verify-run marker: queries whose oracle reads a side artifact
     // (GraftQueries.verifyDump — the ANN dump, the MQ row dump, the
@@ -16,7 +22,9 @@ object Verify {
     System.setProperty("graft.verify.dump", "1")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       // NonFatal only: an OOM/LinkageError leaves the SparkContext
@@ -42,6 +50,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -135,6 +135,65 @@ object TextOps {
           + (lit(1.0) - nStop / nTok) * 0.2, 6))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * App. A1.1): hard document-level keep/drop rules, each surfaced as
+    * its own boolean column so a pipeline can report WHICH rule dropped
+    * a document (the operational difference from the blended
+    * [[withQualityScore]] — rules are auditable, scores are rankable):
+    *
+    *  - `rule_word_count`: token count ∈ [minWords, maxWords]
+    *  - `rule_mean_word_len`: mean token length ∈ [minMeanWordLen, max…]
+    *  - `rule_symbol_ratio`: (`#` + `...` occurrences) / tokens ≤ max
+    *  - `rule_ellipsis_lines`: fraction of lines ending in `...` ≤ max
+    *  - `rule_alpha_words`: fraction of tokens containing a letter ≥ min
+    *  - `rule_stopwords`: ≥ minStopwordHits DISTINCT common English
+    *    stopwords present (Gopher's "2 of the/be/to/of/and/that/have/with")
+    *  - `keep`: conjunction of all rules
+    *
+    * Pure per-row map over codegen'd built-ins — no shuffle, no model;
+    * every term is a ratio of small ints (IEEE-exact in any engine), so
+    * the rule booleans are value-exact against the DuckDB oracle even at
+    * the thresholds.
+    */
+  def withGopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8, minStopwordHits: Int = 2): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk)
+    val meanLen = aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x)
+      .cast("double") / nTok.cast("double")
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nEllipsis = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nTok.cast("double")
+    val lines = split(col(textCol), "\n")
+    val ellipsisLineRatio =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") /
+        size(lines).cast("double")
+    val alphaRatio = size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("double") /
+      nTok.cast("double")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(tk),
+      array(gopherStops.map(lit): _*)))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("rule_word_count", nTok >= minWords && nTok <= maxWords)
+      .withColumn("rule_mean_word_len",
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+      .withColumn("rule_symbol_ratio", symbolRatio <= maxSymbolRatio)
+      .withColumn("rule_ellipsis_lines", ellipsisLineRatio <= maxEllipsisLineRatio)
+      .withColumn("rule_alpha_words", alphaRatio >= minAlphaWordRatio)
+      .withColumn("rule_stopwords", stopHits >= minStopwordHits)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_ellipsis_lines") &&
+          col("rule_alpha_words") && col("rule_stopwords"))
+  }
+
   /** Gopher-style repetition signals per document: the mass fraction of
     * the most frequent unigram and bigram — high values flag boilerplate /
     * degenerate machine text that near-dup passes miss (the doc repeats

@@ -1614,6 +1614,48 @@ object GraftQueries {
     * would switch to approx_percentile; bounded-domain scores get
     * exactness for free. Thresholds (one row per lang) broadcast back.
     */
+  /** Gopher-style hard rule filter ([[TextOps.withGopherRules]]): every
+    * rule surfaced per document so the oracle pins each boundary
+    * comparison, not just the final keep bit. Thresholds here are tuned
+    * to BITE on the synthetic corpus (word-count floor 20 over the
+    * 10..99 range, mean-word-length floor 4.0 over the 3.7..5.3 range,
+    * ≥ 1 Gopher stopword over the 0..1 range); the operator defaults are
+    * the published Gopher bounds.
+    */
+  private val d20 = Q("curate_gopher_rules",
+    (s, dir) => TextOps.withGopherRules(t(s, dir, "documents"),
+        minWords = 20, minMeanWordLen = 4.0, minStopwordHits = 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rule_word_count"), col("rule_mean_word_len"),
+        col("rule_symbol_ratio"), col("rule_ellipsis_lines"),
+        col("rule_alpha_words"), col("rule_stopwords"), col("keep"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk,
+          string_split(text, chr(10)) AS ln FROM documents),
+      r AS (SELECT doc_id, lang, len(tk) AS n_tokens,
+        len(tk) BETWEEN 20 AND 100000 AS rule_word_count,
+        (list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk))
+          BETWEEN 4.0 AND 10.0 AS rule_mean_word_len,
+        ((len(text) - len(replace(text, '#', '')))
+          + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+          / len(tk) <= 0.1 AS rule_symbol_ratio,
+        (len(list_filter(ln, x -> x LIKE '%...'))::DOUBLE / len(ln)) <= 0.3
+          AS rule_ellipsis_lines,
+        (len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+          / len(tk)) >= 0.8 AS rule_alpha_words,
+        len(list_intersect(list_distinct(tk),
+          ['the','be','to','of','and','that','have','with'])) >= 1
+          AS rule_stopwords
+       FROM t)
+      SELECT doc_id, lang, n_tokens, rule_word_count, rule_mean_word_len,
+        rule_symbol_ratio, rule_ellipsis_lines, rule_alpha_words,
+        rule_stopwords,
+        rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+          AND rule_ellipsis_lines AND rule_alpha_words AND rule_stopwords
+          AS keep
+      FROM r ORDER BY doc_id"""))
+
   private val d16 = Q("curate_quality_quantile",
     (s, dir) => {
       val scored = TextOps.withQualityScore(t(s, dir, "documents"))
@@ -2792,7 +2834,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)

@@ -265,6 +265,41 @@ class CurationOpsSpec extends SparkSuite {
     assert(msgs.contains("null split key"), s"unexpected error: $msgs")
   }
 
+  test("withGopherRules: each rule trips on its own adversarial fixture") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "rests under a shady tree while the farmer watches from afar today"
+    val docs = Seq(
+      1L -> good,                                  // passes everything
+      2L -> "short text only here",                // word count < 5
+      3L -> good.replace("quick", "q#### ##### ####### #####"), // symbols
+      4L -> ("line one ...\nline two ...\nline three"), // 2/3 ellipsis lines
+      5L -> good.replaceAll("[a-z]+", "12345"),    // no alphabetic words
+      6L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj" // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextOps.withGopherRules(docs, minWords = 5, maxWords = 50,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        maxSymbolRatio = 0.1, maxEllipsisLineRatio = 0.3,
+        minAlphaWordRatio = 0.8, minStopwordHits = 2)
+      .select("doc_id", "rule_word_count", "rule_symbol_ratio",
+        "rule_ellipsis_lines", "rule_alpha_words", "rule_stopwords", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(got(1L) == (true, true, true, true, true, true), s"good doc: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6, s"short doc must fail word count: ${got(2L)}")
+    assert(!got(3L)._2 && !got(3L)._6, s"symbol doc must fail symbol ratio: ${got(3L)}")
+    assert(!got(4L)._3 && !got(4L)._6, s"ellipsis doc must fail line rule: ${got(4L)}")
+    assert(!got(5L)._4 && !got(5L)._6, s"numeric doc must fail alpha rule: ${got(5L)}")
+    assert(!got(6L)._5 && !got(6L)._6, s"stopword-free doc must fail: ${got(6L)}")
+    // Mean-word-length boundary is inclusive on both ends.
+    val mw = TextOps.withGopherRules(Seq(7L -> "aa bb cc dd").toDF("doc_id", "text"),
+        minWords = 1, minMeanWordLen = 2.0, maxMeanWordLen = 2.0,
+        minStopwordHits = 0)
+      .select("rule_mean_word_len").head().getBoolean(0)
+    assert(mw, "mean word length exactly at the bound must pass")
+  }
+
   test("mixtureSample: invalid weights rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "grp")
     intercept[IllegalArgumentException] {
