@@ -380,6 +380,38 @@ object TextOps {
     * hex-token merges in rank order — fewer only when the vocabulary
     * exhausts its adjacent pairs first.
     */
+  /** Tokenize the corpus with a TRAINED merge table — the serve side of
+    * [[trainBpeMerges]] ("train the tokenizer on your corpus, then price
+    * the corpus in its own subword units"). Word-TYPE application: the
+    * merge chain runs once over the word VOCABULARY (vocab-bounded map
+    * work, the same alignment-safe `|L||R|` → `|LR|` delimited replaces
+    * as training), and documents price via an equi-join of their word
+    * occurrences against the tokenized vocab — corpus-linear, no
+    * per-occurrence re-derivation. The vocab side is Heaps-law-bounded
+    * but NOT broadcast by fiat (a 100 TB corpus's vocabulary can exceed
+    * executor memory); the word equi-join shuffles linearly and AQE may
+    * still broadcast a small vocab at runtime.
+    *
+    * Returns one row per document: (idCol, n_words, n_tokens).
+    */
+  def bpeTrainedTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("w")).distinct()
+    val toks0 = concat(lit("||"),
+      array_join(regexp_extract_all(hex(encode(col("w"), "UTF-8")),
+        lit("(..)"), lit(1)), "||"),
+      lit("||"))
+    val tokCol = merges.foldLeft(toks0) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+    val vocab = words.select(col("w"),
+      size(filter(split(tokCol, "\\|+"), x => length(x) > 0)).as("nt"))
+    docs.select(ColNames.quotedCol(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(vocab, "w")
+      .groupBy(ColNames.quotedCol(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).cast("bigint").as("n_tokens"))
+  }
+
   def trainBpeMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text", sampleFraction: Double = 1.0): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")

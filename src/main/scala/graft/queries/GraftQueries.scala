@@ -2377,17 +2377,33 @@ object GraftQueries {
     * Scala trainer. DuckDB's replace scans left-to-right non-overlapping
     * — the identical greedy semantics.
     */
-  private def bpeTrainOracleSql(numMerges: Int): String = {
+  /** Shared CTE chain of [[bpeTrainOracleSql]] and [[bpeApplyOracleSql]]:
+    * the word vocabulary (each `w_k` carries the word itself, so the
+    * apply oracle can join documents back to their trained
+    * tokenization — the extra column is invisible to the train oracle's
+    * `b_k` argmaxes) plus `numMerges` train-and-apply steps.
+    */
+  private def bpeChainCtes(numMerges: Int): String = {
     val steps = (1 to numMerges).map { k =>
       s"""p$k AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pr, cnt
             FROM (SELECT list_filter(string_split_regex(toks, '\\|+'), x -> x <> '') AS t, cnt FROM w${k - 1})),
       c$k AS (SELECT pr, sum(cnt) AS c FROM p$k GROUP BY pr),
       b$k AS MATERIALIZED (SELECT pr, c FROM c$k ORDER BY c DESC, pr LIMIT 1),
-      w$k AS MATERIALIZED (SELECT replace(toks,
+      w$k AS MATERIALIZED (SELECT w, replace(toks,
                 '|' || replace((SELECT pr FROM b$k), ' ', '||') || '|',
                 '|' || replace((SELECT pr FROM b$k), ' ', '') || '|') AS toks, cnt
               FROM w${k - 1})"""
     }.mkString(",\n      ")
+    s"""w0 AS (
+        SELECT w, '||' || array_to_string(list_transform(range(1, len(h) // 2 + 1),
+                 i -> h[2*i-1:2*i]), '||') || '||' AS toks, cnt
+        FROM (SELECT w, hex(w) AS h, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w)),
+      $steps"""
+  }
+
+  private def bpeTrainOracleSql(numMerges: Int): String = {
     val finals = (1 to numMerges).map { k =>
       s"""SELECT $k AS merge_rank,
         string_split((SELECT pr FROM b$k), ' ')[1] AS left_hex,
@@ -2395,16 +2411,40 @@ object GraftQueries {
         (SELECT c FROM b$k)::BIGINT AS pair_count"""
     }.mkString(" UNION ALL ")
     s"""
-      WITH w0 AS (
-        SELECT '||' || array_to_string(list_transform(range(1, len(h) // 2 + 1),
-                 i -> h[2*i-1:2*i]), '||') || '||' AS toks, cnt
-        FROM (SELECT hex(w) AS h, count(*) AS cnt
-              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-              GROUP BY w)),
-      $steps
+      WITH ${bpeChainCtes(numMerges)}
       SELECT merge_rank, left_hex, right_hex, pair_count FROM ($finals)
       ORDER BY merge_rank"""
   }
+
+  /** Oracle for [[x19]]: replay the WHOLE training loop (the shared
+    * chain), then tokenize every document by joining its words to the
+    * step-`numMerges` vocabulary tokenization — exactly the word-type
+    * lookup the Spark op performs.
+    */
+  private def bpeApplyOracleSql(numMerges: Int): String = s"""
+      WITH ${bpeChainCtes(numMerges)},
+      tokn AS (SELECT w,
+          len(list_filter(string_split_regex(toks, '\\|+'), x -> x <> '')) AS nt
+        FROM w$numMerges),
+      docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(t.nt)::BIGINT AS n_tokens
+      FROM docw d JOIN tokn t USING (w)
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+  /** Train-then-serve composition ([[TextOps.bpeTrainedTokenCounts]]):
+    * the corpus priced in the subword units of its OWN trained merge
+    * table — the oracle replays the full training loop AND the word-type
+    * lookup, so both halves of the tokenizer lifecycle are value-exact
+    * in one row.
+    */
+  private val x19 = Q("text_bpe_apply",
+    (s, dir) => {
+      val merges = TextOps.trainBpeMerges(t(s, dir, "documents"), numMerges = 8)
+      TextOps.bpeTrainedTokenCounts(t(s, dir, "documents"),
+          merges.map { case (l, r, _) => (l, r) })
+        .orderBy("doc_id")
+    },
+    Some(bpeApplyOracleSql(8)))
 
   private val x17 = Q("pipeline_pack_bpe",
     (s, dir) => {
@@ -2836,7 +2876,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)
 
   // A duplicated name would silently last-win in the .toMap below and

@@ -115,6 +115,43 @@ class OpsSpec extends SparkSuite {
     assert(graft.ops.TextOps.trainBpeMerges(tiny, numMerges = 3).isEmpty)
   }
 
+  test("bpeTrainedTokenCounts: trained-table apply matches per-word greedy merges") {
+    import spark.implicits._
+    val corpus = Seq("aaa bb aaa cc", "bb cc bb", "aaa aaa", "dd dd dd dd", "")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges3 = graft.ops.TextOps.trainBpeMerges(docs, numMerges = 3)
+      .map { case (l, r, _) => (l, r) }
+    val got = graft.ops.TextOps.bpeTrainedTokenCounts(docs, merges3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Reference: per word, greedy left-to-right application of each merge
+    // in rank order over byte-hex tokens.
+    def tokCount(w: String): Long = {
+      var t = w.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X")
+      merges3.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < t.size) {
+          if (i + 1 < t.size && t(i) == l && t(i + 1) == r) { b += l + r; i += 2 }
+          else { b += t(i); i += 1 }
+        }
+        t = b.result()
+      }
+      t.size.toLong
+    }
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val words = text.split(" ", -1).toSeq
+      val want = (words.size.toLong, words.map(tokCount).sum)
+      assert(got(i.toLong) == want, s"doc $i: got ${got(i.toLong)} want $want")
+    }
+    // Zero merges: token count is the UTF-8 byte count per word.
+    val base = graft.ops.TextOps.bpeTrainedTokenCounts(docs, Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val bytes = text.split(" ", -1).map(_.getBytes("UTF-8").length.toLong).sum
+      assert(base(i.toLong) == bytes, s"doc $i base: got ${base(i.toLong)} want $bytes")
+    }
+  }
+
   test("cross-corpus jaccard: asymmetric join == symmetric pairs crossing the split") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val newSources = Seq("src0", "src1", "src2", "src3")
