@@ -551,6 +551,60 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space with the shared IVF quantizer, then prune
+    * semantically-duplicate vectors WITHIN each cluster — vector v drops
+    * iff some cluster-mate with a smaller id has cosine ≥ `threshold`.
+    * (The deterministic keep-lowest-id variant of the paper's
+    * within-cluster pruning; comparing against ALL smaller-id mates, not
+    * just kept ones, makes the rule independent of evaluation order and
+    * partitioning.)
+    *
+    * The SemDeDup trade vs the pair-graph path
+    * ([[graft.ops.DedupOps.embeddingNearDupPairs]] → connected
+    * components): comparisons are bounded per cluster — no global
+    * candidate graph, no CC iteration — at the cost of missing
+    * cross-cluster near-dups; grow `nlist` to shrink cluster volume.
+    * Cluster skew rides the shared hot-bucket grid guard
+    * ([[graft.ops.DedupOps.selfJoinWithinBuckets]]), so one popular
+    * cluster cannot serialize the stage onto a single reducer.
+    *
+    * Returns one row per vector: (vec_id, list_id, keep).
+    */
+  def semdedupKeepSet(emb: DataFrame, threshold: Double, nlist: Int = 16,
+      trainIters: Int = 5, trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0, 1]")
+    val corpus = emb.select(ColNames.quotedCol(idCol).as("vec_id"),
+      ColNames.quotedCol(vecCol).as("cv"))
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
+    if (cents.isEmpty)
+      return corpus.limit(0).select(col("vec_id"),
+        lit(0).as("list_id"), lit(true).as("keep"))
+    val assigned = corpus.withColumn("list_id",
+      argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id"))
+    // persist: the assignment projection feeds the pair join twice (both
+    // vector sides) plus the final left join — left lazy, every consumer
+    // re-runs the nlist-way argmax per row.
+    Caching.withCached(assigned) {
+      val pairs = DedupOps.selfJoinWithinBuckets(
+          assigned.select(col("vec_id").as("id"), col("list_id")),
+          Seq("list_id"), carry = Seq.empty)
+        .select("id_a", "id_b").distinct()
+      val dropped = pairs
+        .join(assigned.select(col("vec_id").as("id_a"), col("cv").as("va")), "id_a")
+        .join(assigned.select(col("vec_id").as("id_b"), col("cv").as("vb")), "id_b")
+        .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= threshold)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned
+        .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"), col("_drop").isNull.as("keep"))
+    }
+  }
+
   /** Within-label vs cross-label cosine statistics over all pairs (a<b) —
     * an embedding-space sanity metric. Cosines are summed as
     * decimal(18,12) so the aggregate is exact and order-independent

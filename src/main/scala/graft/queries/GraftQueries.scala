@@ -78,6 +78,7 @@ object GraftQueries {
       df.write.mode("overwrite").parquet(path)
 
   private val AnnDumpPath = "/tmp/graft_sim_ann_dump"
+  private val SemDedupDumpPath = "/tmp/graft_semdedup_dump"
   private val MqDumpPath = "/tmp/graft_mq_wordcount_dump"
   private val ZOrderRoundtripPath = "/tmp/graft_zorder_roundtrip"
 
@@ -1614,6 +1615,40 @@ object GraftQueries {
     * would switch to approx_percentile; bounded-domain scores get
     * exactness for free. Thresholds (one row per lang) broadcast back.
     */
+  /** SemDeDup ([[SimilarityOps.semdedupKeepSet]]): cluster-then-prune
+    * semantic dedup. Value-exactness via the ANN-dump pattern: the
+    * cluster ASSIGNMENTS (the one part DuckDB cannot replay — k-means)
+    * are dumped during Verify, and the oracle recomputes every keep flag
+    * independently from the embeddings table — the within-cluster
+    * smaller-id cosine rule is pinned bit-for-bit, the quantizer is
+    * pinned as a deterministic partition (trainer determinism is
+    * spec-asserted).
+    */
+  private val d21 = Q("curate_semdedup",
+    (s, dir) => {
+      val res = SimilarityOps.semdedupKeepSet(t(s, dir, "embeddings"),
+          threshold = 0.4, nlist = 16, trainIters = 5, trainFraction = 0.25)
+        .orderBy("vec_id")
+        // Eager checkpoint: the dump and the returned result must come
+        // from ONE materialization, so the oracle scores exactly the
+        // assignments this run emitted.
+        .localCheckpoint(true)
+      verifyDump(res.select("vec_id", "list_id"), SemDedupDumpPath)
+      res
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id, list_id
+                 FROM read_parquet('$SemDedupDumpPath/*.parquet')),
+      t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      dropped AS (SELECT DISTINCT b.vec_id
+        FROM a x JOIN a b ON x.list_id = b.list_id AND x.vec_id < b.vec_id
+        JOIN t tx ON tx.vec_id = x.vec_id
+        JOIN t tb ON tb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(tx.v, tb.v) >= 0.4)
+      SELECT a.vec_id, a.list_id, (d.vec_id IS NULL) AS keep
+      FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      ORDER BY a.vec_id"""))
+
   /** Gopher-style hard rule filter ([[TextOps.withGopherRules]]): every
     * rule surfaced per document so the oracle pins each boundary
     * comparison, not just the final keep bit. Thresholds here are tuned
@@ -2874,7 +2909,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)

@@ -689,6 +689,51 @@ class OpsSpec extends SparkSuite {
       s"q8 recall $rQ8 fell more than 0.05 below fp32 IVF recall $rIvf")
   }
 
+  test("semdedupKeepSet == per-cluster smaller-id cosine rule; exact dups always drop") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // Plant exact copies under fresh larger ids: an identical vector
+    // lands in the same cluster by determinism and has cosine 1.0 to its
+    // original, so every copy MUST drop regardless of clustering quality.
+    val dup = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val all = emb.unionByName(dup)
+    val got = SimilarityOps.semdedupKeepSet(all, threshold = 0.4,
+      nlist = 8, trainIters = 3)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getBoolean(2)))
+    assert(rows.length == all.count())
+    val keepMap = rows.map(r => r._1 -> r._3).toMap
+    (0L until 10L).foreach { i =>
+      assert(!keepMap(i + 100000), s"exact dup of $i was kept") }
+    assert(rows.count(!_._3) >= 10 && rows.count(_._3) > 0)
+    // Reference: within each emitted cluster, v drops iff a smaller-id
+    // mate has cosine >= t — same fp32→double arithmetic as the kernel.
+    val vecs = all.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) None else Some(dot / denom)
+    }
+    rows.groupBy(_._2).values.foreach { members =>
+      val ids = members.map(_._1)
+      members.foreach { case (id, _, keep) =>
+        val want = !ids.exists(o =>
+          o < id && cos(vecs(o), vecs(id)).exists(_ >= 0.4))
+        assert(keep == want, s"vec $id keep=$keep want=$want")
+      }
+    }
+    // Deterministic under repartitioning.
+    val again = SimilarityOps.semdedupKeepSet(all.repartition(7), threshold = 0.4,
+      nlist = 8, trainIters = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue(), r.getBoolean(2)))
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("ivfTopKPq: ADC shortlist + fp32 re-rank; full probe with generous re-rank equals brute force") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 20)

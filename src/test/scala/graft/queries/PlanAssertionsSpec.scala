@@ -106,6 +106,12 @@ class PlanAssertionsSpec extends SparkSuite {
       s"q8 re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
   }
 
+  test("curate_semdedup: within-cluster pairs are equi-joins, never pair enumeration") {
+    val p = allExecutedPlans("curate_semdedup").mkString("\n===\n")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_topk_ivfpq: ADC probe broadcasts queries, re-rank broadcasts the shortlist") {
     val p = finalPlan("sim_topk_ivfpq")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
