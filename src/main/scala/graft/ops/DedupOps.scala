@@ -264,9 +264,11 @@ object DedupOps {
   /** The ONE driver-side max read behind every plan switch in this file
     * (dup-class size, hot-bucket counts): aggregates an already-bounded
     * frame to a single row. Bounded by construction at every call site —
-    * never corpus-sized; pinned by CollectLintSpec.
+    * never corpus-sized; pinned by CollectLintSpec. `private[ops]` so
+    * sibling ops' plan switches (SemDeDup's collapse fast path) share
+    * THIS read instead of growing the lint allowlist.
     */
-  private def maxLongOf(df: DataFrame, c: String): Long = {
+  private[ops] def maxLongOf(df: DataFrame, c: String): Long = {
     val row = df.agg(max(col(c))).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }

@@ -584,24 +584,57 @@ object SimilarityOps {
     if (cents.isEmpty)
       return corpus.limit(0).select(col("vec_id"),
         lit(0).as("list_id"), lit(true).as("keep"))
-    val assigned = corpus.withColumn("list_id",
-      argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id"))
-    // persist: the assignment projection feeds the pair join twice (both
-    // vector sides) plus the final left join — left lazy, every consumer
-    // re-runs the nlist-way argmax per row.
-    Caching.withCached(assigned) {
-      val pairs = DedupOps.selfJoinWithinBuckets(
-          assigned.select(col("vec_id").as("id"), col("list_id")),
-          Seq("list_id"), carry = Seq.empty)
-        .select("id_a", "id_b").distinct()
-      val dropped = pairs
-        .join(assigned.select(col("vec_id").as("id_a"), col("cv").as("va")), "id_a")
-        .join(assigned.select(col("vec_id").as("id_b"), col("cv").as("vb")), "id_b")
-        .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= threshold)
-        .select(col("id_b").as("vec_id")).distinct()
-      assigned
-        .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("list_id"), col("_drop").isNull.as("keep"))
+    // Vector-value collapse BEFORE the within-cluster rule (the project's
+    // dup-heavy-corpus posture, bit-layout fingerprint as in the pair
+    // op): without it, a class of N identical vectors pays N²/2
+    // within-cluster comparisons that all answer the same thing. The
+    // canonical (min-id) representatives carry the quadratic rule; the
+    // expansion is exact because identical vectors cluster identically
+    // and (for non-zero vectors) any above-canonical copy has cosine 1.0
+    // to its own canonical. Zero-norm classes are the one exception:
+    // cosine against a zero vector is NULL, never ≥ τ, so zero copies
+    // keep — preserved by the norm guard below.
+    val keyed = corpus.withColumn("fp",
+      md5(GraftFunctions.vector_bytes(col("cv"))))
+    val reps = keyed.groupBy("fp")
+      .agg(min(col("vec_id")).as("vec_id"),
+        min_by(col("cv"), col("vec_id")).as("cv"), count(lit(1)).as("cnt"))
+    val members = keyed.select(col("fp"), col("vec_id"))
+    Caching.withCached(members, reps) {
+      val assigned = reps.select(col("vec_id"), col("cv"))
+        .withColumn("list_id",
+          argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id"))
+      // persist: the assignment projection feeds the pair join twice
+      // (both vector sides) plus the final left join — left lazy, every
+      // consumer re-runs the nlist-way argmax per row.
+      val canon = Caching.withCached(assigned) {
+        val pairs = DedupOps.selfJoinWithinBuckets(
+            assigned.select(col("vec_id").as("id"), col("list_id")),
+            Seq("list_id"), carry = Seq.empty)
+          .select("id_a", "id_b").distinct()
+        val dropped = pairs
+          .join(assigned.select(col("vec_id").as("id_a"), col("cv").as("va")), "id_a")
+          .join(assigned.select(col("vec_id").as("id_b"), col("cv").as("vb")), "id_b")
+          .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= threshold)
+          .select(col("id_b").as("vec_id")).distinct()
+        assigned
+          .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("list_id"), col("_drop").isNull.as("keep"))
+      }
+      // Singleton classes everywhere (the dup-light fast path, shared
+      // 1-row switch): the canonical verdicts ARE the answer.
+      if (DedupOps.maxLongOf(reps, "cnt") <= 1L) canon
+      else {
+        val classInfo = reps.select(col("fp"), col("vec_id").as("_canon"),
+          (GraftFunctions.l2_norm(col("cv")) === 0.0).as("_zero"))
+        members
+          .join(classInfo, "fp")
+          .join(canon.select(col("vec_id").as("_canon"),
+            col("list_id"), col("keep").as("_ckeep")), "_canon")
+          .select(col("vec_id"), col("list_id"),
+            when(col("vec_id") === col("_canon"), col("_ckeep"))
+              .otherwise(col("_zero")).as("keep"))
+      }
     }
   }
 

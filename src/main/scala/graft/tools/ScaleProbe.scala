@@ -76,6 +76,18 @@ object ScaleProbe {
       countCol: String = "n_ref_dups", payloadCol: String = "best_jaccard",
       keepCol: String = "keep") extends Kind
 
+  /** Per-vector `(id, cluster, keep)` rows — the SemDeDup shape. The
+    * quantizer retrains on the replicated corpus (different id seeding →
+    * possibly a different fixpoint), so base-vs-rep keep flags are NOT
+    * comparable per orig; what replication guarantees structurally,
+    * clustering-independent, is: rows scale ×factor, all copies of one
+    * orig share a cluster (identical vectors assign identically), every
+    * non-first replica drops (an identical smaller-id copy exists), and
+    * at most one replica per orig is kept.
+    */
+  final case class SemDedupKind(idCol: String = "vec_id",
+      listCol: String = "list_id", keepCol: String = "keep") extends Kind
+
   val defaultQueries: Seq[(String, Kind)] = Seq(
     "dedup_simhash_pairs" -> PairsKind(0.0),
     "dedup_minhash_lsh" -> PairsKind(1.0),
@@ -94,6 +106,7 @@ object ScaleProbe {
     // by the oracle row and the DedupSkewSpec/OpsSpec equality tests; the
     // VerdictKind machinery itself is exercised by the lexical row below.
     "curate_incremental_dedup" -> VerdictKind(),
+    "curate_semdedup" -> SemDedupKind(),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -351,6 +364,33 @@ object ScaleProbe {
     errs.result()
   }
 
+  private def checkSemDedup(base: DataFrame, rep: DataFrame, factor: Int,
+      kind: SemDedupKind): Seq[String] = {
+    val SemDedupKind(idCol, listCol, keepCol) = kind
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"semdedup rows $repRows != factor * base ($baseRows)"
+    val laterKept = rep.filter(pmod(col(idCol), lit(factor)) =!= 0 &&
+      col(keepCol)).count()
+    if (laterKept > 0)
+      errs += s"$laterKept non-first replicas kept despite an identical smaller-id copy"
+    val perOrig = rep.groupBy(origOf(col(idCol), factor).as("o"))
+      .agg(countDistinct(col(listCol)).as("nl"),
+        sum(when(col(keepCol), 1L).otherwise(0L)).as("nk"))
+    perOrig.persist()
+    try {
+      val scattered = perOrig.filter(col("nl") =!= 1).count()
+      if (scattered > 0)
+        errs += s"$scattered origs whose identical copies landed in different clusters"
+      val multiKeep = perOrig.filter(col("nk") > 1).count()
+      if (multiKeep > 0)
+        errs += s"$multiKeep origs with more than one kept replica"
+    } finally perOrig.unpersist(blocking = false)
+    errs.result()
+  }
+
   def run(spark: SparkSession, baseDir: String, repDir: String, factor: Int,
       queries: Seq[(String, Kind)], timeCeiling: Option[Double]): Seq[Result] = {
     queries.map { case (name, kind) =>
@@ -370,6 +410,7 @@ object ScaleProbe {
         case ComponentsKind => checkComponents(baseDf, repDf, factor)
         case KeepSetKind(idCol) => checkKeepSet(baseDf, repDf, factor, idCol)
         case v: VerdictKind => checkVerdict(baseDf, repDf, factor, v)
+        case s: SemDedupKind => checkSemDedup(baseDf, repDf, factor, s)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>
