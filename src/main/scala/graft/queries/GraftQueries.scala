@@ -1649,6 +1649,83 @@ object GraftQueries {
       FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
       ORDER BY a.vec_id"""))
 
+  /** Deterministic linear quality classifier
+    * ([[graft.ops.ClassifierOps]]): ONE full-batch pass (the
+    * Rocchio-style class-centroid difference — see trainPerceptron's
+    * step-choice note) trained to reproduce a stopword-density quality
+    * label from hashed bag-of-words features, then scores the whole
+    * corpus (~0.92 accuracy here). The label is a text-derived rule
+    * because the synthetic corpus's metadata columns are independent of
+    * its text (every lang/source draws from one shared vocabulary —
+    * measured, and what text_langid_confusion shows); in production the
+    * same operator trains against human/LLM quality labels. The oracle
+    * replays the ENTIRE training trajectory — margins, misclassified
+    * set, per-bucket gradients — as a CTE chain (the BPE-training
+    * pattern), then the final scoring pass; all cross-row sums are
+    * decimal(38,12) and the loss is transcendental-free, so the
+    * trajectory is bit-portable.
+    */
+  private val d22 = Q("curate_quality_classifier",
+    (s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val enStops = Seq("the", "a", "of", "and", "is", "to")
+      val docs = t(s, dir, "documents").withColumn("is_quality",
+        size(filter(tk, x => x.isin(enStops: _*))).cast("double")
+          / size(tk).cast("double") >= 0.06)
+      val model = ClassifierOps.trainPerceptron(docs, "is_quality",
+        numBuckets = 256, steps = 1, learningRate = 1.0)
+      ClassifierOps.scorePerceptron(docs, model, "is_quality").orderBy("doc_id")
+    },
+    Some(perceptronOracleSql(steps = 1, buckets = 256)))
+
+  /** Generated oracle for [[d22]]: feature build (bias as bucket −1 with
+    * x = 1), `steps` train steps (margin → misclassified → per-bucket
+    * decimal gradient → FULL-JOIN weight update), one final scoring
+    * margin pass. Weight tables are (bucket, wt) rows, so no SQL array
+    * indexing is needed.
+    */
+  private def perceptronOracleSql(steps: Int, buckets: Int): String = {
+    val stepCtes = (1 to steps).map { k =>
+      s"""m$k AS (SELECT f.doc_id, any_value(f.y) AS y,
+            cast(sum(cast(f.x * coalesce(w.wt, 0.0) AS decimal(38,12))) AS DOUBLE) AS dot
+          FROM feat f LEFT JOIN w${k - 1} w USING (bucket) GROUP BY f.doc_id),
+      mis$k AS (SELECT doc_id, y FROM m$k WHERE dot * y <= 0),
+      cnt$k AS (SELECT y, count(*) AS ny FROM mis$k GROUP BY y),
+      g$k AS (SELECT f.bucket,
+            cast(sum(cast(f.y * f.x / c.ny AS decimal(38,12))) AS DOUBLE) AS g
+          FROM feat f JOIN mis$k m ON f.doc_id = m.doc_id
+          JOIN cnt$k c ON c.y = f.y GROUP BY f.bucket),
+      w$k AS MATERIALIZED (SELECT coalesce(w.bucket, g.bucket) AS bucket,
+            coalesce(w.wt, 0.0) + 1.0 * coalesce(g.g, 0.0) AS wt
+          FROM w${k - 1} w FULL JOIN g$k g ON w.bucket = g.bucket)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH base AS (SELECT doc_id,
+              (len(list_filter(tk, t -> list_contains(
+                 ['the','a','of','and','is','to'], t)))::DOUBLE
+                 / len(tk)) >= 0.06 AS lab,
+              tk FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents)),
+      tok AS (SELECT doc_id, CASE WHEN lab THEN 1 ELSE -1 END AS y,
+              unnest(tk) AS w, len(tk) AS n FROM base),
+      feat AS (
+        SELECT doc_id, y, bucket, cnt::DOUBLE / n AS x FROM (
+          SELECT doc_id, y, n,
+            (('0x' || substr(md5(w), 1, 15))::BIGINT % $buckets)::INT AS bucket,
+            count(*) AS cnt
+          FROM tok GROUP BY doc_id, y, n, bucket)
+        UNION ALL
+        SELECT doc_id, CASE WHEN lab THEN 1 ELSE -1 END, -1, 1.0 FROM base),
+      w0 AS (SELECT -2 AS bucket, 0.0 AS wt WHERE false),
+      $stepCtes,
+      mf AS (SELECT f.doc_id, any_value(f.y) AS y,
+            cast(sum(cast(f.x * coalesce(w.wt, 0.0) AS decimal(38,12))) AS DOUBLE) AS s
+          FROM feat f LEFT JOIN w$steps w USING (bucket) GROUP BY f.doc_id)
+      SELECT doc_id, (y = 1) AS label, round(s, 6) AS score,
+        (s > 0) AS pred, ((s > 0) = (y = 1)) AS correct
+      FROM mf ORDER BY doc_id"""
+  }
+
   /** Gopher-style hard rule filter ([[TextOps.withGopherRules]]): every
     * rule surfaced per document so the oracle pins each boundary
     * comparison, not just the final keep bit. Thresholds here are tuned
@@ -2909,7 +2986,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19,
     sm1, sm2, sm3, m01, m02, m03, m04, mq1, ly1)
