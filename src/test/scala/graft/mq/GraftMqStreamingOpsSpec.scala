@@ -167,6 +167,61 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup: micro-batch verdicts vs a static reference equal the batch run") {
+    // The streaming twin of curate_incremental_dedup: each micro-batch of
+    // arriving documents runs the asymmetric cross-corpus Jaccard op
+    // against the static reference via foreachBatch — the production
+    // shape for continuous-crawl dedup. The composition is EXACT, not
+    // approximate: verdicts depend only on (new doc, reference), never on
+    // other new docs, so any micro-batch partitioning of the stream
+    // unions to the whole-batch result. Admission control forces >= 3
+    // micro-batches to make the partition real.
+    val src = "incdedup-stream-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "alpha beta gamma delta epsilon eta"
+    val newTexts = Seq(tA, "hello world void null", tB, tA + " coda",
+      "x y z w", tB)
+    newTexts.zipWithIndex.foreach { case (t, i) =>
+      state.append(0, MqMessage(null, s"$i:$t".getBytes("UTF-8"),
+        base + i * 1000000L))
+    }
+    import spark.implicits._
+    val ref = Seq(100L -> tA, 101L -> tB,
+      102L -> "completely different words here").toDF("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "2")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val docs = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("payload"), ":", 2).getItem(1).as("text"))
+        val pairs = graft.ops.DedupOps.jaccardPairsAgainstRef(docs, ref,
+            threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= pairs; () }
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("incdedup-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(nBatches.get() >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get()}")
+    val all = newTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val batchRun = graft.ops.DedupOps.jaccardPairsAgainstRef(all, ref,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchRun.nonEmpty && got.toSet == batchRun,
+      s"streamed ${got.toSet} != batch $batchRun")
+  }
+
   test("streaming BPE budget filter: stateless subword counting over the stream") {
     // bpe_token_count is a pure per-row expression, so the subword budget
     // currency composes over a streaming DataFrame unchanged — the
