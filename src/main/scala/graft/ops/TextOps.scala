@@ -380,6 +380,37 @@ object TextOps {
     * hex-token merges in rank order — fewer only when the vocabulary
     * exhausts its adjacent pairs first.
     */
+  /** Intra-document dedup (the CCNet-style cleanup near-dup passes can't
+    * express — the doc repeats ITSELF): collapse runs of consecutive
+    * duplicate tokens to one occurrence, and drop repeated LINES keeping
+    * each line's first occurrence in order. Pure per-row map over
+    * indexed higher-order filters; both array reuses ride the
+    * one-element-transform binding so the split runs once per document,
+    * not once per element. Adds:
+    *
+    *  - `n_tokens`, `text_runs_collapsed`, `n_runs_collapsed`
+    *  - `n_lines`, `text_lines_deduped`, `n_dup_lines_removed`
+    */
+  def dedupIntraDoc(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = ColNames.quotedCol(textCol)
+    // element_at(tk, greatest(i, 1)): SQL OR does not short-circuit, so
+    // the previous-element read must stay in-range even when the i = 0
+    // branch already decides (ANSI element_at(…, 0) throws).
+    val collapsed = element_at(transform(array(tokens(text)), tk =>
+      filter(tk, (x, i) =>
+        (i === 0) || (x =!= element_at(tk, greatest(i, lit(1)))))), 1)
+    val keptLines = element_at(transform(array(split(text, "\n")), ln =>
+      filter(ln, (x, i) => array_position(ln, x) === i.cast("long") + 1L)), 1)
+    docs
+      .withColumn("n_tokens", size(tokens(text)))
+      .withColumn("text_runs_collapsed", array_join(collapsed, " "))
+      .withColumn("n_runs_collapsed", size(tokens(text)) - size(collapsed))
+      .withColumn("n_lines", size(split(text, "\n")))
+      .withColumn("text_lines_deduped", array_join(keptLines, "\n"))
+      .withColumn("n_dup_lines_removed",
+        size(split(text, "\n")) - size(keptLines))
+  }
+
   /** Tokenize the corpus with a TRAINED merge table — the serve side of
     * [[trainBpeMerges]] ("train the tokenizer on your corpus, then price
     * the corpus in its own subword units"). Word-TYPE application: the

@@ -300,6 +300,29 @@ class CurationOpsSpec extends SparkSuite {
     assert(mw, "mean word length exactly at the bound must pass")
   }
 
+  test("dedupIntraDoc: run collapse and first-occurrence line dedup on fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c a"),                       // runs collapse, later 'a' kept
+      (2L, "x y z"),                               // nothing to do
+      (3L, "l1\nl2\nl1\nl3\nl2"),                  // dup lines drop, order kept
+      (4L, ""),                                    // empty: 1 empty token/line
+      (5L, "p p\np p\nq")                          // runs within lines + dup line
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupIntraDoc(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_runs_collapsed"), r.getAs[Int]("n_runs_collapsed"),
+          r.getAs[String]("text_lines_deduped"), r.getAs[Int]("n_dup_lines_removed")))
+      .toMap
+    assert(got(1L) == ("a b c a", 3, "a a a b b c a", 0))
+    assert(got(2L) == ("x y z", 0, "x y z", 0))
+    assert(got(3L)._3 == "l1\nl2\nl3" && got(3L)._4 == 2)
+    assert(got(4L) == ("", 0, "", 0))
+    // run collapse is token-level (newlines live inside tokens here), and
+    // the duplicate "p p" line drops.
+    assert(got(5L)._3 == "p p\nq" && got(5L)._4 == 1)
+  }
+
   test("mixtureSample: invalid weights rejected") {
     val df = Seq((1L, "a")).toDF("doc_id", "grp")
     intercept[IllegalArgumentException] {
