@@ -222,6 +222,61 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
       s"streamed ${got.toSet} != batch $batchRun")
   }
 
+  test("streaming ANN serve: pre-trained IVF model answers micro-batches of query vectors") {
+    // The serve half of the IVF train-once contract over the streaming
+    // surface: the coarse quantizer trains ONCE on the static corpus,
+    // then every MQ micro-batch of arriving query vectors probes the
+    // same model via foreachBatch. Like the incremental-dedup
+    // composition, results are per-query state-free, so micro-batch
+    // unions must EQUAL the whole-batch run with the same model.
+    val src = "ann-serve-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val cents = graft.ops.SimilarityOps.trainIvfCentroids(corpus,
+      nlist = 4, trainIters = 3, trainFraction = 1.0)
+    // Queries arrive as "id:v1,v2,..." payloads.
+    val queryRows = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    queryRows.zipWithIndex.foreach { case ((id, v), i) =>
+      state.append(0, MqMessage(null,
+        s"$id:${v.mkString(",")}".getBytes("UTF-8"), base + i * 1000000L))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "2")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val queries = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("query_id"),
+          split(split(col("payload"), ":", 2).getItem(1), ",")
+            .cast("array<float>").as("qv"))
+        val topk = graft.ops.SimilarityOps.ivfTopK(queries, corpus, k = 3,
+            nlist = 4, nprobe = 2, trainIters = 3, centroids = Some(cents))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        got.synchronized { got ++= topk; () }
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("ann-serve-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(nBatches.get() >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get()}")
+    val allQueries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batchRun = graft.ops.SimilarityOps.ivfTopK(allQueries, corpus, k = 3,
+        nlist = 4, nprobe = 2, trainIters = 3, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batchRun.nonEmpty && got.toSet == batchRun,
+      s"streamed ${got.size} results != batch ${batchRun.size}")
+  }
+
   test("streaming BPE budget filter: stateless subword counting over the stream") {
     // bpe_token_count is a pure per-row expression, so the subword budget
     // currency composes over a streaming DataFrame unchanged — the
