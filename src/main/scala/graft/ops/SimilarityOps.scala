@@ -575,7 +575,9 @@ object SimilarityOps {
   def semdedupKeepSet(emb: DataFrame, threshold: Double, nlist: Int = 16,
       trainIters: Int = 5, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+      centroids: Option[Seq[(Int, Array[Double])]] = None,
+      hotBucketThreshold: Long = DedupOps.HotBucketThreshold,
+      splitTarget: Long = DedupOps.HotBucketSplitTarget): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0, 1]")
     val corpus = emb.select(ColNames.quotedCol(idCol).as("vec_id"),
       ColNames.quotedCol(vecCol).as("cv"))
@@ -610,7 +612,8 @@ object SimilarityOps {
       val canon = Caching.withCached(assigned) {
         val pairs = DedupOps.selfJoinWithinBuckets(
             assigned.select(col("vec_id").as("id"), col("list_id")),
-            Seq("list_id"), carry = Seq.empty)
+            Seq("list_id"), carry = Seq.empty,
+            hotBucketThreshold = hotBucketThreshold, splitTarget = splitTarget)
           .select("id_a", "id_b").distinct()
         val dropped = pairs
           .join(assigned.select(col("vec_id").as("id_a"), col("cv").as("va")), "id_a")

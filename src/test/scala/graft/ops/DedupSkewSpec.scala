@@ -123,6 +123,32 @@ class DedupSkewSpec extends SparkSuite {
     assert(default == brute)
   }
 
+  test("semdedupKeepSet: one-cluster adversarial fixture — forced grid == default") {
+    import spark.implicits._
+    // nlist = 1 puts every vector in ONE cluster, so the within-cluster
+    // pair space is a single 190-member hot bucket of mostly DISTINCT
+    // vectors (collapse only merges the 10 planted copies). Forcing the
+    // grid split must change nothing: the keep rule is independent of
+    // WHERE the comparisons run.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 180).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() + 0.01f))
+    }
+    val rows = base ++ (0 until 10).map(i => (1000L + i, base(i)._2))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(hot: Long, split: Long) =
+      SimilarityOps.semdedupKeepSet(emb, threshold = 0.9, nlist = 1,
+          trainIters = 1, hotBucketThreshold = hot, splitTarget = split)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val default = run(DedupOps.HotBucketThreshold, DedupOps.HotBucketSplitTarget)
+    val forced = run(16L, 8L)
+    assert(forced == default, "forced grid split changed semdedup verdicts")
+    // Planted copies (larger ids than their originals) must all drop.
+    (0 until 10).foreach { i =>
+      assert(default.contains((1000L + i, false)), s"copy of $i kept") }
+    assert(default.exists(_._2), "some vector must survive")
+  }
+
   test("simhash/minhash pairs: guard forced onto every bucket == default result") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) =
