@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Persistence for the library's trained models — IVF coarse centroids,
+  * PQ codebooks, BPE merge tables, perceptron weights — as plain parquet
+  * tables, completing the train-once / persist / serve-later lifecycle
+  * the reuse parameters (`centroids = Some(...)`, `codebooks`,
+  * `merges`, `model`) exist for: train on today's corpus, write the
+  * model next to the data, serve tomorrow's batches from any session.
+  *
+  * Round-trip exactness: every model is doubles/longs/strings in
+  * columnar form — parquet stores them bit-exactly, and each loader
+  * reorders by the persisted rank/index columns, so `load(save(m)) ≡ m`
+  * and serving from a loaded model is result-identical to serving from
+  * the in-memory one (spec-pinned). Models are config-sized, so the
+  * collect-on-load is the model read, not a data read.
+  */
+object ModelIO {
+
+  def saveIvfCentroids(spark: SparkSession, path: String,
+      cents: Seq[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    cents.map { case (id, c) => (id, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfCentroids(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(path)
+      .select(col("list_id").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  def savePqCodebooks(spark: SparkSession, path: String,
+      cbs: SimilarityOps.PqCodebooks): Unit = {
+    import spark.implicits._
+    cbs.flatMap { case (s, words) =>
+      words.map { case (j, c) => (s, j, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String): SimilarityOps.PqCodebooks =
+    spark.read.parquet(path)
+      .select(col("subspace").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) =>
+        (s, rows.sortBy(_._2).map { case (_, j, c) => (j, c) }.toSeq)
+      }
+
+  def saveBpeMerges(spark: SparkSession, path: String,
+      merges: Seq[(String, String, Long)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("merge_rank", "left_hex", "right_hex", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String, Long)] =
+    spark.read.parquet(path)
+      .select(col("merge_rank").cast("int"), col("left_hex"),
+        col("right_hex"), col("pair_count").cast("long"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  def savePerceptron(spark: SparkSession, path: String,
+      model: ClassifierOps.PerceptronModel): Unit = {
+    import spark.implicits._
+    // bucket −1 is the bias (weights(0)); parameters ride every row so
+    // the loader needs no side file.
+    model.weights.zipWithIndex.toSeq
+      .map { case (w, i) => (i - 1, w, model.numBuckets, model.steps, model.learningRate) }
+      .toDF("bucket", "weight", "num_buckets", "steps", "learning_rate")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPerceptron(spark: SparkSession, path: String): ClassifierOps.PerceptronModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("bucket").cast("int"), col("weight"),
+        col("num_buckets").cast("int"), col("steps").cast("int"),
+        col("learning_rate"))
+      .collect()
+    require(rows.nonEmpty, s"loadPerceptron: empty model at $path")
+    val numBuckets = rows.head.getInt(2)
+    val weights = new Array[Double](numBuckets + 1)
+    rows.foreach(r => weights(r.getInt(0) + 1) = r.getDouble(1))
+    ClassifierOps.PerceptronModel(weights, numBuckets,
+      rows.head.getInt(3), rows.head.getDouble(4))
+  }
+}

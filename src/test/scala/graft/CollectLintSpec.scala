@@ -45,9 +45,12 @@ class CollectLintSpec extends AnyFunSuite {
                                      // behind every plan switch (dup-class
                                      // size, hot-bucket counts) — bounded
                                      // by agg at every call site
-    "graft/ops/ClassifierOps.scala" -> 1) // trainPerceptron: the
+    "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit
+    "graft/ops/ModelIO.scala" -> 4)  // the four model LOADERS — each
+                                     // reads a config-sized persisted
+                                     // model table, never data
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class ModelIOSpec extends SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("model").toString
+
+  test("all four model families round-trip parquet bit-exactly") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("cv"))
+
+    val cents = SimilarityOps.trainIvfCentroids(corpus, nlist = 4,
+      trainIters = 2, trainFraction = 1.0)
+    val pc = tmpDir("modelio-ivf")
+    ModelIO.saveIvfCentroids(spark, pc, cents)
+    val cents2 = ModelIO.loadIvfCentroids(spark, pc)
+    assert(cents2.map { case (i, c) => (i, c.toSeq) } ==
+      cents.map { case (i, c) => (i, c.toSeq) })
+
+    val books = SimilarityOps.trainPqCodebooks(corpus, dims = 64, m = 4,
+      ksub = 4, trainIters = 2, trainFraction = 1.0)
+    val pb = tmpDir("modelio-pq")
+    ModelIO.savePqCodebooks(spark, pb, books)
+    val books2 = ModelIO.loadPqCodebooks(spark, pb)
+    assert(books2.map { case (s, ws) => (s, ws.map { case (j, c) => (j, c.toSeq) }) } ==
+      books.map { case (s, ws) => (s, ws.map { case (j, c) => (j, c.toSeq) }) })
+
+    val merges = TextOps.trainBpeMerges(docs, numMerges = 4)
+    val pm = tmpDir("modelio-bpe")
+    ModelIO.saveBpeMerges(spark, pm, merges)
+    assert(ModelIO.loadBpeMerges(spark, pm) == merges)
+
+    val docsLab = docs.withColumn("lab", col("doc_id") % 2 === 0)
+    val percep = ClassifierOps.trainPerceptron(docsLab, "lab",
+      numBuckets = 32, steps = 1)
+    val pp = tmpDir("modelio-percep")
+    ModelIO.savePerceptron(spark, pp, percep)
+    val percep2 = ModelIO.loadPerceptron(spark, pp)
+    assert(percep2.weights.toSeq == percep.weights.toSeq &&
+      percep2.numBuckets == percep.numBuckets &&
+      percep2.steps == percep.steps &&
+      percep2.learningRate == percep.learningRate)
+  }
+
+  test("serving from a loaded model is result-identical to the in-memory model") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cents = SimilarityOps.trainIvfCentroids(corpus, nlist = 4,
+      trainIters = 2, trainFraction = 1.0)
+    val p = tmpDir("modelio-serve")
+    ModelIO.saveIvfCentroids(spark, p, cents)
+    val fromMem = SimilarityOps.ivfTopK(queries, corpus, k = 3, nlist = 4,
+      nprobe = 2, centroids = Some(cents)).collect().toSeq
+    val fromDisk = SimilarityOps.ivfTopK(queries, corpus, k = 3, nlist = 4,
+      nprobe = 2, centroids = Some(ModelIO.loadIvfCentroids(spark, p)))
+      .collect().toSeq
+    assert(fromMem.nonEmpty && fromDisk == fromMem)
+  }
+}
