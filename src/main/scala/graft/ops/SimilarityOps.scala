@@ -551,6 +551,46 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Deterministic ±1 random projection (Achlioptas 2003, "Database-
+    * friendly random projections"): project `dims`-dim vectors to
+    * `outDims` via a Rademacher (±1) matrix — a valid Johnson-
+    * Lindenstrauss transform, so pairwise geometry (and cosine, after
+    * the implicit rescale) is preserved within the JL distortion. The
+    * matrix entry (j, i) is derived from `md5("rp:salt:j:i")` — the
+    * project's engine-portable hash idiom — so an external SQL oracle
+    * regenerates the SAME matrix from scratch and the projection is
+    * value-exact, not just statistically equivalent.
+    *
+    * Execution shape: the matrix is a driver-side literal (outDims×dims
+    * doubles — config-sized), each output component one codegen'd
+    * [[graft.functions.DotProduct]] against its literal row — a pure
+    * map, no shuffle, no model state. The use case is the standard one:
+    * cut embedding storage/shuffle width 4× (64→16) ahead of clustering
+    * or dedup passes whose quality survives the distortion.
+    */
+  def randomProjection(emb: DataFrame, dims: Int, outDims: Int,
+      salt: String = "rp", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDims >= 1 && dims >= outDims,
+      s"randomProjection: outDims=$outDims outside 1..dims=$dims")
+    val v = ColNames.quotedCol(vecCol)
+    val rows = (0 until outDims).map { j =>
+      (0 until dims).map(i => rademacher(salt, j, i).toDouble).toArray
+    }
+    emb.withColumn("projected",
+      array(rows.map(r => GraftFunctions.dot_product(v, typedLit(r))): _*))
+  }
+
+  /** ±1 from the low bit of the md5-prefix hash of `salt:j:i` — matches
+    * the SQL regeneration `('0x' || substr(md5(...), 1, 15))::BIGINT % 2`.
+    */
+  private def rademacher(salt: String, j: Int, i: Int): Int = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$salt:$j:$i")
+        .substring(0, 15), 16)
+    if (h % 2 == 0) 1 else -1
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embedding space with the shared IVF quantizer, then prune

@@ -2010,6 +2010,32 @@ object GraftQueries {
       CROSS JOIN d LEFT JOIN hits h ON h.path = p.path
       ORDER BY p.path"""))
 
+  /** JL random projection ([[SimilarityOps.randomProjection]]): 64 → 16
+    * dims through the md5-derived ±1 Rademacher matrix — the oracle
+    * REGENERATES the matrix from the same hash formula and recomputes
+    * every projection, so the transform is value-exact end to end (the
+    * 6-dp round absorbs any engine summation-order ulp).
+    */
+  private val s10 = Q("sim_random_projection",
+    (s, dir) => SimilarityOps.randomProjection(
+        t(s, dir, "embeddings"), dims = 64, outDims = 16)
+      .select(col("vec_id"),
+        transform(col("projected"), x => round(x, 6)).as("projected"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH m AS (SELECT j, list_transform(range(0, 64), i ->
+            CASE WHEN ('0x' || substr(md5('rp:' || j || ':' || i), 1, 15))::BIGINT
+                   % 2 = 0
+              THEN 1.0 ELSE -1.0 END) AS mrow
+          FROM (SELECT unnest(range(0, 16)) AS j)),
+      t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT t.vec_id, m.j,
+            round(list_sum(list_transform(range(1, 65),
+              k -> t.v[k] * m.mrow[k])), 6) AS pj
+          FROM t CROSS JOIN m)
+      SELECT vec_id, array_agg(pj ORDER BY j) AS projected
+      FROM p GROUP BY vec_id ORDER BY vec_id"""))
+
   /** Cosine via BUILT-IN higher-order functions — `zip_with` (elementwise
     * product) + `aggregate` (sum fold) — the no-custom-code alternative to
     * the native CosineSimilarity expression; both paths against the same
@@ -3062,7 +3088,7 @@ object GraftQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
-    s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
     sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1)
 

@@ -689,6 +689,34 @@ class OpsSpec extends SparkSuite {
       s"q8 recall $rQ8 fell more than 0.05 below fp32 IVF recall $rIvf")
   }
 
+  test("randomProjection: JL cosine preservation within distortion; matrix deterministic") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100)
+    val proj = SimilarityOps.randomProjection(emb, dims = 64, outDims = 16)
+      .select(col("vec_id"), col("embedding"), col("projected"))
+    // Pairwise cosine before vs after: ±1 RP to 16 dims preserves
+    // cosine within ~1/√16 typical distortion — assert a loose mean
+    // bound (the value-exactness itself is the oracle row's job).
+    val p = proj.as("a").join(proj.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.GraftFunctions.cosine_sim(
+          col("a.embedding"), col("b.embedding")).as("c0"),
+        graft.functions.GraftFunctions.cosine_sim(
+          col("a.projected"), col("b.projected")).as("c1"))
+      .agg(avg(abs(col("c0") - col("c1"))).as("mean_err"),
+        max(abs(col("c0") - col("c1"))).as("max_err"))
+      .head()
+    assert(p.getDouble(0) < 0.25,
+      s"mean cosine distortion ${p.getDouble(0)} above the JL expectation")
+    assert(p.getDouble(1) <= 1.0)
+    // Same salt → identical matrix → identical projections.
+    val again = SimilarityOps.randomProjection(emb, dims = 64, outDims = 16)
+      .select("vec_id", "projected").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1)).toMap
+    proj.select("vec_id", "projected").collect().foreach { r =>
+      assert(again(r.getLong(0)) == r.getSeq[Double](1))
+    }
+  }
+
   test("semdedupKeepSet == per-cluster smaller-id cosine rule; exact dups always drop") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     // Plant exact copies under fresh larger ids: an identical vector
