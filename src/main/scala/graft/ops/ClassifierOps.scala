@@ -94,15 +94,36 @@ object ClassifierOps {
   def trainPerceptron(docs: DataFrame, labelCol: String, numBuckets: Int = 64,
       steps: Int = 3, learningRate: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text"): PerceptronModel = {
+    val feat = features(docs, labelCol, numBuckets, idCol, textCol)
+    feat.persist()
+    try trainOn(feat, numBuckets, steps, learningRate)
+    finally feat.unpersist(blocking = false)
+  }
+
+  /** Train THEN score over one shared persisted feature frame — the
+    * registered-query shape (training and scoring each need the full
+    * hashed-bag build; sharing it halves the corpus passes). Returns the
+    * scored frame; the Caching contract eagerly materializes it before
+    * the feature blocks release.
+    */
+  def trainAndScorePerceptron(docs: DataFrame, labelCol: String,
+      numBuckets: Int = 64, steps: Int = 3, learningRate: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feat = features(docs, labelCol, numBuckets, idCol, textCol)
+    Caching.withCached(feat) {
+      val model = trainOn(feat, numBuckets, steps, learningRate)
+      scoreFeatures(feat, model, idCol)
+    }
+  }
+
+  private def trainOn(feat: DataFrame, numBuckets: Int, steps: Int,
+      learningRate: Double): PerceptronModel = {
     require(numBuckets >= 1 && numBuckets <= 65536,
       s"numBuckets=$numBuckets outside 1..65536")
     require(steps >= 1 && learningRate > 0)
-    val feat = features(docs, labelCol, numBuckets, idCol, textCol)
-    feat.persist()
-    try {
-      val weights = new Array[Double](numBuckets + 1)
-      var step = 0
-      while (step < steps) {
+    val weights = new Array[Double](numBuckets + 1)
+    var step = 0
+    while (step < steps) {
         val margins = feat.groupBy("id", "y").agg(dotCol(weights).as("dot"))
           .select(col("id"), col("y"), (col("dot") * col("y")).as("margin"))
         val mis = margins.filter(col("margin") <= 0.0).select("id", "y")
@@ -125,9 +146,8 @@ object ClassifierOps {
         // steps would be no-ops; an oracle replaying the full step count
         // computes identical weights.
         step = if (grad.isEmpty) steps else step + 1
-      }
-      PerceptronModel(weights, numBuckets, steps, learningRate)
-    } finally feat.unpersist(blocking = false)
+    }
+    PerceptronModel(weights, numBuckets, steps, learningRate)
   }
 
   /** Score every document under a trained model: (id, label, score,
@@ -136,11 +156,14 @@ object ClassifierOps {
     */
   def scorePerceptron(docs: DataFrame, model: PerceptronModel,
       labelCol: String, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val feat = features(docs, labelCol, model.numBuckets, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    scoreFeatures(features(docs, labelCol, model.numBuckets, idCol, textCol),
+      model, idCol)
+
+  private def scoreFeatures(feat: DataFrame, model: PerceptronModel,
+      idCol: String): DataFrame =
     feat.groupBy("id", "y").agg(dotCol(model.weights).as("s"))
       .select(col("id").as(idCol), (col("y") === 1).as("label"),
         round(col("s"), 6).as("score"), (col("s") > 0.0).as("pred"),
         ((col("s") > 0.0) === (col("y") === 1)).as("correct"))
-  }
 }

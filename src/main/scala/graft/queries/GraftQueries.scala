@@ -1602,6 +1602,64 @@ object GraftQueries {
         cast(off as bigint) AS token_offset, cast(off // 2000 as bigint) AS shard_id
       FROM o ORDER BY doc_id, chunk_idx"""))
 
+  /** Second end-to-end pipeline, composed from the round-12 stages:
+    * Gopher hard rules → intra-doc run collapse → exact dedup on the
+    * COLLAPSED text (canonicalization widens the dup net: docs that
+    * differ only in run lengths merge) → token-budget shard packing of
+    * survivors. One DataFrame program; oracle = the equivalent CTE
+    * chain.
+    */
+  private val d23 = Q("pipeline_curate_v2",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gophered = TextOps.withGopherRules(docs, minWords = 20,
+          minMeanWordLen = 4.0, minStopwordHits = 1)
+        .filter(col("keep")).select("doc_id", "text")
+      val collapsed = TextOps.dedupIntraDoc(gophered)
+        .select(col("doc_id"), col("text_runs_collapsed").as("ctext"))
+      val w = Window.partitionBy(md5(col("ctext")))
+      val survivors = collapsed
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"),
+          size(split(col("ctext"), " ")).cast("bigint").as("n_tok"))
+      LayoutOps.packByTokenBudgetKeys(survivors, Seq("doc_id"),
+          weightCol = "n_tok", budget = 1500L)
+        .select(col("doc_id"), col("n_tok"), col("token_offset"),
+          col("shard_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+          string_split(text, chr(10)) AS ln FROM documents),
+      g AS (SELECT doc_id, tk FROM t0 WHERE
+          len(tk) BETWEEN 20 AND 100000
+          AND (list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk))
+            BETWEEN 4.0 AND 10.0
+          AND ((len(text) - len(replace(text, '#', '')))
+            + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+            / len(tk) <= 0.1
+          AND (len(list_filter(ln, x -> x LIKE '%...'))::DOUBLE / len(ln)) <= 0.3
+          AND (len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+            / len(tk)) >= 0.8
+          AND len(list_intersect(list_distinct(tk),
+            ['the','be','to','of','and','that','have','with'])) >= 1),
+      c AS (SELECT doc_id, array_to_string(
+              list_filter(tk, (x, i) -> i = 1 OR x <> tk[greatest(i - 1, 1)]),
+              ' ') AS ctext FROM g),
+      f AS (SELECT doc_id, ctext,
+              min(doc_id) OVER (PARTITION BY md5(ctext)) AS canonical_id
+            FROM c),
+      k AS (SELECT doc_id, cast(len(string_split(ctext, ' ')) as bigint) AS n_tok
+            FROM f WHERE doc_id = canonical_id),
+      o AS (SELECT doc_id, n_tok,
+              coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM k)
+      SELECT doc_id, n_tok, cast(off as bigint) AS token_offset,
+        cast(off // 1500 as bigint) AS shard_id
+      FROM o ORDER BY doc_id"""))
+
   /** RELATIVE quality floor: keep each language's top 75% by quality
     * score (per-lang P25 threshold) — the curation form real pipelines
     * use instead of one absolute cutoff, because score distributions
@@ -1672,9 +1730,8 @@ object GraftQueries {
       val docs = t(s, dir, "documents").withColumn("is_quality",
         size(filter(tk, x => x.isin(enStops: _*))).cast("double")
           / size(tk).cast("double") >= 0.06)
-      val model = ClassifierOps.trainPerceptron(docs, "is_quality",
-        numBuckets = 256, steps = 1, learningRate = 1.0)
-      ClassifierOps.scorePerceptron(docs, model, "is_quality").orderBy("doc_id")
+      ClassifierOps.trainAndScorePerceptron(docs, "is_quality",
+        numBuckets = 256, steps = 1, learningRate = 1.0).orderBy("doc_id")
     },
     Some(perceptronOracleSql(steps = 1, buckets = 256)))
 
@@ -3087,7 +3144,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
     sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1)
