@@ -150,6 +150,35 @@ object LayoutOps {
     * and cast to long internally, which would silently change the key's
     * type and null semantics — rejected loudly instead.
     */
+  /** Pack ([[packByTokenBudgetKeys]]) AND ship: rows land hive-partitioned
+    * by `shard_id=` under `path` — every training shard its own prunable
+    * directory — and the returned MANIFEST comes from a READ-BACK of the
+    * written files (shard_id, n_rows, weight_sum, id_hash over the md5
+    * prefix of the first key column), so it attests what is actually on
+    * disk, not what was about to be written. The manifest is
+    * shard-count-sized; an external engine recomputes it from the same
+    * parquet for a value-exact storage check.
+    */
+  def writePackedShards(df: DataFrame, path: String, keyCols: Seq[String],
+      weightCol: String, budget: Long): DataFrame = {
+    val packed = packByTokenBudgetKeys(df, keyCols, weightCol, budget)
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    readShardManifest(df.sparkSession, path, weightCol, keyCols.head)
+  }
+
+  /** Manifest of an on-disk packed-shard directory — recomputed from the
+    * FILES, so it attests disk state; [[writePackedShards]]'s return
+    * value, and the read side for later sessions.
+    */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      weightCol: String, idCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(ColNames.quotedCol(weightCol)).as("weight_sum"),
+        expr(s"bit_xor(cast(conv(substring(md5(cast(${ColNames.quoted(idCol)} " +
+          s"as string)), 1, 15), 16, 10) as bigint))").as("id_hash"))
+
   def packByTokenBudgetKeys(df: DataFrame, keyCols: Seq[String],
       weightCol: String, budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"packByTokenBudget: budget must be positive, got $budget")

@@ -3094,6 +3094,38 @@ object GraftQueries {
     * Verify (or when the artifact is absent); locality/pruning
     * guarantees stay spec-asserted in LayoutOpsSpec.
     */
+  private val PackRoundtripPath = "/tmp/graft_pack_roundtrip"
+
+  /** Packed-shard WRITE round-trip ([[LayoutOps.writePackedShards]]):
+    * documents pack under a token budget, land hive-partitioned by
+    * `shard_id=`, and the returned manifest is recomputed from the
+    * written FILES — the oracle reads the same parquet (hive partition
+    * column included) and rebuilds the manifest independently, so the
+    * storage layout itself is value-checked, not just the pack
+    * arithmetic (that is text_shard_pack's job).
+    */
+  private val ly2 = Q("layout_pack_roundtrip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      val manifest =
+        if (sys.props.contains("graft.verify.dump") ||
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(PackRoundtripPath)))
+          LayoutOps.writePackedShards(docs, PackRoundtripPath,
+            Seq("doc_id"), "n_tok", budget = 3000L)
+        else LayoutOps.readShardManifest(s, PackRoundtripPath, "n_tok", "doc_id")
+      manifest.orderBy("shard_id")
+    },
+    Some(s"""
+      WITH f AS (SELECT doc_id, n_tok, shard_id
+                 FROM read_parquet('$PackRoundtripPath/*/*.parquet',
+                   hive_partitioning=true))
+      SELECT shard_id::BIGINT AS shard_id, count(*) AS n_rows,
+        sum(n_tok)::BIGINT AS weight_sum,
+        bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) AS id_hash
+      FROM f GROUP BY shard_id ORDER BY shard_id"""))
+
   private val ly1 = Q("layout_zorder_roundtrip",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3147,7 +3179,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
-    sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1)
+    sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1, ly2)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

@@ -225,6 +225,31 @@ class LayoutOpsSpec extends SparkSuite {
     }, minSuccessful = 15) // each evaluation launches Spark jobs
   }
 
+  test("writePackedShards: manifest attests written files; rows and weights survive") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => (i, (i % 7) + 1))
+    val df = rows.toDF("doc_id", "n_tok")
+    val path = Files.createTempDirectory("packed-shards").resolve("out").toString
+    val manifest = LayoutOps.writePackedShards(df, path, Seq("doc_id"), "n_tok",
+        budget = 20L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Written data round-trips exactly and agrees with the manifest.
+    val back = spark.read.parquet(path)
+    assert(back.count() == 60)
+    val byShard = back.groupBy("shard_id").agg(count(lit(1)).as("n"),
+        sum("n_tok").as("w"))
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(byShard == manifest, s"manifest $manifest != read-back $byShard")
+    // Total weight conserved; shards partition the rows.
+    assert(manifest.values.map(_._2).sum == rows.map(_._2).sum)
+    assert(manifest.values.map(_._1).sum == 60)
+    // Later-session read side reproduces the same manifest.
+    val again = LayoutOps.readShardManifest(spark, path, "n_tok", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == manifest)
+  }
+
   test("writeRangeSharded: files cover disjoint sorted ranges; row values survive") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")
