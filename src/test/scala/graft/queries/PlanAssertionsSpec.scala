@@ -93,6 +93,18 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_curate_v2: fingerprint window stays partitioned; pack stays two-phase") {
+    val p = allExecutedPlans("pipeline_curate_v2").mkString("\n===\n")
+    // The md5 dedup window is PARTITIONED by fingerprint (fine); what
+    // must never appear is a single-reducer exchange — the pack tail is
+    // the two-phase prefix sum.
+    assert(!p.contains("SinglePartition"),
+      s"pipeline_curate_v2: single-reducer exchange crept in:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"pipeline_curate_v2: expected the pack's range repartition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim_topk_ivf_q8: probe joins broadcast the query side, no nested loops") {
     val p = finalPlan("sim_topk_ivf_q8")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
