@@ -1882,12 +1882,19 @@ object GraftQueries {
         round(cos, 6) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  // LSH path: approximate — no SQL oracle (rows-only check); its recall vs
-  // brute force is asserted in OpsSpec instead.
+  // LSH path: approximate — no SQL oracle (rows-only check); its recall is
+  // pinned value-exactly by sim_recall_ann. Parameters come from the
+  // tools/LshTune grid at this SF: bucket population scales as N/2^bits,
+  // so bits must track log₂(N) — 12 bits over 5k near-orthogonal vectors
+  // leaves buckets near-empty (recall 0), while 8 bits × 8 tables scans
+  // ~3% of the corpus per query for recall ≈ 0.2 on this structureless
+  // data (clustered real embeddings bucket far better). At 100 TB the
+  // same grid is rerun with bits sized to the corpus.
   private val s02 = Q("sim_topk_lsh",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.lshTopK(q, c, k = 5).orderBy("query_id", "rank")
+      SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8)
+        .orderBy("query_id", "rank")
     },
     None)
 
@@ -1994,13 +2001,14 @@ object GraftQueries {
     * The spec-level recall floors in OpsSpec remain defense-in-depth.
     *
     * The ABSOLUTE recall values reflect the synthetic testdata: the
-    * generated embeddings are near-orthogonal random vectors, which
-    * bucket poorly under 12-bit hyperplane LSH (few collisions → recall
-    * near zero at test scale, the known LSH behavior on structureless
-    * data — OpsSpec's lshTopK note) and give IVF no cluster structure to
-    * exploit (recall ≈ nprobe/nlist-ish). On real clustered embeddings
-    * both paths are tuned by bits/tables/nlist/nprobe; this row pins the
-    * MEASUREMENT, parameter-identical to the registered sim_topk_* rows.
+    * generated embeddings are near-orthogonal random vectors, so the
+    * LSH row is tuned to this SF from the tools/LshTune grid (8 bits ×
+    * 8 tables → recall ≈ 0.2 at ~3% candidate volume; bucket population
+    * scales as N/2^bits, so bits tracks log₂(N) at scale) and IVF gets
+    * no cluster structure to exploit (recall ≈ nprobe/nlist-ish). On
+    * real clustered embeddings both paths bucket far better; this row
+    * pins the MEASUREMENT, parameter-identical to the registered
+    * sim_topk_* rows.
     */
   private val s09 = Q("sim_recall_ann",
     (s, dir) => {
@@ -2012,7 +2020,7 @@ object GraftQueries {
       val cents = SimilarityOps.trainIvfCentroids(c, nlist = 8,
         trainIters = 5, trainFraction = 0.25)
       val ann = Seq(
-        "lsh" -> SimilarityOps.lshTopK(q, c, k = 5),
+        "lsh" -> SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8),
         "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5, centroids = Some(cents)),
         "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
