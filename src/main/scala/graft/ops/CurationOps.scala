@@ -64,4 +64,133 @@ object CurationOps {
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("kept", when(col("n_contaminated") === 0, 1).otherwise(0))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much its HASHED-n-gram feature profile looks like a
+    * `target` distribution rather than the raw corpus — the standard
+    * cheap proxy for "select web data that resembles a high-quality
+    * seed set". Features are salted-md5 word-unigram buckets (the
+    * project's one cross-engine hash, [[SamplingOps.hashOf]]); per-bucket
+    * probabilities are add-1-smoothed over `buckets` cells; a document's
+    * log-weight is Σ_b count_b(doc) · (ln p̂_target(b) − ln p̂_raw(b)).
+    *
+    * Determinism contract: each per-bucket log-ratio double is pinned to
+    * decimal(18,12) once (the [[graft.queries.GraftQueries]] x14 log
+    * idiom), per-doc sums are exact decimal arithmetic (order- and
+    * partitioning-independent), and the result rounds to 6 dp — so an
+    * external engine reproduces every weight bit-for-bit.
+    *
+    * Returns one row per `docs` document: (`idCol`, `n_tokens`,
+    * `dsir_logweight`). Resampling itself composes downstream: the
+    * weights order is deterministic, so a pipeline takes its top-N with
+    * [[graft.plans.GraftPlans.topKPerKey]] or thresholds on the weight.
+    *
+    * Shape at 100 TB: the model is `buckets` rows (a constant, default
+    * 64 — production uses 10⁴, still tiny) built from two map-side
+    * partial-aggregated counts; it is BROADCAST to the per-doc join, so
+    * the only corpus-scale shuffle is the groupBy(`idCol`, bucket)
+    * partial count. The target set is corpus-shaped but usually small;
+    * its count aggregates map-side the same way. Nothing corpus-sized
+    * reaches the driver.
+    */
+  def dsirLogWeights(docs: DataFrame, target: DataFrame, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"dsirLogWeights: buckets=$buckets must be >= 2")
+    val id = ColNames.quotedCol(idCol)
+    // One corpus tokenize feeds BOTH the raw model counts and the per-doc
+    // scoring ([[Caching]] contract) — the split train/score entry points
+    // below pay a scan each instead, the price of serving later batches.
+    val rawB = docs
+      .select(id, explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
+      .select(id, pmod(SamplingOps.hashOf(col("w"), salt),
+        lit(buckets.toLong)).as("bk"))
+    Caching.withCached(rawB) {
+      val model = modelFromBuckets(rawB.select("bk"),
+        bucketedTokens(target, textCol, salt, buckets), buckets)
+      scoreFromBuckets(rawB, model, id)
+    }
+  }
+
+  /** Train side of [[dsirLogWeights]]: the per-bucket log-ratio model as
+    * a `buckets`-row DataFrame (`bk` long, `lam` decimal(18,12)) — the
+    * persistable unit ([[ModelIO.saveDsirModel]]) of the train-once /
+    * persist / serve-later lifecycle. The caller serves later batches
+    * with [[dsirScore]] under the SAME `buckets` and `salt` (they define
+    * the feature space; the model rows don't re-encode them).
+    */
+  def trainDsirModel(raw: DataFrame, target: DataFrame, buckets: Int = 64,
+      textCol: String = "text", salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"trainDsirModel: buckets=$buckets must be >= 2")
+    modelFromBuckets(bucketedTokens(raw, textCol, salt, buckets),
+      bucketedTokens(target, textCol, salt, buckets), buckets)
+  }
+
+  /** Serve side of [[dsirLogWeights]]: weigh `docs` under a trained (or
+    * [[ModelIO.loadDsirModel]]-loaded) model. `buckets` and `salt` must
+    * match training — they define the hash feature space.
+    */
+  def dsirScore(docs: DataFrame, model: DataFrame, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"dsirScore: buckets=$buckets must be >= 2")
+    val id = ColNames.quotedCol(idCol)
+    val perDoc = docs
+      .select(id, explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
+      .select(id, pmod(SamplingOps.hashOf(col("w"), salt),
+        lit(buckets.toLong)).as("bk"))
+    scoreFromBuckets(perDoc, model, id)
+  }
+
+  private def bucketedTokens(df: DataFrame, textCol: String, salt: String,
+      buckets: Int): DataFrame = df
+    .select(explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
+    .select(pmod(SamplingOps.hashOf(col("w"), salt), lit(buckets.toLong)).as("bk"))
+
+  /** Smoothed log-ratio model from pre-bucketed token streams: a
+    * `buckets`-row frame (`bk`, `lam` decimal(18,12)).
+    */
+  private def modelFromBuckets(rawBk: DataFrame, tgtBk: DataFrame,
+      buckets: Int): DataFrame = {
+    val rawCounts = rawBk.groupBy("bk").agg(count(lit(1)).as("cr"))
+    val tgtCounts = tgtBk.groupBy("bk").agg(count(lit(1)).as("ct"))
+    val spine = rawBk.sparkSession.range(buckets).select(col("id").as("bk"))
+    // Materialize the `buckets`-row count frame once: the totals below
+    // would otherwise re-run the corpus aggregation per scalar, and the
+    // checkpoint also severs the returned model's corpus lineage (it IS
+    // the trained artifact).
+    val joined = spine
+      .join(rawCounts, Seq("bk"), "left")
+      .join(tgtCounts, Seq("bk"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+      .localCheckpoint(true)
+    // Totals enter as SCALAR SUBQUERIES over the checkpointed frame —
+    // the 1-row crossJoin(broadcast(...)) alternative constant-folds
+    // into the BroadcastNestedLoopJoin shape the plan audit bans (the
+    // bloomGateAgainst rationale, DedupOps).
+    def tot(c: String) = org.apache.spark.sql.graft.Bridge.scalarSubquery(
+      joined.agg(sum(c).as(c)))
+    // ln of a smoothed ratio, pinned to decimal(18,12) per bucket — the
+    // model is tiny, so the decimal pin costs nothing and buys an
+    // engine-reproducible weight.
+    def lnp(c: String, tc: org.apache.spark.sql.Column) = log(
+      (col(c) + 1L).cast("double") /
+        (tc + lit(buckets.toLong)).cast("double"))
+    joined.select(col("bk"),
+      (lnp("ct", tot("ct")) - lnp("cr", tot("cr")))
+        .cast("decimal(18,12)").as("lam"))
+  }
+
+  /** Per-doc exact-decimal weight sum from a pre-bucketed (id, bk)
+    * stream under a broadcast model.
+    */
+  private def scoreFromBuckets(docBk: DataFrame, model: DataFrame,
+      id: org.apache.spark.sql.Column): DataFrame = docBk
+    .groupBy(id, col("bk")).agg(count(lit(1)).as("c"))
+    .join(broadcast(model), "bk")
+    .groupBy(id)
+    .agg(sum("c").cast("long").as("n_tokens"),
+      round(sum(col("c") * col("lam")).cast("double"), 6)
+        .as("dsir_logweight"))
 }

@@ -93,4 +93,19 @@ object ModelIO {
     ClassifierOps.PerceptronModel(weights, numBuckets,
       rows.head.getInt(3), rows.head.getDouble(4))
   }
+
+  /** DSIR bucket model ([[CurationOps.trainDsirModel]]) — the one family
+    * that stays a DataFrame end-to-end: `lam` is decimal(18,12) (parquet
+    * stores decimals bit-exactly) and [[CurationOps.dsirScore]] consumes
+    * the frame directly, so the loader needs NO driver collect at all.
+    * `buckets`/`salt` are the caller's serving parameters (they define
+    * the hash feature space and must match training).
+    */
+  def saveDsirModel(path: String, model: org.apache.spark.sql.DataFrame): Unit =
+    model.select(col("bk").cast("long"), col("lam").cast("decimal(18,12)"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  def loadDsirModel(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+      .select(col("bk").cast("long"), col("lam").cast("decimal(18,12)"))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over a `documents`-shaped
@@ -489,5 +490,155 @@ object TextOps {
       }
       merges.result()
     } finally words.unpersist(blocking = false)
+  }
+
+  /** Cross-document PARAGRAPH-level exact dedup (the RefinedWeb/FineWeb
+    * cleanup between whole-document dedup and substring dedup: boilerplate
+    * paragraphs — nav bars, license blocks, cookie banners — repeat across
+    * documents that are NOT duplicates of each other). Keep-first-global
+    * semantics: each distinct paragraph survives exactly once, in its
+    * earliest occurrence ordered by (`idCol`, paragraph position); every
+    * later copy — same doc or any other — is dropped. Deterministic and
+    * partitioning-independent by construction.
+    *
+    * Input: one row per document with `parasCol: array<string>` (the
+    * caller picks the paragraph boundary — `split(text, "\n\n")` for real
+    * corpora). Returns one row per document that has ≥1 paragraph:
+    * (`idCol`, `n_paras`, `n_kept`, `text_deduped`) where `text_deduped`
+    * re-joins the kept paragraphs with `\n` in original order ("" when
+    * every paragraph was a later copy).
+    *
+    * Shape at 100 TB: one explode, one window partitioned by the
+    * paragraph's md5 fingerprint (identity idiom of [[DedupOps]] — the
+    * shuffle is corpus-sized but keyed and even; no paragraph class is
+    * larger than its true duplicate count), one groupBy(`idCol`) whose
+    * per-doc collected list is bounded by document length. No driver-side
+    * work, no broadcast of anything corpus-sized.
+    */
+  def dedupParagraphsAcrossDocs(docs: DataFrame, idCol: String = "doc_id",
+      parasCol: String = "paras"): DataFrame = {
+    val id = ColNames.quotedCol(idCol)
+    val ex = docs.select(id,
+      posexplode(ColNames.quotedCol(parasCol)).as(Seq("para_idx", "para")))
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(id, col("para_idx"))
+    val ranked = ex.withColumn("keep", row_number().over(w) === 1)
+    ranked.groupBy(id)
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("para_idx"), col("para"))))),
+          x => x("para")), "\n").as("text_deduped"))
+  }
+
+  /** Cross-document duplicated n-gram SPAN coverage (the statistic behind
+    * exact-substring training-data dedup, Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better": how much of each
+    * document is covered by a token n-gram that also appears in ≥
+    * `minDocs` distinct documents). Returns one row per document:
+    * (`idCol`, `n_tokens`, `n_dup_starts`, `dup_tokens`, `dup_frac`)
+    * where `dup_tokens` is the exact size of the UNION of the length-`n`
+    * token windows starting at duplicated-gram positions — computed
+    * without interval folding: for starts sorted per doc, each start
+    * contributes `min(n, next_start − start)` (the last contributes `n`),
+    * which is precisely the merged-interval length.
+    *
+    * Shape at 100 TB: gram fingerprints (md5) shuffle twice — once for
+    * the distinct-doc count, once for the occurrence⋈dup-set equi-join
+    * (the dup set is corpus-sized, so it is NOT broadcast); the coverage
+    * window partitions by document (bounded by doc length). Per-doc
+    * derived frames are persisted for their two consumers and released
+    * via the [[Caching]] contract.
+    */
+  /** Exact-substring dedup with span REMOVAL (the rewrite half of
+    * Lee et al. 2021 that [[crossDocDupSpans]] only measures): drop every
+    * token that lies only under REDUNDANT copies of a duplicated n-gram,
+    * keeping the globally-first occurrence of each distinct gram intact.
+    *
+    * Semantics (deterministic, partitioning-independent): a gram is
+    * "duplicated" when it occurs in ≥ `minDocs` distinct documents; its
+    * single KEPT occurrence is the earliest by (`idCol`, position); a
+    * token position is removed iff it is covered by at least one
+    * duplicated-gram occurrence and by NO kept occurrence — so first
+    * copies survive verbatim (their tokens sit under a kept span), later
+    * copies lose exactly their duplicated spans, and unique text is
+    * never touched. The rewrite re-joins surviving tokens with spaces.
+    *
+    * Returns (`idCol`, `n_tokens`, `n_removed`, `text_dedup`).
+    *
+    * Shape at 100 TB: the same two gram-fingerprint shuffles as
+    * [[crossDocDupSpans]] plus a keep-rank window partitioned by
+    * fingerprint; the per-doc span lists are bounded by document length
+    * and the final rewrite is a per-row higher-order filter — work per
+    * document is O(len · dup-starts) with no cross-document state.
+    */
+  def dedupSubstringsAcrossDocs(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"dedupSubstringsAcrossDocs: n=$n must be >= 1")
+    require(minDocs >= 2, s"dedupSubstringsAcrossDocs: minDocs=$minDocs must be >= 2")
+    val id = ColNames.quotedCol(idCol)
+    val tk = docs.select(id, tokens(ColNames.quotedCol(textCol)).as("tk"))
+    val grams = tk
+      .select(id, posexplode(ngramsFromTokens(col("tk"), n))
+        .as(Seq("pos0", "gram")))
+      .select(id, (col("pos0") + 1).as("pos"), md5(col("gram")).as("fp"))
+    Caching.withCached(tk, grams) {
+      val dup = grams.groupBy("fp")
+        .agg(countDistinct(id).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("fp")
+      val keepW = Window.partitionBy(col("fp")).orderBy(id, col("pos"))
+      val occ = grams.join(dup, "fp")
+        .withColumn("kept", row_number().over(keepW) === 1)
+      val perDoc = occ.groupBy(id).agg(
+        sort_array(collect_list(col("pos"))).as("dstarts"),
+        sort_array(collect_list(when(col("kept"), col("pos")))).as("kstarts"))
+      val empty = array().cast("array<int>")
+      val withSpans = tk.join(perDoc, Seq(idCol), "left")
+        .withColumn("dstarts", coalesce(col("dstarts"), empty))
+        .withColumn("kstarts", coalesce(col("kstarts"), empty))
+      def covers(starts: Column, pos: Column) =
+        exists(starts, p => p <= pos && pos < p + n)
+      val keptTk = filter(col("tk"), (_, i) =>
+        !(covers(col("dstarts"), i + 1) && !covers(col("kstarts"), i + 1)))
+      withSpans
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+        .withColumn("_kept_tk", keptTk)
+        .select(id, col("n_tokens"),
+          (col("n_tokens") - size(col("_kept_tk"))).cast("long").as("n_removed"),
+          array_join(col("_kept_tk"), " ").as("text_dedup"))
+    }
+  }
+
+  def crossDocDupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"crossDocDupSpans: n=$n must be >= 1")
+    require(minDocs >= 2, s"crossDocDupSpans: minDocs=$minDocs must be >= 2")
+    val id = ColNames.quotedCol(idCol)
+    val tk = docs.select(id, tokens(ColNames.quotedCol(textCol)).as("tk"))
+    val grams = tk
+      .select(id, posexplode(ngramsFromTokens(col("tk"), n))
+        .as(Seq("pos0", "gram")))
+      .select(id, (col("pos0") + 1).as("pos"), md5(col("gram")).as("fp"))
+    Caching.withCached(tk, grams) {
+      val dup = grams.groupBy("fp")
+        .agg(countDistinct(id).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("fp")
+      val w = Window.partitionBy(id).orderBy(col("pos"))
+      val starts = grams.join(dup, "fp")
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_dup_starts"),
+          sum(least(lit(n.toLong),
+            coalesce((col("nxt") - col("pos")).cast("long"), lit(n.toLong))))
+            .as("dup_tokens"))
+      tk.select(id, size(col("tk")).cast("long").as("n_tokens"))
+        .join(starts, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_dup_starts", "dup_tokens"))
+        .withColumn("dup_frac",
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+    }
   }
 }

@@ -2661,6 +2661,147 @@ object GraftQueries {
         n_lines, n_lines - len(kl) AS n_dup_lines_removed
       FROM r ORDER BY doc_id"""))
 
+  /** Cross-document paragraph dedup ([[TextOps.dedupParagraphsAcrossDocs]],
+    * the RefinedWeb/FineWeb boilerplate cleanup). The synthetic corpus is
+    * single-line, so paragraphs are derived deterministically as
+    * consecutive 8-word groups (both engines apply the same grouping);
+    * keep-first-global then drops every later copy of a repeated
+    * paragraph and the md5 of the re-joined text pins the full rewrite.
+    */
+  private val x21 = Q("text_paragraph_dedup",
+    (s, dir) => {
+      val withParas = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+            "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+      TextOps.dedupParagraphsAcrossDocs(withParas)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text_deduped")).as("dedup_md5"),
+          length(col("text_deduped")).cast("long").as("n_chars_out"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      p AS (SELECT doc_id, cast(i as int) AS para_idx,
+              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
+            FROM t, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
+      k AS (SELECT doc_id, para_idx, para,
+              (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
+                AS keep
+            FROM p),
+      a AS (SELECT doc_id, count(*) AS n_paras,
+              sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+              coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                ORDER BY para_idx), '') AS txt
+            FROM k GROUP BY doc_id)
+      SELECT doc_id, cast(n_paras as bigint) AS n_paras,
+        cast(n_kept as bigint) AS n_kept,
+        md5(txt) AS dedup_md5, cast(length(txt) as bigint) AS n_chars_out
+      FROM a ORDER BY doc_id"""))
+
+  /** Duplicated n-gram span coverage ([[TextOps.crossDocDupSpans]], the
+    * Lee et al. 2021 exact-substring-dedup statistic): per doc, the exact
+    * token count covered by 8-grams shared with ≥2 distinct documents —
+    * interval union computed by the sorted-starts lead() identity on both
+    * engines.
+    */
+  private val x22 = Q("text_dup_spans",
+    (s, dir) => TextOps.crossDocDupSpans(t(s, dir, "documents"), n = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_starts"),
+        col("dup_tokens"), col("dup_frac"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, cast(i as int) AS pos,
+              list_aggregate(tk[i:i+7], 'string_agg', ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+      o AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM g JOIN d USING (gram)),
+      c AS (SELECT doc_id, count(*) AS n_dup_starts,
+              sum(least(8, coalesce(nxt - pos, 8))) AS dup_tokens
+            FROM o GROUP BY doc_id),
+      n AS (SELECT doc_id, len(tk) AS n_tokens FROM t)
+      SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        cast(coalesce(n_dup_starts, 0) as bigint) AS n_dup_starts,
+        cast(coalesce(dup_tokens, 0) as bigint) AS dup_tokens,
+        round(cast(coalesce(dup_tokens, 0) as double) / n_tokens, 6) AS dup_frac
+      FROM n LEFT JOIN c USING (doc_id) ORDER BY doc_id"""))
+
+  /** Exact-substring span REMOVAL ([[TextOps.dedupSubstringsAcrossDocs]],
+    * the rewrite half of Lee et al. 2021): tokens covered only by
+    * redundant copies of a cross-doc 8-gram are dropped, the globally
+    * first copy survives verbatim — the full rewrite of every doc pinned
+    * by md5.
+    */
+  private val x23 = Q("text_substring_dedup",
+    (s, dir) => TextOps.dedupSubstringsAcrossDocs(t(s, dir, "documents"), n = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text_dedup")).as("dedup_md5"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      g AS (SELECT doc_id, cast(i as int) AS pos,
+              list_aggregate(tk[i:i+7], 'string_agg', ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+      o AS (SELECT doc_id, pos,
+              (row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)) = 1
+                AS kept
+            FROM g JOIN d USING (gram)),
+      pd AS (SELECT doc_id, list(pos ORDER BY pos) AS ds,
+              list(pos ORDER BY pos) FILTER (WHERE kept) AS ks
+            FROM o GROUP BY doc_id),
+      kt AS (SELECT t.doc_id, tk,
+              coalesce(ds, []::int[]) AS ds2, coalesce(ks, []::int[]) AS ks2
+            FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id),
+      f AS (SELECT doc_id, len(tk) AS n_tokens,
+              list_filter(tk, (x, i) -> NOT (
+                len(list_filter(ds2, p -> p <= i AND i < p + 8)) > 0 AND
+                len(list_filter(ks2, p -> p <= i AND i < p + 8)) = 0)) AS kept
+            FROM kt)
+      SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        cast(n_tokens - len(kept) as bigint) AS n_removed,
+        md5(coalesce(array_to_string(kept, ' '), '')) AS dedup_md5
+      FROM f ORDER BY doc_id"""))
+
+  /** DSIR importance weights ([[CurationOps.dsirLogWeights]], Xie et al.
+    * 2023): hashed-unigram log-likelihood-ratio of every document against
+    * the English subset as the target distribution — the oracle replays
+    * the bucket hash, the smoothed per-bucket log-ratios (decimal-pinned),
+    * and the exact-decimal per-doc sums.
+    */
+  private val d24 = Q("curate_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      CurationOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          buckets = 64)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      b AS (SELECT doc_id, lang,
+              ('0x' || substr(md5('dsir' || w), 1, 15))::bigint % 64 AS bk
+            FROM tok),
+      raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+      tgt AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+      tots AS (SELECT (SELECT count(*) FROM b) AS tr,
+                      (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+      spine AS (SELECT unnest(range(64)) AS bk),
+      model AS (SELECT bk,
+          cast(ln(cast(coalesce(ct, 0) + 1 as double) / cast(tt + 64 as double))
+             - ln(cast(coalesce(cr, 0) + 1 as double) / cast(tr + 64 as double))
+            as decimal(18,12)) AS lam
+        FROM spine LEFT JOIN raw USING (bk) LEFT JOIN tgt USING (bk), tots),
+      perdoc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY doc_id, bk)
+      SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+        round(cast(sum(c * lam) as double), 6) AS dsir_logweight
+      FROM perdoc JOIN model USING (bk)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Train-then-serve composition ([[TextOps.bpeTrainedTokenCounts]]):
     * the corpus priced in the subword units of its OWN trained merge
     * table — the oracle replays the full training loop AND the word-type
@@ -3184,9 +3325,9 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1, ly2)
 
   // A duplicated name would silently last-win in the .toMap below and

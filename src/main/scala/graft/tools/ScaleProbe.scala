@@ -88,6 +88,22 @@ object ScaleProbe {
   final case class SemDedupKind(idCol: String = "vec_id",
       listCol: String = "list_id", keepCol: String = "keep") extends Kind
 
+  /** Per-doc paragraph-dedup rows `(doc_id, n_paras, n_kept, dedup_md5)`
+    * — keep-first-global under replication: `origId*factor + k` preserves
+    * base document order and puts the k=0 copy first, so that copy keeps
+    * exactly what its orig kept in base (same rewrite md5) while every
+    * k>0 copy keeps nothing (an identical paragraph always exists
+    * earlier); `n_paras` is structural and replicates unchanged.
+    */
+  case object ParagraphDedupKind extends Kind
+
+  /** Per-doc dup-span rows `(doc_id, n_tokens, dup_tokens)` under
+    * replication: every n-gram gains `factor` text-identical homes, so
+    * coverage SATURATES — `dup_tokens == n_tokens` for every doc with
+    * ≥ `n` tokens, 0 for shorter docs; rows scale ×factor.
+    */
+  final case class DupSpansSaturationKind(n: Int) extends Kind
+
   val defaultQueries: Seq[(String, Kind)] = Seq(
     "dedup_simhash_pairs" -> PairsKind(0.0),
     "dedup_minhash_lsh" -> PairsKind(1.0),
@@ -107,6 +123,8 @@ object ScaleProbe {
     // VerdictKind machinery itself is exercised by the lexical row below.
     "curate_incremental_dedup" -> VerdictKind(),
     "curate_semdedup" -> SemDedupKind(),
+    "text_paragraph_dedup" -> ParagraphDedupKind,
+    "text_dup_spans" -> DupSpansSaturationKind(8),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -391,6 +409,51 @@ object ScaleProbe {
     errs.result()
   }
 
+  private def checkParagraphDedup(base: DataFrame, rep: DataFrame,
+      factor: Int): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"paragraph-dedup rows $repRows != factor * base ($baseRows)"
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    val j = rep.select(origOf(col("doc_id"), factor).as("o"),
+        pmod(col("doc_id"), lit(factor)).as("k"),
+        col("n_paras"), col("n_kept"), col("dedup_md5"))
+      .join(base.select(col("doc_id").as("o"), col("n_paras").as("bp"),
+        col("n_kept").as("bkept"), col("dedup_md5").as("bmd5")), Seq("o"))
+    j.persist()
+    try {
+      val badParas = j.filter(col("n_paras") =!= col("bp")).count()
+      if (badParas > 0)
+        errs += s"$badParas replicas with a different paragraph count than their orig"
+      val badFirst = j.filter(col("k") === 0 &&
+        (col("n_kept") =!= col("bkept") || col("dedup_md5") =!= col("bmd5"))).count()
+      if (badFirst > 0)
+        errs += s"$badFirst first replicas whose keep-set differs from the base rewrite"
+      val badLater = j.filter(col("k") > 0 &&
+        (col("n_kept") =!= 0L || col("dedup_md5") =!= emptyMd5)).count()
+      if (badLater > 0)
+        errs += s"$badLater non-first replicas kept a paragraph despite an earlier identical copy"
+    } finally j.unpersist(blocking = false)
+    errs.result()
+  }
+
+  private def checkDupSpansSaturation(base: DataFrame, rep: DataFrame,
+      factor: Int, n: Int): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"dup-span rows $repRows != factor * base ($baseRows)"
+    val bad = rep.filter(
+      (col("n_tokens") >= n && col("dup_tokens") =!= col("n_tokens")) ||
+        (col("n_tokens") < n && col("dup_tokens") =!= 0L)).count()
+    if (bad > 0)
+      errs += s"$bad replicated docs whose dup coverage is not saturated (every gram has $factor homes)"
+    errs.result()
+  }
+
   def run(spark: SparkSession, baseDir: String, repDir: String, factor: Int,
       queries: Seq[(String, Kind)], timeCeiling: Option[Double]): Seq[Result] = {
     queries.map { case (name, kind) =>
@@ -411,6 +474,8 @@ object ScaleProbe {
         case KeepSetKind(idCol) => checkKeepSet(baseDf, repDf, factor, idCol)
         case v: VerdictKind => checkVerdict(baseDf, repDf, factor, v)
         case s: SemDedupKind => checkSemDedup(baseDf, repDf, factor, s)
+        case ParagraphDedupKind => checkParagraphDedup(baseDf, repDf, factor)
+        case DupSpansSaturationKind(n) => checkDupSpansSaturation(baseDf, repDf, factor, n)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>

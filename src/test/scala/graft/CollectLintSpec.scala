@@ -48,9 +48,14 @@ class CollectLintSpec extends AnyFunSuite {
     "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit
-    "graft/ops/ModelIO.scala" -> 4)  // the four model LOADERS — each
+    "graft/ops/ModelIO.scala" -> 4,  // the four model LOADERS — each
                                      // reads a config-sized persisted
                                      // model table, never data
+    "graft/tools/LshTune.scala" -> 2) // offline tuning CLI, not an
+                                     // operator: both reads are top-k
+                                     // result sets (queries×k rows),
+                                     // bounded by the grid's fixed
+                                     // 10-query probe
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

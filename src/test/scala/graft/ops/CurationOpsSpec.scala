@@ -335,4 +335,152 @@ class CurationOpsSpec extends SparkSuite {
       SamplingOps.mixtureSample(df, "grp", Seq("a" -> 1L, "a" -> 2L), col("doc_id"))
     }
   }
+
+  // ------------------------------------- dedupParagraphsAcrossDocs
+
+  test("dedupParagraphsAcrossDocs: keep-first-global across and within docs") {
+    val docs = Seq(
+      (1L, Seq("A", "B")),       // both first occurrences → all kept
+      (2L, Seq("B", "C", "B")),  // B seen in doc 1, and again within doc 2
+      (3L, Seq("A"))             // only a later copy → empty rewrite
+    ).toDF("doc_id", "paras")
+    val got = TextOps.dedupParagraphsAcrossDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_deduped")))).toMap
+    assert(got(1L) == ((2L, 2L, "A\nB")))
+    assert(got(2L) == ((3L, 1L, "C")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
+  test("dedupParagraphsAcrossDocs: original order preserved, repartition-stable") {
+    val docs = Seq(
+      (1L, Seq("z", "a", "m")),       // kept order is positional, not sorted
+      (2L, Seq("m", "q", "a", "z"))   // only q survives from doc 2
+    ).toDF("doc_id", "paras")
+    val expect = Map(1L -> "z\na\nm", 2L -> "q")
+    Seq(docs, docs.repartition(7)).foreach { d =>
+      val got = TextOps.dedupParagraphsAcrossDocs(d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_deduped"))
+        .toMap
+      assert(got == expect)
+    }
+  }
+
+  // ------------------------------------------- crossDocDupSpans
+
+  test("crossDocDupSpans: interval union of overlapping dup spans is exact") {
+    // "b c d" is the one cross-doc 3-gram: doc 1 at pos 2 AND pos 5
+    // (overlap-free: spans [2,4] + [5,7] = 6 tokens), doc 2 at pos 2.
+    val docs = Seq(
+      (1L, "a b c d b c d e"),
+      (2L, "x b c d y"),
+      (3L, "clean text with no shared grams")).toDF("doc_id", "text")
+    val got = TextOps.crossDocDupSpans(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_starts"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((8L, 2L, 6L, 0.75)))
+    assert(got(2L) == ((5L, 1L, 3L, 0.6)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+  }
+
+  test("crossDocDupSpans: truly overlapping starts clip to the gap") {
+    // doc 1 = doc 2, so EVERY 3-gram is duplicated: starts 1..4, each
+    // clips to min(3, 1) = 1 except the last (3) → covered = all 6.
+    val docs = Seq((1L, "t u v w x y"), (2L, "t u v w x y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.crossDocDupSpans(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_starts"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(got(1L) == ((4L, 6L)) && got(2L) == ((4L, 6L)))
+  }
+
+  test("crossDocDupSpans: docs shorter than n have no grams and report zero") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.crossDocDupSpans(docs, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_tokens"))).toSet
+    assert(got == Set((1L, 0L), (2L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextOps.crossDocDupSpans(docs, n = 0)
+    }
+  }
+
+  // --------------------------------- dedupSubstringsAcrossDocs
+
+  test("dedupSubstringsAcrossDocs: first copy intact, later copies lose exactly the shared span") {
+    val docs = Seq(
+      (1L, "a b c d e"),    // owns the kept "a b c"
+      (2L, "x a b c y"),    // later copy of "a b c" → span removed
+      (3L, "p q r s"),      // identical pair: first intact...
+      (4L, "p q r s")       // ...second fully erased
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupSubstringsAcrossDocs(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("text_dedup")))).toMap
+    assert(got(1L) == ((0L, "a b c d e")))
+    assert(got(2L) == ((3L, "x y")))
+    assert(got(3L) == ((0L, "p q r s")))
+    assert(got(4L) == ((4L, "")))
+  }
+
+  test("dedupSubstringsAcrossDocs: within-doc repeat of a dup gram drops only the later span") {
+    val docs = Seq(
+      (5L, "m n o m n o"),  // "m n o" kept at pos 1; its pos-4 repeat drops
+      (6L, "m n o z z z")   // later copy drops; unique "z z z" untouched
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupSubstringsAcrossDocs(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_dedup")))).toMap
+    assert(got(5L) == ((6L, 3L, "m n o")))
+    assert(got(6L) == ((6L, 3L, "z z z")))
+  }
+
+  test("dedupSubstringsAcrossDocs: repartition-stable; no dup grams → identity rewrite") {
+    val docs = Seq((1L, "u v w"), (2L, "h i j k")).toDF("doc_id", "text")
+    Seq(docs, docs.repartition(5)).foreach { d =>
+      val got = TextOps.dedupSubstringsAcrossDocs(d, n = 3).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_dedup"))).toSet
+      assert(got == Set((1L, 0L, "u v w"), (2L, 0L, "h i j k")))
+    }
+  }
+
+  // --------------------------------------------- dsirLogWeights
+
+  test("dsirLogWeights: target-like docs outrank off-target docs") {
+    val docs = Seq(
+      (1L, "good clean prose text", "en"),
+      (2L, "good clean prose text", "en"),
+      (3L, "spam spam spam spam", "xx"),
+      (4L, "good spam spam text", "xx")).toDF("doc_id", "text", "lang")
+    val w = CurationOps.dsirLogWeights(docs,
+        docs.filter(col("lang") === "en"), buckets = 64)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_logweight")))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    assert(w(1L)._1 == 4L)
+    assert(w(1L)._2 == w(2L)._2)         // identical docs, identical weight
+    assert(w(1L)._2 > w(4L)._2)          // pure target beats mixed
+    assert(w(4L)._2 > w(3L)._2)          // mixed beats pure off-target
+  }
+
+  test("dsirLogWeights: bit-identical under repartitioning") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "delta beta", "en"),
+      (3L, "omega psi chi phi", "xx"), (4L, "alpha omega", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val tgt = docs.filter(col("lang") === "en")
+    val a = CurationOps.dsirLogWeights(docs, tgt, buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = CurationOps.dsirLogWeights(docs.repartition(11), tgt.repartition(5),
+        buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      CurationOps.dsirLogWeights(docs, tgt, buckets = 1)
+    }
+  }
 }

@@ -64,4 +64,23 @@ class ModelIOSpec extends SparkSuite {
       .collect().toSeq
     assert(fromMem.nonEmpty && fromDisk == fromMem)
   }
+
+  test("DSIR model round-trips and scoring from disk is bit-identical") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val model = CurationOps.trainDsirModel(docs, target, buckets = 32)
+    val p = tmpDir("modelio-dsir")
+    ModelIO.saveDsirModel(p, model)
+    val loaded = ModelIO.loadDsirModel(spark, p)
+    // model itself round-trips exactly (decimal lam, long bk)
+    assert(loaded.orderBy("bk").collect().map(_.toSeq).toSeq ==
+      model.orderBy("bk").collect().map(_.toSeq).toSeq)
+    // serving tomorrow's batch from the persisted model ≡ the one-shot
+    // composed path on the same (docs, target)
+    val direct = CurationOps.dsirLogWeights(docs, target, buckets = 32)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = CurationOps.dsirScore(docs, loaded, buckets = 32)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == direct)
+  }
 }

@@ -236,4 +236,34 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("text_paragraph_dedup: keep-first window partitioned by fingerprint, no pair joins") {
+    val p = plan("text_paragraph_dedup")
+    // The keep-first rank must partition by the paragraph md5 — a
+    // SinglePartition window would funnel the whole corpus through one
+    // task; and nothing here may degrade to pair enumeration.
+    assert(!p.contains("SinglePartition"),
+      s"text_paragraph_dedup: unpartitioned window/exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_dup_spans: dup-gram set joins as an equi-join, never pair enumeration") {
+    // The dup-gram set is corpus-sized by contract, so the op never
+    // broadcasts it by FIAT (AQE is free to convert at runtime when the
+    // set measures small, as it does at this test's scale — that is the
+    // desired behavior, not a violation). What must never appear is a
+    // nested-loop/cartesian pairing of occurrences against the set.
+    val ps = allExecutedPlans("text_dup_spans").mkString("\n===\n")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(ps.contains), s"text_dup_spans: no equi-join in plan:\n$ps")
+  }
+
+  test("curate_dsir_weights: bucket model broadcast — corpus never shuffles against it") {
+    // The model is `buckets` rows; the per-doc join must broadcast it.
+    // The only corpus-scale shuffle is the (doc, bucket) partial count.
+    val ps = allExecutedPlans("curate_dsir_weights").mkString("\n===\n")
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+  }
 }
