@@ -1660,6 +1660,111 @@ object GraftQueries {
         cast(off // 1500 as bigint) AS shard_id
       FROM o ORDER BY doc_id"""))
 
+  /** THIRD end-to-end pipeline, composing this round's substring-dedup
+    * family with DSIR selection: paragraph keep-first-global dedup
+    * (8-word paragraphs) → exact-substring span removal (8-grams) on the
+    * rewritten corpus → DSIR importance weights against the English
+    * subset, keeping docs at least as target-like as the corpus
+    * (logweight ≥ 0, the natural DSIR acceptance line) → token-budget
+    * shard packing. One DataFrame program; the oracle replays the whole
+    * chain as one CTE cascade.
+    */
+  private val d25 = Q("pipeline_curate_v3",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withParas = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+            "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+      val pd = TextOps.dedupParagraphsAcrossDocs(withParas)
+        .filter(col("n_kept") > 0)
+        // paragraphs re-join with spaces for the token-stream stages
+        .select(col("doc_id"),
+          translate(col("text_deduped"), "\n", " ").as("ptext"))
+      val sd = TextOps.dedupSubstringsAcrossDocs(pd, n = 8, textCol = "ptext")
+        .filter(length(col("text_dedup")) > 0)
+        .select(col("doc_id"), col("text_dedup"))
+      val withLang = sd.join(docs.select("doc_id", "lang"), "doc_id")
+      val selected = CurationOps.dsirLogWeights(withLang,
+          withLang.filter(col("lang") === "en"), buckets = 64,
+          textCol = "text_dedup")
+        .filter(col("dsir_logweight") >= 0)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"),
+          col("dsir_logweight"))
+      LayoutOps.packByTokenBudgetKeys(selected, Seq("doc_id"),
+          weightCol = "n_tok", budget = 1200L)
+        .join(selected.select("doc_id", "dsir_logweight"), "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("dsir_logweight"),
+          col("token_offset"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      p AS (SELECT doc_id, cast(i as int) AS para_idx,
+              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
+            FROM t0, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
+      k AS (SELECT doc_id, para_idx, para,
+              (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
+                AS keep
+            FROM p),
+      a AS (SELECT doc_id,
+              string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY para_idx)
+                AS ptext
+            FROM k GROUP BY doc_id
+            HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0),
+      t1 AS (SELECT doc_id, string_split(ptext, ' ') AS tk FROM a),
+      g AS (SELECT doc_id, cast(i as int) AS pos,
+              list_aggregate(tk[i:i+7], 'string_agg', ' ') AS gram
+            FROM t1, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+      o AS (SELECT doc_id, pos,
+              (row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)) = 1
+                AS kept
+            FROM g JOIN d USING (gram)),
+      sp AS (SELECT doc_id, list(pos ORDER BY pos) AS ds,
+              list(pos ORDER BY pos) FILTER (WHERE kept) AS ks
+            FROM o GROUP BY doc_id),
+      kt AS (SELECT t1.doc_id, tk, coalesce(ds, []::int[]) AS ds2,
+              coalesce(ks, []::int[]) AS ks2
+            FROM t1 LEFT JOIN sp ON t1.doc_id = sp.doc_id),
+      f AS (SELECT doc_id,
+              coalesce(array_to_string(list_filter(tk, (x, i) -> NOT (
+                len(list_filter(ds2, p2 -> p2 <= i AND i < p2 + 8)) > 0 AND
+                len(list_filter(ks2, p2 -> p2 <= i AND i < p2 + 8)) = 0)), ' '),
+                '') AS ctext
+            FROM kt),
+      c AS (SELECT f.doc_id, ctext, dl.lang
+            FROM f JOIN (SELECT doc_id, lang FROM documents) dl
+              ON f.doc_id = dl.doc_id
+            WHERE len(ctext) > 0),
+      tok AS (SELECT doc_id, lang, unnest(string_split(ctext, ' ')) AS w FROM c),
+      b AS (SELECT doc_id, lang,
+              ('0x' || substr(md5('dsir' || w), 1, 15))::bigint % 64 AS bk
+            FROM tok),
+      raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+      tgt AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+      tots AS (SELECT (SELECT count(*) FROM b) AS tr,
+                      (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+      spine AS (SELECT unnest(range(64)) AS bk),
+      model AS (SELECT bk,
+          cast(ln(cast(coalesce(ct, 0) + 1 as double) / cast(tt + 64 as double))
+             - ln(cast(coalesce(cr, 0) + 1 as double) / cast(tr + 64 as double))
+            as decimal(18,12)) AS lam
+        FROM spine LEFT JOIN raw USING (bk) LEFT JOIN tgt USING (bk), tots),
+      perdoc AS (SELECT doc_id, bk, count(*) AS cnt FROM b GROUP BY doc_id, bk),
+      wts AS (SELECT doc_id, cast(sum(cnt) as bigint) AS n_tok,
+                round(cast(sum(cnt * lam) as double), 6) AS dsir_logweight
+              FROM perdoc JOIN model USING (bk) GROUP BY doc_id),
+      sel AS (SELECT * FROM wts WHERE dsir_logweight >= 0),
+      oo AS (SELECT doc_id, n_tok, dsir_logweight,
+               coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM sel)
+      SELECT doc_id, n_tok, dsir_logweight, cast(off as bigint) AS token_offset,
+        cast(off // 1200 as bigint) AS shard_id
+      FROM oo ORDER BY doc_id"""))
+
   /** RELATIVE quality floor: keep each language's top 75% by quality
     * score (per-lang P25 threshold) — the curation form real pipelines
     * use instead of one absolute cutoff, because score distributions
@@ -3325,7 +3430,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1, ly2)

@@ -277,6 +277,58 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
       s"streamed ${got.size} results != batch ${batchRun.size}")
   }
 
+  test("streaming DSIR scoring: persisted model weighs micro-batches identically to the batch run") {
+    // The serve half of the DSIR train-once contract over the streaming
+    // surface: the bucket model trains ONCE on the static corpus, rides
+    // ModelIO to disk, and every MQ micro-batch of arriving documents is
+    // weighed by the LOADED model via foreachBatch. Scoring is per-doc
+    // state-free under a fixed model, so micro-batch unions must EQUAL
+    // the whole-batch run.
+    val src = "dsir-serve-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val model0 = graft.ops.CurationOps.trainDsirModel(docs,
+      docs.filter(col("lang") === "en"), buckets = 32)
+    val modelPath = tmp("dsir-serve-model") + "/m"
+    graft.ops.ModelIO.saveDsirModel(modelPath, model0)
+    val model = graft.ops.ModelIO.loadDsirModel(spark, modelPath)
+    val rows = docs.filter(col("doc_id") < 12)
+      .select(col("doc_id"), col("text")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      state.append(0, MqMessage(null,
+        s"${r.getLong(0)}:${r.getString(1)}".getBytes("UTF-8"),
+        base + i * 1000000L))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "4")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("payload"), ":", 2).getItem(1).as("text"))
+        val scored = graft.ops.CurationOps.dsirScore(parsed, model, buckets = 32)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= scored; () }
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("dsir-serve-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(nBatches.get() >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get()}")
+    val batchRun = graft.ops.CurationOps.dsirScore(
+        docs.filter(col("doc_id") < 12), model, buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchRun.nonEmpty && got.toSet == batchRun,
+      s"streamed ${got.size} scores != batch ${batchRun.size}")
+  }
+
   test("streaming BPE budget filter: stateless subword counting over the stream") {
     // bpe_token_count is a pure per-row expression, so the subword budget
     // currency composes over a streaming DataFrame unchanged — the

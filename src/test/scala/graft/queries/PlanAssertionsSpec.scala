@@ -259,6 +259,13 @@ class PlanAssertionsSpec extends SparkSuite {
       .exists(ps.contains), s"text_dup_spans: no equi-join in plan:\n$ps")
   }
 
+  test("pipeline_curate_v3: dedup windows partitioned, two-phase pack, no pair enumeration") {
+    val p = allExecutedPlans("pipeline_curate_v3").mkString("\n===\n")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("rangepartitioning"),
+      s"pipeline_curate_v3: expected the pack's range repartition:\n$p")
+  }
+
   test("curate_dsir_weights: bucket model broadcast — corpus never shuffles against it") {
     // The model is `buckets` rows; the per-doc join must broadcast it.
     // The only corpus-scale shuffle is the (doc, bucket) partial count.
