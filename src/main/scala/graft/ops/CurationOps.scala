@@ -94,6 +94,55 @@ object CurationOps {
     * its count aggregates map-side the same way. Nothing corpus-sized
     * reaches the driver.
     */
+  /** SPAN-level decontamination — the surgical alternative to
+    * [[decontaminate]]'s whole-document verdict: instead of dropping a
+    * document that shares an n-gram with the eval set, remove exactly the
+    * tokens covered by a shared n-gram and keep the rest (the form
+    * pipelines use when documents are long and contamination is a quoted
+    * benchmark snippet, not the document's substance).
+    *
+    * Returns one row per `train` document: (`idCol`, `n_tokens`,
+    * `n_masked`, `text_clean`) where `text_clean` re-joins surviving
+    * tokens with spaces (docs with no hits pass through verbatim,
+    * `n_masked` 0).
+    *
+    * Shape at 100 TB: identical to [[decontaminate]] — eval grams are
+    * tiny and BROADCAST, the train side is one scan-local explode plus a
+    * broadcast hash join; the only corpus-scale shuffle is the per-doc
+    * hit-position collect (bounded by document length), and the rewrite
+    * is a per-row higher-order filter.
+    */
+  def decontaminateSpans(train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"decontaminateSpans: n=$n must be >= 1")
+    val id = ColNames.quotedCol(idCol)
+    val text = ColNames.quotedCol(textCol)
+    val evalGrams = evalSet
+      .select(explode(TextOps.shingles(text, n)).as("gram"))
+      .distinct()
+    val tk = train.select(id, TextOps.tokens(text).as("tk"))
+    Caching.withCached(tk) {
+      val hits = tk
+        .select(id, posexplode(TextOps.ngramsFromTokens(col("tk"), n))
+          .as(Seq("pos0", "gram")))
+        .select(id, (col("pos0") + 1).as("pos"), col("gram"))
+        .join(broadcast(evalGrams), "gram")
+      val perDoc = hits.groupBy(id)
+        .agg(sort_array(collect_list(col("pos"))).as("estarts"))
+      val withSpans = tk.join(perDoc, Seq(idCol), "left")
+        .withColumn("estarts",
+          coalesce(col("estarts"), array().cast("array<int>")))
+      val keptTk = filter(col("tk"), (_, i) =>
+        !exists(col("estarts"), p => p <= i + 1 && i + 1 < p + n))
+      withSpans
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+        .withColumn("_kept_tk", keptTk)
+        .select(id, col("n_tokens"),
+          (col("n_tokens") - size(col("_kept_tk"))).cast("long").as("n_masked"),
+          array_join(col("_kept_tk"), " ").as("text_clean"))
+    }
+  }
+
   def dsirLogWeights(docs: DataFrame, target: DataFrame, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text",
       salt: String = "dsir"): DataFrame = {

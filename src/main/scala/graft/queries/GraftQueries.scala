@@ -1506,6 +1506,47 @@ object GraftQueries {
         CASE WHEN coalesce(h.n_contaminated, 0) = 0 THEN 1 ELSE 0 END AS kept
       FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id"""))
 
+  /** Span-level decontamination ([[CurationOps.decontaminateSpans]]):
+    * the same hash-split eval set as curate_decontaminate, but tokens
+    * under a shared 4-gram are REMOVED instead of the document being
+    * flagged — every rewritten doc pinned by md5.
+    */
+  private val d26 = Q("curate_decontaminate_spans",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = SamplingOps.hashSampleFlag(col("doc_id"), 10, 1, salt = "eval")
+      CurationOps.decontaminateSpans(
+          docs.filter(!isEval), docs.filter(isEval), n = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+          (('0x' || substr(md5('eval' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 1)
+            AS is_eval
+        FROM documents),
+      tk AS (SELECT doc_id, is_eval, string_split(text, ' ') AS t FROM d),
+      eg AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+             FROM tk, unnest(range(1, greatest(len(t)-3, 0)+1)) AS r(i)
+             WHERE is_eval),
+      tr AS (SELECT doc_id, t FROM tk WHERE NOT is_eval),
+      g AS (SELECT doc_id, cast(i as int) AS pos,
+              array_to_string(t[i:i+3], ' ') AS gram
+            FROM tr, unnest(range(1, greatest(len(t)-3, 0)+1)) AS r(i)),
+      h AS (SELECT doc_id, list(pos ORDER BY pos) AS es
+            FROM g JOIN eg USING (gram) GROUP BY doc_id),
+      kt AS (SELECT tr.doc_id, t, coalesce(es, []::int[]) AS es2
+             FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id),
+      f AS (SELECT doc_id, len(t) AS n_tokens,
+              list_filter(t, (x, i) ->
+                len(list_filter(es2, p2 -> p2 <= i AND i < p2 + 4)) = 0) AS kept
+            FROM kt)
+      SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        cast(n_tokens - len(kept) as bigint) AS n_masked,
+        md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+      FROM f ORDER BY doc_id"""))
+
   /** The north-star pipeline END TO END, one DataFrame program: quality
     * floor + language filter → exact-dedup canonicalization →
     * benchmark decontamination → context-window chunking → token-budget
@@ -3430,7 +3471,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1, ly2)

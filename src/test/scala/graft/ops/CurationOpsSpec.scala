@@ -406,6 +406,33 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------ decontaminateSpans
+
+  test("decontaminateSpans: only eval-covered tokens drop, clean text untouched") {
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // covered 1-4 → "epsilon"
+      (2L, "x beta gamma delta y"),           // covered 2-4 → "x y"
+      (3L, "clean doc here entirely"),        // no hits → verbatim
+      (4L, "alpha beta")                      // shorter than n → no grams
+    ).toDF("doc_id", "text")
+    val got = CurationOps.decontaminateSpans(train, evalSet, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_masked"), r.getAs[String]("text_clean")))).toMap
+    assert(got(1L) == ((4L, "epsilon")))
+    assert(got(2L) == ((3L, "x y")))
+    assert(got(3L) == ((0L, "clean doc here entirely")))
+    assert(got(4L) == ((0L, "alpha beta")))
+  }
+
+  test("decontaminateSpans: repeated hit inside one doc masks every occurrence") {
+    val evalSet = Seq((9L, "q r s")).toDF("doc_id", "text")
+    val train = Seq((1L, "q r s t q r s")).toDF("doc_id", "text")
+    val got = CurationOps.decontaminateSpans(train, evalSet, n = 3).collect()
+      .map(r => (r.getAs[Long]("n_masked"), r.getAs[String]("text_clean")))
+    assert(got.toSeq == Seq((6L, "t")))
+  }
+
   // --------------------------------- dedupSubstringsAcrossDocs
 
   test("dedupSubstringsAcrossDocs: first copy intact, later copies lose exactly the shared span") {
