@@ -104,6 +104,26 @@ object ScaleProbe {
     */
   final case class DupSpansSaturationKind(n: Int) extends Kind
 
+  /** Per-doc substring-REMOVAL rows `(doc_id, n_tokens, n_removed,
+    * dedup_md5)` under replication. Replication makes EVERY gram
+    * cross-doc duplicated, with each gram's kept occurrence in the k=0
+    * replica of its base-first home (id mapping preserves document
+    * order), so:
+    *
+    *  - every k>0 replica with ≥ `n` tokens is FULLY erased (its grams'
+    *    kept occurrences all precede it — in its k=0 twin at latest),
+    *    and shorter k>0 replicas pass through verbatim;
+    *  - the k=0 replica's removal set is a SUBSET of the orig's base
+    *    removal set: base-kept coverage survives unchanged (base-dup
+    *    grams keep their base kept/redundant classification), while
+    *    base-unique grams — uncovered in base — become KEPT occurrences
+    *    here and can only rescue positions base removed via an
+    *    overlapping redundant span. So `n_removed(k=0) ≤ n_removed
+    *    (base)`, with bit-equal rewrites exactly when the counts match
+    *    (subset + equal size = equality).
+    */
+  final case class SubstringDedupKind(n: Int) extends Kind
+
   val defaultQueries: Seq[(String, Kind)] = Seq(
     "dedup_simhash_pairs" -> PairsKind(0.0),
     "dedup_minhash_lsh" -> PairsKind(1.0),
@@ -125,6 +145,7 @@ object ScaleProbe {
     "curate_semdedup" -> SemDedupKind(),
     "text_paragraph_dedup" -> ParagraphDedupKind,
     "text_dup_spans" -> DupSpansSaturationKind(8),
+    "text_substring_dedup" -> SubstringDedupKind(8),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -439,6 +460,41 @@ object ScaleProbe {
     errs.result()
   }
 
+  private def checkSubstringDedup(base: DataFrame, rep: DataFrame,
+      factor: Int, n: Int): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"substring-dedup rows $repRows != factor * base ($baseRows)"
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    val j = rep.select(origOf(col("doc_id"), factor).as("o"),
+        pmod(col("doc_id"), lit(factor)).as("k"),
+        col("n_tokens"), col("n_removed"), col("dedup_md5"))
+      .join(base.select(col("doc_id").as("o"), col("n_tokens").as("bn"),
+        col("n_removed").as("brm"), col("dedup_md5").as("bmd5")), Seq("o"))
+    j.persist()
+    try {
+      val badTok = j.filter(col("n_tokens") =!= col("bn")).count()
+      if (badTok > 0)
+        errs += s"$badTok replicas with a different token count than their orig"
+      val badFirst = j.filter(col("k") === 0 &&
+        (col("n_removed") > col("brm") ||
+          (col("n_removed") === col("brm") && col("dedup_md5") =!= col("bmd5")))).count()
+      if (badFirst > 0)
+        errs += s"$badFirst first replicas removing beyond (or diverging from) the base rewrite"
+      val badLaterLong = j.filter(col("k") > 0 && col("n_tokens") >= n &&
+        (col("n_removed") =!= col("n_tokens") || col("dedup_md5") =!= emptyMd5)).count()
+      if (badLaterLong > 0)
+        errs += s"$badLaterLong non-first replicas not fully erased despite an earlier identical copy"
+      val badLaterShort = j.filter(col("k") > 0 && col("n_tokens") < n &&
+        (col("n_removed") =!= 0L || col("dedup_md5") =!= col("bmd5"))).count()
+      if (badLaterShort > 0)
+        errs += s"$badLaterShort sub-n replicas modified despite having no grams"
+    } finally j.unpersist(blocking = false)
+    errs.result()
+  }
+
   private def checkDupSpansSaturation(base: DataFrame, rep: DataFrame,
       factor: Int, n: Int): Seq[String] = {
     val errs = Seq.newBuilder[String]
@@ -476,6 +532,7 @@ object ScaleProbe {
         case s: SemDedupKind => checkSemDedup(baseDf, repDf, factor, s)
         case ParagraphDedupKind => checkParagraphDedup(baseDf, repDf, factor)
         case DupSpansSaturationKind(n) => checkDupSpansSaturation(baseDf, repDf, factor, n)
+        case SubstringDedupKind(n) => checkSubstringDedup(baseDf, repDf, factor, n)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>
