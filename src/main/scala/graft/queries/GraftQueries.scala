@@ -1710,38 +1710,43 @@ object GraftQueries {
     * shard packing. One DataFrame program; the oracle replays the whole
     * chain as one CTE cascade.
     */
-  private val d25 = Q("pipeline_curate_v3",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val withParas = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
-            "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
-      val pd = TextOps.dedupParagraphsAcrossDocs(withParas)
-        .filter(col("n_kept") > 0)
-        // paragraphs re-join with spaces for the token-stream stages
-        .select(col("doc_id"),
-          translate(col("text_deduped"), "\n", " ").as("ptext"))
-      val sd = TextOps.dedupSubstringsAcrossDocs(pd, n = 8, textCol = "ptext")
-        .filter(length(col("text_dedup")) > 0)
-        .select(col("doc_id"), col("text_dedup"))
-      val withLang = sd.join(docs.select("doc_id", "lang"), "doc_id")
-      val selected = CurationOps.dsirLogWeights(withLang,
-          withLang.filter(col("lang") === "en"), buckets = 64,
-          textCol = "text_dedup")
-        .filter(col("dsir_logweight") >= 0)
-        .select(col("doc_id"), col("n_tokens").as("n_tok"),
-          col("dsir_logweight"))
-      LayoutOps.packByTokenBudgetKeys(selected, Seq("doc_id"),
-          weightCol = "n_tok", budget = 1200L)
-        .join(selected.select("doc_id", "dsir_logweight"), "doc_id")
-        .select(col("doc_id"), col("n_tok"), col("dsir_logweight"),
-          col("token_offset"), col("shard_id"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** The pipeline_curate_v3 stage chain, shared with the funnel report
+    * (sm5) so the two queries cannot drift: (docs, paragraph-deduped,
+    * substring-deduped, DSIR-selected).
+    */
+  private def v3Stages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val withParas = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+    val pd = TextOps.dedupParagraphsAcrossDocs(withParas)
+      .filter(col("n_kept") > 0)
+      // paragraphs re-join with spaces for the token-stream stages
+      .select(col("doc_id"),
+        translate(col("text_deduped"), "\n", " ").as("ptext"))
+    val sd = TextOps.dedupSubstringsAcrossDocs(pd, n = 8, textCol = "ptext")
+      .filter(length(col("text_dedup")) > 0)
+      .select(col("doc_id"), col("text_dedup"))
+    val withLang = sd.join(docs.select("doc_id", "lang"), "doc_id")
+    val selected = CurationOps.dsirLogWeights(withLang,
+        withLang.filter(col("lang") === "en"), buckets = 64,
+        textCol = "text_dedup")
+      .filter(col("dsir_logweight") >= 0)
+      .select(col("doc_id"), col("n_tokens").as("n_tok"),
+        col("dsir_logweight"))
+    (docs, pd, sd, selected)
+  }
+
+  /** The v3 oracle's CTE chain through the DSIR-selected set (`sel`) —
+    * shared verbatim by pipeline_curate_v3 and stats_curation_funnel.
+    * Stage frames referenced downstream: `t0` (input tokens), `a`
+    * (paragraph-deduped ptext), `c` (substring-deduped ctext), `sel`
+    * (selected docs with n_tok + dsir_logweight).
+    */
+  private val v3OracleCtes: String = """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       p AS (SELECT doc_id, cast(i as int) AS para_idx,
               list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
             FROM t0, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
@@ -1797,7 +1802,20 @@ object GraftQueries {
       wts AS (SELECT doc_id, cast(sum(cnt) as bigint) AS n_tok,
                 round(cast(sum(cnt * lam) as double), 6) AS dsir_logweight
               FROM perdoc JOIN model USING (bk) GROUP BY doc_id),
-      sel AS (SELECT * FROM wts WHERE dsir_logweight >= 0),
+      sel AS (SELECT * FROM wts WHERE dsir_logweight >= 0)"""
+
+  private val d25 = Q("pipeline_curate_v3",
+    (s, dir) => {
+      val (_, _, _, selected) = v3Stages(s, dir)
+      LayoutOps.packByTokenBudgetKeys(selected, Seq("doc_id"),
+          weightCol = "n_tok", budget = 1200L)
+        .join(selected.select("doc_id", "dsir_logweight"), "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("dsir_logweight"),
+          col("token_offset"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $v3OracleCtes,
       oo AS (SELECT doc_id, n_tok, dsir_logweight,
                coalesce(sum(n_tok) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
@@ -1805,6 +1823,41 @@ object GraftQueries {
       SELECT doc_id, n_tok, dsir_logweight, cast(off as bigint) AS token_offset,
         cast(off // 1200 as bigint) AS shard_id
       FROM oo ORDER BY doc_id"""))
+
+  /** Curation FUNNEL report over the v3 chain (the operational dashboard
+    * a pipeline run prints first: how many docs/tokens survive each
+    * stage): input → paragraph dedup → substring removal → DSIR
+    * selection, one row per stage. Shares [[v3Stages]] and the oracle
+    * CTE chain with pipeline_curate_v3, so the two cannot drift.
+    */
+  private val sm5 = Q("stats_curation_funnel",
+    (s, dir) => {
+      val (docs, pd, sd, selected) = v3Stages(s, dir)
+      def stage(idx: Int, name: String, df: DataFrame, tokens: Column) = df
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokens).cast("bigint").as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      stage(0, "input", docs, size(TextOps.tokens(col("text"))))
+        .unionAll(stage(1, "paragraph_dedup", pd, size(split(col("ptext"), " "))))
+        .unionAll(stage(2, "substring_dedup", sd,
+          size(split(col("text_dedup"), " "))))
+        .unionAll(stage(3, "dsir_selected", selected, col("n_tok")))
+        .orderBy("stage_idx")
+    },
+    Some(s"""
+      WITH $v3OracleCtes
+      SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs,
+        cast(sum(len(tk)) as bigint) AS n_tokens FROM t0
+      UNION ALL
+      SELECT 1, 'paragraph_dedup', count(*),
+        cast(sum(len(string_split(ptext, ' '))) as bigint) FROM a
+      UNION ALL
+      SELECT 2, 'substring_dedup', count(*),
+        cast(sum(len(string_split(ctext, ' '))) as bigint) FROM c
+      UNION ALL
+      SELECT 3, 'dsir_selected', count(*), cast(sum(n_tok) as bigint) FROM sel
+      ORDER BY stage_idx"""))
 
   /** RELATIVE quality floor: keep each language's top 75% by quality
     * score (per-lang P25 threshold) — the curation form real pipelines
@@ -3474,7 +3527,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    sm1, sm2, sm3, sm4, m01, m02, m03, m04, mq1, ly1, ly2)
+    sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.
