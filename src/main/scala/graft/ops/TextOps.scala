@@ -508,28 +508,36 @@ object TextOps {
     * re-joins the kept paragraphs with `\n` in original order ("" when
     * every paragraph was a later copy).
     *
-    * Shape at 100 TB: one explode, one window partitioned by the
-    * paragraph's md5 fingerprint (identity idiom of [[DedupOps]] — the
-    * shuffle is corpus-sized but keyed and even; no paragraph class is
-    * larger than its true duplicate count), one groupBy(`idCol`) whose
-    * per-doc collected list is bounded by document length. No driver-side
-    * work, no broadcast of anything corpus-sized.
+    * Shape at 100 TB: one explode; the keep-first decision is a
+    * MIN-AGGREGATE over the paragraph's md5 fingerprint joined back on
+    * the fingerprint — NOT a rank window: min(struct) combines map-side,
+    * so a boilerplate paragraph repeated across half the corpus costs
+    * one partial row per map task instead of a single-task sort of every
+    * copy (the hot-fingerprint regime a cookie banner creates; the join
+    * back streams those copies, it never sorts them). Then one
+    * groupBy(`idCol`) whose per-doc collected list is bounded by
+    * document length. No driver-side work, no broadcast of anything
+    * corpus-sized.
     */
   def dedupParagraphsAcrossDocs(docs: DataFrame, idCol: String = "doc_id",
       parasCol: String = "paras"): DataFrame = {
     val id = ColNames.quotedCol(idCol)
     val ex = docs.select(id,
       posexplode(ColNames.quotedCol(parasCol)).as(Seq("para_idx", "para")))
-    val w = Window.partitionBy(md5(col("para")))
-      .orderBy(id, col("para_idx"))
-    val ranked = ex.withColumn("keep", row_number().over(w) === 1)
-    ranked.groupBy(id)
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("para_idx"), col("para"))))),
-          x => x("para")), "\n").as("text_deduped"))
+      .withColumn("fp", md5(col("para")))
+    Caching.withCached(ex) {
+      val firsts = ex.groupBy("fp")
+        .agg(min(struct(id, col("para_idx"))).as("_first"))
+      ex.join(firsts, "fp")
+        .withColumn("keep", struct(id, col("para_idx")) === col("_first"))
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("para_idx"), col("para"))))),
+            x => x("para")), "\n").as("text_deduped"))
+    }
   }
 
   /** Cross-document duplicated n-gram SPAN coverage (the statistic behind
@@ -588,9 +596,17 @@ object TextOps {
         .agg(countDistinct(id).as("nd"))
         .filter(col("nd") >= minDocs)
         .select("fp")
-      val keepW = Window.partitionBy(col("fp")).orderBy(id, col("pos"))
-      val occ = grams.join(dup, "fp")
-        .withColumn("kept", row_number().over(keepW) === 1)
+      // Keep-first via min-aggregate + fingerprint join, not a rank
+      // window: min(struct) combines map-side, so a gram shared by half
+      // the corpus never funnels its copies through one sorting task
+      // (the dedupParagraphsAcrossDocs rationale). The min over ALL
+      // occurrences of a fingerprint equals the min over its dup
+      // occurrences — same rows — so firsts aggregates the cached gram
+      // frame directly.
+      val firsts = grams.groupBy("fp")
+        .agg(min(struct(id, col("pos"))).as("_first"))
+      val occ = grams.join(dup, "fp").join(firsts, "fp")
+        .withColumn("kept", struct(id, col("pos")) === col("_first"))
       val perDoc = occ.groupBy(id).agg(
         sort_array(collect_list(col("pos"))).as("dstarts"),
         sort_array(collect_list(when(col("kept"), col("pos")))).as("kstarts"))

@@ -237,14 +237,16 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("text_paragraph_dedup: keep-first window partitioned by fingerprint, no pair joins") {
-    val p = plan("text_paragraph_dedup")
-    // The keep-first rank must partition by the paragraph md5 — a
-    // SinglePartition window would funnel the whole corpus through one
-    // task; and nothing here may degrade to pair enumeration.
-    assert(!p.contains("SinglePartition"),
-      s"text_paragraph_dedup: unpartitioned window/exchange:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  test("text_paragraph_dedup: keep-first is a min-aggregate, never a rank window") {
+    // The keep-first decision must stay the map-side-combinable
+    // min(struct) + fingerprint join — a rank window partitioned by the
+    // paragraph value would funnel a hot boilerplate paragraph's copies
+    // through one sorting task. No Window operator may appear anywhere
+    // in the op's executions, and nothing may pair-enumerate.
+    val ps = allExecutedPlans("text_paragraph_dedup").mkString("\n===\n")
+    assert(!ps.contains("Window"),
+      s"text_paragraph_dedup: rank window crept back into keep-first:\n$ps")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
   }
 
   test("text_dup_spans: dup-gram set joins as an equi-join, never pair enumeration") {
