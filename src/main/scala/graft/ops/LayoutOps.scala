@@ -254,4 +254,39 @@ object LayoutOps {
       }
     }
   }
+
+  /** Training-SEQUENCE manifest: the per-sequence view of
+    * [[packByTokenBudgetKeys]] a dataloader consumes — one row per
+    * packed sequence of `seqLen` token capacity, carrying the ordered
+    * document ids and their sequence-local start offsets (the attention
+    * boundary mask every pretraining run needs to keep cross-document
+    * attention from leaking). A document is assigned to the sequence its
+    * global offset starts in (documents keep their integrity; a doc
+    * straddling the capacity line stays whole, so `n_tokens` may exceed
+    * `seqLen` on its sequence — the dataloader's truncate/continue
+    * policy is downstream of this manifest, which just reports exact
+    * layout).
+    *
+    * Returns (`seq_id`, `n_docs`, `n_tokens`, `doc_ids`, `boundaries`)
+    * with both arrays ordered by document id and `boundaries(0)` the
+    * first doc's offset within the sequence (0 unless a straddler from
+    * the previous sequence pushed it).
+    *
+    * Shape at 100 TB: the pack's two-phase prefix sum plus one
+    * groupBy(seq_id) whose collected arrays are bounded by how many
+    * documents fit a sequence (`seqLen / min-doc-tokens`).
+    */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+      seqLen: Long): DataFrame = {
+    val packed = packByTokenBudgetKeys(df, Seq(idCol), weightCol, seqLen)
+    val id = ColNames.quotedCol(idCol)
+    packed.groupBy(col("shard_id").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ColNames.quotedCol(weightCol)).cast("bigint").as("n_tokens"),
+        sort_array(collect_list(struct(id, col("token_offset")))).as("_b"))
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        transform(col("_b"), x => x(idCol)).as("doc_ids"),
+        transform(col("_b"), x => x("token_offset") - col("seq_id") * seqLen)
+          .as("boundaries"))
+  }
 }

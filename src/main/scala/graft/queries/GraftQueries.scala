@@ -3452,6 +3452,35 @@ object GraftQueries {
     * storage layout itself is value-checked, not just the pack
     * arithmetic (that is text_shard_pack's job).
     */
+  /** Training-sequence manifest ([[LayoutOps.packSequences]]): one row
+    * per 2048-token sequence with ordered doc ids and sequence-local
+    * boundary offsets — both ARRAYS value-compared against the oracle's
+    * single-reducer replay.
+    */
+  private val ly3 = Q("layout_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      LayoutOps.packSequences(docs, "doc_id", "n_tok", seqLen = 2048L)
+        .orderBy("seq_id")
+    },
+    Some("""
+      WITH n AS (SELECT doc_id,
+              cast(len(string_split(text, ' ')) as bigint) AS n_tok
+            FROM documents),
+      o AS (SELECT doc_id, n_tok,
+              coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM n),
+      s AS (SELECT doc_id, n_tok, cast(off as bigint) AS off,
+              cast(off // 2048 as bigint) AS seq_id FROM o)
+      SELECT seq_id, count(*) AS n_docs,
+        cast(sum(n_tok) as bigint) AS n_tokens,
+        list(doc_id ORDER BY doc_id) AS doc_ids,
+        list(off - seq_id * 2048 ORDER BY doc_id) AS boundaries
+      FROM s GROUP BY seq_id ORDER BY seq_id"""))
+
   private val ly2 = Q("layout_pack_roundtrip",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3527,7 +3556,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
-    sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2)
+    sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2, ly3)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

@@ -270,4 +270,29 @@ class LayoutOpsSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("packSequences: ordered in-range boundaries, doc integrity, partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_tok")
+    val a = LayoutOps.packSequences(docs, "doc_id", "n_tok", seqLen = 64L)
+      .orderBy("seq_id").collect()
+    assert(a.length >= 2, s"expected multiple sequences, got ${a.length}")
+    assert(a.head.getAs[Long]("seq_id") == 0L &&
+      a.head.getSeq[Long](a.head.fieldIndex("boundaries")).head == 0L)
+    a.foreach { r =>
+      val b = r.getSeq[Long](r.fieldIndex("boundaries")).toSeq
+      // boundaries are the in-sequence offsets in doc order: sorted, the
+      // first one inside [0, seqLen) (a doc belongs to the sequence its
+      // offset STARTS in), and one per doc.
+      assert(b == b.sorted && b.head >= 0 && b.head < 64L, b.toString)
+      assert(r.getAs[Long]("n_docs") == b.size)
+      assert(r.getSeq[Long](r.fieldIndex("doc_ids")).size == b.size)
+    }
+    // every doc appears exactly once across all sequences
+    val ids = a.toSeq.flatMap(r => r.getSeq[Long](r.fieldIndex("doc_ids")))
+    assert(ids.sorted == (1L to 50L).toSeq)
+    val b2 = LayoutOps.packSequences(docs.repartition(7), "doc_id", "n_tok", 64L)
+      .orderBy("seq_id").collect()
+    assert(a.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+  }
 }
