@@ -65,35 +65,6 @@ object CurationOps {
       .withColumn("kept", when(col("n_contaminated") === 0, 1).otherwise(0))
   }
 
-  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): score every corpus
-    * document by how much its HASHED-n-gram feature profile looks like a
-    * `target` distribution rather than the raw corpus — the standard
-    * cheap proxy for "select web data that resembles a high-quality
-    * seed set". Features are salted-md5 word-unigram buckets (the
-    * project's one cross-engine hash, [[SamplingOps.hashOf]]); per-bucket
-    * probabilities are add-1-smoothed over `buckets` cells; a document's
-    * log-weight is Σ_b count_b(doc) · (ln p̂_target(b) − ln p̂_raw(b)).
-    *
-    * Determinism contract: each per-bucket log-ratio double is pinned to
-    * decimal(18,12) once (the [[graft.queries.GraftQueries]] x14 log
-    * idiom), per-doc sums are exact decimal arithmetic (order- and
-    * partitioning-independent), and the result rounds to 6 dp — so an
-    * external engine reproduces every weight bit-for-bit.
-    *
-    * Returns one row per `docs` document: (`idCol`, `n_tokens`,
-    * `dsir_logweight`). Resampling itself composes downstream: the
-    * weights order is deterministic, so a pipeline takes its top-N with
-    * [[graft.plans.GraftPlans.topKPerKey]] or thresholds on the weight.
-    *
-    * Shape at 100 TB: the model is `buckets` rows (a constant, default
-    * 64 — production uses 10⁴, still tiny) built from two map-side
-    * partial-aggregated counts; it is BROADCAST to the per-doc join, so
-    * the only corpus-scale shuffle is the groupBy(`idCol`, bucket)
-    * partial count. The target set is corpus-shaped but usually small;
-    * its count aggregates map-side the same way. Nothing corpus-sized
-    * reaches the driver.
-    */
   /** SPAN-level decontamination — the surgical alternative to
     * [[decontaminate]]'s whole-document verdict: instead of dropping a
     * document that shares an n-gram with the eval set, remove exactly the
@@ -133,7 +104,7 @@ object CurationOps {
         .withColumn("estarts",
           coalesce(col("estarts"), array().cast("array<int>")))
       val keptTk = filter(col("tk"), (_, i) =>
-        !exists(col("estarts"), p => p <= i + 1 && i + 1 < p + n))
+        !TextOps.spanCovers(col("estarts"), i + 1, n))
       withSpans
         .withColumn("n_tokens", size(col("tk")).cast("long"))
         .withColumn("_kept_tk", keptTk)
@@ -143,22 +114,57 @@ object CurationOps {
     }
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much its HASHED-n-gram feature profile looks like a
+    * `target` distribution rather than the raw corpus — the standard
+    * cheap proxy for "select web data that resembles a high-quality
+    * seed set". Features are salted-md5 word-unigram buckets (the
+    * project's one cross-engine hash, [[SamplingOps.hashOf]]); per-bucket
+    * probabilities are add-1-smoothed over `buckets` cells; a document's
+    * log-weight is Σ_b count_b(doc) · (ln p̂_target(b) − ln p̂_raw(b)).
+    *
+    * Determinism contract: each per-bucket log-ratio double is pinned to
+    * decimal(18,12) once (the [[graft.queries.GraftQueries]] x14 log
+    * idiom), per-doc sums are exact decimal arithmetic (order- and
+    * partitioning-independent), and the result rounds to 6 dp — so an
+    * external engine reproduces every weight bit-for-bit.
+    *
+    * Returns one row per `docs` document: (`idCol`, `n_tokens`,
+    * `dsir_logweight`). Resampling itself composes downstream: the
+    * weights order is deterministic, so a pipeline takes its top-N with
+    * [[graft.plans.GraftPlans.topKPerKey]] or thresholds on the weight.
+    *
+    * Shape at 100 TB: the model is `buckets` rows (a constant, default
+    * 64 — production uses 10⁴, still tiny) built from two map-side
+    * partial-aggregated counts; it is BROADCAST to the per-doc join, so
+    * the only corpus-scale shuffle is the groupBy(`idCol`, bucket)
+    * partial count. The target set is corpus-shaped but usually small;
+    * its count aggregates map-side the same way. Nothing corpus-sized
+    * reaches the driver.
+    */
   def dsirLogWeights(docs: DataFrame, target: DataFrame, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text",
       salt: String = "dsir"): DataFrame = {
     require(buckets >= 2, s"dsirLogWeights: buckets=$buckets must be >= 2")
     val id = ColNames.quotedCol(idCol)
     // One corpus tokenize feeds BOTH the raw model counts and the per-doc
-    // scoring ([[Caching]] contract) — the split train/score entry points
-    // below pay a scan each instead, the price of serving later batches.
-    val rawB = docs
+    // scoring — and what gets CACHED is the per-(doc, bucket) COUNT
+    // frame, bounded by docs x buckets, not the per-token explode (mean
+    // doc length times smaller; the raw model counts are just sum(c)).
+    // The split train/score entry points below pay a scan each instead,
+    // the price of serving later batches.
+    val perDocCounts = docs
       .select(id, explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
       .select(id, pmod(SamplingOps.hashOf(col("w"), salt),
         lit(buckets.toLong)).as("bk"))
-    Caching.withCached(rawB) {
-      val model = modelFromBuckets(rawB.select("bk"),
-        bucketedTokens(target, textCol, salt, buckets), buckets)
-      scoreFromBuckets(rawB, model, id)
+      .groupBy(id, col("bk")).agg(count(lit(1)).as("c"))
+    Caching.withCached(perDocCounts) {
+      val rawCounts = perDocCounts.groupBy("bk").agg(sum("c").as("cr"))
+      val tgtCounts = bucketedTokens(target, textCol, salt, buckets)
+        .groupBy("bk").agg(count(lit(1)).as("ct"))
+      val model = modelFromCounts(rawCounts, tgtCounts, buckets)
+      scoreFromDocCounts(perDocCounts, model, id)
     }
   }
 
@@ -172,8 +178,12 @@ object CurationOps {
   def trainDsirModel(raw: DataFrame, target: DataFrame, buckets: Int = 64,
       textCol: String = "text", salt: String = "dsir"): DataFrame = {
     require(buckets >= 2, s"trainDsirModel: buckets=$buckets must be >= 2")
-    modelFromBuckets(bucketedTokens(raw, textCol, salt, buckets),
-      bucketedTokens(target, textCol, salt, buckets), buckets)
+    modelFromCounts(
+      bucketedTokens(raw, textCol, salt, buckets)
+        .groupBy("bk").agg(count(lit(1)).as("cr")),
+      bucketedTokens(target, textCol, salt, buckets)
+        .groupBy("bk").agg(count(lit(1)).as("ct")),
+      buckets)
   }
 
   /** Serve side of [[dsirLogWeights]]: weigh `docs` under a trained (or
@@ -189,7 +199,8 @@ object CurationOps {
       .select(id, explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
       .select(id, pmod(SamplingOps.hashOf(col("w"), salt),
         lit(buckets.toLong)).as("bk"))
-    scoreFromBuckets(perDoc, model, id)
+      .groupBy(id, col("bk")).agg(count(lit(1)).as("c"))
+    scoreFromDocCounts(perDoc, model, id)
   }
 
   private def bucketedTokens(df: DataFrame, textCol: String, salt: String,
@@ -197,14 +208,12 @@ object CurationOps {
     .select(explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
     .select(pmod(SamplingOps.hashOf(col("w"), salt), lit(buckets.toLong)).as("bk"))
 
-  /** Smoothed log-ratio model from pre-bucketed token streams: a
-    * `buckets`-row frame (`bk`, `lam` decimal(18,12)).
+  /** Smoothed log-ratio model from per-bucket count frames (`bk`,`cr`)
+    * / (`bk`,`ct`): a `buckets`-row frame (`bk`, `lam` decimal(18,12)).
     */
-  private def modelFromBuckets(rawBk: DataFrame, tgtBk: DataFrame,
+  private def modelFromCounts(rawCounts: DataFrame, tgtCounts: DataFrame,
       buckets: Int): DataFrame = {
-    val rawCounts = rawBk.groupBy("bk").agg(count(lit(1)).as("cr"))
-    val tgtCounts = tgtBk.groupBy("bk").agg(count(lit(1)).as("ct"))
-    val spine = rawBk.sparkSession.range(buckets).select(col("id").as("bk"))
+    val spine = rawCounts.sparkSession.range(buckets).select(col("id").as("bk"))
     // Materialize the `buckets`-row count frame once: the totals below
     // would otherwise re-run the corpus aggregation per scalar, and the
     // checkpoint also severs the returned model's corpus lineage (it IS
@@ -231,12 +240,11 @@ object CurationOps {
         .cast("decimal(18,12)").as("lam"))
   }
 
-  /** Per-doc exact-decimal weight sum from a pre-bucketed (id, bk)
-    * stream under a broadcast model.
+  /** Per-doc exact-decimal weight sum from a per-(id, bk) COUNT frame
+    * (`c` = tokens of that doc in that bucket) under a broadcast model.
     */
-  private def scoreFromBuckets(docBk: DataFrame, model: DataFrame,
-      id: org.apache.spark.sql.Column): DataFrame = docBk
-    .groupBy(id, col("bk")).agg(count(lit(1)).as("c"))
+  private def scoreFromDocCounts(counts: DataFrame, model: DataFrame,
+      id: org.apache.spark.sql.Column): DataFrame = counts
     .join(broadcast(model), "bk")
     .groupBy(id)
     .agg(sum("c").cast("long").as("n_tokens"),

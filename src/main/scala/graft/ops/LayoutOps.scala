@@ -265,7 +265,13 @@ object LayoutOps {
     * straddling the capacity line stays whole, so `n_tokens` may exceed
     * `seqLen` on its sequence — the dataloader's truncate/continue
     * policy is downstream of this manifest, which just reports exact
-    * layout).
+    * layout). Corollary: a sequence whose tokens lie ENTIRELY inside the
+    * middle of one long document has no starting doc and emits NO row —
+    * its content is the tail of the previous row's straddler. Feed
+    * pre-chunked units (weights ≤ `seqLen`, e.g. from
+    * [[graft.ops.TextOps.chunkByTokenBudget]]) when every `seq_id` must
+    * have a manifest row; the registered query's corpus satisfies this
+    * (max doc ≪ seqLen).
     *
     * Returns (`seq_id`, `n_docs`, `n_tokens`, `doc_ids`, `boundaries`)
     * with both arrays ordered by document id and `boundaries(0)` the

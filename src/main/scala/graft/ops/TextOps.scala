@@ -522,9 +522,14 @@ object TextOps {
   def dedupParagraphsAcrossDocs(docs: DataFrame, idCol: String = "doc_id",
       parasCol: String = "paras"): DataFrame = {
     val id = ColNames.quotedCol(idCol)
+    // A NULL paragraph would get a null fingerprint and silently vanish
+    // from the inner fingerprint join (and from n_paras) — fail loudly
+    // instead, the withHashSplit null-key stance.
     val ex = docs.select(id,
       posexplode(ColNames.quotedCol(parasCol)).as(Seq("para_idx", "para")))
-      .withColumn("fp", md5(col("para")))
+      .withColumn("fp", when(col("para").isNotNull, md5(col("para")))
+        .otherwise(raise_error(lit("dedupParagraphsAcrossDocs: null paragraph " +
+          "element — paragraph arrays must not contain nulls")).cast("string")))
     Caching.withCached(ex) {
       val firsts = ex.groupBy("fp")
         .agg(min(struct(id, col("para_idx"))).as("_first"))
@@ -540,25 +545,15 @@ object TextOps {
     }
   }
 
-  /** Cross-document duplicated n-gram SPAN coverage (the statistic behind
-    * exact-substring training-data dedup, Lee et al. 2021 "Deduplicating
-    * Training Data Makes Language Models Better": how much of each
-    * document is covered by a token n-gram that also appears in ≥
-    * `minDocs` distinct documents). Returns one row per document:
-    * (`idCol`, `n_tokens`, `n_dup_starts`, `dup_tokens`, `dup_frac`)
-    * where `dup_tokens` is the exact size of the UNION of the length-`n`
-    * token windows starting at duplicated-gram positions — computed
-    * without interval folding: for starts sorted per doc, each start
-    * contributes `min(n, next_start − start)` (the last contributes `n`),
-    * which is precisely the merged-interval length.
-    *
-    * Shape at 100 TB: gram fingerprints (md5) shuffle twice — once for
-    * the distinct-doc count, once for the occurrence⋈dup-set equi-join
-    * (the dup set is corpus-sized, so it is NOT broadcast); the coverage
-    * window partitions by document (bounded by doc length). Per-doc
-    * derived frames are persisted for their two consumers and released
-    * via the [[Caching]] contract.
+  /** Does position `pos` (1-based) fall under any length-`n` span
+    * starting at a position in `starts`? The ONE boundary definition
+    * shared by [[dedupSubstringsAcrossDocs]] and
+    * [[graft.ops.CurationOps.decontaminateSpans]] — a fix to the span
+    * edge math lands in both rewrites.
     */
+  private[graft] def spanCovers(starts: Column, pos: Column, n: Int): Column =
+    exists(starts, p => p <= pos && pos < p + n)
+
   /** Exact-substring dedup with span REMOVAL (the rewrite half of
     * Lee et al. 2021 that [[crossDocDupSpans]] only measures): drop every
     * token that lies only under REDUNDANT copies of a duplicated n-gram,
@@ -575,11 +570,13 @@ object TextOps {
     *
     * Returns (`idCol`, `n_tokens`, `n_removed`, `text_dedup`).
     *
-    * Shape at 100 TB: the same two gram-fingerprint shuffles as
-    * [[crossDocDupSpans]] plus a keep-rank window partitioned by
-    * fingerprint; the per-doc span lists are bounded by document length
-    * and the final rewrite is a per-row higher-order filter — work per
-    * document is O(len · dup-starts) with no cross-document state.
+    * Shape at 100 TB: ONE gram-fingerprint aggregation (distinct-doc
+    * count and the min(struct) keep-first winner ride the same shuffle,
+    * map-side combinable — the dedupParagraphsAcrossDocs skew rationale)
+    * plus one occurrence⋈dup-set equi-join; the per-doc span lists are
+    * bounded by document length and the final rewrite is a per-row
+    * higher-order filter — work per document is O(len · dup-starts) with
+    * no cross-document state.
     */
   def dedupSubstringsAcrossDocs(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -592,20 +589,15 @@ object TextOps {
         .as(Seq("pos0", "gram")))
       .select(id, (col("pos0") + 1).as("pos"), md5(col("gram")).as("fp"))
     Caching.withCached(tk, grams) {
-      val dup = grams.groupBy("fp")
-        .agg(countDistinct(id).as("nd"))
+      // Dup-set membership AND the keep-first winner in one aggregation
+      // pass over the cached gram frame (min over all occurrences of a
+      // fingerprint equals min over its dup occurrences — same rows).
+      val dupFirsts = grams.groupBy("fp")
+        .agg(countDistinct(id).as("nd"),
+          min(struct(id, col("pos"))).as("_first"))
         .filter(col("nd") >= minDocs)
-        .select("fp")
-      // Keep-first via min-aggregate + fingerprint join, not a rank
-      // window: min(struct) combines map-side, so a gram shared by half
-      // the corpus never funnels its copies through one sorting task
-      // (the dedupParagraphsAcrossDocs rationale). The min over ALL
-      // occurrences of a fingerprint equals the min over its dup
-      // occurrences — same rows — so firsts aggregates the cached gram
-      // frame directly.
-      val firsts = grams.groupBy("fp")
-        .agg(min(struct(id, col("pos"))).as("_first"))
-      val occ = grams.join(dup, "fp").join(firsts, "fp")
+        .select("fp", "_first")
+      val occ = grams.join(dupFirsts, "fp")
         .withColumn("kept", struct(id, col("pos")) === col("_first"))
       val perDoc = occ.groupBy(id).agg(
         sort_array(collect_list(col("pos"))).as("dstarts"),
@@ -614,10 +606,9 @@ object TextOps {
       val withSpans = tk.join(perDoc, Seq(idCol), "left")
         .withColumn("dstarts", coalesce(col("dstarts"), empty))
         .withColumn("kstarts", coalesce(col("kstarts"), empty))
-      def covers(starts: Column, pos: Column) =
-        exists(starts, p => p <= pos && pos < p + n)
       val keptTk = filter(col("tk"), (_, i) =>
-        !(covers(col("dstarts"), i + 1) && !covers(col("kstarts"), i + 1)))
+        !(spanCovers(col("dstarts"), i + 1, n) &&
+          !spanCovers(col("kstarts"), i + 1, n)))
       withSpans
         .withColumn("n_tokens", size(col("tk")).cast("long"))
         .withColumn("_kept_tk", keptTk)
@@ -627,6 +618,24 @@ object TextOps {
     }
   }
 
+  /** Cross-document duplicated n-gram SPAN coverage (the statistic behind
+    * exact-substring training-data dedup, Lee et al. 2021): how much of
+    * each document is covered by a token n-gram that also appears in ≥
+    * `minDocs` distinct documents. Returns one row per document:
+    * (`idCol`, `n_tokens`, `n_dup_starts`, `dup_tokens`, `dup_frac`)
+    * where `dup_tokens` is the exact size of the UNION of the length-`n`
+    * token windows starting at duplicated-gram positions — computed
+    * without interval folding: for starts sorted per doc, each start
+    * contributes `min(n, next_start − start)` (the last contributes `n`),
+    * which is precisely the merged-interval length.
+    *
+    * Shape at 100 TB: gram fingerprints (md5) shuffle twice — once for
+    * the distinct-doc count, once for the occurrence⋈dup-set equi-join
+    * (the dup set is corpus-sized, so it is NOT broadcast); the coverage
+    * window partitions by document (bounded by doc length). Per-doc
+    * derived frames are persisted for their two consumers and released
+    * via the [[Caching]] contract.
+    */
   def crossDocDupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"crossDocDupSpans: n=$n must be >= 1")

@@ -1701,15 +1701,17 @@ object GraftQueries {
         cast(off // 1500 as bigint) AS shard_id
       FROM o ORDER BY doc_id"""))
 
-  /** THIRD end-to-end pipeline, composing this round's substring-dedup
-    * family with DSIR selection: paragraph keep-first-global dedup
-    * (8-word paragraphs) → exact-substring span removal (8-grams) on the
-    * rewritten corpus → DSIR importance weights against the English
-    * subset, keeping docs at least as target-like as the corpus
-    * (logweight ≥ 0, the natural DSIR acceptance line) → token-budget
-    * shard packing. One DataFrame program; the oracle replays the whole
-    * chain as one CTE cascade.
+  /** 8-word paragraph derivation for the synthetic single-line corpus —
+    * the ONE definition shared by text_paragraph_dedup (x21) and the v3
+    * pipeline chain, so the paragraph boundary cannot drift between the
+    * standalone query and the pipeline stage.
     */
+  private def derivedParas(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    .select(col("doc_id"),
+      expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+        "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+
   /** The pipeline_curate_v3 stage chain, shared with the funnel report
     * (sm5) so the two queries cannot drift: (docs, paragraph-deduped,
     * substring-deduped, DSIR-selected).
@@ -1717,12 +1719,7 @@ object GraftQueries {
   private def v3Stages(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
-    val withParas = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
-          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
-    val pd = TextOps.dedupParagraphsAcrossDocs(withParas)
+    val pd = TextOps.dedupParagraphsAcrossDocs(derivedParas(docs))
       .filter(col("n_kept") > 0)
       // paragraphs re-join with spaces for the token-stream stages
       .select(col("doc_id"),
@@ -1746,14 +1743,20 @@ object GraftQueries {
     * (paragraph-deduped ptext), `c` (substring-deduped ctext), `sel`
     * (selected docs with n_tok + dsir_logweight).
     */
-  private val v3OracleCtes: String = """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Paragraph derivation + keep-first CTEs (t0/p/k) — the SQL twin of
+    * [[derivedParas]] + the keep-first rule, shared by the x21 oracle and
+    * [[v3OracleCtes]].
+    */
+  private val paraKeepCtes: String = """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       p AS (SELECT doc_id, cast(i as int) AS para_idx,
               list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
             FROM t0, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
       k AS (SELECT doc_id, para_idx, para,
               (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
                 AS keep
-            FROM p),
+            FROM p)"""
+
+  private val v3OracleCtes: String = s"""$paraKeepCtes,
       a AS (SELECT doc_id,
               string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY para_idx)
                 AS ptext
@@ -1804,6 +1807,15 @@ object GraftQueries {
               FROM perdoc JOIN model USING (bk) GROUP BY doc_id),
       sel AS (SELECT * FROM wts WHERE dsir_logweight >= 0)"""
 
+  /** THIRD end-to-end pipeline, composing this round's substring-dedup
+    * family with DSIR selection: paragraph keep-first-global dedup
+    * (8-word paragraphs) → exact-substring span removal (8-grams) on the
+    * rewritten corpus → DSIR importance weights against the English
+    * subset, keeping docs at least as target-like as the corpus
+    * (logweight ≥ 0, the natural DSIR acceptance line) → token-budget
+    * shard packing. One DataFrame program; the oracle replays the whole
+    * chain as one CTE cascade.
+    */
   private val d25 = Q("pipeline_curate_v3",
     (s, dir) => {
       val (_, _, _, selected) = v3Stages(s, dir)
@@ -2869,26 +2881,14 @@ object GraftQueries {
     */
   private val x21 = Q("text_paragraph_dedup",
     (s, dir) => {
-      val withParas = t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
-            "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
-      TextOps.dedupParagraphsAcrossDocs(withParas)
+      TextOps.dedupParagraphsAcrossDocs(derivedParas(t(s, dir, "documents")))
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
           md5(col("text_deduped")).as("dedup_md5"),
           length(col("text_deduped")).cast("long").as("n_chars_out"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      p AS (SELECT doc_id, cast(i as int) AS para_idx,
-              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
-            FROM t, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
-      k AS (SELECT doc_id, para_idx, para,
-              (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
-                AS keep
-            FROM p),
+    Some(s"""
+      WITH $paraKeepCtes,
       a AS (SELECT doc_id, count(*) AS n_paras,
               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
               coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
@@ -3431,27 +3431,8 @@ object GraftQueries {
 
   // ---------------------------------------------------------- layout
 
-  /** Z-order layout roundtrip ([[LayoutOps.writeZOrdered]]) as a
-    * correctness row: write documents z-ordered on (doc_id, n_chars),
-    * read the files back, and aggregate row identity + per-file min/max
-    * rectangle stats. The oracle recomputes row identity (n_rows,
-    * bit_xor of the md5-prefix id hash) INDEPENDENTLY from the
-    * `documents` table — a dropped or altered row hash-mismatches — and
-    * the file-level stats (n_files, span sums) from the same written
-    * files via `read_parquet(..., filename=true)`. The write runs during
-    * Verify (or when the artifact is absent); locality/pruning
-    * guarantees stay spec-asserted in LayoutOpsSpec.
-    */
   private val PackRoundtripPath = "/tmp/graft_pack_roundtrip"
 
-  /** Packed-shard WRITE round-trip ([[LayoutOps.writePackedShards]]):
-    * documents pack under a token budget, land hive-partitioned by
-    * `shard_id=`, and the returned manifest is recomputed from the
-    * written FILES — the oracle reads the same parquet (hive partition
-    * column included) and rebuilds the manifest independently, so the
-    * storage layout itself is value-checked, not just the pack
-    * arithmetic (that is text_shard_pack's job).
-    */
   /** Training-sequence manifest ([[LayoutOps.packSequences]]): one row
     * per 2048-token sequence with ordered doc ids and sequence-local
     * boundary offsets — both ARRAYS value-compared against the oracle's
@@ -3481,6 +3462,14 @@ object GraftQueries {
         list(off - seq_id * 2048 ORDER BY doc_id) AS boundaries
       FROM s GROUP BY seq_id ORDER BY seq_id"""))
 
+  /** Packed-shard WRITE round-trip ([[LayoutOps.writePackedShards]]):
+    * documents pack under a token budget, land hive-partitioned by
+    * `shard_id=`, and the returned manifest is recomputed from the
+    * written FILES — the oracle reads the same parquet (hive partition
+    * column included) and rebuilds the manifest independently, so the
+    * storage layout itself is value-checked, not just the pack
+    * arithmetic (that is text_shard_pack's job).
+    */
   private val ly2 = Q("layout_pack_roundtrip",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3503,6 +3492,17 @@ object GraftQueries {
         bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) AS id_hash
       FROM f GROUP BY shard_id ORDER BY shard_id"""))
 
+  /** Z-order layout roundtrip ([[LayoutOps.writeZOrdered]]) as a
+    * correctness row: write documents z-ordered on (doc_id, n_chars),
+    * read the files back, and aggregate row identity + per-file min/max
+    * rectangle stats. The oracle recomputes row identity (n_rows,
+    * bit_xor of the md5-prefix id hash) INDEPENDENTLY from the
+    * `documents` table — a dropped or altered row hash-mismatches — and
+    * the file-level stats (n_files, span sums) from the same written
+    * files via `read_parquet(..., filename=true)`. The write runs during
+    * Verify (or when the artifact is absent); locality/pruning
+    * guarantees stay spec-asserted in LayoutOpsSpec.
+    */
   private val ly1 = Q("layout_zorder_roundtrip",
     (s, dir) => {
       val docs = t(s, dir, "documents")

@@ -406,6 +406,18 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupParagraphsAcrossDocs: null paragraph element fails loudly") {
+    // A null paragraph would null its fingerprint and silently vanish
+    // from the inner fingerprint join (and from n_paras).
+    val docs = Seq((1L, Seq("A", null, "B"))).toDF("doc_id", "paras")
+    val err = intercept[Exception] {
+      TextOps.dedupParagraphsAcrossDocs(docs).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null paragraph"), s"unexpected error: $msgs")
+  }
+
   // ------------------------------------------ decontaminateSpans
 
   test("decontaminateSpans: only eval-covered tokens drop, clean text untouched") {
