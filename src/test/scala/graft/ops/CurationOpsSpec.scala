@@ -406,6 +406,22 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupParagraphsAcrossDocs: hot boilerplate paragraph (every doc) stays exact") {
+    // The skew regime the min-agg keep-first exists for: one cookie-banner
+    // paragraph in EVERY document. Exactly one copy (doc 1, pos 0)
+    // survives; every doc keeps its unique paragraph.
+    val docs = (1L to 200L).map(i => (i, Seq("COOKIE BANNER", s"unique $i")))
+      .toDF("doc_id", "paras")
+    val got = TextOps.dedupParagraphsAcrossDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("text_deduped")))).toMap
+    assert(got.size == 200)
+    assert(got(1L) == ((2L, "COOKIE BANNER\nunique 1")))
+    (2L to 200L).foreach { i =>
+      assert(got(i) == ((1L, s"unique $i")), s"doc $i")
+    }
+  }
+
   test("dedupParagraphsAcrossDocs: null paragraph element fails loudly") {
     // A null paragraph would null its fingerprint and silently vanish
     // from the inner fingerprint join (and from n_paras).
