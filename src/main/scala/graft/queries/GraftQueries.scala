@@ -2718,6 +2718,39 @@ object GraftQueries {
         cast(off // 10000 as bigint) AS shard_id
       FROM c ORDER BY doc_id"""))
 
+  /** Tokenizer fertility report: per-language chars/token and
+    * subwords/word under the bundled byte-level BPE — the number a team
+    * checks before committing to a tokenizer (high fertility on a
+    * language means its documents cost disproportionate sequence
+    * length). Pure per-row native expressions into one map-side
+    * aggregation; the oracle replays the same merge table.
+    */
+  private val x24 = Q("text_bpe_fertility",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_words"),
+        sum(GraftFunctions.bpe_token_count(col("text")).cast("long")).as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_bpe"),
+        round(col("n_chars").cast("double") / col("n_bpe"), 6)
+          .as("chars_per_token"),
+        round(col("n_bpe").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("lang"),
+    Some(s"""
+      WITH d AS (SELECT lang, len(text) AS n_chars,
+              len(string_split(text, ' ')) AS n_words,
+              ${graft.functions.Bpe.duckdbTokenCountExpr("text")} AS n_bpe
+            FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        cast(sum(n_chars) as bigint) AS n_chars,
+        cast(sum(n_words) as bigint) AS n_words,
+        cast(sum(n_bpe) as bigint) AS n_bpe,
+        round(cast(sum(n_chars) as double) / sum(n_bpe), 6) AS chars_per_token,
+        round(cast(sum(n_bpe) as double) / sum(n_words), 6) AS fertility
+      FROM d GROUP BY lang ORDER BY lang"""))
+
   /** [[x13]]'s subword sibling: context-window chunking where the budget
     * currency is BPE tokens ([[graft.functions.BpeChunks]]). Value-exact
     * end to end: BPE tokens are contiguous byte slices, so each chunk is
@@ -3555,7 +3588,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
     sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2, ly3)
 
   // A duplicated name would silently last-win in the .toMap below and
