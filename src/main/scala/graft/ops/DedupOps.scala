@@ -791,7 +791,7 @@ object DedupOps {
     * BroadcastNestedLoopJoin, which is indistinguishable in a plan audit
     * from the pair-enumeration failure mode these ops ban outright.
     */
-  private def bloomGateAgainst(big: DataFrame, bigKey: Column,
+  private[graft] def bloomGateAgainst(big: DataFrame, bigKey: Column,
       small: DataFrame, smallKey: Column, bits: Int): DataFrame =
     big.filter(GraftFunctions.bloom_might_contain(
       org.apache.spark.sql.graft.Bridge.scalarSubquery(

@@ -545,6 +545,74 @@ object TextOps {
     }
   }
 
+  /** Distinct paragraph fingerprints of a paragraph-array frame — the
+    * persistable reference state [[dedupParagraphsAgainstRef]] consumes
+    * (write it as parquet next to the corpus; a later batch reads it
+    * back). One column: `fp` (md5 of the paragraph text).
+    */
+  def paragraphFingerprints(docs: DataFrame,
+      parasCol: String = "paras"): DataFrame = docs
+    .select(explode(ColNames.quotedCol(parasCol)).as("para"))
+    .select(md5(col("para")).as("fp"))
+    .distinct()
+
+  /** INCREMENTAL paragraph dedup — the continuous-crawl shape of
+    * [[dedupParagraphsAcrossDocs]]: a new batch dedups against the
+    * paragraph-fingerprint state of everything already ingested
+    * ([[paragraphFingerprints]]) AND keep-first within itself. A batch
+    * paragraph survives iff its fingerprint is absent from `refFps` and
+    * it is the batch's first occurrence.
+    *
+    * Returns one row per batch document: (`idCol`, `n_paras`, `n_kept`,
+    * `n_ref_hits`, `text_deduped`) — `n_ref_hits` counts the paragraphs
+    * the reference already had (the incremental-dedup audit number).
+    *
+    * Shape at 100 TB: cost scales with the BATCH, never the reference —
+    * the reference side is gated MAP-SIDE by a Bloom filter of the
+    * batch's fingerprints before it shuffles
+    * ([[DedupOps.bloomGateAgainst]], result-identical by
+    * no-false-negatives), so the fp equi-join moves reference rows only
+    * for fingerprints the batch might actually contain. Keep-first
+    * within the batch is the same skew-safe min-aggregate as the
+    * symmetric op.
+    */
+  def dedupParagraphsAgainstRef(batch: DataFrame, refFps: DataFrame,
+      idCol: String = "doc_id", parasCol: String = "paras",
+      bloomBits: Int = 1 << 22): DataFrame = {
+    val id = ColNames.quotedCol(idCol)
+    val ex = batch.select(id,
+      posexplode(ColNames.quotedCol(parasCol)).as(Seq("para_idx", "para")))
+      .withColumn("fp", when(col("para").isNotNull, md5(col("para")))
+        .otherwise(raise_error(lit("dedupParagraphsAgainstRef: null paragraph " +
+          "element — paragraph arrays must not contain nulls")).cast("string")))
+    Caching.withCached(ex) {
+      // The Bloom kernel keys on BIGINT — gate on the fingerprint's
+      // 60-bit hex prefix (injective enough for a gate; the JOIN on the
+      // full fp still decides membership, so any prefix collision only
+      // costs a gated-through row, never a wrong verdict).
+      def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
+      val gatedRef = DedupOps.bloomGateAgainst(
+          refFps.select(col("fp")), fp60(col("fp")),
+          ex.select("fp"), fp60(col("fp")), bloomBits)
+        .distinct()
+        .withColumn("_ref", lit(true))
+      val firsts = ex.groupBy("fp")
+        .agg(min(struct(id, col("para_idx"))).as("_first"))
+      ex.join(firsts, "fp")
+        .join(gatedRef, Seq("fp"), "left")
+        .withColumn("keep", col("_ref").isNull &&
+          struct(id, col("para_idx")) === col("_first"))
+        .groupBy(id)
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("_ref").isNotNull, 1L).otherwise(0L)).as("n_ref_hits"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("para_idx"), col("para"))))),
+            x => x("para")), "\n").as("text_deduped"))
+    }
+  }
+
   /** Does position `pos` (1-based) fall under any length-`n` span
     * starting at a position in `starts`? The ONE boundary definition
     * shared by [[dedupSubstringsAcrossDocs]] and

@@ -1547,6 +1547,54 @@ object GraftQueries {
         md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
       FROM f ORDER BY doc_id"""))
 
+  /** Incremental paragraph dedup ([[TextOps.dedupParagraphsAgainstRef]],
+    * the continuous-crawl shape): a hash-split half of the corpus plays
+    * the already-ingested reference (its paragraph fingerprints are the
+    * persisted state), the other half arrives as the new batch — batch
+    * paragraphs the reference already has drop, keep-first applies
+    * within the batch, every rewrite pinned by md5.
+    */
+  private val d27 = Q("curate_incremental_paragraphs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isRef = SamplingOps.hashSampleFlag(col("doc_id"), 10, 5,
+        salt = "refpara")
+      val refFps = TextOps.paragraphFingerprints(
+        derivedParas(docs.filter(isRef)))
+      TextOps.dedupParagraphsAgainstRef(
+          derivedParas(docs.filter(!isRef)), refFps)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          col("n_ref_hits"), md5(col("text_deduped")).as("dedup_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+          (('0x' || substr(md5('refpara' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 5)
+            AS is_ref
+        FROM documents),
+      p AS (SELECT doc_id, is_ref, cast(i as int) AS para_idx,
+              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
+            FROM d, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
+      ref AS (SELECT DISTINCT para FROM p WHERE is_ref),
+      b AS (SELECT doc_id, para_idx, para FROM p WHERE NOT is_ref),
+      k AS (SELECT b.doc_id, b.para_idx, b.para,
+              (ref.para IS NOT NULL) AS in_ref,
+              (row_number() OVER (PARTITION BY b.para ORDER BY b.doc_id, b.para_idx)) = 1
+                AS is_first
+            FROM b LEFT JOIN ref ON b.para = ref.para),
+      a AS (SELECT doc_id, count(*) AS n_paras,
+              sum(CASE WHEN (NOT in_ref) AND is_first THEN 1 ELSE 0 END) AS n_kept,
+              sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS n_ref_hits,
+              coalesce(string_agg(
+                CASE WHEN (NOT in_ref) AND is_first THEN para END, chr(10)
+                ORDER BY para_idx), '') AS txt
+            FROM k GROUP BY doc_id)
+      SELECT doc_id, cast(n_paras as bigint) AS n_paras,
+        cast(n_kept as bigint) AS n_kept,
+        cast(n_ref_hits as bigint) AS n_ref_hits,
+        md5(txt) AS dedup_md5
+      FROM a ORDER BY doc_id"""))
+
   /** The north-star pipeline END TO END, one DataFrame program: quality
     * floor + language filter → exact-dedup canonicalization →
     * benchmark decontamination → context-window chunking → token-budget
@@ -3586,7 +3634,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
     sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2, ly3)

@@ -422,6 +422,28 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupParagraphsAgainstRef: ref hits drop, keep-first within batch, bloom-size-invariant") {
+    val ref = Seq((100L, Seq("OLD NEWS", "BANNER"))).toDF("doc_id", "paras")
+    val refFps = TextOps.paragraphFingerprints(ref)
+    val batch = Seq(
+      (1L, Seq("BANNER", "fresh one")),   // BANNER already ingested → drops
+      (2L, Seq("fresh one", "fresh two")),// "fresh one" is doc 1's now → keep-first
+      (3L, Seq("OLD NEWS"))               // everything known → empty rewrite
+    ).toDF("doc_id", "paras")
+    def run(bits: Int) = TextOps.dedupParagraphsAgainstRef(batch, refFps,
+        bloomBits = bits).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_ref_hits"),
+          r.getAs[String]("text_deduped")))).toMap
+    val got = run(1 << 20)
+    assert(got(1L) == ((1L, 1L, "fresh one")))
+    assert(got(2L) == ((1L, 0L, "fresh two")))
+    assert(got(3L) == ((0L, 1L, "")))
+    // A saturated Bloom gates nothing but the join still decides
+    // membership — results identical by no-false-negatives at ANY sizing.
+    assert(run(8) == got)
+  }
+
   test("dedupParagraphsAcrossDocs: null paragraph element fails loudly") {
     // A null paragraph would null its fingerprint and silently vanish
     // from the inner fingerprint join (and from n_paras).
