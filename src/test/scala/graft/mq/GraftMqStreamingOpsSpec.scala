@@ -277,6 +277,72 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
       s"streamed ${got.size} results != batch ${batchRun.size}")
   }
 
+  test("streaming incremental paragraph dedup: ref-state update across micro-batches equals the batch run") {
+    // The continuous-crawl loop for paragraph dedup: a static reference
+    // fingerprint state, arriving documents in micro-batches, and the
+    // state UPDATED with each batch's paragraph fingerprints before the
+    // next batch. Because MQ delivers in id order and keep-first orders
+    // by (doc_id, position), the sequential fold reproduces the global
+    // keep-first exactly for (n_paras, n_kept, rewrite). n_ref_hits is
+    // NOT compared: the streamed state legitimately attributes a
+    // cross-batch duplicate to the reference where the one-shot run
+    // attributes it to within-batch keep-first — same surviving text.
+    val src = "para-inc-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val isRef = graft.ops.SamplingOps.hashSampleFlag(col("doc_id"), 10, 5,
+      salt = "refpara")
+    def paras(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+    val refFps0 = graft.ops.TextOps.paragraphFingerprints(paras(docs.filter(isRef)))
+      .localCheckpoint(true)
+    val batchDocs = docs.filter(!isRef).filter(col("doc_id") < 30)
+      .select("doc_id", "text")
+    batchDocs.orderBy("doc_id").collect().zipWithIndex.foreach { case (r, i) =>
+      state.append(0, MqMessage(null,
+        s"${r.getLong(0)}:${r.getString(1)}".getBytes("UTF-8"),
+        base + i * 1000000L))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    var refState = refFps0
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "5")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("payload"), ":", 2).getItem(1).as("text"))
+        val p = paras(parsed)
+        val out = graft.ops.TextOps.dedupParagraphsAgainstRef(p, refState)
+          .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+            r.getAs[Long]("n_kept"), r.getAs[String]("text_deduped")))
+        got.synchronized { got ++= out; () }
+        refState = refState
+          .union(graft.ops.TextOps.paragraphFingerprints(p))
+          .distinct().localCheckpoint(true)
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("para-inc-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(nBatches.get() >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get()}")
+    val batchRun = graft.ops.TextOps.dedupParagraphsAgainstRef(
+        paras(batchDocs), refFps0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_deduped"))).toSet
+    assert(batchRun.nonEmpty && got.toSet == batchRun,
+      s"streamed ${got.size} rewrites != batch ${batchRun.size}")
+  }
+
   test("streaming DSIR scoring: persisted model weighs micro-batches identically to the batch run") {
     // The serve half of the DSIR train-once contract over the streaming
     // surface: the bucket model trains ONCE on the static corpus, rides
