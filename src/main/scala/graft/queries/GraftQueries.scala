@@ -1749,6 +1749,19 @@ object GraftQueries {
         cast(off // 1500 as bigint) AS shard_id
       FROM o ORDER BY doc_id"""))
 
+  /** Paragraph derivation + keep-first CTEs (t0/p/k) — the SQL twin of
+    * [[derivedParas]] + the keep-first rule, shared by the x21 oracle and
+    * [[v3OracleCtes]].
+    */
+  private val paraKeepCtes: String = """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      p AS (SELECT doc_id, cast(i as int) AS para_idx,
+              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
+            FROM t0, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
+      k AS (SELECT doc_id, para_idx, para,
+              (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
+                AS keep
+            FROM p)"""
+
   /** 8-word paragraph derivation for the synthetic single-line corpus —
     * the ONE definition shared by text_paragraph_dedup (x21) and the v3
     * pipeline chain, so the paragraph boundary cannot drift between the
@@ -1759,6 +1772,94 @@ object GraftQueries {
     .select(col("doc_id"),
       expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
         "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+
+  /** Boilerplate leaderboard: the top-20 paragraphs by corpus occurrence
+    * count (with how many distinct docs carry each) — the "what
+    * boilerplate dominates my corpus" question a curation run asks
+    * before choosing dedup thresholds. Global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no full sort); ties
+    * break on the paragraph text so the cut is deterministic.
+    */
+  private val x25 = Q("text_top_boilerplate",
+    (s, dir) => derivedParas(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("paras")).as("para"))
+      .groupBy("para")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("para"))
+      .limit(20),
+    Some(s"""
+      WITH $paraKeepCtes
+      SELECT para, count(*) AS n_occurrences,
+        cast(count(distinct doc_id) as bigint) AS n_docs
+      FROM p GROUP BY para
+      ORDER BY n_occurrences DESC, para LIMIT 20"""))
+
+  /** One-query DEDUP dashboard: per-language exact-duplicate rate,
+    * paragraph-duplicate rate, and token-weighted duplicated-span
+    * fraction — the three dedup axes a curation run sizes its thresholds
+    * from, value-exact because every rate is a ratio of exact counts
+    * (the span fraction reuses [[TextOps.crossDocDupSpans]]' corpus-wide
+    * dup set, grouped by language).
+    */
+  private val sm6 = Q("stats_dedup_report",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val langOf = docs.select(col("doc_id"), col("lang"))
+      val exact = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      val paraStats = derivedParas(docs)
+        .join(langOf, "doc_id")
+        .select(col("lang"), explode(col("paras")).as("para"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_paras"),
+          countDistinct(col("para")).as("n_distinct_paras"))
+      val spanStats = TextOps.crossDocDupSpans(docs, n = 8)
+        .join(langOf, "doc_id")
+        .groupBy("lang")
+        .agg(sum("dup_tokens").as("dup_tokens"), sum("n_tokens").as("n_tokens"))
+      exact.join(paraStats, "lang").join(spanStats, "lang")
+        .select(col("lang"), col("n_docs"),
+          round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_rate"),
+          round(lit(1.0) - col("n_distinct_paras").cast("double") / col("n_paras"), 6)
+            .as("para_dup_rate"),
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_span_frac"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      e AS (SELECT lang, count(*) AS n_docs,
+              count(distinct md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY lang),
+      p AS (SELECT doc_id, cast(i as int) AS para_idx,
+              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
+            FROM t, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
+      pa AS (SELECT lang, count(*) AS n_paras,
+              count(distinct para) AS n_distinct_paras
+            FROM p JOIN t USING (doc_id) GROUP BY lang),
+      g AS (SELECT doc_id, cast(i as int) AS pos,
+              list_aggregate(tk[i:i+7], 'string_agg', ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(tk)-7, 0)+1)) AS r(i)),
+      d AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+      o AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM g JOIN d USING (gram)),
+      c AS (SELECT doc_id, sum(least(8, coalesce(nxt - pos, 8))) AS dup_tokens
+            FROM o GROUP BY doc_id),
+      sp AS (SELECT lang, sum(coalesce(c.dup_tokens, 0)) AS dup_tokens,
+              sum(len(tk)) AS n_tokens
+            FROM t LEFT JOIN c USING (doc_id) GROUP BY lang)
+      SELECT e.lang, e.n_docs,
+        round(1.0 - cast(n_distinct_texts as double) / e.n_docs, 6)
+          AS exact_dup_rate,
+        round(1.0 - cast(n_distinct_paras as double) / n_paras, 6)
+          AS para_dup_rate,
+        round(cast(sp.dup_tokens as double) / sp.n_tokens, 6) AS dup_span_frac
+      FROM e JOIN pa USING (lang) JOIN sp USING (lang)
+      ORDER BY lang"""))
 
   /** The pipeline_curate_v3 stage chain, shared with the funnel report
     * (sm5) so the two queries cannot drift: (docs, paragraph-deduped,
@@ -1791,19 +1892,6 @@ object GraftQueries {
     * (paragraph-deduped ptext), `c` (substring-deduped ctext), `sel`
     * (selected docs with n_tok + dsir_logweight).
     */
-  /** Paragraph derivation + keep-first CTEs (t0/p/k) — the SQL twin of
-    * [[derivedParas]] + the keep-first rule, shared by the x21 oracle and
-    * [[v3OracleCtes]].
-    */
-  private val paraKeepCtes: String = """t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      p AS (SELECT doc_id, cast(i as int) AS para_idx,
-              list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ') AS para
-            FROM t0, unnest(range(0, (len(tk)+7)//8)) AS r(i)),
-      k AS (SELECT doc_id, para_idx, para,
-              (row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx)) = 1
-                AS keep
-            FROM p)"""
-
   private val v3OracleCtes: String = s"""$paraKeepCtes,
       a AS (SELECT doc_id,
               string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY para_idx)
@@ -3636,8 +3724,8 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    sm1, sm2, sm3, sm4, sm5, m01, m02, m03, m04, mq1, ly1, ly2, ly3)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

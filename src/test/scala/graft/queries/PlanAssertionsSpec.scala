@@ -268,6 +268,12 @@ class PlanAssertionsSpec extends SparkSuite {
       s"pipeline_curate_v3: expected the pack's range repartition:\n$p")
   }
 
+  test("text_top_boilerplate: global top-20 plans as TakeOrdered, never a full sort") {
+    val p = plan("text_top_boilerplate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"text_top_boilerplate: expected per-partition top-k heaps:\n$p")
+  }
+
   test("curate_dsir_weights: bucket model broadcast — corpus never shuffles against it") {
     // The model is `buckets` rows; the per-doc join must broadcast it.
     // The only corpus-scale shuffle is the (doc, bucket) partial count.
