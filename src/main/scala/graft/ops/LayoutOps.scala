@@ -255,6 +255,41 @@ object LayoutOps {
     }
   }
 
+  /** Compact a small-files parquet directory into ~`targetBytes` files —
+    * the remedy for the OTHER layout failure mode (small-file storms: a
+    * 100 TB corpus written by many tasks ends up as millions of KB-scale
+    * files whose open/footer overhead dominates every scan). The driver
+    * touches only the FILE LISTING (file-count-sized, never row data) to
+    * size the output; rows move once.
+    *
+    * With `sortCol` the rewrite is `repartitionByRange` +
+    * `sortWithinPartitions`, so compaction PRESERVES (or installs) the
+    * range-sharded prunability [[writeRangeSharded]] documents — each
+    * output file covers a tight disjoint key range. Without it the
+    * rewrite is an even round-robin repartition (pure size goal).
+    *
+    * Returns (input file count, output partition count).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long,
+      sortCol: Option[String] = None): (Int, Int) = {
+    require(targetBytes > 0, s"compactParquet: targetBytes must be positive, got $targetBytes")
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(inPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"compactParquet: no parquet files under $inDir")
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(nOut)
+    }
+    out.write.mode(SaveMode.Overwrite).parquet(outDir)
+    (files.length, nOut)
+  }
+
   /** Training-SEQUENCE manifest: the per-sequence view of
     * [[packByTokenBudgetKeys]] a dataloader consumes — one row per
     * packed sequence of `seqLen` token capacity, carrying the ordered

@@ -3672,6 +3672,59 @@ object GraftQueries {
     * Verify (or when the artifact is absent); locality/pruning
     * guarantees stay spec-asserted in LayoutOpsSpec.
     */
+  private val CompactRoundtripPath = "/tmp/graft_compact_roundtrip"
+
+  /** Compaction roundtrip ([[LayoutOps.compactParquet]]): a deliberately
+    * fragmented 64-file write compacts under a byte target with
+    * `sortCol = doc_id`, and the read-back aggregates file count, row
+    * identity (recomputed INDEPENDENTLY from the `documents` table by
+    * the oracle — a dropped or altered row hash-mismatches), and the
+    * per-file id-span sum (the range-prunability evidence: compaction
+    * must not smear key ranges across files).
+    */
+  private val ly4 = Q("layout_compact_roundtrip",
+    (s, dir) => {
+      val frag = s"$CompactRoundtripPath/frag"
+      val out = s"$CompactRoundtripPath/out"
+      if (sys.props.contains("graft.verify.dump") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .repartition(64) // the small-files storm under test
+          .write.mode("overwrite").parquet(frag)
+        LayoutOps.compactParquet(s, frag, out, targetBytes = 64L * 1024,
+          sortCol = Some("doc_id"))
+      }
+      val back = s.read.parquet(out)
+        .select(input_file_name().as("f"), col("doc_id"), col("n_chars"))
+      val perFile = back.groupBy("f").agg(count(lit(1)).as("rows"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      perFile.agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"),
+          sum(col("hi") - col("lo")).as("span_id_sum"))
+        .crossJoin(back.agg(
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15)" +
+            ", 16, 10) as bigint))").as("id_hash"),
+          sum(col("n_chars")).as("chars_sum")))
+        .select("n_files", "n_rows", "id_hash", "chars_sum", "span_id_sum")
+    },
+    Some(s"""
+      WITH f AS (SELECT filename, doc_id, n_chars
+                 FROM read_parquet('$CompactRoundtripPath/out/*.parquet', filename=true)),
+      per AS (SELECT filename, count(*) AS rows_, min(doc_id) AS lo,
+                max(doc_id) AS hi
+              FROM f GROUP BY filename),
+      agg AS (SELECT count(*) AS n_files,
+                cast(sum(hi - lo) as bigint) AS span_id_sum FROM per),
+      ident AS (SELECT count(*) AS n_rows,
+                  bit_xor(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint)
+                    AS id_hash
+                FROM documents),
+      chars AS (SELECT cast(sum(n_chars) as bigint) AS chars_sum FROM f)
+      SELECT agg.n_files, ident.n_rows, ident.id_hash, chars.chars_sum,
+        agg.span_id_sum
+      FROM agg, ident, chars"""))
+
   private val ly1 = Q("layout_zorder_roundtrip",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3725,7 +3778,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3)
+    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

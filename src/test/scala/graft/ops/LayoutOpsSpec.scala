@@ -271,6 +271,39 @@ class LayoutOpsSpec extends SparkSuite {
     }
   }
 
+  test("compactParquet: fewer files, lossless, range-prunable under sortCol") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, i * 3)).toDF("id", "payload")
+    val base = Files.createTempDirectory("layout-compact").toString
+    val frag = s"$base/frag"
+    val out = s"$base/out"
+    docs.repartition(32).write.parquet(frag) // the small-files storm
+    val (nIn, nOut) = LayoutOps.compactParquet(spark, frag, out,
+      targetBytes = 8L * 1024, sortCol = Some("id"))
+    assert(nIn == 32 && nOut < nIn, s"in=$nIn out=$nOut")
+    val back = spark.read.parquet(out)
+    // lossless both directions
+    assert(back.count() == 1000 &&
+      back.except(docs).count() == 0 && docs.except(back).count() == 0)
+    // range prunability preserved: per-file [min,max] id ranges disjoint
+    val ranges = back.select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1, "expected multiple compacted files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+    // size-only mode (no sortCol) is also lossless
+    val out2 = s"$base/out2"
+    LayoutOps.compactParquet(spark, frag, out2, targetBytes = 1L << 30)
+    val back2 = spark.read.parquet(out2)
+    assert(back2.count() == 1000 && back2.except(docs).count() == 0)
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactParquet(spark, frag, out2, targetBytes = 0)
+    }
+  }
+
   test("packSequences: ordered in-range boundaries, doc integrity, partition-invariant") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_tok")
