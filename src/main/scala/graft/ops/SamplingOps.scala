@@ -56,6 +56,19 @@ object SamplingOps {
     * contract — so it fails loudly at execution instead (same loud-
     * failure stance as [[mixtureSample]]'s unweighted-group check).
     */
+  /** Deterministic GLOBAL-SHUFFLE key: ordering rows by
+    * `(outCol, key)` is a reproducible pseudo-random permutation of the
+    * corpus — the "shuffle before you shard" step that makes training
+    * shards IID instead of corpus-ordered (adjacent docs from one crawl
+    * batch would otherwise land in the same shard). Pure per-row hash:
+    * no RNG state, stable across retries/partitioning, and any engine
+    * reproduces the order (it is the project's one cross-engine hash).
+    * Change `salt` to draw an independent permutation.
+    */
+  def withShuffleKey(df: DataFrame, key: Column, salt: String = "shuffle",
+      outCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(outCol, hashOf(key, salt))
+
   def withHashSplit(df: DataFrame, splits: Seq[(String, Int)], key: Column,
       salt: String = "split", outCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "withHashSplit: splits must be non-empty")

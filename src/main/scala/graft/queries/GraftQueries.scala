@@ -3672,6 +3672,40 @@ object GraftQueries {
     * Verify (or when the artifact is absent); locality/pruning
     * guarantees stay spec-asserted in LayoutOpsSpec.
     */
+  /** Shuffle-then-shard ([[SamplingOps.withShuffleKey]] →
+    * [[LayoutOps.packByTokenBudgetKeys]]): the pack keyed by the
+    * deterministic shuffle hash instead of doc order, so shards are IID
+    * samples of the corpus rather than crawl-ordered runs — the layout
+    * every pretraining dataloader actually wants. The oracle reproduces
+    * the permutation from the same md5 hash and replays the prefix sum
+    * in (shuffle_key, doc_id) order.
+    */
+  private val ly5 = Q("layout_pack_shuffled",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      LayoutOps.packByTokenBudgetKeys(
+          SamplingOps.withShuffleKey(docs, col("doc_id")),
+          Seq("shuffle_key", "doc_id"), weightCol = "n_tok", budget = 2000L)
+        .select(col("doc_id"), col("shuffle_key"), col("n_tok"),
+          col("token_offset"), col("shard_id"))
+        .orderBy("shuffle_key", "doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+              cast(len(string_split(text, ' ')) as bigint) AS n_tok,
+              ('0x' || substr(md5('shuffle' || cast(doc_id as varchar)), 1, 15))::bigint
+                AS shuffle_key
+            FROM documents),
+      o AS (SELECT doc_id, shuffle_key, n_tok,
+              coalesce(sum(n_tok) OVER (ORDER BY shuffle_key, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM d)
+      SELECT doc_id, shuffle_key, n_tok, cast(off as bigint) AS token_offset,
+        cast(off // 2000 as bigint) AS shard_id
+      FROM o ORDER BY shuffle_key, doc_id"""))
+
   private val CompactRoundtripPath = "/tmp/graft_compact_roundtrip"
 
   /** Compaction roundtrip ([[LayoutOps.compactParquet]]): a deliberately
@@ -3778,7 +3812,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4)
+    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.
