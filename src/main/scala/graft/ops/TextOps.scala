@@ -503,46 +503,52 @@ object TextOps {
     *
     * Input: one row per document with `parasCol: array<string>` (the
     * caller picks the paragraph boundary — `split(text, "\n\n")` for real
-    * corpora). Returns one row per document that has ≥1 paragraph:
+    * corpora). Returns one row per document:
     * (`idCol`, `n_paras`, `n_kept`, `text_deduped`) where `text_deduped`
     * re-joins the kept paragraphs with `\n` in original order ("" when
     * every paragraph was a later copy).
     *
-    * Shape at 100 TB: one explode; the keep-first decision is a
-    * MIN-AGGREGATE over the paragraph's md5 fingerprint joined back on
-    * the fingerprint — NOT a rank window: min(struct) combines map-side,
-    * so a boilerplate paragraph repeated across half the corpus costs
-    * one partial row per map task instead of a single-task sort of every
-    * copy (the hot-fingerprint regime a cookie banner creates; the join
-    * back streams those copies, it never sorts them). Then one
-    * groupBy(`idCol`) whose per-doc collected list is bounded by
-    * document length. No driver-side work, no broadcast of anything
-    * corpus-sized.
+    * Shape at 100 TB: one explode into ONE min-aggregate over the
+    * paragraph's md5 fingerprint — NOT a rank window, and no join back
+    * either: the winning occurrence's (id, position, text) rides the
+    * min(struct) itself, so a boilerplate paragraph repeated across half
+    * the corpus costs one map-side partial row per task instead of a
+    * single-task sort of every copy, and the survivors regroup by
+    * document directly (per-doc collected list bounded by document
+    * length). `n_paras` reads off the input arrays; dropped-everything
+    * docs fill from the left join on the doc spine. No driver-side work,
+    * no broadcast of anything corpus-sized.
     */
   def dedupParagraphsAcrossDocs(docs: DataFrame, idCol: String = "doc_id",
       parasCol: String = "paras"): DataFrame = {
     val id = ColNames.quotedCol(idCol)
-    // A NULL paragraph would get a null fingerprint and silently vanish
-    // from the inner fingerprint join (and from n_paras) — fail loudly
-    // instead, the withHashSplit null-key stance.
+    // A NULL paragraph would get a null fingerprint and form its own
+    // silent group — fail loudly instead, the withHashSplit null-key
+    // stance (the grouping key is evaluated for every occurrence).
     val ex = docs.select(id,
       posexplode(ColNames.quotedCol(parasCol)).as(Seq("para_idx", "para")))
       .withColumn("fp", when(col("para").isNotNull, md5(col("para")))
         .otherwise(raise_error(lit("dedupParagraphsAcrossDocs: null paragraph " +
           "element — paragraph arrays must not contain nulls")).cast("string")))
-    Caching.withCached(ex) {
-      val firsts = ex.groupBy("fp")
-        .agg(min(struct(id, col("para_idx"))).as("_first"))
-      ex.join(firsts, "fp")
-        .withColumn("keep", struct(id, col("para_idx")) === col("_first"))
-        .groupBy(id)
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(when(col("keep"),
-              struct(col("para_idx"), col("para"))))),
-            x => x("para")), "\n").as("text_deduped"))
-    }
+    val winners = ex.groupBy("fp")
+      .agg(min(struct(id, col("para_idx"), col("para"))).as("_w"))
+      .select(col("_w").getField(idCol).as(idCol),
+        col("_w.para_idx").as("para_idx"), col("_w.para").as("para"))
+    val kept = winners.groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x("para")), "\n").as("text_deduped"))
+    docs
+      .select(id, when(ColNames.quotedCol(parasCol).isNotNull,
+          size(ColNames.quotedCol(parasCol)).cast("long"))
+        .otherwise(raise_error(lit("dedupParagraphsAcrossDocs: null paragraph " +
+          "array — every document must carry a (possibly empty) array"))
+          .cast("long")).as("n_paras"))
+      .join(kept, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+      .select(id, col("n_paras"), col("n_kept"), col("text_deduped"))
   }
 
   /** Distinct paragraph fingerprints of a paragraph-array frame — the
