@@ -2425,14 +2425,22 @@ object GraftQueries {
   /** JL random projection ([[SimilarityOps.randomProjection]]): 64 → 16
     * dims through the md5-derived ±1 Rademacher matrix — the oracle
     * REGENERATES the matrix from the same hash formula and recomputes
-    * every projection, so the transform is value-exact end to end (the
-    * 6-dp round absorbs any engine summation-order ulp).
+    * every projection, so the transform is value-exact end to end. The
+    * projected vector is serialized as INTEGER MICRO-UNITS
+    * (round(x*1e6) → BIGINT) comma-joined into one string: integers
+    * format identically on both engines (doubles don't — trailing
+    * zeros / scientific notation), the micro-round absorbs any
+    * summation-order ulp exactly like the old 6-dp round, and the
+    * driver's comparator can hash the scalar (it cannot sort nested
+    * arrays — the project-wide output-shape contract, OutputShapeSpec).
     */
   private val s10 = Q("sim_random_projection",
     (s, dir) => SimilarityOps.randomProjection(
         t(s, dir, "embeddings"), dims = 64, outDims = 16)
       .select(col("vec_id"),
-        transform(col("projected"), x => round(x, 6)).as("projected"))
+        array_join(transform(col("projected"),
+            x => round(x * lit(1e6)).cast("long").cast("string")), ",")
+          .as("projected_micros"))
       .orderBy("vec_id"),
     Some("""
       WITH m AS (SELECT j, list_transform(range(0, 64), i ->
@@ -2442,10 +2450,11 @@ object GraftQueries {
           FROM (SELECT unnest(range(0, 16)) AS j)),
       t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       p AS (SELECT t.vec_id, m.j,
-            round(list_sum(list_transform(range(1, 65),
-              k -> t.v[k] * m.mrow[k])), 6) AS pj
+            cast(round(list_sum(list_transform(range(1, 65),
+              k -> t.v[k] * m.mrow[k])) * 1e6) as bigint) AS pj
           FROM t CROSS JOIN m)
-      SELECT vec_id, array_agg(pj ORDER BY j) AS projected
+      SELECT vec_id,
+        string_agg(cast(pj as varchar), ',' ORDER BY j) AS projected_micros
       FROM p GROUP BY vec_id ORDER BY vec_id"""))
 
   /** Cosine via BUILT-IN higher-order functions — `zip_with` (elementwise
@@ -3383,7 +3392,8 @@ object GraftQueries {
                     ['the','a','of','and','is','to'], x)))::DOUBLE / len(tk)) * 0.2,
                 6) AS quality_score
             FROM base),
-      g AS (SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+      g AS (SELECT lang, count(*) AS n_docs,
+              cast(sum(n_tok) as bigint) AS n_tokens,
               count(DISTINCT fp) AS n_distinct_texts,
               round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS exact_dup_rate,
               round(cast(sum(cast(quality_score AS decimal(38,12))) AS DOUBLE)
@@ -3604,8 +3614,13 @@ object GraftQueries {
 
   /** Training-sequence manifest ([[LayoutOps.packSequences]]): one row
     * per 2048-token sequence with ordered doc ids and sequence-local
-    * boundary offsets — both ARRAYS value-compared against the oracle's
-    * single-reducer replay.
+    * boundary offsets, value-compared against the oracle's
+    * single-reducer replay. The id/boundary ARRAYS are serialized to
+    * canonical comma-joined strings on BOTH engines — the driver's
+    * comparator hashes scalars, not nested values (the project-wide
+    * output-shape contract; OutputShapeSpec pins it) — which preserves
+    * value-exactness: any reordered, dropped, or altered element
+    * changes the joined string.
     */
   private val ly3 = Q("layout_sequences",
     (s, dir) => {
@@ -3613,6 +3628,11 @@ object GraftQueries {
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       LayoutOps.packSequences(docs, "doc_id", "n_tok", seqLen = 2048L)
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          array_join(transform(col("doc_ids"), x => x.cast("string")), ",")
+            .as("doc_ids"),
+          array_join(transform(col("boundaries"), x => x.cast("string")), ",")
+            .as("boundaries"))
         .orderBy("seq_id")
     },
     Some("""
@@ -3627,8 +3647,9 @@ object GraftQueries {
               cast(off // 2048 as bigint) AS seq_id FROM o)
       SELECT seq_id, count(*) AS n_docs,
         cast(sum(n_tok) as bigint) AS n_tokens,
-        list(doc_id ORDER BY doc_id) AS doc_ids,
-        list(off - seq_id * 2048 ORDER BY doc_id) AS boundaries
+        string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id) AS doc_ids,
+        string_agg(cast(off - seq_id * 2048 as varchar), ',' ORDER BY doc_id)
+          AS boundaries
       FROM s GROUP BY seq_id ORDER BY seq_id"""))
 
   /** Packed-shard WRITE round-trip ([[LayoutOps.writePackedShards]]):
