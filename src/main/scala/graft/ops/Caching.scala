@@ -5,8 +5,9 @@ import org.apache.spark.sql.DataFrame
 /** Caching contract for operators that must persist an intermediate frame
   * (per-doc signatures/shingles — see the optimizer-inlining note in
   * [[DedupOps]]): the op persists its intermediates, materializes its
-  * result with an eager `localCheckpoint`, and unpersists before
-  * returning.
+  * result eagerly (`localCheckpoint` by default; a RELIABLE checkpoint
+  * when `spark.graft.checkpointDir` is set — see [[materialize]]), and
+  * unpersists before returning.
   *
   * Result sizes come in two classes, both bounded relative to the
   * intermediates they replace: OUTPUT-sized (pairs/top-k — the dedup and
@@ -28,10 +29,75 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Caching {
 
-  /** Persist `frames`, evaluate `body` eagerly (localCheckpoint), release. */
+  /** Persist `frames`, evaluate `body` eagerly (checkpoint), release —
+    * including any frames a nested helper registered via
+    * [[scopedPersist]] while the body was being built.
+    */
   def withCached(frames: DataFrame*)(body: => DataFrame): DataFrame = {
+    val scoped = scala.collection.mutable.ListBuffer.empty[DataFrame]
     frames.foreach(_.persist())
-    try body.localCheckpoint(eager = true)
-    finally frames.foreach(_.unpersist(blocking = false))
+    scopes.set(scoped :: scopes.get)
+    try materialize(body)
+    finally {
+      scopes.set(scopes.get.tail)
+      frames.foreach(_.unpersist(blocking = false))
+      scoped.foreach(_.unpersist(blocking = false))
+    }
   }
+
+  /** Persist `df` for the lifetime of the INNERMOST enclosing
+    * [[withCached]] scope (released in its finally, after the scope's
+    * result has materialized). For helpers like the hot-bucket guard
+    * that run a pre-pass action over a frame their caller is about to
+    * consume again: without this, the pre-pass and the main join each
+    * recompute the frame's lineage from scratch (jobs never share
+    * exchanges), re-running e.g. the whole minhash signature build.
+    * Outside any scope this is a NO-OP returning `df` unchanged — the
+    * helper then behaves exactly as before (recompute, never leak).
+    * Persisting an already-persisted frame is also a no-op (Spark keeps
+    * the original storage level), so passing a caller-cached frame
+    * through is safe.
+    */
+  def scopedPersist(df: DataFrame): DataFrame = scopes.get() match {
+    case _ if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+      df // caller already persisted it (e.g. passes its own cached frame)
+    case buf :: _ => df.persist(); buf += df; df
+    case Nil => df
+  }
+
+  /** Construction happens on the driver thread that entered withCached,
+    * so a plain ThreadLocal scopes the registry correctly; a helper
+    * invoked from another thread (streaming micro-batch) simply sees no
+    * scope and falls back to the no-op path.
+    */
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ListBuffer[DataFrame]]] {
+      override def initialValue:
+          List[scala.collection.mutable.ListBuffer[DataFrame]] = Nil
+    }
+
+  /** The ONE eager-materialization seam every op shares. Default:
+    * `localCheckpoint` — executor-local blocks, fastest, correct in
+    * local mode and on a healthy cluster, but NOT fault-tolerant: losing
+    * an executor loses blocks whose lineage the checkpoint truncated, so
+    * a long chained pipeline (pipeline_curate_v3) would fail rather than
+    * recompute. Setting `spark.graft.checkpointDir` switches every op's
+    * materialization to a RELIABLE checkpoint under that path
+    * (HDFS/object store on a real cluster) — same results, same
+    * laziness contract, executor loss survivable. The SparkContext-level
+    * checkpoint dir is set from the conf on first use and left alone
+    * afterwards (one directory per session).
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+
+  val CheckpointDirKey = "spark.graft.checkpointDir"
 }

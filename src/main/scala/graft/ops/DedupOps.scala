@@ -70,11 +70,18 @@ object DedupOps {
     *     semantics decide candidacy, the guard only decides WHERE the
     *     comparisons run.
     */
-  private[ops] def selfJoinWithinBuckets(banded: DataFrame, keyCols: Seq[String],
+  private[ops] def selfJoinWithinBuckets(rawBanded: DataFrame, keyCols: Seq[String],
       carry: Seq[String], hotBucketThreshold: Long = HotBucketThreshold,
       splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     require(hotBucketThreshold >= 1, s"hotBucketThreshold must be >= 1, got $hotBucketThreshold")
     require(splitTarget >= 1, s"splitTarget must be >= 1, got $splitTarget")
+    // Scope-persist the banded frame: the guard's pre-pass action and the
+    // self-join would otherwise EACH recompute its lineage (the full
+    // signature build — jobs never share exchanges); the pre-pass now
+    // populates the cache the join reads. Released by the caller's
+    // enclosing withCached (every pair op wraps one); narrow rows
+    // (id + bucket key + carry), MEMORY_AND_DISK.
+    val banded = Caching.scopedPersist(rawBanded)
     val keys = keyCols.map(col)
     def keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     def out(aLess: Column) =
@@ -83,21 +90,29 @@ object DedupOps {
         carry.flatMap(c => Seq(
           when(aLess, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
           when(aLess, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
-    // Guard switch: one bounded-size agg (map-side combine shrinks the
-    // shuffle to ~distinct-bucket volume) and a 1-row driver read — the
-    // same documented switch idiom as maxClassSize. In the healthy case
-    // (no bucket over threshold — every registered dataset, and any
-    // production corpus whose banding is doing its job) the plan is then
-    // the ORIGINAL unguarded a<b equi-join: the always-on guard's extra
+    // Guard switch, two tiers. Tier 1: a SHUFFLE-FREE upper bound
+    // ([[maxBucketUpperBound]] — one narrow scan, partition-local hash
+    // counts, P longs to the driver) that confirms the healthy case
+    // without the exact count's shuffle: with mostly-unique bucket keys,
+    // the old groupBy-count's map-side combine shrank nothing, so its
+    // shuffle was ~banded-volume and cost 0.6-0.9 s per op at sf0.1 on
+    // every registered dataset — full price for a switch that always
+    // read "no hot buckets". Tier 2 (only when the cheap bound trips):
+    // the exact bounded-size agg + 1-row driver read, same documented
+    // switch idiom as maxClassSize. In the healthy case the plan is the
+    // ORIGINAL unguarded a<b equi-join: the always-on guard's extra
     // broadcast-tag join + two-branch union tripled the warm wall time of
     // every banded pair op (measured 2.1 s → 6.2 s at sf0.1) while the
     // hot side stayed empty. The grid-split machinery is only BUILT when
     // an over-threshold bucket actually exists.
+    def plainJoin = banded.as("a").join(banded.as("b"),
+        keyEq && col("a.id") < col("b.id"))
+      .select(out(lit(true)): _*)
+    if (maxBucketUpperBound(banded, keyCols) <= hotBucketThreshold)
+      return plainJoin
     val bucketCounts = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
     if (maxLongOf(bucketCounts, "_bn") <= hotBucketThreshold) {
-      return banded.as("a").join(banded.as("b"),
-          keyEq && col("a.id") < col("b.id"))
-        .select(out(lit(true)): _*)
+      return plainJoin
     }
     val hot = bucketCounts.filter(col("_bn") > hotBucketThreshold)
     val tagged = banded.join(broadcast(hot), keyCols, "left")
@@ -268,9 +283,49 @@ object DedupOps {
     * sibling ops' plan switches (SemDeDup's collapse fast path) share
     * THIS read instead of growing the lint allowlist.
     */
-  private[ops] def maxLongOf(df: DataFrame, c: String): Long = {
-    val row = df.agg(max(col(c))).head()
+  private[ops] def maxLongOf(df: DataFrame, c: String): Long =
+    longAgg(df, max(col(c)))
+
+  /** The single driver-side 1-row read both switches share. */
+  private def longAgg(df: DataFrame, a: Column): Long = {
+    val row = df.agg(a).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** SHUFFLE-FREE upper bound on the max bucket multiplicity of `banded`
+    * under `keyCols` — the tier-1 hot-bucket switch. Per partition, a
+    * local hash count of key multiplicities keeps the partition MAX; the
+    * SUM of per-partition maxima bounds any single bucket's global count
+    * (a bucket's count is the sum of its per-partition counts, each ≤
+    * that partition's max). xxhash64 key collisions only MERGE buckets
+    * and overcount, so the bound stays an upper bound. One narrow scan
+    * of the banded frame (no shuffle — the exact groupBy-count's map-side
+    * combine shrinks nothing when bucket keys are mostly unique, so its
+    * shuffle is ~banded-volume), and the driver reads one partition-count
+    * row. Memory: one LongMap of the partition's DISTINCT keys — bounded
+    * by partition row count, i.e. sized by `maxPartitionBytes` /
+    * `shuffle.partitions`, the same envelope every hash aggregate in the
+    * plan already assumes. A legitimately hot dataset trips the bound
+    * (possibly spuriously near the threshold — sum-of-maxima overcounts
+    * when a bucket spreads across partitions) and pays the tier-2 exact
+    * count; healthy corpora — every registered dataset — skip it.
+    */
+  private[ops] def maxBucketUpperBound(banded: DataFrame,
+      keyCols: Seq[String]): Long = {
+    import banded.sparkSession.implicits._
+    val perPartitionMax = banded
+      .select(xxhash64(keyCols.map(col): _*).as("k")).as[Long]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var mx = 0L
+        it.foreach { k =>
+          val c = counts.getOrElse(k, 0L) + 1L
+          counts.update(k, c)
+          if (c > mx) mx = c
+        }
+        Iterator.single(mx)
+      }.toDF("mx")
+    longAgg(perPartitionMax, sum(col("mx")))
   }
 
   /** [[withSetCollapse]]'s sibling for pipelines whose candidate AND
@@ -816,20 +871,31 @@ object DedupOps {
     *     block (no distinct needed at this layer), and each block
     *     compares ≤ ~splitTarget² pairs regardless of bucket size.
     */
-  private[ops] def joinAcrossBuckets(aBanded: DataFrame, bBanded: DataFrame,
+  private[ops] def joinAcrossBuckets(aRaw: DataFrame, bRaw: DataFrame,
       keyCols: Seq[String], hotBucketThreshold: Long = HotBucketThreshold,
       splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     require(hotBucketThreshold >= 1 && splitTarget >= 1)
+    // Same scope-persist rationale as [[selfJoinWithinBuckets]]: the two
+    // guard pre-passes populate the caches the bipartite join reads.
+    val aBanded = Caching.scopedPersist(aRaw)
+    val bBanded = Caching.scopedPersist(bRaw)
     val keys = keyCols.map(col)
     def keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     def out = Seq(col("a.id").as("id_a"), col("b.id").as("id_b"))
     def counts(df: DataFrame, n: String) =
       df.groupBy(keys: _*).agg(count(lit(1)).as(n))
+    // Same two-tier switch as [[selfJoinWithinBuckets]]: the shuffle-free
+    // per-side bound confirms the healthy case; only a tripped bound pays
+    // the exact per-bucket counts.
+    def plainJoin = aBanded.as("a").join(bBanded.as("b"), keyEq).select(out: _*)
+    if (math.max(maxBucketUpperBound(aBanded, keyCols),
+        maxBucketUpperBound(bBanded, keyCols)) <= hotBucketThreshold)
+      return plainJoin
     val aCounts = counts(aBanded, "_an")
     val bCounts = counts(bBanded, "_bn")
     if (math.max(maxLongOf(aCounts, "_an"),
         maxLongOf(bCounts, "_bn")) <= hotBucketThreshold) {
-      return aBanded.as("a").join(bBanded.as("b"), keyEq).select(out: _*)
+      return plainJoin
     }
     val hot = aCounts.join(bCounts, keyCols, "full")
       .na.fill(0L, Seq("_an", "_bn"))

@@ -276,6 +276,24 @@ object LayoutOps {
     require(targetBytes > 0, s"compactParquet: targetBytes must be positive, got $targetBytes")
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SaveMode.Overwrite deletes the target BEFORE the lazily-read input
+    // scan runs: writing into (or under) the input directory would
+    // destroy the source data mid-read. Compare fully-qualified paths so
+    // relative/absolute spellings of the same location can't slip past.
+    val inQ = fs.makeQualified(inPath)
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    def contains(parent: org.apache.hadoop.fs.Path,
+        child: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = child
+      while (p != null) {
+        if (p == parent) return true
+        p = p.getParent
+      }
+      false
+    }
+    require(!contains(inQ, outQ),
+      s"compactParquet: output $outQ is equal to or nested under input " +
+        s"$inQ — Overwrite would delete the source before it is read")
     val files = fs.listStatus(inPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"compactParquet: no parquet files under $inDir")

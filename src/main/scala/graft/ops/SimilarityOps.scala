@@ -610,19 +610,40 @@ object SimilarityOps {
     * ([[graft.ops.DedupOps.selfJoinWithinBuckets]]), so one popular
     * cluster cannot serialize the stage onto a single reducer.
     *
+    * SIZING `nlist` (the 100 TB knob): the within-cluster rule is
+    * quadratic per cluster — Σ|c|² ≈ N²/nlist comparisons for balanced
+    * clusters — so a FIXED nlist does not scale: nlist must grow with
+    * the corpus, and `nlist ≈ √N` (the paper's many-small-clusters
+    * regime) keeps total comparisons ≈ N^1.5 while the centroid model
+    * stays a broadcastable nlist×dims table. `nlist = 0` (the default)
+    * derives exactly that: `max(16, ceil(√N))` from one corpus count —
+    * pass an explicit nlist to pin a model size instead (the registered
+    * query does, for oracle stability). ScaleProbe's semdedup-sizing
+    * probe records Σ C(|c|,2) at two nlist values as the cost-law
+    * evidence.
+    *
     * Returns one row per vector: (vec_id, list_id, keep).
     */
-  def semdedupKeepSet(emb: DataFrame, threshold: Double, nlist: Int = 16,
+  def semdedupKeepSet(emb: DataFrame, threshold: Double, nlist: Int = 0,
       trainIters: Int = 5, trainFraction: Double = 1.0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[Seq[(Int, Array[Double])]] = None,
       hotBucketThreshold: Long = DedupOps.HotBucketThreshold,
       splitTarget: Long = DedupOps.HotBucketSplitTarget): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0, 1]")
+    require(nlist >= 0, s"nlist=$nlist must be >= 0 (0 = derive ≈ √N)")
     val corpus = emb.select(ColNames.quotedCol(idCol).as("vec_id"),
       ColNames.quotedCol(vecCol).as("cv"))
-    val cents = centroids.getOrElse(
-      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
+    val cents = centroids.getOrElse {
+      // nlist = 0 → the √N sizing rule from the scaladoc: one count()
+      // (corpus-linear scan, model-sized result) so the default cannot
+      // silently go quadratic on a corpus 1000× the one it was tuned on.
+      val nlistEff =
+        if (nlist > 0) nlist
+        else math.max(16L, math.ceil(
+          math.sqrt(corpus.count().toDouble)).toLong).toInt
+      trainIvfCentroids(corpus, nlistEff, trainIters, trainFraction)
+    }
     if (cents.isEmpty)
       return corpus.limit(0).select(col("vec_id"),
         lit(0).as("list_id"), lit(true).as("keep"))

@@ -604,18 +604,33 @@ object TextOps {
         .withColumn("_ref", lit(true))
       val firsts = ex.groupBy("fp")
         .agg(min(struct(id, col("para_idx"))).as("_first"))
-      ex.join(firsts, "fp")
+      val perDoc = ex.join(firsts, "fp")
         .join(gatedRef, Seq("fp"), "left")
         .withColumn("keep", col("_ref").isNull &&
           struct(id, col("para_idx")) === col("_first"))
         .groupBy(id)
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("_ref").isNotNull, 1L).otherwise(0L)).as("n_ref_hits"),
           array_join(transform(
             array_sort(collect_list(when(col("keep"),
               struct(col("para_idx"), col("para"))))),
             x => x("para")), "\n").as("text_deduped"))
+      // Left-join onto the BATCH DOC SPINE — posexplode emits no rows for
+      // an empty paragraph array, so without the spine such documents
+      // would silently vanish from the output, violating the one-row-per-
+      // batch-document contract. Same null-ARRAY stance as the symmetric
+      // [[dedupParagraphsAcrossDocs]]: fail loudly, never a silent group.
+      batch
+        .select(id, when(ColNames.quotedCol(parasCol).isNotNull,
+            size(ColNames.quotedCol(parasCol)).cast("long"))
+          .otherwise(raise_error(lit("dedupParagraphsAgainstRef: null " +
+            "paragraph array — every document must carry a (possibly " +
+            "empty) array")).cast("long")).as("n_paras"))
+        .join(perDoc, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_kept", "n_ref_hits"))
+        .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+        .select(id, col("n_paras"), col("n_kept"), col("n_ref_hits"),
+          col("text_deduped"))
     }
   }
 
@@ -655,7 +670,12 @@ object TextOps {
   def dedupSubstringsAcrossDocs(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"dedupSubstringsAcrossDocs: n=$n must be >= 1")
-    require(minDocs >= 2, s"dedupSubstringsAcrossDocs: minDocs=$minDocs must be >= 2")
+    // minDocs = 1 means "every occurring gram counts as duplicated" —
+    // degenerate for curation (it erases everything but first
+    // occurrences) but exactly the SATURATED semantics a fully
+    // replicated corpus induces, which is what ScaleProbe's
+    // substring-dedup oracle replays on the base corpus.
+    require(minDocs >= 1, s"dedupSubstringsAcrossDocs: minDocs=$minDocs must be >= 1")
     val id = ColNames.quotedCol(idCol)
     val tk = docs.select(id, tokens(ColNames.quotedCol(textCol)).as("tk"))
     val grams = tk

@@ -113,14 +113,18 @@ object ScaleProbe {
     *  - every k>0 replica with ≥ `n` tokens is FULLY erased (its grams'
     *    kept occurrences all precede it — in its k=0 twin at latest),
     *    and shorter k>0 replicas pass through verbatim;
-    *  - the k=0 replica's removal set is a SUBSET of the orig's base
-    *    removal set: base-kept coverage survives unchanged (base-dup
-    *    grams keep their base kept/redundant classification), while
-    *    base-unique grams — uncovered in base — become KEPT occurrences
-    *    here and can only rescue positions base removed via an
-    *    overlapping redundant span. So `n_removed(k=0) ≤ n_removed
-    *    (base)`, with bit-equal rewrites exactly when the counts match
-    *    (subset + equal size = equality).
+    *  - the k=0 replica's rewrite equals the SATURATED-corpus rewrite of
+    *    its orig, which the probe replays EXACTLY on the base corpus as
+    *    `dedupSubstringsAcrossDocs(base, minDocs = 1)` ("every occurring
+    *    gram is duplicated"): gram kept-occurrences map 1:1 between base
+    *    order and k=0-replica order, so counts and md5s must be
+    *    bit-equal. (The former `n_removed(k=0) ≤ n_removed(base)` subset
+    *    claim was NOT an invariant: a within-doc repeated gram that no
+    *    other doc shares removes nothing in base — countDistinct(doc) <
+    *    minDocs — but its replicated copies legitimately erase the later
+    *    within-doc occurrence, and a newly-kept span can likewise rescue
+    *    a position base removed; the saturated replay has neither
+    *    blind spot.)
     */
   final case class SubstringDedupKind(n: Int) extends Kind
 
@@ -265,6 +269,42 @@ object ScaleProbe {
     val missing = pairable.except(within.select("oa")).count()
     if (missing > 0) errs += s"$missing positive-norm origs missing their within clique"
     Result("dedup_embedding_pairs[skew]", baseRows, repRows, tBase, tRep, errs.result())
+  }
+
+  /** Cost-law evidence for [[graft.ops.SimilarityOps.semdedupKeepSet]]'s
+    * nlist sizing rule: run the op on the replicated corpus at two nlist
+    * values and report Σ C(|c|, 2) — the exact within-cluster comparison
+    * budget the quadratic rule pays (the structural form of "cost scales
+    * as Σ cluster²", free of timing noise). The larger nlist must
+    * strictly shrink the budget, which is precisely why a fixed nlist
+    * cannot scale and the op's default derives nlist ≈ √N.
+    */
+  def runSemDedupSizing(spark: SparkSession, dir: String,
+      nlistLo: Int = 16, nlistHi: Int = 64): Result = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def probe(nlist: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val out = graft.ops.SimilarityOps.semdedupKeepSet(emb,
+        threshold = 0.4, nlist = nlist, trainIters = 5, trainFraction = 0.25)
+      val sumPairs2 = longScalar(out.groupBy("list_id")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - lit(1)))))
+      (sumPairs2 / 2, (System.nanoTime() - t0) / 1e9)
+    }
+    val (budgetLo, secLo) = probe(nlistLo)
+    val (budgetHi, secHi) = probe(nlistHi)
+    val errs = Seq.newBuilder[String]
+    if (budgetLo > 0 && budgetHi >= budgetLo)
+      errs += s"nlist=$nlistHi budget $budgetHi did not shrink vs nlist=$nlistLo ($budgetLo)"
+    Result(s"curate_semdedup[nlist $nlistLo->$nlistHi]",
+      budgetLo, budgetHi, secLo, secHi, errs.result())
+  }
+
+  /** 1-row aggregate read for the sizing probe's pair-budget scalar —
+    * probe oracle, not an operator; allowlisted like LshTune's reads. */
+  private def longScalar(df: DataFrame): Long = {
+    val row = df.head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   private def origOf(c: Column, factor: Int): Column =
@@ -460,29 +500,39 @@ object ScaleProbe {
     errs.result()
   }
 
-  private def checkSubstringDedup(base: DataFrame, rep: DataFrame,
-      factor: Int, n: Int): Seq[String] = {
+  private def checkSubstringDedup(spark: SparkSession, baseDir: String,
+      base: DataFrame, rep: DataFrame, factor: Int, n: Int): Seq[String] = {
     val errs = Seq.newBuilder[String]
     val baseRows = base.count()
     val repRows = rep.count()
     if (repRows != baseRows * factor)
       errs += s"substring-dedup rows $repRows != factor * base ($baseRows)"
     val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    // The EXACT k=0 expectation, replayed on the base corpus: under full
+    // replication every occurring gram is cross-doc duplicated and each
+    // gram's kept occurrence sits in the k=0 replica of its base-first
+    // home, so the k=0 rewrite is precisely the minDocs=1 ("saturated")
+    // rewrite of base — see [[SubstringDedupKind]] for why the former
+    // subset inequality was unsound for within-doc-only repeats.
+    val saturated = graft.ops.TextOps.dedupSubstringsAcrossDocs(
+        spark.read.parquet(s"$baseDir/documents.parquet"), n = n, minDocs = 1)
+      .select(col("doc_id").as("o"), col("n_removed").as("xrm"),
+        md5(col("text_dedup")).as("xmd5"))
     val j = rep.select(origOf(col("doc_id"), factor).as("o"),
         pmod(col("doc_id"), lit(factor)).as("k"),
         col("n_tokens"), col("n_removed"), col("dedup_md5"))
       .join(base.select(col("doc_id").as("o"), col("n_tokens").as("bn"),
         col("n_removed").as("brm"), col("dedup_md5").as("bmd5")), Seq("o"))
+      .join(saturated, Seq("o"))
     j.persist()
     try {
       val badTok = j.filter(col("n_tokens") =!= col("bn")).count()
       if (badTok > 0)
         errs += s"$badTok replicas with a different token count than their orig"
       val badFirst = j.filter(col("k") === 0 &&
-        (col("n_removed") > col("brm") ||
-          (col("n_removed") === col("brm") && col("dedup_md5") =!= col("bmd5")))).count()
+        (col("n_removed") =!= col("xrm") || col("dedup_md5") =!= col("xmd5"))).count()
       if (badFirst > 0)
-        errs += s"$badFirst first replicas removing beyond (or diverging from) the base rewrite"
+        errs += s"$badFirst first replicas diverging from the saturated base replay"
       val badLaterLong = j.filter(col("k") > 0 && col("n_tokens") >= n &&
         (col("n_removed") =!= col("n_tokens") || col("dedup_md5") =!= emptyMd5)).count()
       if (badLaterLong > 0)
@@ -532,7 +582,8 @@ object ScaleProbe {
         case s: SemDedupKind => checkSemDedup(baseDf, repDf, factor, s)
         case ParagraphDedupKind => checkParagraphDedup(baseDf, repDf, factor)
         case DupSpansSaturationKind(n) => checkDupSpansSaturation(baseDf, repDf, factor, n)
-        case SubstringDedupKind(n) => checkSubstringDedup(baseDf, repDf, factor, n)
+        case SubstringDedupKind(n) =>
+          checkSubstringDedup(spark, baseDir, baseDf, repDf, factor, n)
         case PackKind(budget) => checkPack(repDf, budget)
       })
       timeCeiling.foreach { c =>
@@ -560,6 +611,23 @@ object ScaleProbe {
       val status = if (r.ok) "PASS" else "FAIL"
       println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d rows ${r.baseSec}%7.2f s" +
         f"  x$factor ${r.repRows}%9d rows ${r.repSec}%7.2f s" +
+        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
+      spark.stop()
+      if (!r.ok) sys.exit(1)
+      return
+    }
+    // `... <sfDir> <factor> semdedup-sizing` replicates and reports the
+    // Σ C(|c|, 2) comparison budget at two nlist values — the nlist
+    // cost-law probe (strictly shrinking budget at larger nlist).
+    if (names == Seq("semdedup-sizing")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val spark = graft.Sessions.local(cpus)
+      val repDir = s"/tmp/graft_scale_probe_f$factor"
+      replicateDir(spark, baseDir, repDir, factor)
+      val r = runSemDedupSizing(spark, repDir)
+      val status = if (r.ok) "PASS" else "FAIL"
+      println(f"[probe] $status ${r.query}%-26s budget ${r.baseRows}%9d pairs ${r.baseSec}%7.2f s" +
+        f"  -> ${r.repRows}%9d pairs ${r.repSec}%7.2f s" +
         (if (r.ok) "" else "  " + r.failures.mkString("; ")))
       spark.stop()
       if (!r.ok) sys.exit(1)

@@ -51,11 +51,15 @@ class CollectLintSpec extends AnyFunSuite {
     "graft/ops/ModelIO.scala" -> 4,  // the four model LOADERS — each
                                      // reads a config-sized persisted
                                      // model table, never data
-    "graft/tools/LshTune.scala" -> 2) // offline tuning CLI, not an
+    "graft/tools/LshTune.scala" -> 2, // offline tuning CLI, not an
                                      // operator: both reads are top-k
                                      // result sets (queries×k rows),
                                      // bounded by the grid's fixed
                                      // 10-query probe
+    "graft/tools/ScaleProbe.scala" -> 1) // longScalar: the sizing
+                                     // probe's 1-row pair-budget
+                                     // aggregate — probe oracle, not an
+                                     // operator
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

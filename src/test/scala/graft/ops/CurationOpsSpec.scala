@@ -444,6 +444,38 @@ class CurationOpsSpec extends SparkSuite {
     assert(run(8) == got)
   }
 
+  test("dedupParagraphsAgainstRef: empty-array docs keep their output row") {
+    // posexplode emits no rows for an empty array — without the doc
+    // spine such documents silently vanished, violating the documented
+    // one-row-per-batch-document contract.
+    val refFps = TextOps.paragraphFingerprints(
+      Seq((100L, Seq("BANNER"))).toDF("doc_id", "paras"))
+    val batch = Seq(
+      (1L, Seq("BANNER", "fresh")),
+      (2L, Seq.empty[String])
+    ).toDF("doc_id", "paras")
+    val got = TextOps.dedupParagraphsAgainstRef(batch, refFps).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_ref_hits"), r.getAs[String]("text_deduped")))).toMap
+    assert(got.size == 2)
+    assert(got(1L) == ((2L, 1L, 1L, "fresh")))
+    assert(got(2L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("dedupParagraphsAgainstRef: null paragraph array fails loudly") {
+    val refFps = TextOps.paragraphFingerprints(
+      Seq((100L, Seq("BANNER"))).toDF("doc_id", "paras"))
+    val batch = Seq((1L, Seq("a")), (2L, null))
+      .toDF("doc_id", "paras")
+    val err = intercept[Exception] {
+      TextOps.dedupParagraphsAgainstRef(batch, refFps).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null paragraph array"), s"unexpected error: $msgs")
+  }
+
   test("dedupParagraphsAcrossDocs: null paragraph element fails loudly") {
     // A null paragraph would null its fingerprint and silently vanish
     // from the inner fingerprint join (and from n_paras).

@@ -59,4 +59,13 @@ class ScaleProbeSpec extends SparkSuite {
     assert(r.ok, r.failures.mkString("; "))
     assert(r.repRows > r.baseRows, "skewed run should add the within cliques")
   }
+
+  test("semdedup nlist sizing probe: larger nlist strictly shrinks the pair budget") {
+    // The cost-law evidence behind semdedupKeepSet's √N default: the
+    // within-cluster comparison budget Σ C(|c|, 2) must fall as nlist
+    // grows — a fixed nlist is what does NOT scale.
+    val r = ScaleProbe.runSemDedupSizing(spark, sf(), nlistLo = 4, nlistHi = 16)
+    assert(r.ok, r.failures.mkString("; "))
+    assert(r.baseRows > 0, "probe corpus produced an empty pair budget")
+  }
 }
