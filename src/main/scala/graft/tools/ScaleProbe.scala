@@ -217,7 +217,7 @@ object ScaleProbe {
         else exploded
       perturbed
         .select((col(idCol) * factor + col("_k")).as(idCol) +:
-          base.columns.filter(_ != idCol).map(col): _*)
+          base.columns.filter(_ != idCol).toIndexedSeq.map(col): _*)
         .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
     }
