@@ -1100,7 +1100,7 @@ object GraftQueries {
     * all-pairs form is the banding curve (asserted in OpsSpec).
     */
   private val d06 = Q("dedup_embedding_pairs",
-    (s, dir) => DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4, dims = 64)
+    (s, dir) => embeddingPairsFor(s, dir)
       .orderBy("vec_a", "vec_b"),
     Some("""
       WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1220,6 +1220,44 @@ object GraftQueries {
     * connectedComponents (the oriented edge set is eagerly checkpointed),
     * so the persist is fully consumed before release.
     */
+  /** ONE near-dup component labeling per (session, input dir) — shared
+    * by dedup_components and curate_near_dup exactly like the v3 stage
+    * chain: a run clusters the corpus once, downstream views read the
+    * labeling. Checkpointed at build so both consumers are block reads;
+    * deterministic, so build order is value-irrelevant. */
+  private val nearDupComponentsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def nearDupComponentsFor(s: SparkSession, dir: String): DataFrame =
+    nearDupComponentsCache.computeIfAbsent((s, dir), _ =>
+      nearDupClusterComponents(t(s, dir, "documents")).localCheckpoint(true))
+
+  /** The embedding near-dup pair graph at the registered parameters
+    * (threshold 0.4, 64 dims), shared by dedup_embedding_pairs and
+    * curate_semantic_dedup; the op's own Caching contract makes the
+    * memoized frame checkpoint-backed already. */
+  private val embeddingPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def embeddingPairsFor(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsCache.computeIfAbsent((s, dir), _ =>
+      DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        threshold = 0.4, dims = 64))
+
+  /** The semantic component labeling over [[embeddingPairsFor]]'s graph
+    * — curate_semantic_dedup's cluster step, memoized like its lexical
+    * twin [[nearDupComponentsFor]]. */
+  private val semanticComponentsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def semanticComponentsFor(s: SparkSession, dir: String): DataFrame =
+    semanticComponentsCache.computeIfAbsent((s, dir), _ =>
+      GraphOps.connectedComponents(
+        t(s, dir, "embeddings").select(col("vec_id")),
+        embeddingPairsFor(s, dir).select("vec_a", "vec_b"),
+        idCol = "vec_id", srcCol = "vec_a", dstCol = "vec_b")
+        .localCheckpoint(true))
+
   private def nearDupClusterComponents(docs: DataFrame): DataFrame = {
     val keyed = docs
       .select(col("doc_id"), md5(col("text")).as("h"),
@@ -1243,7 +1281,7 @@ object GraftQueries {
   }
 
   private val d10 = Q("dedup_components",
-    (s, dir) => nearDupClusterComponents(t(s, dir, "documents"))
+    (s, dir) => nearDupComponentsFor(s, dir)
       .select(col("id").as("doc_id"), col("component_id"))
       .orderBy("doc_id"),
     Some("""
@@ -1288,11 +1326,7 @@ object GraftQueries {
   private val d17 = Q("curate_semantic_dedup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val pairs = DedupOps.embeddingNearDupPairs(emb, threshold = 0.4, dims = 64)
-        .select("vec_a", "vec_b")
-      val comps = GraphOps.connectedComponents(
-        emb.select(col("vec_id")), pairs,
-        idCol = "vec_id", srcCol = "vec_a", dstCol = "vec_b")
+      val comps = semanticComponentsFor(s, dir)
       val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
       comps.filter(col("id") === col("component_id"))
         .join(sizes, "component_id")
@@ -1433,8 +1467,9 @@ object GraftQueries {
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      // Linear-edge cluster graph — see [[nearDupClusterComponents]].
-      val comps = nearDupClusterComponents(docs)
+      // Linear-edge cluster graph — see [[nearDupClusterComponents]];
+      // session-shared with dedup_components.
+      val comps = nearDupComponentsFor(s, dir)
       val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
       comps.filter(col("id") === col("component_id"))
         .join(sizes, "component_id")
