@@ -1244,6 +1244,28 @@ object GraftQueries {
       DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.4, dims = 64))
 
+  /** Test hook: drop every session-shared run artifact so a spec can
+    * observe the BUILD plans (a memo-served query's executed plan is a
+    * checkpoint-block scan, which would blind plan-shape assertions). */
+  private[graft] def clearRunArtifacts(): Unit = {
+    v3StageCache.clear(); ivfCentroidCache.clear(); pqCodebookCache.clear()
+    bpeMergeCache.clear(); perceptronCache.clear()
+    semdedupCentroidCache.clear(); nearDupComponentsCache.clear()
+    embeddingPairsCache.clear(); semanticComponentsCache.clear()
+    dupSpansCache.clear()
+  }
+
+  /** The per-doc duplicated-span statistics ([[TextOps.crossDocDupSpans]]
+    * at the registered n=8), shared by text_dup_spans and
+    * stats_dedup_report's span column — one gram pass per run. */
+  private val dupSpansCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def dupSpansFor(s: SparkSession, dir: String): DataFrame =
+    dupSpansCache.computeIfAbsent((s, dir), _ =>
+      TextOps.crossDocDupSpans(t(s, dir, "documents"), n = 8)
+        .localCheckpoint(true))
+
   /** The semantic component labeling over [[embeddingPairsFor]]'s graph
     * — curate_semantic_dedup's cluster step, memoized like its lexical
     * twin [[nearDupComponentsFor]]. */
@@ -1850,7 +1872,7 @@ object GraftQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_paras"),
           countDistinct(col("para")).as("n_distinct_paras"))
-      val spanStats = TextOps.crossDocDupSpans(docs, n = 8)
+      val spanStats = dupSpansFor(s, dir)
         .join(langOf, "doc_id")
         .groupBy("lang")
         .agg(sum("dup_tokens").as("dup_tokens"), sum("n_tokens").as("n_tokens"))
@@ -3210,7 +3232,7 @@ object GraftQueries {
     * engines.
     */
   private val x22 = Q("text_dup_spans",
-    (s, dir) => TextOps.crossDocDupSpans(t(s, dir, "documents"), n = 8)
+    (s, dir) => dupSpansFor(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("n_dup_starts"),
         col("dup_tokens"), col("dup_frac"))
       .orderBy("doc_id"),

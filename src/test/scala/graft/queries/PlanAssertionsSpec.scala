@@ -119,6 +119,7 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("curate_semdedup: within-cluster pairs are equi-joins, never pair enumeration") {
+    GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
     val p = allExecutedPlans("curate_semdedup").mkString("\n===\n")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
@@ -255,6 +256,7 @@ class PlanAssertionsSpec extends SparkSuite {
     // set measures small, as it does at this test's scale — that is the
     // desired behavior, not a violation). What must never appear is a
     // nested-loop/cartesian pairing of occurrences against the set.
+    GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
     val ps = allExecutedPlans("text_dup_spans").mkString("\n===\n")
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
     assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
@@ -262,6 +264,7 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("pipeline_curate_v3: dedup windows partitioned, two-phase pack, no pair enumeration") {
+    GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
     val p = allExecutedPlans("pipeline_curate_v3").mkString("\n===\n")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("rangepartitioning"),
