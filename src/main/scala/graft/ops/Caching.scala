@@ -86,7 +86,14 @@ private[graft] object Caching {
     * (HDFS/object store on a real cluster) — same results, same
     * laziness contract, executor loss survivable. The SparkContext-level
     * checkpoint dir is set from the conf on first use and left alone
-    * afterwards (one directory per session).
+    * afterwards (one directory per session). LIFECYCLE: Spark only
+    * deletes reliable checkpoint data when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * context-creation-time conf, default false) — deployments running
+    * this mode long-lived must either enable that cleaner or lifecycle
+    * the directory externally (e.g. an object-store TTL rule), exactly
+    * as with any Spark reliable-checkpoint workload; otherwise each
+    * op materialization accumulates its result files under the dir.
     */
   private def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

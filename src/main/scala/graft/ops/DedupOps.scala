@@ -97,8 +97,14 @@ object DedupOps {
     // the old groupBy-count's map-side combine shrank nothing, so its
     // shuffle was ~banded-volume and cost 0.6-0.9 s per op at sf0.1 on
     // every registered dataset — full price for a switch that always
-    // read "no hot buckets". Tier 2 (only when the cheap bound trips):
-    // the exact bounded-size agg + 1-row driver read, same documented
+    // read "no hot buckets". Tier 1 only runs when the partition count
+    // leaves the bound headroom ([[tier1Eligible]]): every nonempty
+    // partition contributes >= 1 to the sum-of-maxima, so at >= threshold
+    // partitions the bound trips on perfectly healthy data and the cheap
+    // pass would be pure added cost — a many-partition (cluster-scale)
+    // frame goes straight to the exact count, whose shuffle is
+    // proportionally cheap at that scale. Tier 2 (when tier 1 is skipped
+    // or trips): the exact bounded-size agg + 1-row driver read, same documented
     // switch idiom as maxClassSize. In the healthy case the plan is the
     // ORIGINAL unguarded a<b equi-join: the always-on guard's extra
     // broadcast-tag join + two-branch union tripled the warm wall time of
@@ -108,7 +114,8 @@ object DedupOps {
     def plainJoin = banded.as("a").join(banded.as("b"),
         keyEq && col("a.id") < col("b.id"))
       .select(out(lit(true)): _*)
-    if (maxBucketUpperBound(banded, keyCols) <= hotBucketThreshold)
+    if (tier1Eligible(banded, hotBucketThreshold) &&
+        maxBucketUpperBound(banded, keyCols) <= hotBucketThreshold)
       return plainJoin
     val bucketCounts = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
     if (maxLongOf(bucketCounts, "_bn") <= hotBucketThreshold) {
@@ -291,6 +298,19 @@ object DedupOps {
     val row = df.agg(a).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
+
+  /** Is the tier-1 bound worth computing for this frame? The
+    * sum-of-per-partition-maxima is floored by the nonempty-partition
+    * count (every nonempty partition contributes >= 1), so once the
+    * frame has more than threshold/4 partitions the bound would trip on
+    * healthy data most of the time and tier 1 becomes a pure extra scan
+    * before the inevitable exact count. The /4 headroom leaves room for
+    * benign per-partition multiplicities of ~4 (hash-collision typical)
+    * at the largest eligible partition count. Partition count comes
+    * from the physical plan — no job runs.
+    */
+  private def tier1Eligible(banded: DataFrame, hotBucketThreshold: Long): Boolean =
+    banded.rdd.getNumPartitions.toLong * 4L <= hotBucketThreshold
 
   /** SHUFFLE-FREE upper bound on the max bucket multiplicity of `banded`
     * under `keyCols` — the tier-1 hot-bucket switch. Per partition, a
@@ -884,12 +904,15 @@ object DedupOps {
     def out = Seq(col("a.id").as("id_a"), col("b.id").as("id_b"))
     def counts(df: DataFrame, n: String) =
       df.groupBy(keys: _*).agg(count(lit(1)).as(n))
-    // Same two-tier switch as [[selfJoinWithinBuckets]]: the shuffle-free
-    // per-side bound confirms the healthy case; only a tripped bound pays
-    // the exact per-bucket counts.
+    // Same two-tier switch as [[selfJoinWithinBuckets]] (including the
+    // partition-count eligibility gate): the shuffle-free per-side bound
+    // confirms the healthy case; only a tripped bound pays the exact
+    // per-bucket counts.
     def plainJoin = aBanded.as("a").join(bBanded.as("b"), keyEq).select(out: _*)
-    if (math.max(maxBucketUpperBound(aBanded, keyCols),
-        maxBucketUpperBound(bBanded, keyCols)) <= hotBucketThreshold)
+    if (tier1Eligible(aBanded, hotBucketThreshold) &&
+        tier1Eligible(bBanded, hotBucketThreshold) &&
+        math.max(maxBucketUpperBound(aBanded, keyCols),
+          maxBucketUpperBound(bBanded, keyCols)) <= hotBucketThreshold)
       return plainJoin
     val aCounts = counts(aBanded, "_an")
     val bCounts = counts(bBanded, "_bn")

@@ -291,9 +291,12 @@ object LayoutOps {
       }
       false
     }
-    require(!contains(inQ, outQ),
-      s"compactParquet: output $outQ is equal to or nested under input " +
-        s"$inQ — Overwrite would delete the source before it is read")
+    // BOTH directions: output under input deletes the source directly;
+    // input under output means Overwrite of the output tree deletes the
+    // nested source before the lazy scan reads it.
+    require(!contains(inQ, outQ) && !contains(outQ, inQ),
+      s"compactParquet: output $outQ and input $inQ overlap (one contains " +
+        s"the other) — Overwrite would delete the source before it is read")
     val files = fs.listStatus(inPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"compactParquet: no parquet files under $inDir")

@@ -1246,7 +1246,14 @@ object GraftQueries {
 
   /** Test hook: drop every session-shared run artifact so a spec can
     * observe the BUILD plans (a memo-served query's executed plan is a
-    * checkpoint-block scan, which would blind plan-shape assertions). */
+    * checkpoint-block scan, which would blind plan-shape assertions).
+    * Dropping the map entries releases the frames to the ContextCleaner,
+    * which reclaims their checkpoint blocks once GC collects them —
+    * there is no direct unpersist for localCheckpoint blocks. The same
+    * applies to a stopped session's entries: the maps are keyed by
+    * session, so a long-lived DRIVER hosting many short-lived sessions
+    * should call this between sessions (entries are a handful of narrow
+    * frames each; the driver contract uses one session per process). */
   private[graft] def clearRunArtifacts(): Unit = {
     v3StageCache.clear(); ivfCentroidCache.clear(); pqCodebookCache.clear()
     bpeMergeCache.clear(); perceptronCache.clear()

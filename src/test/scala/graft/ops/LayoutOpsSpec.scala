@@ -302,6 +302,17 @@ class LayoutOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       LayoutOps.compactParquet(spark, frag, out2, targetBytes = 0)
     }
+    // Overlap guard, BOTH directions: Overwrite deletes the target before
+    // the lazy input scan runs, so either nesting destroys the source.
+    intercept[IllegalArgumentException] { // output == input
+      LayoutOps.compactParquet(spark, frag, frag, targetBytes = 1L << 30)
+    }
+    intercept[IllegalArgumentException] { // output nested under input
+      LayoutOps.compactParquet(spark, frag, s"$frag/sub", targetBytes = 1L << 30)
+    }
+    intercept[IllegalArgumentException] { // input nested under output
+      LayoutOps.compactParquet(spark, frag, base, targetBytes = 1L << 30)
+    }
   }
 
   test("packSequences: ordered in-range boundaries, doc integrity, partition-invariant") {

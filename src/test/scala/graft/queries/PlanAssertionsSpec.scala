@@ -145,6 +145,7 @@ class PlanAssertionsSpec extends SparkSuite {
     // generation must stay candidate-gated equi-joins. A conditionless
     // Cross BNLJ over single-row aggregates (broadcast scalar) is fine;
     // an Inner BNLJ (`a.id < b.id` pair enumeration) is the regression.
+    GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
     for (q <- Seq("dedup_edit_distance", "dedup_embedding_pairs", "sim_label_stats")) {
       val p = allExecutedPlans(q).mkString("\n===\n")
       assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined, s"$q: $p")
