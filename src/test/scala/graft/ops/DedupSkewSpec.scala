@@ -158,4 +158,29 @@ class DedupSkewSpec extends SparkSuite {
     assert(rows(DedupOps.minhashLshPairs(docs, hotBucketThreshold = 1L, splitTarget = 2L))
       == rows(DedupOps.minhashLshPairs(docs)))
   }
+
+  test("maxBucketUpperBound is a sound upper bound at any partitioning (property)") {
+    // The tier-1 switch's entire correctness is "never under-count": if
+    // the bound says healthy, no hot bucket may exist. Random key
+    // multisets with skewed multiplicities, re-partitioned arbitrarily —
+    // the shuffle-free sum-of-per-partition-maxima must dominate the
+    // exact max bucket count every time.
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val gen = for {
+      nKeys <- Gen.choose(1, 12)
+      counts <- Gen.listOfN(nKeys, Gen.choose(1, 40))
+      parts <- Gen.choose(1, 9)
+    } yield (counts, parts)
+    graft.PropCheck.check(Prop.forAll(gen) { case (counts, parts) =>
+      val rows = counts.zipWithIndex.flatMap { case (c, k) =>
+        Seq.fill(c)(k.toLong)
+      }
+      val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "bkey").repartition(parts)
+      val exactMax = counts.max.toLong
+      val bound = DedupOps.maxBucketUpperBound(df, Seq("bkey"))
+      bound >= exactMax
+    }, minSuccessful = 30)
+  }
 }
