@@ -95,7 +95,7 @@ private[graft] object Caching {
     * as with any Spark reliable-checkpoint workload; otherwise each
     * op materialization accumulates its result files under the dir.
     */
-  private def materialize(df: DataFrame): DataFrame = {
+  private[ops] def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>

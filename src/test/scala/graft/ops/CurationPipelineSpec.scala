@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[CurationPipeline]] — the public builder must reproduce exactly what
+  * the hand-composed registered pipeline computes (same ops, same stage
+  * order), and its funnel must agree with per-stage recomputation.
+  */
+class CurationPipelineSpec extends SparkSuite {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  // 8-word pseudo-paragraphs — same derivation as the registered
+  // paragraph queries (GraftQueries.derivedParas).
+  private def derivedParas(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+    .select(col("doc_id"),
+      expr("transform(sequence(0, ((size(tk) + 7) div 8) - 1), " +
+        "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))").as("paras"))
+
+  test("builder-composed v3 chain == hand-composed ops; funnel consistent") {
+    val run = CurationPipeline("input")
+      .stage("paragraph_dedup") { d =>
+        TextOps.dedupParagraphsAcrossDocs(derivedParas(d))
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"),
+            translate(col("text_deduped"), "\n", " ").as("ptext"))
+      }
+      .stage("substring_dedup") { d =>
+        TextOps.dedupSubstringsAcrossDocs(d, n = 8, textCol = "ptext")
+          .filter(length(col("text_dedup")) > 0)
+          .select(col("doc_id"), col("text_dedup"))
+      }
+      .run(docs)
+
+    // Stage frames equal the directly-composed ops row-for-row.
+    val pdDirect = TextOps.dedupParagraphsAcrossDocs(derivedParas(docs))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"),
+        translate(col("text_deduped"), "\n", " ").as("ptext"))
+    val sdDirect = TextOps.dedupSubstringsAcrossDocs(pdDirect, n = 8,
+        textCol = "ptext")
+      .filter(length(col("text_dedup")) > 0)
+      .select(col("doc_id"), col("text_dedup"))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(run("paragraph_dedup")) == rows(pdDirect))
+    assert(rows(run.output) == rows(sdDirect))
+
+    // Funnel: one row per stage, counts/tokens matching direct aggregates.
+    val funnel = run.funnel { df =>
+      if (df.columns.contains("text_dedup")) size(split(col("text_dedup"), " "))
+      else if (df.columns.contains("ptext")) size(split(col("ptext"), " "))
+      else size(TextOps.tokens(col("text")))
+    }.orderBy("stage_idx").collect()
+    assert(funnel.map(_.getAs[String]("stage")).toSeq ==
+      Seq("input", "paragraph_dedup", "substring_dedup"))
+    assert(funnel(0).getAs[Long]("n_docs") == docs.count())
+    assert(funnel(1).getAs[Long]("n_docs") == pdDirect.count())
+    assert(funnel(2).getAs[Long]("n_docs") == sdDirect.count())
+    val sdTokens = sdDirect
+      .agg(sum(size(split(col("text_dedup"), " "))).cast("bigint")).head().getLong(0)
+    assert(funnel(2).getAs[Long]("n_tokens") == sdTokens)
+    // Monotone survival: each stage can only shrink the corpus.
+    assert(funnel(1).getAs[Long]("n_docs") <= funnel(0).getAs[Long]("n_docs"))
+    assert(funnel(2).getAs[Long]("n_docs") <= funnel(1).getAs[Long]("n_docs"))
+  }
+
+  test("builder API contracts: unique names, non-empty chain, stage lookup") {
+    intercept[IllegalArgumentException] {
+      CurationPipeline("input").stage("a")(identity).stage("a")(identity)
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline().run(docs)
+    }
+    val run = CurationPipeline().stage("only")(d => d.limit(3)).run(docs)
+    assert(run("only").count() == 3)
+    intercept[NoSuchElementException] { run("missing") }
+  }
+}
