@@ -513,18 +513,58 @@ object DedupOps {
       threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text",
+      refGateBits: Int = 1 << 22): DataFrame =
+    jaccardPairsAgainstIndex(newDocs,
+      buildJaccardRefIndex(refDocs, shingleN, idCol, textCol),
+      threshold, shingleN, maxShingleDf, idCol, textCol, refGateBits)
+
+  /** Persistable REFERENCE INDEX for incremental dedup — the accumulated
+    * corpus side of [[jaccardPairsAgainstIndex]] (shingle-set
+    * representatives) or [[embeddingPairsAgainstIndex]] (vector-value
+    * representatives) as two plain DataFrames: collapsed `reps` and the
+    * fp→id `members` mapping. This is the artifact a CONTINUOUS-INGEST
+    * deployment persists: [[ModelIO.saveRefIndex]] writes both tables as
+    * parquet (distributed write — the index is corpus-sized, never
+    * driver-materialized), and every daily batch then serves from the
+    * LOADED index, dropping per-batch cost from corpus-linear (the
+    * against-Ref convenience forms re-shingle/re-fingerprint the whole
+    * reference on every call) to batch-sized work plus an index scan.
+    * Append new batches' survivors to the index tables between epochs
+    * exactly as [[graft.ops.TextOps.paragraphFingerprints]] documents
+    * for the paragraph axis.
+    */
+  final case class DedupRefIndex(reps: DataFrame, members: DataFrame)
+
+  /** Build the lexical (shingle-set) reference index of `refDocs`. */
+  def buildJaccardRefIndex(refDocs: DataFrame, shingleN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DedupRefIndex = {
+    val rk = shingleKeyed(refDocs, shingleN, idCol, textCol)
+    DedupRefIndex(setRepsOf(rk), rk.select(col("fp"), col("id")))
+  }
+
+  private def shingleKeyed(docs: DataFrame, shingleN: Int,
+      idCol: String, textCol: String): DataFrame =
+    shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",
+      md5(concat_ws("", array_sort(transform(col("sh"), x => md5(x))))))
+
+  private def setRepsOf(k: DataFrame): DataFrame = k.groupBy("fp")
+    .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
+      count(lit(1)).as("cnt"))
+
+  /** [[jaccardPairsAgainstRef]] served from a prebuilt (typically
+    * loaded) [[DedupRefIndex]] — result-identical to the convenience
+    * form by construction (it delegates here). */
+  def jaccardPairsAgainstIndex(newDocs: DataFrame, refIndex: DedupRefIndex,
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text",
       refGateBits: Int = 1 << 22): DataFrame = {
     require(threshold > 0 && threshold <= 1)
-    def keyed(docs: DataFrame): DataFrame =
-      shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",
-        md5(concat_ws("", array_sort(transform(col("sh"), x => md5(x))))))
-    def repsOf(k: DataFrame): DataFrame = k.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
-        count(lit(1)).as("cnt"))
-    val nk = keyed(newDocs); val rk = keyed(refDocs)
-    val nReps = repsOf(nk); val rReps = repsOf(rk)
+    val nk = shingleKeyed(newDocs, shingleN, idCol, textCol)
+    val nReps = setRepsOf(nk)
     val nMembers = nk.select(col("fp"), col("id"))
-    val rMembers = rk.select(col("fp"), col("id"))
+    val rReps = refIndex.reps
+    val rMembers = refIndex.members
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
       def inv(reps: DataFrame): DataFrame =
         reps.select(col("id"), explode(col("sh")).as("s"))
@@ -975,21 +1015,47 @@ object DedupOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       hotBucketThreshold: Long = HotBucketThreshold,
       splitTarget: Long = HotBucketSplitTarget,
+      refGateBits: Int = 1 << 22): DataFrame =
+    embeddingPairsAgainstIndex(newEmb,
+      buildEmbeddingRefIndex(refEmb, idCol, vecCol),
+      threshold, dims, bands, bitsPerBand, idCol, vecCol,
+      hotBucketThreshold, splitTarget, refGateBits)
+
+  /** Build the semantic (vector-value) reference index of `refEmb` —
+    * the [[DedupRefIndex]] sibling of [[buildJaccardRefIndex]]. */
+  def buildEmbeddingRefIndex(refEmb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DedupRefIndex = {
+    val rk = vectorKeyed(refEmb, idCol, vecCol)
+    DedupRefIndex(vectorRepsOf(rk), rk.select(col("fp"), col("id")))
+  }
+
+  private def vectorKeyed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
+
+  private def vectorRepsOf(k: DataFrame): DataFrame = k.groupBy("fp")
+    .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
+      count(lit(1)).as("cnt"))
+
+  /** [[embeddingPairsAgainstRef]] served from a prebuilt (typically
+    * loaded) [[DedupRefIndex]] — result-identical to the convenience
+    * form by construction (it delegates here). */
+  def embeddingPairsAgainstIndex(newEmb: DataFrame, refIndex: DedupRefIndex,
+      threshold: Double, dims: Int,
+      bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      hotBucketThreshold: Long = HotBucketThreshold,
+      splitTarget: Long = HotBucketSplitTarget,
       refGateBits: Int = 1 << 22): DataFrame = {
     require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 30)
     require(bands * bitsPerBand <= dims,
-      s"embeddingPairsAgainstRef: bands*bitsPerBand = ${bands * bitsPerBand} " +
+      s"embeddingPairsAgainstIndex: bands*bitsPerBand = ${bands * bitsPerBand} " +
         s"exceeds dims = $dims — the sign signature would read past the vector")
-    def keyed(emb: DataFrame): DataFrame =
-      emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
-    def repsOf(k: DataFrame): DataFrame = k.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
-        count(lit(1)).as("cnt"))
-    val nk = keyed(newEmb); val rk = keyed(refEmb)
-    val nReps = repsOf(nk); val rReps = repsOf(rk)
+    val nk = vectorKeyed(newEmb, idCol, vecCol)
+    val nReps = vectorRepsOf(nk)
     val nMembers = nk.select(col("fp"), col("id"))
-    val rMembers = rk.select(col("fp"), col("id"))
+    val rReps = refIndex.reps
+    val rMembers = refIndex.members
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
       val nSig = signBandRows(nReps.select(col("id"), col("v")), bands, bitsPerBand)
       // (band, bucket) packs into one long — band in the high 32 bits —

@@ -108,4 +108,24 @@ object ModelIO {
   def loadDsirModel(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(path)
       .select(col("bk").cast("long"), col("lam").cast("decimal(18,12)"))
+
+  /** Persist a [[DedupOps.DedupRefIndex]] — the incremental-dedup
+    * reference index (lexical shingle reps or semantic vector reps).
+    * Unlike the config-sized models above this is CORPUS-SIZED state:
+    * both tables are written distributed and the loader returns plain
+    * DataFrames — no driver materialization in either direction. The
+    * continuous-ingest lifecycle: build the index on today's corpus,
+    * save it next to the data, and serve every subsequent batch via
+    * `jaccardPairsAgainstIndex` / `embeddingPairsAgainstIndex` from the
+    * loaded tables instead of re-deriving the whole reference per batch.
+    */
+  def saveRefIndex(path: String, index: DedupOps.DedupRefIndex): Unit = {
+    index.reps.write.mode("overwrite").parquet(s"$path/reps")
+    index.members.write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  def loadRefIndex(spark: SparkSession, path: String): DedupOps.DedupRefIndex =
+    DedupOps.DedupRefIndex(
+      spark.read.parquet(s"$path/reps"),
+      spark.read.parquet(s"$path/members").select(col("fp"), col("id")))
 }

@@ -83,4 +83,36 @@ class ModelIOSpec extends SparkSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(served.nonEmpty && served == direct)
   }
+
+  test("dedup reference index round-trips; batches served from disk are identical") {
+    // The continuous-ingest artifact: build the reference index once,
+    // persist it, and serve a batch from the LOADED index — results must
+    // equal the convenience against-Ref form that re-derives the
+    // reference per call, on both the lexical and semantic axes.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    val jp = tmpDir("modelio-jidx")
+    ModelIO.saveRefIndex(jp, DedupOps.buildJaccardRefIndex(ref))
+    val jServed = DedupOps.jaccardPairsAgainstIndex(batch,
+      ModelIO.loadRefIndex(spark, jp), threshold = 0.5)
+    val jDirect = DedupOps.jaccardPairsAgainstRef(batch, ref, threshold = 0.5)
+    assert(rows(jServed) == rows(jDirect))
+    assert(rows(jDirect).nonEmpty, "fixture produced no lexical pairs")
+
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val refE = emb.filter(col("vec_id") % 2 === 0)
+    val batchE = emb.filter(col("vec_id") % 2 === 1)
+    val ep = tmpDir("modelio-eidx")
+    ModelIO.saveRefIndex(ep, DedupOps.buildEmbeddingRefIndex(refE))
+    val eServed = DedupOps.embeddingPairsAgainstIndex(batchE,
+      ModelIO.loadRefIndex(spark, ep), threshold = 0.4, dims = 64)
+    val eDirect = DedupOps.embeddingPairsAgainstRef(batchE, refE,
+      threshold = 0.4, dims = 64)
+    assert(rows(eServed) == rows(eDirect))
+    assert(rows(eDirect).nonEmpty, "fixture produced no semantic pairs")
+  }
 }
