@@ -395,6 +395,62 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
       s"streamed ${got.size} scores != batch ${batchRun.size}")
   }
 
+  test("streaming incremental dedup serves from a persisted reference index") {
+    // The serve half of the DedupRefIndex contract over the streaming
+    // surface: the accumulated corpus's shingle index builds ONCE, rides
+    // ModelIO to disk, and every MQ micro-batch of arriving documents
+    // pairs against the LOADED index via jaccardPairsAgainstIndex.
+    // Verdicts are per-doc state-free under a fixed index (default
+    // maxShingleDf — no cross-batch df coupling), so micro-batch unions
+    // must EQUAL the whole-batch run.
+    val src = "jidx-serve-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val isRef = col("doc_id") % 2 === 0
+    val idxPath = tmp("jidx-serve") + "/idx"
+    graft.ops.ModelIO.saveRefIndex(idxPath,
+      graft.ops.DedupOps.buildJaccardRefIndex(docs.filter(isRef)))
+    val index = graft.ops.ModelIO.loadRefIndex(spark, idxPath)
+    val batchDocs = docs.filter(!isRef).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    batchDocs.orderBy("doc_id").collect().zipWithIndex.foreach { case (r, i) =>
+      state.append(0, MqMessage(null,
+        s"${r.getLong(0)}:${r.getString(1)}".getBytes("UTF-8"),
+        base + i * 1000000L))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "7")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("doc_id"),
+          split(col("payload"), ":", 2).getItem(1).as("text"))
+        val pairs = graft.ops.DedupOps.jaccardPairsAgainstIndex(
+            parsed, index, threshold = 0.5)
+          .collect().map(r => (r.getAs[Long]("new_id"),
+            r.getAs[Long]("ref_id"), r.getAs[Double]("jaccard")))
+        got.synchronized { got ++= pairs; () }
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("jidx-serve-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(nBatches.get() >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get()}")
+    val batchRun = graft.ops.DedupOps.jaccardPairsAgainstIndex(
+        batchDocs, index, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("new_id"),
+        r.getAs[Long]("ref_id"), r.getAs[Double]("jaccard"))).toSet
+    assert(batchRun.nonEmpty && got.toSet == batchRun,
+      s"streamed ${got.size} verdicts != batch ${batchRun.size}")
+  }
+
   test("streaming BPE budget filter: stateless subword counting over the stream") {
     // bpe_token_count is a pure per-row expression, so the subword budget
     // currency composes over a streaming DataFrame unchanged — the
