@@ -598,57 +598,52 @@ object ScaleProbe {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val names = if (args.length > 2) args.drop(2).toSeq else defaultQueries.map(_._1)
-    // `... <sfDir> <factor> skew` runs the skewed embedding profile
-    // (distinct same-bucket vectors — the hot-bucket guard's regime)
-    // instead of the replication suite.
-    if (names == Seq("skew")) {
+    // Special one-probe modes share the replicate→run→report→exit shell
+    // with the default suite; each differs only in its replication
+    // profile, probe call, and row label.
+    def oneProbe(repDir: String, perturb: Boolean, rowsLabel: String,
+        probe: (SparkSession, String) => Result): Unit = {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.Sessions.local(cpus)
-      val repDir = s"/tmp/graft_scale_probe_skew_f$factor"
-      replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = true)
-      val r = runSkew(spark, baseDir, repDir, factor,
-        hotBucketThreshold = 64L, splitTarget = 32L)
-      val status = if (r.ok) "PASS" else "FAIL"
-      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d rows ${r.baseSec}%7.2f s" +
-        f"  x$factor ${r.repRows}%9d rows ${r.repSec}%7.2f s" +
-        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
+      replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = perturb)
+      val r = probe(spark, repDir)
+      report(factor, rowsLabel, Seq(r))
       spark.stop()
       if (!r.ok) sys.exit(1)
-      return
     }
-    // `... <sfDir> <factor> semdedup-sizing` replicates and reports the
-    // Σ C(|c|, 2) comparison budget at two nlist values — the nlist
-    // cost-law probe (strictly shrinking budget at larger nlist).
-    if (names == Seq("semdedup-sizing")) {
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-      val spark = graft.Sessions.local(cpus)
-      val repDir = s"/tmp/graft_scale_probe_f$factor"
-      replicateDir(spark, baseDir, repDir, factor)
-      val r = runSemDedupSizing(spark, repDir)
-      val status = if (r.ok) "PASS" else "FAIL"
-      println(f"[probe] $status ${r.query}%-26s budget ${r.baseRows}%9d pairs ${r.baseSec}%7.2f s" +
-        f"  -> ${r.repRows}%9d pairs ${r.repSec}%7.2f s" +
-        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
-      spark.stop()
-      if (!r.ok) sys.exit(1)
-      return
+    names match {
+      // `... <sfDir> <factor> skew`: the skewed embedding profile
+      // (distinct same-bucket vectors — the hot-bucket guard's regime).
+      case Seq("skew") =>
+        oneProbe(s"/tmp/graft_scale_probe_skew_f$factor", perturb = true,
+          "rows", (sp, rd) => runSkew(sp, baseDir, rd, factor,
+            hotBucketThreshold = 64L, splitTarget = 32L))
+      // `... <sfDir> <factor> semdedup-sizing`: the Σ C(|c|, 2) budget at
+      // two nlist values — the nlist cost-law probe.
+      case Seq("semdedup-sizing") =>
+        oneProbe(s"/tmp/graft_scale_probe_f$factor", perturb = false,
+          "pairs", (sp, rd) => runSemDedupSizing(sp, rd))
+      case _ =>
+        val byName = defaultQueries.toMap
+        val queries = names.map(n => n -> byName.getOrElse(n,
+          throw new IllegalArgumentException(s"no check kind registered for '$n'")))
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        val spark = graft.Sessions.local(cpus)
+        val repDir = s"/tmp/graft_scale_probe_f$factor"
+        replicateDir(spark, baseDir, repDir, factor)
+        val results = run(spark, baseDir, repDir, factor, queries,
+          timeCeiling = Some(factor.toDouble))
+        report(factor, "rows", results)
+        spark.stop()
+        if (results.exists(!_.ok)) sys.exit(1)
     }
-    val byName = defaultQueries.toMap
-    val queries = names.map(n => n -> byName.getOrElse(n,
-      throw new IllegalArgumentException(s"no check kind registered for '$n'")))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.Sessions.local(cpus)
-    val repDir = s"/tmp/graft_scale_probe_f$factor"
-    replicateDir(spark, baseDir, repDir, factor)
-    val results = run(spark, baseDir, repDir, factor, queries,
-      timeCeiling = Some(factor.toDouble))
-    results.foreach { r =>
-      val status = if (r.ok) "PASS" else "FAIL"
-      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d rows ${r.baseSec}%7.2f s" +
-        f"  x$factor ${r.repRows}%9d rows ${r.repSec}%7.2f s" +
-        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
-    }
-    spark.stop()
-    if (results.exists(!_.ok)) sys.exit(1)
   }
+
+  private def report(factor: Int, rowsLabel: String, rs: Seq[Result]): Unit =
+    rs.foreach { r =>
+      val status = if (r.ok) "PASS" else "FAIL"
+      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d $rowsLabel ${r.baseSec}%7.2f s" +
+        f"  x$factor ${r.repRows}%9d $rowsLabel ${r.repSec}%7.2f s" +
+        (if (r.ok) "" else "  " + r.failures.mkString("; ")))
+    }
 }
