@@ -35,12 +35,18 @@ private[graft] object Caching {
     */
   def withCached(frames: DataFrame*)(body: => DataFrame): DataFrame = {
     val scoped = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    frames.foreach(_.persist())
+    // Only persist (and later release) frames the CALLER has not cached:
+    // unpersisting a caller-owned cache entry would silently evict state
+    // the caller set up to serve many calls (the loaded DedupRefIndex
+    // pattern — Dataset.unpersist drops the whole entry, not a refcount).
+    val mine = frames.filter(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    mine.foreach(_.persist())
     scopes.set(scoped :: scopes.get)
     try materialize(body)
     finally {
       scopes.set(scopes.get.tail)
-      frames.foreach(_.unpersist(blocking = false))
+      mine.foreach(_.unpersist(blocking = false))
       scoped.foreach(_.unpersist(blocking = false))
     }
   }

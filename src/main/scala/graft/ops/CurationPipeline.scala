@@ -69,6 +69,8 @@ object CurationPipeline {
 
   /** A finished run: every stage's materialized frame, in order. */
   final case class Run(stages: Vector[(String, DataFrame)]) {
+    require(stages.nonEmpty, "a pipeline run records at least its input")
+
     /** The last stage's frame — the pipeline's product. */
     def output: DataFrame = stages.last._2
 
@@ -88,7 +90,10 @@ object CurationPipeline {
     def funnel(tokensOf: DataFrame => Column): DataFrame =
       stages.zipWithIndex.map { case ((name, df), idx) =>
         df.agg(count(lit(1)).as("n_docs"),
-            sum(tokensOf(df)).cast("bigint").as("n_tokens"))
+            // coalesce: sum over an empty stage is NULL, and the funnel
+            // promises a long total (getLong-safe, engine-portable)
+            coalesce(sum(tokensOf(df)), lit(0L)).cast("bigint")
+              .as("n_tokens"))
           .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
       }.reduce(_ unionAll _)

@@ -533,13 +533,29 @@ object DedupOps {
     * exactly as [[graft.ops.TextOps.paragraphFingerprints]] documents
     * for the paragraph axis.
     */
-  final case class DedupRefIndex(reps: DataFrame, members: DataFrame)
+  final case class DedupRefIndex(reps: DataFrame, members: DataFrame,
+      axis: String, shingleN: Option[Int] = None,
+      maxClass: Option[Long] = None) {
+    private[graft] def requireAxis(expected: String, op: String): Unit =
+      require(axis == expected,
+        s"$op: reference index has axis '$axis', expected '$expected' — " +
+          "a lexical index cannot serve the semantic op or vice versa")
+  }
 
-  /** Build the lexical (shingle-set) reference index of `refDocs`. */
+  /** Build the lexical (shingle-set) reference index of `refDocs`.
+    * `materialized = true` eagerly pins the keyed corpus pass (the
+    * Caching seam) before deriving the two tables — do this when the
+    * index is about to be SAVED, otherwise [[ModelIO.saveRefIndex]]'s
+    * two writes each re-derive the full corpus lineage; the lazy
+    * default keeps the delegating against-Ref convenience forms
+    * allocation-free. */
   def buildJaccardRefIndex(refDocs: DataFrame, shingleN: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DedupRefIndex = {
-    val rk = shingleKeyed(refDocs, shingleN, idCol, textCol)
-    DedupRefIndex(setRepsOf(rk), rk.select(col("fp"), col("id")))
+      idCol: String = "doc_id", textCol: String = "text",
+      materialized: Boolean = false): DedupRefIndex = {
+    val rk0 = shingleKeyed(refDocs, shingleN, idCol, textCol)
+    val rk = if (materialized) Caching.materialize(rk0) else rk0
+    DedupRefIndex(setRepsOf(rk), rk.select(col("fp"), col("id")),
+      axis = "lexical", shingleN = Some(shingleN))
   }
 
   private def shingleKeyed(docs: DataFrame, shingleN: Int,
@@ -560,6 +576,11 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text",
       refGateBits: Int = 1 << 22): DataFrame = {
     require(threshold > 0 && threshold <= 1)
+    refIndex.requireAxis("lexical", "jaccardPairsAgainstIndex")
+    refIndex.shingleN.foreach(n => require(n == shingleN,
+      s"jaccardPairsAgainstIndex: index built with shingleN=$n, serving " +
+        s"with shingleN=$shingleN — the inverted-index join would " +
+        "silently match nothing"))
     val nk = shingleKeyed(newDocs, shingleN, idCol, textCol)
     val nReps = setRepsOf(nk)
     val nMembers = nk.select(col("fp"), col("id"))
@@ -598,7 +619,11 @@ object DedupOps {
       val repPairs = jaccardFromCounts(
         inter.join(nSizes, "new_id").join(rSizes, "ref_id"),
         threshold, "new_id", "ref_id")
-      if (math.max(maxClassSize(nReps), maxClassSize(rReps)) <= 1L) repPairs
+      // The ref side's class-size max is a build-time constant of the
+      // index — a LOADED index carries it, so a daily batch never pays a
+      // corpus-sized aggregate just to learn the expansion is a no-op.
+      val refMax = refIndex.maxClass.getOrElse(maxClassSize(rReps))
+      if (math.max(maxClassSize(nReps), refMax) <= 1L) repPairs
       else
         repPairs
           .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")
@@ -1024,9 +1049,12 @@ object DedupOps {
   /** Build the semantic (vector-value) reference index of `refEmb` —
     * the [[DedupRefIndex]] sibling of [[buildJaccardRefIndex]]. */
   def buildEmbeddingRefIndex(refEmb: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DedupRefIndex = {
-    val rk = vectorKeyed(refEmb, idCol, vecCol)
-    DedupRefIndex(vectorRepsOf(rk), rk.select(col("fp"), col("id")))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialized: Boolean = false): DedupRefIndex = {
+    val rk0 = vectorKeyed(refEmb, idCol, vecCol)
+    val rk = if (materialized) Caching.materialize(rk0) else rk0
+    DedupRefIndex(vectorRepsOf(rk), rk.select(col("fp"), col("id")),
+      axis = "semantic")
   }
 
   private def vectorKeyed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -1051,6 +1079,7 @@ object DedupOps {
     require(bands * bitsPerBand <= dims,
       s"embeddingPairsAgainstIndex: bands*bitsPerBand = ${bands * bitsPerBand} " +
         s"exceeds dims = $dims — the sign signature would read past the vector")
+    refIndex.requireAxis("semantic", "embeddingPairsAgainstIndex")
     val nk = vectorKeyed(newEmb, idCol, vecCol)
     val nReps = vectorRepsOf(nk)
     val nMembers = nk.select(col("fp"), col("id"))
@@ -1076,7 +1105,8 @@ object DedupOps {
           .filter(col("cosine") >= threshold)
           .select(col("new_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
       }
-      if (math.max(maxClassSize(nReps), maxClassSize(rReps)) <= 1L) repPairs
+      val refMax = refIndex.maxClass.getOrElse(maxClassSize(rReps))
+      if (math.max(maxClassSize(nReps), refMax) <= 1L) repPairs
       else
         repPairs
           .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")

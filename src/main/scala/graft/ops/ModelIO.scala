@@ -120,12 +120,32 @@ object ModelIO {
     * loaded tables instead of re-deriving the whole reference per batch.
     */
   def saveRefIndex(path: String, index: DedupOps.DedupRefIndex): Unit = {
+    val spark = index.reps.sparkSession
+    import spark.implicits._
     index.reps.write.mode("overwrite").parquet(s"$path/reps")
     index.members.write.mode("overwrite").parquet(s"$path/members")
+    // One-row metadata: the build parameters a serve call must match
+    // (axis, shingleN — a 5-gram index served at 3-gram silently matches
+    // nothing) and the build-time class-size max, so loaded indexes skip
+    // the per-batch corpus aggregate in the expansion switch. Computed
+    // from the WRITTEN reps table so it prices the persisted artifact,
+    // not a recomputation of the build lineage.
+    val maxClass = spark.read.parquet(s"$path/reps")
+      .agg(coalesce(max(col("cnt")), lit(1L)).cast("long")).head().getLong(0)
+    Seq((index.axis, index.shingleN.map(_.toLong).getOrElse(-1L), maxClass))
+      .toDF("axis", "shingle_n", "max_class")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def loadRefIndex(spark: SparkSession, path: String): DedupOps.DedupRefIndex =
+  def loadRefIndex(spark: SparkSession, path: String): DedupOps.DedupRefIndex = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("axis"), col("shingle_n").cast("long"),
+        col("max_class").cast("long")).head()
     DedupOps.DedupRefIndex(
       spark.read.parquet(s"$path/reps"),
-      spark.read.parquet(s"$path/members").select(col("fp"), col("id")))
+      spark.read.parquet(s"$path/members").select(col("fp"), col("id")),
+      axis = m.getString(0),
+      shingleN = Some(m.getLong(1)).filter(_ >= 0).map(_.toInt),
+      maxClass = Some(m.getLong(2)))
+  }
 }

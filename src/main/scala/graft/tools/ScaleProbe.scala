@@ -601,13 +601,14 @@ object ScaleProbe {
     // Special one-probe modes share the replicate→run→report→exit shell
     // with the default suite; each differs only in its replication
     // profile, probe call, and row label.
-    def oneProbe(repDir: String, perturb: Boolean, rowsLabel: String,
+    def oneProbe(repDir: String, perturb: Boolean, leftTag: String,
+        rightTag: String, rowsLabel: String,
         probe: (SparkSession, String) => Result): Unit = {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.Sessions.local(cpus)
       replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = perturb)
       val r = probe(spark, repDir)
-      report(factor, rowsLabel, Seq(r))
+      report(leftTag, rightTag, rowsLabel, Seq(r))
       spark.stop()
       if (!r.ok) sys.exit(1)
     }
@@ -616,13 +617,15 @@ object ScaleProbe {
       // (distinct same-bucket vectors — the hot-bucket guard's regime).
       case Seq("skew") =>
         oneProbe(s"/tmp/graft_scale_probe_skew_f$factor", perturb = true,
-          "rows", (sp, rd) => runSkew(sp, baseDir, rd, factor,
-            hotBucketThreshold = 64L, splitTarget = 32L))
+          "base", s"x$factor", "rows", (sp, rd) => runSkew(sp, baseDir, rd,
+            factor, hotBucketThreshold = 64L, splitTarget = 32L))
       // `... <sfDir> <factor> semdedup-sizing`: the Σ C(|c|, 2) budget at
-      // two nlist values — the nlist cost-law probe.
+      // two nlist values — the nlist cost-law probe. BOTH figures come
+      // from the replicated dir (the columns are nlist settings, not a
+      // base-vs-replicated comparison — label them as such).
       case Seq("semdedup-sizing") =>
         oneProbe(s"/tmp/graft_scale_probe_f$factor", perturb = false,
-          "pairs", (sp, rd) => runSemDedupSizing(sp, rd))
+          "nlist=16", "nlist=64", "pairs", (sp, rd) => runSemDedupSizing(sp, rd))
       case _ =>
         val byName = defaultQueries.toMap
         val queries = names.map(n => n -> byName.getOrElse(n,
@@ -633,17 +636,18 @@ object ScaleProbe {
         replicateDir(spark, baseDir, repDir, factor)
         val results = run(spark, baseDir, repDir, factor, queries,
           timeCeiling = Some(factor.toDouble))
-        report(factor, "rows", results)
+        report("base", s"x$factor", "rows", results)
         spark.stop()
         if (results.exists(!_.ok)) sys.exit(1)
     }
   }
 
-  private def report(factor: Int, rowsLabel: String, rs: Seq[Result]): Unit =
+  private def report(leftTag: String, rightTag: String, rowsLabel: String,
+      rs: Seq[Result]): Unit =
     rs.foreach { r =>
       val status = if (r.ok) "PASS" else "FAIL"
-      println(f"[probe] $status ${r.query}%-26s base ${r.baseRows}%7d $rowsLabel ${r.baseSec}%7.2f s" +
-        f"  x$factor ${r.repRows}%9d $rowsLabel ${r.repSec}%7.2f s" +
+      println(f"[probe] $status ${r.query}%-26s $leftTag ${r.baseRows}%9d $rowsLabel ${r.baseSec}%7.2f s" +
+        f"  $rightTag ${r.repRows}%9d $rowsLabel ${r.repSec}%7.2f s" +
         (if (r.ok) "" else "  " + r.failures.mkString("; ")))
     }
 }

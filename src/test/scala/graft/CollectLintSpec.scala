@@ -48,9 +48,13 @@ class CollectLintSpec extends AnyFunSuite {
     "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit
-    "graft/ops/ModelIO.scala" -> 4,  // the four model LOADERS — each
+    "graft/ops/ModelIO.scala" -> 6,  // the four model LOADERS (each
                                      // reads a config-sized persisted
-                                     // model table, never data
+                                     // model table, never data) + the
+                                     // ref-index meta: saveRefIndex's
+                                     // 1-row max-class aggregate over
+                                     // the written reps table and
+                                     // loadRefIndex's 1-row meta read
     "graft/tools/LshTune.scala" -> 2, // offline tuning CLI, not an
                                      // operator: both reads are top-k
                                      // result sets (queries×k rows),
