@@ -96,12 +96,29 @@ class ModelIOSpec extends SparkSuite {
       df.collect().map(_.toSeq).toSet
 
     val jp = tmpDir("modelio-jidx")
-    ModelIO.saveRefIndex(jp, DedupOps.buildJaccardRefIndex(ref))
-    val jServed = DedupOps.jaccardPairsAgainstIndex(batch,
-      ModelIO.loadRefIndex(spark, jp), threshold = 0.5)
+    // materialized = true: the save path's documented build mode (pins
+    // the keyed corpus pass so the two table writes share one lineage).
+    ModelIO.saveRefIndex(jp, DedupOps.buildJaccardRefIndex(ref,
+      materialized = true))
+    val jLoaded = ModelIO.loadRefIndex(spark, jp)
+    // The meta round-trips: axis, build shingleN, build-time class max.
+    assert(jLoaded.axis == "lexical" && jLoaded.shingleN.contains(3))
+    assert(jLoaded.maxClass.exists(_ >= 1L))
+    val jServed = DedupOps.jaccardPairsAgainstIndex(batch, jLoaded,
+      threshold = 0.5)
     val jDirect = DedupOps.jaccardPairsAgainstRef(batch, ref, threshold = 0.5)
     assert(rows(jServed) == rows(jDirect))
     assert(rows(jDirect).nonEmpty, "fixture produced no lexical pairs")
+    // Parameter-mismatch serves fail LOUDLY, not with silent empties.
+    intercept[IllegalArgumentException] { // built at 3-grams, served at 5
+      DedupOps.jaccardPairsAgainstIndex(batch, jLoaded,
+        threshold = 0.5, shingleN = 5)
+    }
+    intercept[IllegalArgumentException] { // lexical index into semantic op
+      DedupOps.embeddingPairsAgainstIndex(
+        spark.read.parquet(s"${sf()}/embeddings.parquet"), jLoaded,
+        threshold = 0.4, dims = 64)
+    }
 
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val refE = emb.filter(col("vec_id") % 2 === 0)
