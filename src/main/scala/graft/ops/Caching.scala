@@ -27,7 +27,7 @@ import org.apache.spark.sql.DataFrame
   * checkpointed result's own blocks are released by Spark's
   * `ContextCleaner` once the returned frame becomes unreachable.
   */
-private[graft] object Caching {
+private[graft] object Caching extends org.apache.spark.internal.Logging {
 
   /** Persist `frames`, evaluate `body` eagerly (checkpoint), release —
     * including any frames a nested helper registered via
@@ -105,8 +105,18 @@ private[graft] object Caching {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        spark.sparkContext.getCheckpointDir match {
+          case None => spark.sparkContext.setCheckpointDir(dir)
+          // First-wins is the contract (one directory per session), but a
+          // pre-existing dir set by other code — or an earlier different
+          // value of the conf — means the configured key is NOT where
+          // checkpoints land; say so once per materialization site rather
+          // than leave the mismatch unobservable at runtime.
+          case Some(existing) if !existing.startsWith(dir) =>
+            logWarning(s"$CheckpointDirKey=$dir ignored: SparkContext " +
+              s"checkpoint dir already set to $existing; checkpoints land there")
+          case _ => ()
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

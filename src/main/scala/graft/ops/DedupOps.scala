@@ -529,9 +529,12 @@ object DedupOps {
     * LOADED index, dropping per-batch cost from corpus-linear (the
     * against-Ref convenience forms re-shingle/re-fingerprint the whole
     * reference on every call) to batch-sized work plus an index scan.
-    * Append new batches' survivors to the index tables between epochs
-    * exactly as [[graft.ops.TextOps.paragraphFingerprints]] documents
-    * for the paragraph axis.
+    * Between epochs, fold new batches' survivors in via
+    * [[appendToRefIndex]] — the ONLY supported mutation: hand-unioning
+    * the tables corrupts rep counts and leaves `maxClass` stale when a
+    * new doc's fingerprint matches an existing class (the paragraph
+    * axis's set-only state has the same lifecycle via
+    * [[graft.ops.TextOps.appendParagraphFingerprints]]).
     */
   final case class DedupRefIndex(reps: DataFrame, members: DataFrame,
       axis: String, shingleN: Option[Int] = None,
@@ -566,6 +569,79 @@ object DedupOps {
   private def setRepsOf(k: DataFrame): DataFrame = k.groupBy("fp")
     .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
       count(lit(1)).as("cnt"))
+
+  /** EPOCH APPEND — fold a new batch into an existing [[DedupRefIndex]],
+    * result-identical to rebuilding the index from the union of both
+    * corpora (spec-pinned on both axes, overlapping-fingerprint classes
+    * included): per fingerprint the merged rep keeps the global min id,
+    * the payload of that min-id holder, and the summed member count;
+    * `members` gains the batch's (fp, id) rows. This is the ONLY
+    * supported between-epoch mutation of an index — hand-unioning the
+    * tables leaves the stored `maxClass` stale, and an append that grows
+    * a singleton class to size 2 under stale maxClass=1 makes the serve
+    * path's expansion switch silently skip member expansion and drop
+    * true pairs against non-canonical ref members.
+    *
+    * Stored-max maintenance: appends only GROW classes, so the new max
+    * is max(stored max, exact post-append count of every class the
+    * batch TOUCHED) — one batch-sized aggregate that probes the corpus
+    * reps once on the batch's fingerprints, never a corpus-wide
+    * re-aggregate. An index whose maxClass is None (built in-session,
+    * never saved) stays None: the serve path already computes the exact
+    * max lazily, and pricing it here would pay the corpus aggregate the
+    * laziness exists to avoid.
+    *
+    * `idCol`/`valueCol` default per axis when left empty: ("doc_id",
+    * "text") lexical, ("vec_id", "embedding") semantic. Cost per epoch:
+    * batch keying plus one merge groupBy over reps ∪ batch keys —
+    * corpus-linear ONCE per epoch (the per-batch serve calls stay
+    * batch-sized). `materialized = true` pins the batch keying before
+    * the two derived tables consume it — use it when saving the result
+    * via [[ModelIO.saveRefIndex]] (which re-prices maxClass from the
+    * written table), mirroring the builders' flag.
+    */
+  def appendToRefIndex(index: DedupRefIndex, newRows: DataFrame,
+      idCol: String = "", valueCol: String = "",
+      materialized: Boolean = false): DedupRefIndex = {
+    val (id, value, payload) = index.axis match {
+      case "lexical" => (if (idCol.nonEmpty) idCol else "doc_id",
+        if (valueCol.nonEmpty) valueCol else "text", "sh")
+      case "semantic" => (if (idCol.nonEmpty) idCol else "vec_id",
+        if (valueCol.nonEmpty) valueCol else "embedding", "v")
+      case other => throw new IllegalArgumentException(
+        s"appendToRefIndex: unknown index axis '$other'")
+    }
+    val keyed0 = index.axis match {
+      case "lexical" =>
+        val n = index.shingleN.getOrElse(throw new IllegalArgumentException(
+          "appendToRefIndex: lexical index carries no shingleN — " +
+            "rebuild or reload it before appending"))
+        shingleKeyed(newRows, n, id, value)
+      case _ => vectorKeyed(newRows, id, value)
+    }
+    val keyed = if (materialized) Caching.materialize(keyed0) else keyed0
+    // Merge reps: the old rep row rides the union AS a member carrying
+    // its class count, so min/min_by/sum over the union reproduces the
+    // from-scratch groupBy exactly (the old rep id IS its class's min).
+    val mergedReps = index.reps
+      .select(col("fp"), col("id"), col(payload), col("cnt"))
+      .unionByName(keyed.select(col("fp"), col("id"), col(payload))
+        .withColumn("cnt", lit(1L)))
+      .groupBy("fp")
+      .agg(min(col("id")).as("id"),
+        min_by(col(payload), col("id")).as(payload),
+        sum(col("cnt")).as("cnt"))
+    val mergedMembers = index.members.select(col("fp"), col("id"))
+      .unionByName(keyed.select(col("fp"), col("id")))
+    val mergedMax = index.maxClass.map { m =>
+      val touched = keyed.groupBy("fp").agg(count(lit(1)).as("bc"))
+        .join(index.reps.select(col("fp"), col("cnt")), Seq("fp"), "left")
+        .select((col("bc") + coalesce(col("cnt"), lit(0L))).as("tc"))
+      math.max(m, maxLongOf(touched, "tc"))
+    }
+    DedupRefIndex(mergedReps, mergedMembers, index.axis, index.shingleN,
+      mergedMax)
+  }
 
   /** [[jaccardPairsAgainstRef]] served from a prebuilt (typically
     * loaded) [[DedupRefIndex]] — result-identical to the convenience

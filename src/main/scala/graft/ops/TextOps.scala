@@ -562,6 +562,30 @@ object TextOps {
     .select(md5(col("para")).as("fp"))
     .distinct()
 
+  /** EPOCH APPEND for the paragraph-fingerprint reference state — the
+    * set-only sibling of [[DedupOps.appendToRefIndex]]: fold a batch's
+    * paragraph fingerprints into `refFps` WITHOUT re-distincting the
+    * corpus-sized state. The state side is Bloom-gated map-side against
+    * the batch's fingerprints (no false negatives, so the anti-join
+    * verdict is exact) and then broadcast-anti-joined to keep only the
+    * genuinely NEW fingerprints, which a plain union appends — as a
+    * set, identical to `refFps.union(paragraphFingerprints(batch))
+    * .distinct()` given already-distinct state, at batch-plus-gated
+    * cost instead of a corpus-wide distinct shuffle per epoch.
+    * `bloomBits <= 0` disables the gate (full anti-join).
+    */
+  def appendParagraphFingerprints(refFps: DataFrame, batch: DataFrame,
+      parasCol: String = "paras", bloomBits: Int = 1 << 22): DataFrame = {
+    val newFps = paragraphFingerprints(batch, parasCol)
+    def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
+    val refSide =
+      if (bloomBits <= 0) refFps.select(col("fp"))
+      else DedupOps.bloomGateAgainst(refFps.select(col("fp")), fp60(col("fp")),
+        newFps, fp60(col("fp")), bloomBits)
+    refFps.select(col("fp"))
+      .unionByName(newFps.join(refSide, Seq("fp"), "left_anti"))
+  }
+
   /** INCREMENTAL paragraph dedup — the continuous-crawl shape of
     * [[dedupParagraphsAcrossDocs]]: a new batch dedups against the
     * paragraph-fingerprint state of everything already ingested

@@ -294,8 +294,12 @@ object ScaleProbe {
     val (budgetLo, secLo) = probe(nlistLo)
     val (budgetHi, secHi) = probe(nlistHi)
     val errs = Seq.newBuilder[String]
-    if (budgetLo > 0 && budgetHi >= budgetLo)
-      errs += s"nlist=$nlistHi budget $budgetHi did not shrink vs nlist=$nlistLo ($budgetLo)"
+    // GREW is the failure; a tie is allowed. On a degenerate corpus (every
+    // vector replicated, collapse leaves few distinct reps) a higher nlist
+    // can land identical assignments — equal budgets there are evidence of
+    // the collapse working, not of the sizing rule failing.
+    if (budgetLo > 0 && budgetHi > budgetLo)
+      errs += s"nlist=$nlistHi budget $budgetHi grew vs nlist=$nlistLo ($budgetLo)"
     Result(s"curate_semdedup[nlist $nlistLo->$nlistHi]",
       budgetLo, budgetHi, secLo, secHi, errs.result())
   }
