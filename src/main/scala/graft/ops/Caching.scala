@@ -105,22 +105,43 @@ private[graft] object Caching extends org.apache.spark.internal.Logging {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        spark.sparkContext.getCheckpointDir match {
-          case None => spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        sc.getCheckpointDir match {
+          case None =>
+            sc.setCheckpointDir(dir)
+            dirsSetHere.add(sc -> dir)
           // First-wins is the contract (one directory per session), but a
-          // pre-existing dir set by other code — or an earlier different
+          // pre-existing dir set by OTHER code — or an earlier different
           // value of the conf — means the configured key is NOT where
-          // checkpoints land; say so once per materialization site rather
-          // than leave the mismatch unobservable at runtime.
-          case Some(existing) if !existing.startsWith(dir) =>
-            logWarning(s"$CheckpointDirKey=$dir ignored: SparkContext " +
-              s"checkpoint dir already set to $existing; checkpoints land there")
+          // checkpoints land; say so ONCE per (conf value, actual dir)
+          // pair rather than leave the mismatch unobservable at runtime
+          // (or spam it per materialization). The normal path — the
+          // context dir is our own setCheckpointDir result for this very
+          // conf value — never warns: Spark stores the dir QUALIFIED
+          // plus a random UUID subdir, so comparing strings against the
+          // raw conf value cannot distinguish it from foreign dirs;
+          // remembering what we set can.
+          case Some(existing) if !dirsSetHere.contains(sc -> dir) =>
+            if (warnedMismatch.add(dir -> existing))
+              logWarning(s"$CheckpointDirKey=$dir ignored: SparkContext " +
+                s"checkpoint dir already set to $existing; checkpoints land there")
           case _ => ()
         }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** (context, conf value) pairs whose setCheckpointDir call was made by
+    * [[materialize]] itself — one entry per session in practice (one
+    * context per JVM, one configured dir). */
+  private val dirsSetHere = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(org.apache.spark.SparkContext, String)]()
+
+  /** Mismatches already reported — the warning fires once per distinct
+    * (configured, actual) pair, not once per materialization. */
+  private val warnedMismatch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
   val CheckpointDirKey = "spark.graft.checkpointDir"
 }

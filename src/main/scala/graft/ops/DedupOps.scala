@@ -599,6 +599,16 @@ object DedupOps {
     * the two derived tables consume it — use it when saving the result
     * via [[ModelIO.saveRefIndex]] (which re-prices maxClass from the
     * written table), mirroring the builders' flag.
+    *
+    * When `maxClass` is Some (every loaded index), the touched-class
+    * probe RUNS A SPARK JOB inside this call (the 1-row max read), and
+    * the batch keying is pinned regardless of `materialized` so the
+    * probe, `reps`, and `members` share one computation of the batch
+    * lineage instead of re-keying it three times. The probe's join
+    * Bloom-gates the corpus-sized reps map-side against the batch's
+    * fingerprints (no false negatives, and a ref fingerprint absent
+    * from the batch cannot change a touched class's count), so the
+    * corpus side never shuffles for the probe.
     */
   def appendToRefIndex(index: DedupRefIndex, newRows: DataFrame,
       idCol: String = "", valueCol: String = "",
@@ -619,7 +629,8 @@ object DedupOps {
         shingleKeyed(newRows, n, id, value)
       case _ => vectorKeyed(newRows, id, value)
     }
-    val keyed = if (materialized) Caching.materialize(keyed0) else keyed0
+    val keyed = if (materialized || index.maxClass.isDefined)
+      Caching.materialize(keyed0) else keyed0
     // Merge reps: the old rep row rides the union AS a member carrying
     // its class count, so min/min_by/sum over the union reproduces the
     // from-scratch groupBy exactly (the old rep id IS its class's min).
@@ -634,8 +645,15 @@ object DedupOps {
     val mergedMembers = index.members.select(col("fp"), col("id"))
       .unionByName(keyed.select(col("fp"), col("id")))
     val mergedMax = index.maxClass.map { m =>
+      // md5-hex fp → 60-bit long for the Bloom key (same trick as the
+      // paragraph axis): the gate drops corpus reps whose fingerprint
+      // the batch cannot hold BEFORE the join shuffles anything.
+      def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
+      val refCounts = bloomGateAgainst(
+        index.reps.select(col("fp"), col("cnt")), fp60(col("fp")),
+        keyed.select(col("fp")), fp60(col("fp")), 1 << 22)
       val touched = keyed.groupBy("fp").agg(count(lit(1)).as("bc"))
-        .join(index.reps.select(col("fp"), col("cnt")), Seq("fp"), "left")
+        .join(refCounts, Seq("fp"), "left")
         .select((col("bc") + coalesce(col("cnt"), lit(0L))).as("tc"))
       math.max(m, maxLongOf(touched, "tc"))
     }

@@ -567,16 +567,22 @@ object TextOps {
     * paragraph fingerprints into `refFps` WITHOUT re-distincting the
     * corpus-sized state. The state side is Bloom-gated map-side against
     * the batch's fingerprints (no false negatives, so the anti-join
-    * verdict is exact) and then broadcast-anti-joined to keep only the
-    * genuinely NEW fingerprints, which a plain union appends — as a
-    * set, identical to `refFps.union(paragraphFingerprints(batch))
+    * verdict is exact) and then anti-joined to keep only the genuinely
+    * NEW fingerprints, which a plain union appends — as a set,
+    * identical to `refFps.union(paragraphFingerprints(batch))
     * .distinct()` given already-distinct state, at batch-plus-gated
     * cost instead of a corpus-wide distinct shuffle per epoch.
-    * `bloomBits <= 0` disables the gate (full anti-join).
+    * `bloomBits <= 0` disables the gate (full anti-join). The gated
+    * path RUNS A SPARK JOB inside this call: the batch's fingerprints
+    * feed both the Bloom aggregate and the anti-join's left side, so
+    * they are pinned once (batch-sized) instead of re-fingerprinting
+    * the batch per consumer.
     */
   def appendParagraphFingerprints(refFps: DataFrame, batch: DataFrame,
       parasCol: String = "paras", bloomBits: Int = 1 << 22): DataFrame = {
-    val newFps = paragraphFingerprints(batch, parasCol)
+    val newFps0 = paragraphFingerprints(batch, parasCol)
+    val newFps =
+      if (bloomBits <= 0) newFps0 else Caching.materialize(newFps0)
     def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
     val refSide =
       if (bloomBits <= 0) refFps.select(col("fp"))

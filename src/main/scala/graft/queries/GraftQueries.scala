@@ -1400,25 +1400,32 @@ object GraftQueries {
     * corpus²; the oracle recomputes the exact new×ref Jaccard matrix
     * over the same split.
     */
-  private val d18 = Q("curate_incremental_dedup",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val newSources = Seq("src0", "src1", "src2", "src3")
-      val newBatch = docs.filter(col("source").isin(newSources: _*))
-      val ref = docs.filter(!col("source").isin(newSources: _*))
-      val matches = DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5)
-        .groupBy("new_id")
-        .agg(count(lit(1)).as("n_ref_dups"), max(col("jaccard")).as("best_jaccard"))
-        .withColumnRenamed("new_id", "doc_id")
-      newBatch.select(col("doc_id"), col("lang"), col("source"))
-        .join(matches, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"), col("source"),
-          coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
-          col("best_jaccard"),
-          (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
-        .orderBy("doc_id")
-    },
-    Some("""
+  /** The incremental-dedup verdict frame shared by d18 and d28: matches
+    * of the src0-src3 "new crawl batch" against a reference-side pair
+    * source, rolled up to one verdict row per new doc. */
+  private def incrementalVerdicts(newBatch: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val matches = pairs
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_ref_dups"), max(col("jaccard")).as("best_jaccard"))
+      .withColumnRenamed("new_id", "doc_id")
+    newBatch.select(col("doc_id"), col("lang"), col("source"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+        col("best_jaccard"),
+        (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared by curate_incremental_dedup and curate_incremental_append:
+    * the two queries must produce the SAME answer — the append variant's
+    * two-epoch index is spec-proven equivalent to the one-shot build
+    * (DedupRefIndexAppendSpec), and registering both under one oracle
+    * puts that equivalence under the driver's hash check. (Defined
+    * before its two consumers: a forward val reference in an object
+    * body initializes to null, and the compiler only warns.) */
+  private val incrementalDedupOracle = """
       WITH newb AS (SELECT doc_id, lang, source, text FROM documents
                     WHERE source IN ('src0','src1','src2','src3')),
       ref AS (SELECT doc_id, text FROM documents
@@ -1441,7 +1448,45 @@ object GraftQueries {
         coalesce(m.n_ref_dups, 0) AS n_ref_dups, m.best_jaccard,
         coalesce(m.n_ref_dups, 0) = 0 AS keep
       FROM newb n LEFT JOIN m ON m.new_id = n.doc_id
-      ORDER BY n.doc_id"""))
+      ORDER BY n.doc_id"""
+
+  private val d18 = Q("curate_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSources = Seq("src0", "src1", "src2", "src3")
+      val newBatch = docs.filter(col("source").isin(newSources: _*))
+      val ref = docs.filter(!col("source").isin(newSources: _*))
+      incrementalVerdicts(newBatch,
+        DedupOps.jaccardPairsAgainstRef(newBatch, ref, threshold = 0.5))
+    },
+    Some(incrementalDedupOracle))
+
+  /** The EPOCH-APPEND lifecycle under the hard signal
+    * ([[DedupOps.appendToRefIndex]]): the reference index is built on
+    * HALF the curated corpus (even doc_ids), the other half arrives as
+    * a later epoch folded in via appendToRefIndex, and the new-crawl
+    * batch is served from the appended index — by the append algebra
+    * (merged rep keeps the global min id, its payload, and the summed
+    * member count) the verdicts are identical to the one-shot
+    * curate_incremental_dedup run, so the SAME oracle hash-checks them.
+    * This is the query the continuous-ingest deployment actually runs
+    * between epochs; without it a regression in the append merge would
+    * be visible only to ScalaTest, never to the driver's DuckDB gate.
+    */
+  private val d28 = Q("curate_incremental_append",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSources = Seq("src0", "src1", "src2", "src3")
+      val newBatch = docs.filter(col("source").isin(newSources: _*))
+      val ref = docs.filter(!col("source").isin(newSources: _*))
+      val epoch0 = ref.filter(col("doc_id") % 2 === 0)
+      val epoch1 = ref.filter(col("doc_id") % 2 =!= 0)
+      val index = DedupOps.appendToRefIndex(
+        DedupOps.buildJaccardRefIndex(epoch0), epoch1)
+      incrementalVerdicts(newBatch,
+        DedupOps.jaccardPairsAgainstIndex(newBatch, index, threshold = 0.5))
+    },
+    Some(incrementalDedupOracle))
 
   /** Semantic incremental dedup ([[DedupOps.embeddingPairsAgainstRef]]):
     * the embedding-space sibling of curate_incremental_dedup — a "new"
@@ -3985,7 +4030,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
