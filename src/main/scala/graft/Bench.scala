@@ -36,6 +36,14 @@ import org.apache.spark.sql.streaming.Trigger
   * (default 2) additional warm sweeps run before printing; the line then
   * carries "spread_escalated":<extra sweeps run>. See [[escalateWarm]].
   *
+  * Cold attribution (the round-14 lesson: cold_total moved +7.8% on a
+  * faster machine and NOTHING could say which query moved): warm mode
+  * also emits "cold":{...} — the TOP-10 slowest cold samples by name
+  * plus an "other" bucket folding the rest, so the per-query sum still
+  * equals "cold_total". A cold-path regression (a build that got
+  * slower) is now attributable from the line alone; the warm map can't
+  * show it because warm samples serve memoized run artifacts.
+  *
   * The line also carries "mq_rows_per_sec":{"row":N,"columnar":N} — a
   * fixed-workload AvailableNow drain of the generated MQ backend
   * (SPARK_GRAFT_MQ_DRAIN_ROWS rows, default 2M; 0 disables), the
@@ -154,6 +162,23 @@ object Bench {
       spread = r._2
     }
     (merged, spread, extra)
+  }
+
+  /** The "cold":{...} member: the `keep` slowest cold samples kept by
+    * name (the only ones a regression hunt needs), the rest folded into
+    * "other" so the map's sum still equals cold_total — same
+    * fold-preserves-total contract as the warm queries map, but with a
+    * FIXED keep count: the line budget is shared with the warm map, and
+    * a fixed-size cold member keeps the fold arithmetic of renderLine
+    * single-knobbed (it only ever shrinks the warm map).
+    */
+  private[graft] def renderColdMap(cold: Seq[(String, Double)], keep: Int = 10): String = {
+    val sorted = cold.sortBy(-_._2)
+    val folded = sorted.drop(keep).map(_._2).sum
+    val entries = sorted.take(keep).sortBy(_._1)
+      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + f"$v%.2f" } ++
+      (if (folded > 0) Seq("\"other\":" + f"$folded%.2f") else Nil)
+    entries.mkString("{", ",", "}")
   }
 
   private[graft] def renderLine(timed: Seq[(String, Double)], errors: Seq[String],
@@ -289,10 +314,11 @@ object Bench {
         val maxExtra = sys.env.getOrElse("SPARK_GRAFT_WARM_EXTRA", "2").toInt
         val (merged, spreadMed, extraRuns) =
           escalateWarm(cold, warmSweeps, sweep _, bar, maxExtra)
-        val coldTotal = cold.collect { case (_, Right(t)) => t }.sum
+        val coldOk = cold.collect { case (n, Right(t)) => (n, t) }
+        val coldTotal = coldOk.map(_._2).sum
         val escalated = if (extraRuns > 0) s""","spread_escalated":$extraRuns""" else ""
         (merged,
-          f""""mode":"warm$warmN","cold_total":$coldTotal%.2f,"spread_med":$spreadMed%.2f$escalated""")
+          f""""mode":"warm$warmN","cold_total":$coldTotal%.2f,"cold":${renderColdMap(coldOk)},"spread_med":$spreadMed%.2f$escalated""")
       }
 
     // MQ streaming-throughput figure (fixed generated workload through the

@@ -156,6 +156,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert((merged, spread) == Bench.warmMerge(cold, sweeps))
   }
 
+  test("cold map keeps the 10 slowest by name and folds the rest, preserving the total") {
+    val cold = (1 to 40).map(i => (f"cold_query_$i%02d", i * 0.5))
+    val m = Bench.renderColdMap(cold)
+    // Slowest 10 visible by name; the rest folded.
+    assert(m.contains("cold_query_40") && m.contains("cold_query_31"), m)
+    assert(!m.contains("cold_query_30"), m)
+    assert(m.contains("\"other\":"), m)
+    // Fold preserves the sum — "cold" entries + other == cold_total.
+    val shown = ":([0-9.]+)[,}]".r.findAllMatchIn(m).map(_.group(1).toDouble).toSeq
+    assert(math.abs(shown.sum - cold.map(_._2).sum) < 0.5, m) // 2-decimal slack
+    // Small runs need no fold and emit every name.
+    val small = Bench.renderColdMap(Seq(("a", 1.0), ("b", 2.0)))
+    assert(small == "{\"a\":1.00,\"b\":2.00}", small)
+  }
+
+  test("the warm-mode extra with a full cold map still fits the tail budget") {
+    // 119 registered queries with realistic name lengths, cold figures
+    // attached — the exact shape main() emits per round.
+    val qs = queries(119)
+    val coldPart = Bench.renderColdMap(qs.map { case (n, t) => (n, t * 2.5) })
+    val extra = "\"mode\":\"warm2\",\"cold_total\":181.18,\"cold\":" + coldPart +
+      ",\"spread_med\":0.14"
+    val line = Bench.renderLine(qs, Nil, "/root/testdata/sf0.1", 119, extra)
+    assert(line.length <= Bench.LineBudget, s"length=${line.length}")
+    assert(line.contains("\"cold\":{"), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+    // The warm fold absorbed the cold member: value is still the full sum.
+    val value = "\"value\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(value - qs.map(_._2).sum) < 0.01, line)
+  }
+
   test("extra JSON members render before sf and the line stays valid") {
     val line = Bench.renderLine(queries(73), Nil, "sf0.1", 73,
       "\"mode\":\"warm2\",\"cold_total\":41.20,\"spread_med\":0.08")
