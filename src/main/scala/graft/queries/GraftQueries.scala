@@ -1220,27 +1220,61 @@ object GraftQueries {
     * connectedComponents (the oriented edge set is eagerly checkpointed),
     * so the persist is fully consumed before release.
     */
+  /** Run-artifact memo keyed by (session, input dir, INPUT SIGNATURE):
+    * the signature hashes the dir's recursive file listing (path,
+    * length, mtime), so a MUTATED input directory — rewritten parquet,
+    * appended part files — can never serve artifacts built from the
+    * previous bytes (the r13/r14 advisory: keys were (session, dir)
+    * only). The immutable-dir-within-a-run assumption the caches used
+    * to REQUIRE is now merely the common case the memo optimizes; a
+    * mutation shows up as a new signature and forces a rebuild. Listing
+    * cost per lookup is driver-side and the same order as the file
+    * enumeration the query's own scan planning performs; the Hadoop FS
+    * API covers hdfs:// and object-store paths on a cluster. Stale
+    * entries under old signatures release to the ContextCleaner with
+    * [[GraftQueries.clearRunArtifacts]], exactly as before.
+    */
+  private final class RunArtifactCache[V] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), V]
+    def get(s: SparkSession, dir: String)(build: => V): V =
+      m.computeIfAbsent((s, dir, inputSignature(s, dir)), _ => build)
+    def clear(): Unit = m.clear()
+  }
+
+  private def inputSignature(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** ONE near-dup component labeling per (session, input dir) — shared
     * by dedup_components and curate_near_dup exactly like the v3 stage
     * chain: a run clusters the corpus once, downstream views read the
     * labeling. Checkpointed at build so both consumers are block reads;
     * deterministic, so build order is value-irrelevant. */
-  private val nearDupComponentsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val nearDupComponentsCache = new RunArtifactCache[DataFrame]
 
   private def nearDupComponentsFor(s: SparkSession, dir: String): DataFrame =
-    nearDupComponentsCache.computeIfAbsent((s, dir), _ =>
+    nearDupComponentsCache.get(s, dir)(
       nearDupClusterComponents(t(s, dir, "documents")).localCheckpoint(true))
 
   /** The embedding near-dup pair graph at the registered parameters
     * (threshold 0.4, 64 dims), shared by dedup_embedding_pairs and
     * curate_semantic_dedup; the op's own Caching contract makes the
     * memoized frame checkpoint-backed already. */
-  private val embeddingPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val embeddingPairsCache = new RunArtifactCache[DataFrame]
 
   private def embeddingPairsFor(s: SparkSession, dir: String): DataFrame =
-    embeddingPairsCache.computeIfAbsent((s, dir), _ =>
+    embeddingPairsCache.get(s, dir)(
       DedupOps.embeddingNearDupPairs(t(s, dir, "embeddings"),
         threshold = 0.4, dims = 64))
 
@@ -1265,22 +1299,20 @@ object GraftQueries {
   /** The per-doc duplicated-span statistics ([[TextOps.crossDocDupSpans]]
     * at the registered n=8), shared by text_dup_spans and
     * stats_dedup_report's span column — one gram pass per run. */
-  private val dupSpansCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val dupSpansCache = new RunArtifactCache[DataFrame]
 
   private def dupSpansFor(s: SparkSession, dir: String): DataFrame =
-    dupSpansCache.computeIfAbsent((s, dir), _ =>
+    dupSpansCache.get(s, dir)(
       TextOps.crossDocDupSpans(t(s, dir, "documents"), n = 8)
         .localCheckpoint(true))
 
   /** The semantic component labeling over [[embeddingPairsFor]]'s graph
     * — curate_semantic_dedup's cluster step, memoized like its lexical
     * twin [[nearDupComponentsFor]]. */
-  private val semanticComponentsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val semanticComponentsCache = new RunArtifactCache[DataFrame]
 
   private def semanticComponentsFor(s: SparkSession, dir: String): DataFrame =
-    semanticComponentsCache.computeIfAbsent((s, dir), _ =>
+    semanticComponentsCache.get(s, dir)(
       GraphOps.connectedComponents(
         t(s, dir, "embeddings").select(col("vec_id")),
         embeddingPairsFor(s, dir).select("vec_a", "vec_b"),
@@ -1985,17 +2017,15 @@ object GraftQueries {
     * Memory: a handful of narrow per-doc frames per input dir for the
     * session's lifetime (checkpoint blocks are NOT dropped by
     * `catalog.clearCache`, which is what makes the reuse survive
-    * Verify's per-query cache clears). Assumes the input dir is
-    * immutable within a session — true for every driver contract; a
-    * long-lived service re-ingesting the same path should start a new
-    * run (session) per ingest, as it would for any cached artifact.
+    * Verify's per-query cache clears). A re-ingested (mutated) input
+    * dir gets a fresh signature and rebuilds — see [[RunArtifactCache]].
     */
-  private val v3StageCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private val v3StageCache =
+    new RunArtifactCache[(DataFrame, DataFrame, DataFrame, DataFrame)]
 
   private def v3Stages(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    v3StageCache.computeIfAbsent((s, dir), _ => v3StagesBuild(s, dir))
+    v3StageCache.get(s, dir)(v3StagesBuild(s, dir))
 
   private def v3StagesBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -2163,12 +2193,12 @@ object GraftQueries {
     */
   /** The semdedup quantizer (nlist=16 — distinct parameters from the
     * ANN rows' nlist=8 fit, hence its own cache). */
-  private val semdedupCentroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Int, Array[Double])]]
+  private val semdedupCentroidCache =
+    new RunArtifactCache[Seq[(Int, Array[Double])]]
 
   private val d21 = Q("curate_semdedup",
     (s, dir) => {
-      val cents = semdedupCentroidCache.computeIfAbsent((s, dir), _ =>
+      val cents = semdedupCentroidCache.get(s, dir)(
         SimilarityOps.trainIvfCentroids(
           t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("cv")),
           nlist = 16, trainIters = 5, trainFraction = 0.25))
@@ -2219,7 +2249,7 @@ object GraftQueries {
       val docs = t(s, dir, "documents").withColumn("is_quality",
         size(filter(tk, x => x.isin(enStops: _*))).cast("double")
           / size(tk).cast("double") >= 0.06)
-      val model = perceptronCache.computeIfAbsent((s, dir), _ =>
+      val model = perceptronCache.get(s, dir)(
         ClassifierOps.trainPerceptron(docs, "is_quality",
           numBuckets = 256, steps = 1, learningRate = 1.0))
       ClassifierOps.scorePerceptron(docs, model, "is_quality")
@@ -2363,49 +2393,46 @@ object GraftQueries {
     * instead of each re-running an identical deterministic k-means.
     * Determinism (spec-asserted) makes the shared fit bit-identical to
     * per-query fits, so the rows-only results and the value-exact
-    * recall row are unchanged. Same immutable-input-dir assumption as
-    * the v3 stage cache.
+    * recall row are unchanged. Same input-signature guard as the v3
+    * stage cache ([[RunArtifactCache]]).
     */
-  private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Int, Array[Double])]]
+  private val ivfCentroidCache = new RunArtifactCache[Seq[(Int, Array[Double])]]
 
   private def registeredIvfCentroids(s: SparkSession, dir: String)
       : Seq[(Int, Array[Double])] =
-    ivfCentroidCache.computeIfAbsent((s, dir), _ =>
+    ivfCentroidCache.get(s, dir)(
       SimilarityOps.trainIvfCentroids(queriesAndCorpus(s, dir)._2,
         nlist = 8, trainIters = 5, trainFraction = 0.25))
 
   /** The PQ codebook sibling of [[registeredIvfCentroids]] (16 subspaces
     * × 16 codewords at the registered parameters), shared by
     * sim_topk_ivfpq and sim_recall_ann's ivf_pq path. */
-  private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), SimilarityOps.PqCodebooks]
+  private val pqCodebookCache = new RunArtifactCache[SimilarityOps.PqCodebooks]
 
   private def registeredPqCodebooks(s: SparkSession, dir: String)
       : SimilarityOps.PqCodebooks =
-    pqCodebookCache.computeIfAbsent((s, dir), _ =>
+    pqCodebookCache.get(s, dir)(
       SimilarityOps.trainPqCodebooks(queriesAndCorpus(s, dir)._2,
         dims = 64, m = 16, ksub = 16, trainIters = 5, trainFraction = 0.25))
 
   /** The corpus-trained BPE merge table at the registered depth (8
     * merges), shared by text_bpe_train and text_bpe_apply — both queries
     * previously re-ran the identical 8-step argmax trainer. Same
-    * train-once model and immutable-dir assumption as the ANN caches;
+    * train-once model and input-signature guard as the ANN caches;
     * the trainer is deterministic, so both consumers see the exact
     * table the oracles replay. */
-  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, String, Long)]]
+  private val bpeMergeCache = new RunArtifactCache[Seq[(String, String, Long)]]
 
   private def registeredBpeMerges(s: SparkSession, dir: String)
       : Seq[(String, String, Long)] =
-    bpeMergeCache.computeIfAbsent((s, dir), _ =>
+    bpeMergeCache.get(s, dir)(
       TextOps.trainBpeMerges(t(s, dir, "documents"), numMerges = 8))
 
   /** The trained quality perceptron at the registered parameters
     * (256 buckets, 1 step) — train once per (session, dir), score on
     * demand; identical to train-and-score in one call by determinism. */
-  private val perceptronCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), graft.ops.ClassifierOps.PerceptronModel]
+  private val perceptronCache =
+    new RunArtifactCache[graft.ops.ClassifierOps.PerceptronModel]
 
   private val s01 = Q("sim_topk_bruteforce",
     (s, dir) => {

@@ -10,14 +10,16 @@ import graft.SparkSuite
   */
 class RunArtifactsSpec extends SparkSuite {
 
+  /** Both plans scan the SAME checkpointed RDD iff the leaves agree. */
+  private def rddScan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.collectLeaves().mkString
+
   test("second invocation serves from the run artifact; clear forces a rebuild") {
     GraftQueries.clearRunArtifacts()
     def run() = GraftQueries.queries("dedup_components")(spark, sf())
     val first = run()
     val second = run()
     // Same memoized labeling: both plans scan the SAME checkpointed RDD.
-    def rddScan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.optimizedPlan.collectLeaves().mkString
     assert(rddScan(first) == rddScan(second),
       "second invocation rebuilt the component labeling instead of " +
         "reading the run artifact")
@@ -31,5 +33,36 @@ class RunArtifactsSpec extends SparkSuite {
     val a = first.collect().map(_.toSeq)
     val c = third.collect().map(_.toSeq)
     assert(a.sameElements(c), "rebuilt labeling diverged from the original")
+  }
+
+  test("mutating the input dir forces a rebuild — stale artifacts can never serve") {
+    // The r13/r14 advisory: cache keys were (session, dir) only, so a
+    // rewritten input directory would keep serving artifacts built from
+    // the OLD bytes. The key now carries an input signature (file
+    // listing + length + mtime hash).
+    val dir = tmp("mutable-input")
+    def copyDocs(): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf() + "/documents.parquet"),
+        java.nio.file.Paths.get(dir + "/documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    copyDocs()
+    def run() = GraftQueries.queries("dedup_components")(spark, dir)
+    val first = run()
+    assert(rddScan(first) == rddScan(run()),
+      "unchanged dir must serve the memoized artifact")
+    // Rewrite the input in place (same bytes, fresh mtime — the
+    // smallest observable mutation): the signature changes, so the
+    // artifact rebuilds WITHOUT clearRunArtifacts, with identical
+    // values because the bytes are identical.
+    Thread.sleep(50) // ms-granularity mtimes must actually differ
+    copyDocs()
+    val third = run()
+    assert(rddScan(first) != rddScan(third),
+      "mutated input dir served a stale run artifact")
+    assert(first.collect().map(_.toSeq)
+      .sameElements(third.collect().map(_.toSeq)))
   }
 }
