@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composable curation pipeline — the PUBLIC shape of what the
@@ -54,12 +54,36 @@ final class CurationPipeline private (
     */
   def run(input: DataFrame): CurationPipeline.Run = {
     require(stages.nonEmpty, "pipeline has no stages")
-    val out = stages.foldLeft(Vector(inputName -> input)) {
-      case (acc, (name, f)) =>
-        acc :+ (name -> Caching.materialize(f(acc.last._2)))
-    }
-    CurationPipeline.Run(out)
+    CurationPipeline.Run(execute(Vector(inputName -> input), stages))
   }
+
+  /** RESUME an interrupted run: `partial` holds the input plus a PREFIX
+    * of this pipeline's stages (typically [[CurationPipeline.Run.load]]
+    * of a [[CurationPipeline.Run.save]] taken before the interruption).
+    * Only the remaining stages execute, each consuming the prior
+    * persisted frame exactly as the uninterrupted run would have
+    * consumed its materialized twin — stages are pure frame functions,
+    * so the resumed output is row-identical to an uninterrupted run
+    * (spec-pinned). Stage names are matched positionally and must agree
+    * (a resume against a DIFFERENT pipeline shape is a hard error, not
+    * a silent recompute).
+    */
+  def resume(partial: CurationPipeline.Run): CurationPipeline.Run = {
+    val doneNames = partial.stages.map(_._1)
+    val expected = inputName +: stages.map(_._1)
+    require(doneNames.size <= expected.size &&
+      expected.take(doneNames.size) == doneNames,
+      s"resume: saved run stages [${doneNames.mkString(", ")}] are not a " +
+        s"prefix of this pipeline [${expected.mkString(", ")}]")
+    CurationPipeline.Run(
+      execute(partial.stages, stages.drop(doneNames.size - 1)))
+  }
+
+  private def execute(done: Vector[(String, DataFrame)],
+      todo: Vector[(String, DataFrame => DataFrame)]): Vector[(String, DataFrame)] =
+    todo.foldLeft(done) { case (acc, (name, f)) =>
+      acc :+ (name -> Caching.materialize(f(acc.last._2)))
+    }
 }
 
 object CurationPipeline {
@@ -97,5 +121,40 @@ object CurationPipeline {
           .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
       }.reduce(_ unionAll _)
+
+    /** PERSIST the run: every stage frame as parquet (distributed —
+      * stage frames are corpus-sized) plus a stage_idx → name meta
+      * table, written LAST as the commit marker: a save interrupted
+      * mid-write leaves no meta, so [[Run.load]] fails loudly instead
+      * of resuming from a torn run. The saved run is the recovery
+      * artifact the session-only checkpoint blocks are not: a NEW
+      * session can [[Run.load]] it and read stage outputs, re-derive
+      * the funnel, or [[CurationPipeline.resume]] the remaining stages.
+      */
+    def save(path: String): Unit = {
+      val spark = stages.head._2.sparkSession
+      import spark.implicits._
+      stages.zipWithIndex.foreach { case ((_, df), i) =>
+        df.write.mode("overwrite").parquet(s"$path/stage_$i")
+      }
+      stages.zipWithIndex.map { case ((n, _), i) => (i, n) }
+        .toDF("stage_idx", "stage")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object Run {
+    /** Load a [[Run.save]]d run: stage frames come back as plain
+      * parquet scans in saved order — no driver materialization, and
+      * downstream consumers (funnel, resume) read the persisted bytes
+      * instead of any lineage. */
+    def load(spark: SparkSession, path: String): Run = {
+      val names = spark.read.parquet(s"$path/meta")
+        .select(col("stage_idx").cast("int"), col("stage"))
+        .collect().sortBy(_.getInt(0)).map(_.getString(1))
+      Run(names.zipWithIndex.map { case (n, i) =>
+        n -> spark.read.parquet(s"$path/stage_$i")
+      }.toVector)
+    }
   }
 }

@@ -67,6 +67,60 @@ class CurationPipelineSpec extends SparkSuite {
     assert(funnel(2).getAs[Long]("n_docs") <= funnel(1).getAs[Long]("n_docs"))
   }
 
+  test("run save/load round-trip: stage frames and funnel survive a new consumer") {
+    val pipeline = CurationPipeline("input")
+      .stage("quality") { d =>
+        TextOps.withQualityScore(d).filter(col("quality_score") >= 0.3)
+          .select(col("doc_id"), col("text"))
+      }
+      .stage("short_drop") { d =>
+        d.filter(size(TextOps.tokens(col("text"))) >= 5)
+      }
+    val run = pipeline.run(docs)
+    val path = tmp("pipeline-run") + "/run"
+    run.save(path)
+    val loaded = CurationPipeline.Run.load(spark, path)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(loaded.stages.map(_._1) == run.stages.map(_._1))
+    run.stages.zip(loaded.stages).foreach { case ((name, orig), (_, back)) =>
+      assert(rows(orig) == rows(back), s"stage '$name' diverged after load")
+    }
+    // The funnel recomputes identically from the persisted frames.
+    def tok(df: DataFrame) = size(TextOps.tokens(col("text")))
+    assert(rows(run.funnel(tok)) == rows(loaded.funnel(tok)))
+  }
+
+  test("resume from a saved prefix is row-identical to the uninterrupted run") {
+    def qualityStage(d: DataFrame) =
+      TextOps.withQualityScore(d).filter(col("quality_score") >= 0.3)
+        .select(col("doc_id"), col("text"))
+    def shortStage(d: DataFrame) =
+      d.filter(size(TextOps.tokens(col("text"))) >= 5)
+    val full = CurationPipeline("input")
+      .stage("quality")(qualityStage).stage("short_drop")(shortStage)
+    // The "interrupted" run: only stage 1 completed and was saved.
+    val path = tmp("pipeline-resume") + "/run"
+    CurationPipeline("input").stage("quality")(qualityStage)
+      .run(docs).save(path)
+    val resumed = full.resume(CurationPipeline.Run.load(spark, path))
+    val uninterrupted = full.run(docs)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(resumed.stages.map(_._1) == uninterrupted.stages.map(_._1))
+    assert(rows(resumed.output) == rows(uninterrupted.output))
+    assert(rows(resumed("quality")) == rows(uninterrupted("quality")))
+    // A saved run from a DIFFERENT pipeline shape is refused loudly.
+    intercept[IllegalArgumentException] {
+      CurationPipeline("input").stage("other")(identity)
+        .resume(CurationPipeline.Run.load(spark, path))
+    }
+    // A fully-completed saved run resumes to itself (no stages re-run).
+    val done = uninterrupted
+    val donePath = tmp("pipeline-resume-done") + "/run"
+    done.save(donePath)
+    val reDone = full.resume(CurationPipeline.Run.load(spark, donePath))
+    assert(rows(reDone.output) == rows(done.output))
+  }
+
   test("builder API contracts: unique names, non-empty chain, stage lookup") {
     intercept[IllegalArgumentException] {
       CurationPipeline("input").stage("a")(identity).stage("a")(identity)
