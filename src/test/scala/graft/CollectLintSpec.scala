@@ -55,6 +55,9 @@ class CollectLintSpec extends AnyFunSuite {
                                      // 1-row max-class aggregate over
                                      // the written reps table and
                                      // loadRefIndex's 1-row meta read
+    "graft/ops/CurationPipeline.scala" -> 1, // Run.load: the stage-count-
+                                     // sized meta table (stage_idx →
+                                     // name rows), never a stage frame
     "graft/tools/LshTune.scala" -> 2, // offline tuning CLI, not an
                                      // operator: both reads are top-k
                                      // result sets (queries×k rows),
