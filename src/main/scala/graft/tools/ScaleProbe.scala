@@ -146,6 +146,13 @@ object ScaleProbe {
     // by the oracle row and the DedupSkewSpec/OpsSpec equality tests; the
     // VerdictKind machinery itself is exercised by the lexical row below.
     "curate_incremental_dedup" -> VerdictKind(),
+    // The appended-index variant probes the EPOCH-APPEND path at factor:
+    // its doc_id%2 epoch split is internal — append(build(A),B) serves
+    // identically for ANY partition of the reference — so the ×factor
+    // verdict algebra holds exactly as for the one-shot row above, and a
+    // scale regression in the append merge (e.g. a corpus-sized probe)
+    // shows up in the wall-time ceiling.
+    "curate_incremental_append" -> VerdictKind(),
     "curate_semdedup" -> SemDedupKind(),
     "text_paragraph_dedup" -> ParagraphDedupKind,
     "text_dup_spans" -> DupSpansSaturationKind(8),
