@@ -1529,25 +1529,25 @@ object GraftQueries {
     * asymmetric join never pairs within a side, and the bipartite
     * hot-bucket grid bounds within-bucket work at scale.
     */
-  private val d19 = Q("curate_incremental_semantic",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val newV = emb.filter(col("vec_id") % 5 === 0)
-      val refV = emb.filter(col("vec_id") % 5 =!= 0)
-      val matches = DedupOps.embeddingPairsAgainstRef(newV, refV,
-          threshold = 0.4, dims = 64)
-        .groupBy("new_id")
-        .agg(count(lit(1)).as("n_ref_dups"), max(col("cosine")).as("best_cosine"))
-        .withColumnRenamed("new_id", "vec_id")
-      newV.select(col("vec_id"), col("label"))
-        .join(matches, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"),
-          coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
-          col("best_cosine"),
-          (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
-        .orderBy("vec_id")
-    },
-    Some("""
+  /** The semantic verdict frame shared by d19 and d29 — the
+    * embedding-space twin of [[incrementalVerdicts]]. */
+  private def semanticVerdicts(newV: DataFrame, pairs: DataFrame): DataFrame = {
+    val matches = pairs
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_ref_dups"), max(col("cosine")).as("best_cosine"))
+      .withColumnRenamed("new_id", "vec_id")
+    newV.select(col("vec_id"), col("label"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+        col("best_cosine"),
+        (coalesce(col("n_ref_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared by curate_incremental_semantic and its epoch-append twin —
+    * the same one-oracle-two-queries pattern as the lexical pair. */
+  private val incrementalSemanticOracle = """
       WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       sig AS (SELECT vec_id, band,
                 list_sum(list_transform(range(8),
@@ -1568,7 +1568,39 @@ object GraftQueries {
         coalesce(m.n_ref_dups, 0) AS n_ref_dups, m.best_cosine,
         coalesce(m.n_ref_dups, 0) = 0 AS keep
       FROM nw n LEFT JOIN m ON m.new_id = n.vec_id
-      ORDER BY n.vec_id"""))
+      ORDER BY n.vec_id"""
+
+  private val d19 = Q("curate_incremental_semantic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val newV = emb.filter(col("vec_id") % 5 === 0)
+      val refV = emb.filter(col("vec_id") % 5 =!= 0)
+      semanticVerdicts(newV, DedupOps.embeddingPairsAgainstRef(newV, refV,
+        threshold = 0.4, dims = 64))
+    },
+    Some(incrementalSemanticOracle))
+
+  /** The SEMANTIC epoch-append under the hard signal — the embedding
+    * twin of curate_incremental_append: vector index built on half the
+    * reference split (even vec_ids), the odd half folded in via
+    * appendToRefIndex, the new-vector batch served from the appended
+    * index; identical verdicts to the one-shot d19 run by the append
+    * algebra, so the SAME oracle hash-checks them. Both axes of the
+    * epoch lifecycle now sit under the driver's DuckDB gate.
+    */
+  private val d29 = Q("curate_incremental_append_semantic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val newV = emb.filter(col("vec_id") % 5 === 0)
+      val refV = emb.filter(col("vec_id") % 5 =!= 0)
+      val epoch0 = refV.filter(col("vec_id") % 2 === 0)
+      val epoch1 = refV.filter(col("vec_id") % 2 =!= 0)
+      val index = DedupOps.appendToRefIndex(
+        DedupOps.buildEmbeddingRefIndex(epoch0), epoch1)
+      semanticVerdicts(newV, DedupOps.embeddingPairsAgainstIndex(newV, index,
+        threshold = 0.4, dims = 64))
+    },
+    Some(incrementalSemanticOracle))
 
   private val d13 = Q("curate_near_dup",
     (s, dir) => {
@@ -4057,7 +4089,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
