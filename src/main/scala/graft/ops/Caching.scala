@@ -109,19 +109,27 @@ private[graft] object Caching extends org.apache.spark.internal.Logging {
         sc.getCheckpointDir match {
           case None =>
             sc.setCheckpointDir(dir)
-            dirsSetHere.add(sc -> dir)
+            // Record what Spark ACTUALLY stored (the dir comes back
+            // qualified plus a random UUID subdir), keyed by the
+            // context's applicationId — no strong SparkContext ref, so
+            // cycled sessions stay collectable.
+            sc.getCheckpointDir.foreach(actual =>
+              dirSetHere.put(sc.applicationId, actual))
           // First-wins is the contract (one directory per session), but a
-          // pre-existing dir set by OTHER code — or an earlier different
-          // value of the conf — means the configured key is NOT where
+          // dir set by OTHER code — before first use, or overriding ours
+          // afterwards — means the configured key is NOT where
           // checkpoints land; say so ONCE per (conf value, actual dir)
           // pair rather than leave the mismatch unobservable at runtime
-          // (or spam it per materialization). The normal path — the
-          // context dir is our own setCheckpointDir result for this very
-          // conf value — never warns: Spark stores the dir QUALIFIED
-          // plus a random UUID subdir, so comparing strings against the
-          // raw conf value cannot distinguish it from foreign dirs;
-          // remembering what we set can.
-          case Some(existing) if !dirsSetHere.contains(sc -> dir) =>
+          // (or spam it per materialization). Two suppressors: the
+          // current dir is the one OUR setCheckpointDir produced
+          // (compared actual-vs-actual, so the qualified+UUID shape
+          // cannot false-positive), or external code set the SAME
+          // configured path itself (its parent qualifies to the conf
+          // value — checkpoints land where configured, nothing to warn
+          // about).
+          case Some(existing)
+              if !dirSetHere.getOrDefault(sc.applicationId, "").equals(existing)
+                && !underConfigured(sc, dir, existing) =>
             if (warnedMismatch.add(dir -> existing))
               logWarning(s"$CheckpointDirKey=$dir ignored: SparkContext " +
                 s"checkpoint dir already set to $existing; checkpoints land there")
@@ -132,11 +140,21 @@ private[graft] object Caching extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** (context, conf value) pairs whose setCheckpointDir call was made by
-    * [[materialize]] itself — one entry per session in practice (one
-    * context per JVM, one configured dir). */
-  private val dirsSetHere = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[(org.apache.spark.SparkContext, String)]()
+  /** True iff `existing` (qualified dir + UUID subdir) sits directly
+    * under the configured `dir` once qualified through the same
+    * filesystem — the external-code-set-the-same-path case. */
+  private def underConfigured(sc: org.apache.spark.SparkContext,
+      dir: String, existing: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val q = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+      Option(new org.apache.hadoop.fs.Path(existing).getParent).contains(q)
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** applicationId → the actual checkpoint dir [[materialize]]'s own
+    * setCheckpointDir produced — one entry per context in practice. */
+  private val dirSetHere =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Mismatches already reported — the warning fires once per distinct
     * (configured, actual) pair, not once per materialization. */

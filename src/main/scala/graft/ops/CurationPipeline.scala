@@ -134,6 +134,14 @@ object CurationPipeline {
     def save(path: String): Unit = {
       val spark = stages.head._2.sparkSession
       import spark.implicits._
+      // Drop any PREVIOUS save's marker before touching stage frames:
+      // re-saving over an old run must not leave the old meta visible
+      // while new frames are half-written, or an interruption would
+      // make load() return a torn mix of generations instead of
+      // failing loudly.
+      val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+      metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(metaPath, true)
       stages.zipWithIndex.foreach { case ((_, df), i) =>
         df.write.mode("overwrite").parquet(s"$path/stage_$i")
       }

@@ -645,10 +645,8 @@ object DedupOps {
     val mergedMembers = index.members.select(col("fp"), col("id"))
       .unionByName(keyed.select(col("fp"), col("id")))
     val mergedMax = index.maxClass.map { m =>
-      // md5-hex fp → 60-bit long for the Bloom key (same trick as the
-      // paragraph axis): the gate drops corpus reps whose fingerprint
-      // the batch cannot hold BEFORE the join shuffles anything.
-      def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
+      // The gate drops corpus reps whose fingerprint the batch cannot
+      // hold BEFORE the join shuffles anything.
       val refCounts = bloomGateAgainst(
         index.reps.select(col("fp"), col("cnt")), fp60(col("fp")),
         keyed.select(col("fp")), fp60(col("fp")), 1 << 22)
@@ -1031,6 +1029,12 @@ object DedupOps {
       org.apache.spark.sql.graft.Bridge.scalarSubquery(
         small.agg(GraftFunctions.bloom_agg(smallKey, bits).as("_bl"))),
       bigKey))
+
+  /** md5-hex fingerprint → 60-bit long, the Bloom key every fp-keyed
+    * gate shares (one definition so the key derivation cannot diverge
+    * between the ops that build a filter and the ops that probe it). */
+  private[graft] def fp60(c: Column): Column =
+    conv(substring(c, 1, 15), 16, 10).cast("long")
 
   /** Cross-side candidate pairs within equal buckets — the BIPARTITE
     * sibling of [[selfJoinWithinBuckets]] for asymmetric (new-vs-

@@ -583,11 +583,10 @@ object TextOps {
     val newFps0 = paragraphFingerprints(batch, parasCol)
     val newFps =
       if (bloomBits <= 0) newFps0 else Caching.materialize(newFps0)
-    def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
     val refSide =
       if (bloomBits <= 0) refFps.select(col("fp"))
-      else DedupOps.bloomGateAgainst(refFps.select(col("fp")), fp60(col("fp")),
-        newFps, fp60(col("fp")), bloomBits)
+      else DedupOps.bloomGateAgainst(refFps.select(col("fp")),
+        DedupOps.fp60(col("fp")), newFps, DedupOps.fp60(col("fp")), bloomBits)
     refFps.select(col("fp"))
       .unionByName(newFps.join(refSide, Seq("fp"), "left_anti"))
   }
@@ -626,10 +625,9 @@ object TextOps {
       // 60-bit hex prefix (injective enough for a gate; the JOIN on the
       // full fp still decides membership, so any prefix collision only
       // costs a gated-through row, never a wrong verdict).
-      def fp60(c: Column) = conv(substring(c, 1, 15), 16, 10).cast("long")
       val gatedRef = DedupOps.bloomGateAgainst(
-          refFps.select(col("fp")), fp60(col("fp")),
-          ex.select("fp"), fp60(col("fp")), bloomBits)
+          refFps.select(col("fp")), DedupOps.fp60(col("fp")),
+          ex.select("fp"), DedupOps.fp60(col("fp")), bloomBits)
         .distinct()
         .withColumn("_ref", lit(true))
       val firsts = ex.groupBy("fp")

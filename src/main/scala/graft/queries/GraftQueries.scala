@@ -1237,14 +1237,26 @@ object GraftQueries {
   private final class RunArtifactCache[V] {
     private val m = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), V]
-    def get(s: SparkSession, dir: String)(build: => V): V =
-      m.computeIfAbsent((s, dir, inputSignature(s, dir)), _ => build)
+    def get(s: SparkSession, dir: String)(build: => V): V = {
+      val key = (s, dir, inputSignature(s, dir))
+      // A fresh signature supersedes every older generation of this
+      // (session, dir): evict them so the ContextCleaner can release
+      // their checkpoint blocks once unreferenced — a service
+      // re-ingesting the same path must not accumulate one generation
+      // of corpus-sized blocks per ingest.
+      if (!m.containsKey(key))
+        m.keySet.removeIf(k => k._1 == s && k._2 == dir && k._3 != key._3)
+      m.computeIfAbsent(key, _ => build)
+    }
     def clear(): Unit = m.clear()
   }
 
   private def inputSignature(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    // The context's live conf, NOT sessionState.newHadoopConf(): this
+    // runs on every lookup including cache hits, and a full
+    // Configuration clone per hit is pure driver overhead.
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {

@@ -172,13 +172,15 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("the warm-mode extra with a full cold map still fits the tail budget") {
-    // 119 registered queries with realistic name lengths, cold figures
+    // The REAL registry size (not a pinned constant that silently goes
+    // stale as queries land) with realistic name lengths, cold figures
     // attached — the exact shape main() emits per round.
-    val qs = queries(119)
-    val coldPart = Bench.renderColdMap(qs.map { case (n, t) => (n, t * 2.5) })
+    val n = SparkEntry.queries.size
+    val qs = queries(n)
+    val coldPart = Bench.renderColdMap(qs.map { case (q, t) => (q, t * 2.5) })
     val extra = "\"mode\":\"warm2\",\"cold_total\":181.18,\"cold\":" + coldPart +
       ",\"spread_med\":0.14"
-    val line = Bench.renderLine(qs, Nil, "/root/testdata/sf0.1", 119, extra)
+    val line = Bench.renderLine(qs, Nil, "/root/testdata/sf0.1", n, extra)
     assert(line.length <= Bench.LineBudget, s"length=${line.length}")
     assert(line.contains("\"cold\":{"), line)
     assert(line.count(_ == '{') == line.count(_ == '}'))
