@@ -68,6 +68,22 @@ class PlanAssertionsSpec extends SparkSuite {
       s"expected the Bloom ref-gate in the incremental-dedup plan:\n$p")
   }
 
+  test("append-path incremental queries keep equi-join candidates and the Bloom ref-gate") {
+    // The epoch-append variants must inherit the one-shot rows' scale
+    // shape: candidates from the inverted index / band join across sides
+    // (never pair enumeration — a scalar-subquery Cross BNLJ from the
+    // Bloom gate is fine, an Inner BNLJ is the regression), with the
+    // reference side Bloom-gated before it shuffles.
+    for (q <- Seq("curate_incremental_append", "curate_incremental_append_semantic")) {
+      val p = allExecutedPlans(q).mkString("\n===\n")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined,
+        s"$q: $p")
+      assert(p.contains("bloom_might_contain"),
+        s"$q: expected the Bloom ref-gate in the appended-index serve:\n$p")
+    }
+  }
+
   test("text_shard_pack plans no global window and no single-partition exchange") {
     // The whole point of the two-phase prefix sum: the semantic twin is
     // `sum() OVER (ORDER BY key)` — a Window over Exchange SinglePartition
