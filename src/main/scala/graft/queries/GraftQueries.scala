@@ -1249,7 +1249,17 @@ object GraftQueries {
       m.computeIfAbsent(key, _ => build)
     }
     def clear(): Unit = m.clear()
+    private[queries] def entryCount: Int = m.size
   }
+
+  /** Test hook: total live entries across all run-artifact caches —
+    * pins the supersession eviction (a mutated dir must REPLACE its
+    * generation, not add one). */
+  private[graft] def runArtifactEntryCount: Int =
+    Seq(v3StageCache, ivfCentroidCache, pqCodebookCache, bpeMergeCache,
+      perceptronCache, semdedupCentroidCache, nearDupComponentsCache,
+      embeddingPairsCache, semanticComponentsCache, dupSpansCache)
+      .map(_.entryCount).sum
 
   private def inputSignature(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)

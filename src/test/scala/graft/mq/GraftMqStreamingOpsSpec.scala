@@ -325,9 +325,10 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
           .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
             r.getAs[Long]("n_kept"), r.getAs[String]("text_deduped")))
         got.synchronized { got ++= out; () }
-        refState = refState
-          .union(graft.ops.TextOps.paragraphFingerprints(p))
-          .distinct().localCheckpoint(true)
+        // The first-class epoch append (set-identical to union+distinct
+        // at batch-plus-gated cost) — the op this loop exists for.
+        refState = graft.ops.TextOps
+          .appendParagraphFingerprints(refState, p).localCheckpoint(true)
         nBatches.incrementAndGet(); ()
       }
       .option("checkpointLocation", tmp("para-inc-ckpt"))

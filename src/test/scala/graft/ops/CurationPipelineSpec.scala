@@ -88,6 +88,18 @@ class CurationPipelineSpec extends SparkSuite {
     // The funnel recomputes identically from the persisted frames.
     def tok(df: DataFrame) = size(TextOps.tokens(col("text")))
     assert(rows(run.funnel(tok)) == rows(loaded.funnel(tok)))
+
+    // RE-SAVING a different run to the same path fully replaces the
+    // previous generation (meta is deleted first, then rewritten last,
+    // so load never sees a mix): a one-stage run over a smaller input
+    // saved on top of the two-stage run above must load back as exactly
+    // itself.
+    val second = CurationPipeline("input")
+      .stage("take")(d => d.limit(7)).run(docs)
+    second.save(path)
+    val reloaded = CurationPipeline.Run.load(spark, path)
+    assert(reloaded.stages.map(_._1) == Vector("input", "take"))
+    assert(reloaded.output.count() == 7)
   }
 
   test("resume from a saved prefix is row-identical to the uninterrupted run") {

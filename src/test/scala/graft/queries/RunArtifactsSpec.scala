@@ -59,10 +59,17 @@ class RunArtifactsSpec extends SparkSuite {
     // values because the bytes are identical.
     Thread.sleep(50) // ms-granularity mtimes must actually differ
     copyDocs()
+    val before = GraftQueries.runArtifactEntryCount
     val third = run()
     assert(rddScan(first) != rddScan(third),
       "mutated input dir served a stale run artifact")
     assert(first.collect().map(_.toSeq)
       .sameElements(third.collect().map(_.toSeq)))
+    // The rebuild REPLACED the superseded generation rather than adding
+    // one — a re-ingesting service must not accumulate a generation of
+    // checkpoint-backed frames per mutation.
+    assert(GraftQueries.runArtifactEntryCount == before,
+      s"superseded cache generation leaked: $before -> " +
+        s"${GraftQueries.runArtifactEntryCount}")
   }
 }
