@@ -1749,20 +1749,23 @@ object GraftQueries {
     * paragraphs the reference already has drop, keep-first applies
     * within the batch, every rewrite pinned by md5.
     */
-  private val d27 = Q("curate_incremental_paragraphs",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isRef = SamplingOps.hashSampleFlag(col("doc_id"), 10, 5,
-        salt = "refpara")
-      val refFps = TextOps.paragraphFingerprints(
-        derivedParas(docs.filter(isRef)))
-      TextOps.dedupParagraphsAgainstRef(
-          derivedParas(docs.filter(!isRef)), refFps)
-        .select(col("doc_id"), col("n_paras"), col("n_kept"),
-          col("n_ref_hits"), md5(col("text_deduped")).as("dedup_md5"))
-        .orderBy("doc_id")
-    },
-    Some("""
+  /** The batch-vs-reference serve shared by d27 and d30: given the
+    * reference-side paragraph-fingerprint state, dedup the non-ref half
+    * of the corpus against it, every rewrite pinned by md5. */
+  private def paragraphServe(docs: DataFrame, isRef: Column,
+      refFps: DataFrame): DataFrame =
+    TextOps.dedupParagraphsAgainstRef(
+        derivedParas(docs.filter(!isRef)), refFps)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        col("n_ref_hits"), md5(col("text_deduped")).as("dedup_md5"))
+      .orderBy("doc_id")
+
+  /** Shared by curate_incremental_paragraphs and its epoch-append
+    * sibling: the two queries must produce the SAME answer — the
+    * appended fingerprint state is set-identical to the one-shot
+    * corpus-wide distinct (DedupRefIndexAppendSpec), and one oracle
+    * over both puts that equivalence under the driver's hash check. */
+  private val incrementalParagraphOracle = """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
           (('0x' || substr(md5('refpara' || cast(doc_id as varchar)), 1, 15))::bigint % 10 < 5)
             AS is_ref
@@ -1788,7 +1791,43 @@ object GraftQueries {
         cast(n_kept as bigint) AS n_kept,
         cast(n_ref_hits as bigint) AS n_ref_hits,
         md5(txt) AS dedup_md5
-      FROM a ORDER BY doc_id"""))
+      FROM a ORDER BY doc_id"""
+
+  private val d27 = Q("curate_incremental_paragraphs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isRef = SamplingOps.hashSampleFlag(col("doc_id"), 10, 5,
+        salt = "refpara")
+      val refFps = TextOps.paragraphFingerprints(
+        derivedParas(docs.filter(isRef)))
+      paragraphServe(docs, isRef, refFps)
+    },
+    Some(incrementalParagraphOracle))
+
+  /** The paragraph axis of the EPOCH-APPEND lifecycle under the hard
+    * signal ([[TextOps.appendParagraphFingerprints]]) — the set-only
+    * third sibling of curate_incremental_append (lexical) and
+    * curate_incremental_append_semantic (vector): the reference
+    * fingerprint state is built on HALF the already-ingested corpus
+    * (even doc_ids), the other half arrives as a later epoch folded in
+    * via the Bloom-gated append, and the new-crawl batch is served from
+    * the appended state. Set-identity with the one-shot distinct makes
+    * the SAME oracle hash-check the serve, so a regression in the
+    * append's anti-join admission is driver-visible, not ScalaTest-only.
+    */
+  private val d30 = Q("curate_incremental_append_paragraphs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isRef = SamplingOps.hashSampleFlag(col("doc_id"), 10, 5,
+        salt = "refpara")
+      val refDocs = docs.filter(isRef)
+      val epoch0 = derivedParas(refDocs.filter(col("doc_id") % 2 === 0))
+      val epoch1 = derivedParas(refDocs.filter(col("doc_id") % 2 =!= 0))
+      val refFps = TextOps.appendParagraphFingerprints(
+        TextOps.paragraphFingerprints(epoch0), epoch1)
+      paragraphServe(docs, isRef, refFps)
+    },
+    Some(incrementalParagraphOracle))
 
   /** The north-star pipeline END TO END, one DataFrame program: quality
     * floor + language filter → exact-dedup canonicalization →
@@ -4111,7 +4150,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
     sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)

@@ -74,7 +74,8 @@ class PlanAssertionsSpec extends SparkSuite {
     // (never pair enumeration — a scalar-subquery Cross BNLJ from the
     // Bloom gate is fine, an Inner BNLJ is the regression), with the
     // reference side Bloom-gated before it shuffles.
-    for (q <- Seq("curate_incremental_append", "curate_incremental_append_semantic")) {
+    for (q <- Seq("curate_incremental_append", "curate_incremental_append_semantic",
+        "curate_incremental_append_paragraphs")) {
       val p = allExecutedPlans(q).mkString("\n===\n")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined,
