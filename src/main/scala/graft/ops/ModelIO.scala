@@ -148,4 +148,35 @@ object ModelIO {
       shingleN = Some(m.getLong(1)).filter(_ >= 0).map(_.toInt),
       maxClass = Some(m.getLong(2)))
   }
+
+  /** Persist a [[SimilarityOps.PqIndex]] — the encode-once/serve-many
+    * ANN artifact: the encoded corpus is CORPUS-SIZED (written
+    * distributed, loaded as a plain scan), the quantizer models are
+    * config-sized. Meta (dims, m — the parameters a serve must match)
+    * is written LAST as the commit marker, so a save interrupted
+    * mid-write has no meta and [[loadPqIndex]] fails loudly instead of
+    * serving a torn index. */
+  def savePqIndex(path: String, index: SimilarityOps.PqIndex): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    saveIvfCentroids(spark, s"$path/centroids", index.centroids)
+    savePqCodebooks(spark, s"$path/codebooks", index.codebooks)
+    Seq((index.dims.toLong, index.m.toLong)).toDF("dims", "m")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): SimilarityOps.PqIndex = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("dims").cast("long"), col("m").cast("long")).head()
+    SimilarityOps.PqIndex(
+      spark.read.parquet(s"$path/encoded")
+        .select(col("list_id"), col("vec_id"), col("codes")),
+      loadIvfCentroids(spark, s"$path/centroids"),
+      loadPqCodebooks(spark, s"$path/codebooks"),
+      dims = meta.getLong(0).toInt, m = meta.getLong(1).toInt)
+  }
 }

@@ -518,14 +518,115 @@ object SimilarityOps {
     val cbs = codebooks.getOrElse(
       trainPqCodebooks(corpus, dims, m, ksub, trainIters, trainFraction))
     if (cbs.isEmpty || cbs.forall(_._2.isEmpty)) return emptyTopK(queries, corpus)
+    // Corpus probe payload: (list_id, vec_id, m-byte codes) — nothing else.
+    pqProbeServe(queries, encodePqCorpus(corpus, cents, cbs), corpus,
+      cents, cbs, k, nprobe, excludeSelf, rerank)
+  }
+
+  /** The (list_id, vec_id, codes) table [[ivfTopKPq]]'s candidate join
+    * streams — corpus-linear to produce, which is why a deployment
+    * builds it ONCE ([[buildPqIndex]]) instead of paying the assignment
+    * + encode inside every probe call. Codes come from the
+    * [[graft.functions.PqEncode]] kernel; assignment stays fp32.
+    */
+  def encodePqCorpus(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+      cbs: PqCodebooks): DataFrame = {
+    val argmaxAssign = argmaxWith(cents) _
+    corpus.select(col("vec_id"), col("cv"))
+      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
+      .withColumn("codes", GraftFunctions.pq_encode(col("cv"), bookArrays(cbs)))
+      .select(col("list_id"), col("vec_id"), col("codes"))
+  }
+
+  /** IVF-PQ INDEX — the encode-once / serve-many artifact the 100 TB
+    * deployment actually holds: the coarse quantizer + PQ codebooks
+    * (config-sized) and the encoded corpus (m bytes/vector — the only
+    * corpus-sized table a probe shuffles). [[ivfTopKPq]] re-encodes the
+    * corpus inside every call; building the index once and serving via
+    * [[ivfTopKPqIndexed]] amortizes that corpus-linear pass across every
+    * query batch, exactly as [[DedupOps.DedupRefIndex]] does for the
+    * dedup serve. Persist with [[ModelIO.savePqIndex]]; grow between
+    * epochs with [[appendToPqIndex]].
+    */
+  final case class PqIndex(encoded: DataFrame,
+      centroids: Seq[(Int, Array[Double])], codebooks: PqCodebooks,
+      dims: Int, m: Int)
+
+  /** Train (or accept) the models and encode the corpus once.
+    * `materialized = true` pins the encoded table (use before
+    * [[ModelIO.savePqIndex]] or a multi-batch serve loop so the encode
+    * lineage prices once). Serving [[ivfTopKPqIndexed]] against the
+    * result is result-identical to [[ivfTopKPq]] with the same models
+    * (spec-pinned): encoding is a deterministic per-row map, so WHEN it
+    * runs cannot change any score.
+    */
+  def buildPqIndex(corpus: DataFrame, dims: Int, nlist: Int = 8,
+      m: Int = 16, ksub: Int = 16,
+      trainIters: Int = 10, trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, Array[Double])]] = None,
+      codebooks: Option[PqCodebooks] = None,
+      materialized: Boolean = false): PqIndex = {
+    require(trainIters >= 0 && trainFraction > 0 && trainFraction <= 1.0)
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
+    val cbs = codebooks.getOrElse(
+      trainPqCodebooks(corpus, dims, m, ksub, trainIters, trainFraction))
+    val enc = encodePqCorpus(corpus, cents, cbs)
+    PqIndex(if (materialized) Caching.materialize(enc) else enc,
+      cents, cbs, dims, m)
+  }
+
+  /** EPOCH APPEND for the PQ index: encode the new vectors under the
+    * index's FROZEN models and union them in — batch-sized work, and
+    * exactly `buildPqIndex(A ∪ B, centroids = Some(...), codebooks =
+    * Some(...))` because encoding is per-row under fixed models
+    * (spec-pinned). The models deliberately do NOT retrain: stored
+    * codes are only comparable under the codebooks that produced them —
+    * retraining is a rebuild, not an append (same contract as FAISS's
+    * add-after-train).
+    */
+  def appendToPqIndex(index: PqIndex, newVecs: DataFrame,
+      materialized: Boolean = false): PqIndex = {
+    val enc = index.encoded.unionByName(
+      encodePqCorpus(newVecs, index.centroids, index.codebooks))
+    index.copy(encoded =
+      if (materialized) Caching.materialize(enc) else enc)
+  }
+
+  /** [[ivfTopKPq]] served from a prebuilt (typically loaded)
+    * [[PqIndex]] — the per-batch serve call of the encode-once
+    * lifecycle. `corpus` supplies the fp32 vectors for the exact
+    * re-rank of the ADC shortlist (the classic IVF-PQ split: codes in
+    * memory, full vectors fetched by id — the shortlist is k·rerank
+    * per query, so the fetch is a broadcast join into the vector
+    * table, never a scan) and MUST be the table the index encoded:
+    * a vec_id the index holds but `corpus` lacks would silently drop
+    * from the re-rank, so mismatched generations are on the caller
+    * exactly as with [[DedupOps.jaccardPairsAgainstIndex]]'s shingleN
+    * contract.
+    */
+  def ivfTopKPqIndexed(queries: DataFrame, index: PqIndex,
+      corpus: DataFrame, k: Int, nprobe: Int = 2,
+      excludeSelf: Boolean = true, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    if (index.centroids.isEmpty ||
+      index.codebooks.isEmpty || index.codebooks.forall(_._2.isEmpty))
+      return emptyTopK(queries, corpus)
+    pqProbeServe(queries, index.encoded, corpus, index.centroids,
+      index.codebooks, k, nprobe, excludeSelf, rerank)
+  }
+
+  /** Probe + ADC score + exact re-rank against an already-encoded
+    * corpus — the shared serve core of [[ivfTopKPq]] (encode inline)
+    * and [[ivfTopKPqIndexed]] (encode amortized in the index). */
+  private def pqProbeServe(queries: DataFrame, assignedCorpus: DataFrame,
+      corpus: DataFrame, cents: Seq[(Int, Array[Double])],
+      cbs: PqCodebooks, k: Int, nprobe: Int, excludeSelf: Boolean,
+      rerank: Int): DataFrame = {
+    require(nprobe >= 1)
     val effectiveProbe = math.min(nprobe, cents.size)
     val argmaxAssign = argmaxWith(cents) _
-    // Corpus probe payload: (list_id, vec_id, m-byte codes) — nothing else.
     val books = bookArrays(cbs)
-    val assignedCorpus = corpus.select(col("vec_id"), col("cv"))
-      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
-      .withColumn("codes", GraftFunctions.pq_encode(col("cv"), books))
-      .select(col("list_id"), col("vec_id"), col("codes"))
     val probedQueries = queries.select(col("query_id"), col("qv"))
       .withColumn("tables", GraftFunctions.pq_tables(col("qv"), books))
       .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))

@@ -1256,9 +1256,10 @@ object GraftQueries {
     * pins the supersession eviction (a mutated dir must REPLACE its
     * generation, not add one). */
   private[graft] def runArtifactEntryCount: Int =
-    Seq(v3StageCache, ivfCentroidCache, pqCodebookCache, bpeMergeCache,
-      perceptronCache, semdedupCentroidCache, nearDupComponentsCache,
-      embeddingPairsCache, semanticComponentsCache, dupSpansCache)
+    Seq(v3StageCache, ivfCentroidCache, pqCodebookCache, pqEncodedCache,
+      bpeMergeCache, perceptronCache, semdedupCentroidCache,
+      nearDupComponentsCache, embeddingPairsCache, semanticComponentsCache,
+      dupSpansCache)
       .map(_.entryCount).sum
 
   private def inputSignature(s: SparkSession, dir: String): String = {
@@ -1312,7 +1313,7 @@ object GraftQueries {
     * frames each; the driver contract uses one session per process). */
   private[graft] def clearRunArtifacts(): Unit = {
     v3StageCache.clear(); ivfCentroidCache.clear(); pqCodebookCache.clear()
-    bpeMergeCache.clear(); perceptronCache.clear()
+    pqEncodedCache.clear(); bpeMergeCache.clear(); perceptronCache.clear()
     semdedupCentroidCache.clear(); nearDupComponentsCache.clear()
     embeddingPairsCache.clear(); semanticComponentsCache.clear()
     dupSpansCache.clear()
@@ -2508,6 +2509,27 @@ object GraftQueries {
       SimilarityOps.trainPqCodebooks(queriesAndCorpus(s, dir)._2,
         dims = 64, m = 16, ksub = 16, trainIters = 5, trainFraction = 0.25))
 
+  /** The ENCODED-CORPUS sibling of the model caches — the corpus-sized
+    * (list_id, vec_id, codes) table of [[SimilarityOps.buildPqIndex]]
+    * at the registered parameters, shared by sim_topk_ivfpq and
+    * sim_recall_ann's ivf_pq path: encode-once/serve-many within a run,
+    * the same lifecycle the public PqIndex artifact persists across
+    * sessions via ModelIO. Checkpointed at build so both consumers are
+    * block reads; encoding is a deterministic per-row map under the
+    * shared models, so serves are result-identical to inline encoding
+    * (spec-pinned by PqIndexSpec). */
+  private val pqEncodedCache = new RunArtifactCache[DataFrame]
+
+  private def registeredPqIndex(s: SparkSession, dir: String)
+      : SimilarityOps.PqIndex =
+    SimilarityOps.PqIndex(
+      pqEncodedCache.get(s, dir)(
+        SimilarityOps.encodePqCorpus(queriesAndCorpus(s, dir)._2,
+          registeredIvfCentroids(s, dir), registeredPqCodebooks(s, dir))
+          .localCheckpoint(true)),
+      registeredIvfCentroids(s, dir), registeredPqCodebooks(s, dir),
+      dims = 64, m = 16)
+
   /** The corpus-trained BPE merge table at the registered depth (8
     * merges), shared by text_bpe_train and text_bpe_apply — both queries
     * previously re-ran the identical 8-step argmax trainer. Same
@@ -2650,10 +2672,12 @@ object GraftQueries {
   private val s05c = Q("sim_topk_ivfpq",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
-      SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64, nlist = 8, nprobe = 2,
-          m = 16, ksub = 16, trainFraction = 0.25, trainIters = 5, rerank = 4,
-          centroids = Some(registeredIvfCentroids(s, dir)),
-          codebooks = Some(registeredPqCodebooks(s, dir)))
+      // Serve from the run-shared encoded corpus (the PqIndex
+      // lifecycle): result-identical to the inline-encode form under
+      // the same models, with the corpus-linear encode paid once per
+      // run instead of per call.
+      SimilarityOps.ivfTopKPqIndexed(q, registeredPqIndex(s, dir), c,
+          k = 5, nprobe = 2, rerank = 4)
         .orderBy("query_id", "rank")
     },
     None)
@@ -2692,11 +2716,8 @@ object GraftQueries {
         "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5, rerank = 4,
           centroids = Some(cents)),
-        "ivf_pq" -> SimilarityOps.ivfTopKPq(q, c, k = 5, dims = 64,
-          nlist = 8, nprobe = 2, m = 16, ksub = 16,
-          trainFraction = 0.25, trainIters = 5, rerank = 4,
-          centroids = Some(cents),
-          codebooks = Some(registeredPqCodebooks(s, dir))))
+        "ivf_pq" -> SimilarityOps.ivfTopKPqIndexed(q,
+          registeredPqIndex(s, dir), c, k = 5, nprobe = 2, rerank = 4))
         .map { case (p, df) =>
           df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
         }

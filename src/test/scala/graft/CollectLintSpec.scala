@@ -48,13 +48,14 @@ class CollectLintSpec extends AnyFunSuite {
     "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit
-    "graft/ops/ModelIO.scala" -> 6,  // the four model LOADERS (each
+    "graft/ops/ModelIO.scala" -> 7,  // the four model LOADERS (each
                                      // reads a config-sized persisted
                                      // model table, never data) + the
                                      // ref-index meta: saveRefIndex's
                                      // 1-row max-class aggregate over
                                      // the written reps table and
                                      // loadRefIndex's 1-row meta read
+                                     // + loadPqIndex's 1-row meta read
     "graft/ops/CurationPipeline.scala" -> 1, // Run.load: the stage-count-
                                      // sized meta table (stage_idx →
                                      // name rows), never a stage frame

@@ -101,4 +101,56 @@ class GraftMqAnnServeSpec extends SparkSuite {
     assert(got.toSet.map((t: (Long, Int, Long, Double)) => t._1) ==
       queryVecs.map(_._1).toSet)
   }
+
+  test("MQ stream served from a persisted PqIndex ≡ the one-shot indexed call") {
+    val src = "ann-serve-pq"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    queryVecs.zipWithIndex.foreach { case ((id, v), i) =>
+      state.append(0, MqMessage(null,
+        s"$id:${v.mkString(",")}".getBytes("UTF-8"), base + i * 1000000L))
+    }
+    import spark.implicits._
+    val corpus = corpusVecs.toDF("vec_id", "cv")
+
+    // The FULL encode-once lifecycle: build (train + encode), persist,
+    // load in the serving role, serve every micro-batch from the stored
+    // codes — the corpus-linear encode never runs inside a trigger.
+    val idxPath = tmp("ann-serve-pq-index")
+    ModelIO.savePqIndex(idxPath, SimilarityOps.buildPqIndex(corpus,
+      dims = 8, nlist = 4, m = 4, ksub = 8, trainIters = 5,
+      trainFraction = 1.0, materialized = true))
+    val index = ModelIO.loadPqIndex(spark, idxPath)
+
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Long, Double)]
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1")
+      .option("maxRowsPerBatch", "2")
+      .load()
+      .select(col("value").cast("string").as("payload"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val queries = batch.select(
+          split(col("payload"), ":", 2).getItem(0).cast("long").as("query_id"),
+          split(split(col("payload"), ":", 2).getItem(1), ",")
+            .cast("array<float>").as("qv"))
+        got.synchronized {
+          got ++= rows(SimilarityOps.ivfTopKPqIndexed(queries, index,
+            corpus, k = 3, nprobe = 2, excludeSelf = false))
+        }
+        nBatches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", tmp("ann-serve-pq-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    assert(nBatches.get >= 3,
+      s"admission control should split into >= 3 micro-batches, got ${nBatches.get}")
+    val oneShot = rows(SimilarityOps.ivfTopKPqIndexed(
+      queryVecs.toDF("query_id", "qv"), index, corpus, k = 3, nprobe = 2,
+      excludeSelf = false))
+    assert(got.toSet == oneShot,
+      s"streamed PQ serve ${got.toSet} != one-shot $oneShot")
+  }
 }
