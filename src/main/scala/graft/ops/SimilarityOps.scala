@@ -571,10 +571,22 @@ object SimilarityOps {
       trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
     val cbs = codebooks.getOrElse(
       trainPqCodebooks(corpus, dims, m, ksub, trainIters, trainFraction))
-    val enc = encodePqCorpus(corpus, cents, cbs)
+    val enc = encodedOrEmpty(corpus, cents, cbs)
     PqIndex(if (materialized) Caching.materialize(enc) else enc,
       cents, cbs, dims, m)
   }
+
+  /** [[encodePqCorpus]], except an UNTRAINED model (empty corpus → no
+    * centroids/codebooks) yields the empty codes table in the right
+    * shape instead of failing analysis — the index then serves the
+    * standard empty result, matching every top-k entry point's
+    * empty-corpus contract. */
+  private def encodedOrEmpty(corpus: DataFrame,
+      cents: Seq[(Int, Array[Double])], cbs: PqCodebooks): DataFrame =
+    if (cents.isEmpty || cbs.isEmpty || cbs.forall(_._2.isEmpty))
+      corpus.limit(0).select(lit(0).cast("int").as("list_id"),
+        col("vec_id"), typedLit(Seq.empty[Byte]).as("codes"))
+    else encodePqCorpus(corpus, cents, cbs)
 
   /** EPOCH APPEND for the PQ index: encode the new vectors under the
     * index's FROZEN models and union them in — batch-sized work, and
@@ -588,7 +600,7 @@ object SimilarityOps {
   def appendToPqIndex(index: PqIndex, newVecs: DataFrame,
       materialized: Boolean = false): PqIndex = {
     val enc = index.encoded.unionByName(
-      encodePqCorpus(newVecs, index.centroids, index.codebooks))
+      encodedOrEmpty(newVecs, index.centroids, index.codebooks))
     index.copy(encoded =
       if (materialized) Caching.materialize(enc) else enc)
   }

@@ -95,6 +95,18 @@ class PqIndexSpec extends SparkSuite {
     intercept[Exception] { ModelIO.loadPqIndex(spark, path) }
   }
 
+  test("an index built on an empty corpus serves the standard empty result") {
+    val empty = corpus.limit(0)
+    val idx = SimilarityOps.buildPqIndex(empty, dims = dims, nlist = 4,
+      m = m, ksub = ksub)
+    assert(idx.encoded.count() == 0)
+    val served = SimilarityOps.ivfTopKPqIndexed(queries, idx, empty, k = 3,
+      nprobe = 2, excludeSelf = false)
+    assert(served.count() == 0)
+    assert(served.columns.toSeq ==
+      Seq("query_id", "rank", "neighbor_id", "cosine"))
+  }
+
   test("append(build(A), B) ≡ build(A ∪ B) under the frozen models") {
     val c = corpus
     val (cents, cbs) = models(c)
