@@ -234,4 +234,107 @@ class GraftMqIncrementalAppendSpec extends SparkSuite {
     assert(streamedSurvivors.toSet == replaySurvivors.toSet)
     assert(streamedSurvivors.toSet == Set(0L, 1L, 5L), streamedSurvivors.toString)
   }
+
+  test("restart: stream checkpoint + persisted index resume the loop exactly") {
+    // The full DRIVER-RESTART story: the loop's durable state is the
+    // stream checkpoint (committed offsets) plus the ModelIO-persisted
+    // index, written as a NEW GENERATION directory per trigger — never
+    // overwriting the generation the merge lineage still reads, the
+    // same no-overwrite-input discipline object stores want. A restart
+    // = a fresh query on the same checkpoint + the latest generation:
+    // it must see only unprocessed offsets, and verdicts that can only
+    // come from a PRE-restart survivor prove the index carried the
+    // state across.
+    val src = "inc-append-restart"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    def publish(texts: Seq[(Int, String)]): Unit = texts.foreach {
+      case (i, t) => state.append(0,
+        MqMessage(null, s"$i:$t".getBytes("UTF-8"), base + i * 1000000L))
+    }
+    import spark.implicits._
+    val ref = Seq(200L -> tB).toDF("doc_id", "text")
+    val idxRoot = tmp("restart-idx")
+    graft.ops.ModelIO.saveRefIndex(s"$idxRoot/gen0",
+      DedupOps.buildJaccardRefIndex(ref))
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = tmp("restart-ckpt")
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val batchDocs = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+
+    // One "driver incarnation": drain everything currently in the
+    // topic from the committed offsets, folding state through disk.
+    def incarnation(): Int = {
+      val before = batchDocs.size
+      val q = spark.readStream.format("graft-mq")
+        .option("topic", src).option("numPartitions", "1")
+        .option("maxRowsPerBatch", "2")
+        .load()
+        .select(col("value").cast("string").as("payload"))
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val docs = batch.select(
+            split(col("payload"), ":", 2).getItem(0).cast("long").as("doc_id"),
+            split(col("payload"), ":", 2).getItem(1).as("text"))
+          val index = graft.ops.ModelIO.loadRefIndex(spark,
+            s"$idxRoot/gen${gen.get}")
+          val pairs = DedupOps.jaccardPairsAgainstIndex(docs, index,
+              threshold = 0.5)
+            .collect().map(r => (r.getAs[Long]("new_id"),
+              r.getAs[Long]("ref_id"), r.getAs[Double]("jaccard")))
+          got.synchronized { got ++= pairs; () }
+          val killed = pairs.map(_._1).toSet
+          val keep = docs.filter(!col("doc_id").isin(killed.toSeq: _*))
+          graft.ops.ModelIO.saveRefIndex(s"$idxRoot/gen${gen.get + 1}",
+            DedupOps.appendToRefIndex(index, keep, materialized = true))
+          gen.incrementAndGet()
+          batchDocs.synchronized {
+            batchDocs += docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+      batchDocs.size - before
+    }
+
+    publish(Seq(0 -> tA, 1 -> tC, 2 -> tA2, 3 -> tB2))
+    assert(incarnation() >= 2, "phase 1 should run >= 2 micro-batches")
+    val phase1 = got.toSet
+    // tA2 killed by batch-1 survivor tA through a DISK round-trip of
+    // the index between triggers.
+    assert(phase1.exists { case (n, r, _) => n == 2L && r == 0L }, phase1.toString)
+
+    // The driver "dies"; new data arrives; a NEW query resumes from the
+    // same checkpoint with the latest persisted generation.
+    publish(Seq(4 -> tC, 5 -> tE))
+    assert(incarnation() >= 1, "phase 2 should run >= 1 micro-batch")
+    val phase2 = got.toSet -- phase1
+    // Offsets resumed: the restart saw ONLY the post-restart documents.
+    assert(batchDocs.drop(2).flatten.forall(_._1 >= 4L),
+      s"restart re-read committed offsets: ${batchDocs.toSeq}")
+    // The tC re-send is killed by the PRE-restart survivor tC — state
+    // that only exists if the persisted index crossed the restart.
+    assert(phase2.exists { case (n, r, _) => n == 4L && r == 1L }, phase2.toString)
+
+    // The whole two-incarnation fold ≡ the one-shot replay over the
+    // batches as actually partitioned.
+    val (replayPairs, replaySurvivors) = replayLexical(ref,
+      batchDocs.toSeq.map(_.toDF("doc_id", "text")))
+    assert(got.toSet == replayPairs,
+      s"restarted fold ${got.toSet} != one-shot replay $replayPairs")
+    // And the final persisted generation IS build(ref ∪ survivors).
+    val finalIdx = graft.ops.ModelIO.loadRefIndex(spark, s"$idxRoot/gen${gen.get}")
+    val allDocs = Seq(0 -> tA, 1 -> tC, 2 -> tA2, 3 -> tB2, 4 -> tC, 5 -> tE)
+    val rebuilt = DedupOps.buildJaccardRefIndex(
+      ref.unionByName(allDocs.collect {
+        case (i, t) if replaySurvivors.contains(i.toLong) => (i.toLong, t)
+      }.toDF("doc_id", "text")))
+    val probe = Seq(300L -> tA2).toDF("doc_id", "text")
+    def serve(i: DedupOps.DedupRefIndex) =
+      DedupOps.jaccardPairsAgainstIndex(probe, i, threshold = 0.5)
+        .collect().map(_.toSeq).toSet
+    assert(serve(finalIdx) == serve(rebuilt) && serve(finalIdx).nonEmpty)
+  }
 }
