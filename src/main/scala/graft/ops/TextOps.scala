@@ -252,6 +252,40 @@ object TextOps {
         "\\d+", "<NUM>"),
         "\\s+", " ")))
 
+  /** PII scrub for training-data prep (the C4/Dolma/FineWeb release
+    * step): URLs, emails, IPv4 addresses, and phone-shaped numbers each
+    * replaced by a typed placeholder, with a per-class occurrence count
+    * so a pipeline reports scrub volume without a second pass. Classes
+    * apply in a FIXED order — URL, email, IPv4, phone — and each class
+    * is counted on the text AFTER the previous classes were redacted, so
+    * an address inside a URL counts once as the URL, never twice.
+    *
+    * Emits `pii_redacted` plus `n_pii_urls` / `n_pii_emails` /
+    * `n_pii_ipv4` / `n_pii_phones`. The phone pattern is deliberately
+    * narrow (`+CC NNN-NNNN` international-lite); a production deployment
+    * swaps patterns, not plumbing. Patterns stay in the Java∩RE2 common
+    * dialect (no backrefs/lookaround) so the DuckDB oracle applies the
+    * identical regexes.
+    *
+    * Shape at 100 TB: a per-row codegen'd `regexp_replace` /
+    * `regexp_extract_all` chain — no UDF, no shuffle, no state; Spark's
+    * subexpression elimination shares each intermediate redaction stage
+    * between its count and the next stage's input.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stages = Seq( // (count column, pattern, placeholder)
+      ("n_pii_urls", "https?://[^ \\t\\n]+", "<URL>"),
+      ("n_pii_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("n_pii_ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      ("n_pii_phones", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{4}", "<PHONE>"))
+    val (out, counted) = stages.foldLeft((col(textCol), docs)) {
+      case ((txt, df), (cnt, pat, tok)) =>
+        (regexp_replace(txt, pat, tok),
+          df.withColumn(cnt, size(regexp_extract_all(txt, lit(pat), lit(0)))))
+    }
+    counted.withColumn("pii_redacted", out)
+  }
+
   /** Split each document's token sequence into training-window chunks of
     * at most `maxTokens` tokens, consecutive chunks overlapping by
     * `overlap` tokens — the context-window packing precursor every LLM

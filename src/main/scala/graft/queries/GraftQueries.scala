@@ -2030,6 +2030,74 @@ object GraftQueries {
       FROM p GROUP BY para
       ORDER BY n_occurrences DESC, para LIMIT 20"""))
 
+  /** PII scrub stage ([[TextOps.redactPii]]): per-source scrub-volume
+    * report — class counts plus bytes removed. The synthetic corpus
+    * carries no PII, so both engines seed each document with the same
+    * deterministic URL (with an EMBEDDED email — pinning the
+    * count-after-previous-redaction order: it must count as the URL,
+    * never also as an email), a standalone email, an IPv4, and a phone;
+    * the oracle replays the identical Java∩RE2 regex chain with
+    * DuckDB's 'g' flag.
+    */
+  private val x26 = Q("text_pii_stats",
+    (s, dir) => {
+      val d = col("doc_id").cast("string")
+      val seeded = t(s, dir, "documents").withColumn("seeded",
+        concat(col("text"),
+          lit(" see https://ex"), d, lit(".com/u?e="), d, lit("@ex.com"),
+          lit(" mail "), d, lit("@ex.org"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" call +1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      TextOps.redactPii(seeded, textCol = "seeded")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_pii_urls").as("urls"),
+          sum("n_pii_emails").as("emails"),
+          sum("n_pii_ipv4").as("ipv4"),
+          sum("n_pii_phones").as("phones"),
+          sum(length(col("seeded")) - length(col("pii_redacted")))
+            .as("bytes_redacted"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT source,
+          concat(text, ' see https://ex', cast(doc_id as varchar), '.com/u?e=',
+                 cast(doc_id as varchar), '@ex.com mail ',
+                 cast(doc_id as varchar), '@ex.org from 10.0.',
+                 cast(doc_id % 256 as varchar), '.',
+                 cast(doc_id % 100 as varchar), ' call +1 555-',
+                 lpad(cast(doc_id % 10000 as varchar), 4, '0')) AS seeded
+        FROM documents),
+      s1 AS (SELECT source, seeded,
+          len(regexp_extract_all(seeded, 'https?://[^ \t\n]+')) AS n_urls,
+          regexp_replace(seeded, 'https?://[^ \t\n]+', '<URL>', 'g') AS t1
+        FROM d),
+      s2 AS (SELECT source, seeded, n_urls,
+          len(regexp_extract_all(t1,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          regexp_replace(t1,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+        FROM s1),
+      s3 AS (SELECT source, seeded, n_urls, n_emails,
+          len(regexp_extract_all(t2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          regexp_replace(t2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+        FROM s2),
+      s4 AS (SELECT source, seeded, n_urls, n_emails, n_ipv4,
+          len(regexp_extract_all(t3, '\+\d{1,2}[ -]\d{3}[ -]\d{4}')) AS n_phones,
+          regexp_replace(t3, '\+\d{1,2}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS t4
+        FROM s3)
+      SELECT source, count(*) AS n_docs,
+        cast(sum(n_urls) as bigint) AS urls,
+        cast(sum(n_emails) as bigint) AS emails,
+        cast(sum(n_ipv4) as bigint) AS ipv4,
+        cast(sum(n_phones) as bigint) AS phones,
+        cast(sum(len(seeded) - len(t4)) as bigint) AS bytes_redacted
+      FROM s4 GROUP BY source ORDER BY source"""))
+
   /** One-query DEDUP dashboard: per-language exact-duplicate rate,
     * paragraph-duplicate rate, and token-weighted duplicated-span
     * fraction — the three dedup axes a curation run sizes its thresholds
@@ -4173,7 +4241,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
     sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
 
   // A duplicated name would silently last-win in the .toMap below and

@@ -1041,6 +1041,33 @@ class OpsSpec extends SparkSuite {
     assert(got(3L) == "already clean")
   }
 
+  test("redactPii: typed placeholders, per-class counts, URL-first order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://ex.com/u?e=bob@ex.com then mail bob@ex.org"),
+      (2L, "host 10.0.3.45 call +1 555-0147 and +44 555-9999"),
+      (3L, "nothing to scrub here"),
+      (4L, "version 1.2.3.4.5 is not an address")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs)
+      .select($"doc_id", $"pii_redacted", $"n_pii_urls", $"n_pii_emails",
+        $"n_pii_ipv4", $"n_pii_phones")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // The email embedded in the URL is absorbed by the URL redaction and
+    // counted ONCE (as the URL); only the standalone email counts.
+    assert(got(1L)._2 == "visit <URL> then mail <EMAIL>")
+    assert((got(1L)._3, got(1L)._4, got(1L)._5, got(1L)._6) == ((1, 1, 0, 0)))
+    assert(got(2L)._2 == "host <IP> call <PHONE> and <PHONE>")
+    assert((got(2L)._3, got(2L)._4, got(2L)._5, got(2L)._6) == ((0, 0, 1, 2)))
+    assert(got(3L)._2 == "nothing to scrub here")
+    assert((got(3L)._3, got(3L)._4, got(3L)._5, got(3L)._6) == ((0, 0, 0, 0)))
+    // A 5-octet run still contains a 4-octet boundary-delimited prefix?
+    // No — the trailing '.5' sits inside the same word-char run, so the
+    // \b..\b pattern matches the leading 1.2.3.4 (boundary at the dot);
+    // pin the actual behavior so a pattern change is a conscious choice.
+    assert(got(4L)._5 == 1 && got(4L)._2 == "version <IP>.5 is not an address")
+  }
+
   test("winnow-candidate jaccard join equals the unfiltered exact join") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val got = DedupOps.winnowPairs(docs, threshold = 0.5)
