@@ -76,6 +76,7 @@ class PlanAssertionsSpec extends SparkSuite {
     // reference side Bloom-gated before it shuffles.
     for (q <- Seq("curate_incremental_append", "curate_incremental_append_semantic",
         "curate_incremental_append_paragraphs")) {
+      GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
       val p = allExecutedPlans(q).mkString("\n===\n")
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!"BroadcastNestedLoopJoin [^,]*, Inner".r.findFirstIn(p).isDefined,
