@@ -561,6 +561,20 @@ object DedupOps {
       axis = "lexical", shingleN = Some(shingleN))
   }
 
+  /** Price the stored class-size max of an in-session index — ONE
+    * corpus aggregate over `reps`, after which every serve call's
+    * expansion switch reads the constant instead of re-aggregating the
+    * corpus per batch (the same pricing [[ModelIO.saveRefIndex]] bakes
+    * into the persisted meta). Use when an UNSAVED index will serve
+    * more than one batch — a resident index in a long-lived session;
+    * pointless for the one-shot against-Ref convenience forms, whose
+    * single serve pays the lazy aggregate exactly once anyway. The
+    * aggregate RUNS A SPARK JOB in this call; price AFTER materializing
+    * the tables or the build lineage recomputes here and at serve.
+    */
+  def priceRefIndex(index: DedupRefIndex): DedupRefIndex =
+    index.copy(maxClass = Some(math.max(1L, maxClassSize(index.reps))))
+
   private def shingleKeyed(docs: DataFrame, shingleN: Int,
       idCol: String, textCol: String): DataFrame =
     shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",

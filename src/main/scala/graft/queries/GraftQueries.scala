@@ -1331,10 +1331,11 @@ object GraftQueries {
     * workload. The cold sweep (per-query attributed on the bench line)
     * still prices the full build+append every round — the memo only
     * takes the warm sweeps from build+serve to serve, exactly the
-    * trained-once/serve-many split the IVF/PQ/BPE artifacts use.
-    * `maxClass` stays None (in-session index): the serve path's lazy
-    * exact max runs over the CHECKPOINTED reps, a narrow block-read
-    * agg; a real deployment persists via ModelIO, which prices it. */
+    * trained-once/serve-many split the IVF/PQ/BPE artifacts use. The
+    * index artifacts are PRICED at build ([[DedupOps.priceRefIndex]])
+    * so each serve's expansion switch reads the stored class max
+    * instead of re-aggregating corpus reps per batch — the same
+    * constant a ModelIO-loaded index carries. */
   private val lexAppendIndexCache = new RunArtifactCache[DedupOps.DedupRefIndex]
 
   private def lexAppendedIndexFor(s: SparkSession, dir: String): DedupOps.DedupRefIndex =
@@ -1344,8 +1345,12 @@ object GraftQueries {
       val idx = DedupOps.appendToRefIndex(
         DedupOps.buildJaccardRefIndex(ref.filter(col("doc_id") % 2 === 0)),
         ref.filter(col("doc_id") % 2 =!= 0))
-      idx.copy(reps = idx.reps.localCheckpoint(true),
-        members = idx.members.localCheckpoint(true))
+      // Price maxClass AFTER the checkpoint: the resident index serves
+      // many batches, and the priced constant keeps each serve's
+      // expansion switch batch-sized (the ModelIO-load parity).
+      DedupOps.priceRefIndex(idx.copy(
+        reps = idx.reps.localCheckpoint(true),
+        members = idx.members.localCheckpoint(true)))
     }
 
   private val semAppendIndexCache = new RunArtifactCache[DedupOps.DedupRefIndex]
@@ -1356,8 +1361,9 @@ object GraftQueries {
       val idx = DedupOps.appendToRefIndex(
         DedupOps.buildEmbeddingRefIndex(refV.filter(col("vec_id") % 2 === 0)),
         refV.filter(col("vec_id") % 2 =!= 0))
-      idx.copy(reps = idx.reps.localCheckpoint(true),
-        members = idx.members.localCheckpoint(true))
+      DedupOps.priceRefIndex(idx.copy(
+        reps = idx.reps.localCheckpoint(true),
+        members = idx.members.localCheckpoint(true)))
     }
 
   private val paraAppendFpsCache = new RunArtifactCache[DataFrame]

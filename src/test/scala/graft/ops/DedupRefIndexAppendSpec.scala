@@ -131,6 +131,28 @@ class DedupRefIndexAppendSpec extends SparkSuite {
       docsDf(100L -> tD), reloaded, threshold = 0.5)) == served)
   }
 
+  test("priceRefIndex bakes the exact class max into an in-session index") {
+    // The resident-index lifecycle (unsaved, serves many batches):
+    // pricing must record the same constant ModelIO's save/load round
+    // trip would, and a priced serve must equal the lazy serve.
+    val idx = DedupOps.appendToRefIndex(
+      DedupOps.buildJaccardRefIndex(docsDf(10L -> tA, 11L -> tB, 12L -> tA)),
+      docsDf(5L -> tA, 20L -> tC))
+    val priced = DedupOps.priceRefIndex(idx)
+    assert(priced.maxClass.contains(3L),
+      s"priced maxClass ${priced.maxClass}; class tA has 3 members")
+    assert(priced.axis == idx.axis && priced.shingleN == idx.shingleN)
+    val batch = docsDf(100L -> tD)
+    assert(pairRows(DedupOps.jaccardPairsAgainstIndex(batch, priced,
+        threshold = 0.5)) ==
+      pairRows(DedupOps.jaccardPairsAgainstIndex(batch, idx,
+        threshold = 0.5)),
+      "priced serve diverges from the lazy serve")
+    // An all-singleton index prices to 1, never 0 (the <=1 fast path).
+    assert(DedupOps.priceRefIndex(DedupOps.buildJaccardRefIndex(
+      docsDf(10L -> tA, 11L -> tB))).maxClass.contains(1L))
+  }
+
   test("paragraph-axis epoch append equals union-distinct at gated cost") {
     import spark.implicits._
     def paras(rows: (Long, Seq[String])*): DataFrame =
