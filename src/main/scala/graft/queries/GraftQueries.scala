@@ -1679,21 +1679,14 @@ object GraftQueries {
     },
     Some(incrementalSemanticOracle))
 
-  private val d13 = Q("curate_near_dup",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      // Linear-edge cluster graph — see [[nearDupClusterComponents]];
-      // session-shared with dedup_components.
-      val comps = nearDupComponentsFor(s, dir)
-      val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
-      comps.filter(col("id") === col("component_id"))
-        .join(sizes, "component_id")
-        .select(col("id").as("doc_id"), col("n_members"))
-        .join(docs.select("doc_id", "lang", "source"), "doc_id")
-        .orderBy("doc_id")
-    },
-    Some("""
-      WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** The near-dup component labeling as a DuckDB CTE chain ending in
+    * `comp(doc_id, component_id)` — label propagation to fixpoint over
+    * the exact-Jaccard >= 0.5 pair graph, an independent formulation of
+    * [[nearDupComponentsFor]]'s reachability. Shared by curate_near_dup
+    * and curate_cluster_survivors so the two oracles cannot drift.
+    * (Defined before its consumers: a forward val reference in an
+    * object body initializes to null, and the compiler only warns.) */
+  private val nearDupCompCte = """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
             FROM t WHERE len(tk) >= 3),
@@ -1707,7 +1700,23 @@ object GraftQueries {
         SELECT doc_id AS id, doc_id AS lbl FROM documents
         UNION
         SELECT e.b AS id, r.lbl FROM r JOIN e ON r.id = e.a),
-      comp AS (SELECT id AS doc_id, min(lbl) AS component_id FROM r GROUP BY id),
+      comp AS (SELECT id AS doc_id, min(lbl) AS component_id FROM r GROUP BY id)"""
+
+  private val d13 = Q("curate_near_dup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // Linear-edge cluster graph — see [[nearDupClusterComponents]];
+      // session-shared with dedup_components.
+      val comps = nearDupComponentsFor(s, dir)
+      val sizes = comps.groupBy("component_id").agg(count(lit(1)).as("n_members"))
+      comps.filter(col("id") === col("component_id"))
+        .join(sizes, "component_id")
+        .select(col("id").as("doc_id"), col("n_members"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $nearDupCompCte,
       sz AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
       SELECT c.doc_id, sz.n_members, d.lang, d.source
       FROM comp c
@@ -1715,6 +1724,44 @@ object GraftQueries {
       JOIN documents d ON d.doc_id = c.doc_id
       WHERE c.doc_id = c.component_id
       ORDER BY c.doc_id"""))
+
+  /** Cluster survivor SELECTION as a policy, not a fixed min-id rule:
+    * per near-dup component keep the LONGEST member (ties to the
+    * smaller doc_id) — the FineWeb/RefinedWeb choice: near-duplicates
+    * are rarely byte-identical, and the longest variant usually
+    * subsumes the truncated ones, so "keep first" throws content away
+    * that "keep longest" retains. Reuses the session's memoized
+    * component labeling; the selection itself is ONE map-side-
+    * combinable max_by(struct) per component — no window over the
+    * corpus, no text join-back, survivor rows carry only the id-sized
+    * columns. The oracle recomputes components via the recursive CTE
+    * shared with curate_near_dup and picks survivors with a
+    * row_number window — an independent formulation of the same
+    * argmax.
+    */
+  private val d31 = Q("curate_cluster_survivors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sized = nearDupComponentsFor(s, dir)
+        .join(docs.select(col("doc_id").as("id"), col("lang"),
+          col("source"), col("n_chars")), "id")
+      // Maximize (n_chars, -id): longest member, ties to the smaller id.
+      sized.groupBy("component_id")
+        .agg(max_by(
+          struct(col("id"), col("lang"), col("source"), col("n_chars")),
+          struct(col("n_chars"), (-col("id")).as("neg_id"))).as("w"))
+        .select(col("w.id").as("doc_id"), col("w.lang"), col("w.source"),
+          col("w.n_chars"), col("component_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $nearDupCompCte,
+      m AS (SELECT c.doc_id, c.component_id, d.lang, d.source, d.n_chars,
+              row_number() OVER (PARTITION BY c.component_id
+                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT doc_id, lang, source, n_chars, component_id
+      FROM m WHERE rk = 1 ORDER BY doc_id"""))
 
   /** Benchmark decontamination ([[CurationOps.decontaminate]]): a
     * deterministic ~10% hash-sample of documents stands in for the eval
@@ -4290,7 +4337,7 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
     sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)

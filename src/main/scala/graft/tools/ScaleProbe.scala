@@ -138,6 +138,13 @@ object ScaleProbe {
     "dedup_embedding_pairs" -> PairsKind(1.0, idA = "vec_a", idB = "vec_b"),
     "dedup_components" -> ComponentsKind,
     "curate_near_dup" -> KeepSetKind(),
+    // The longest-member policy under replication: identical-text
+    // replicas merge each orig component into one, every replica keeps
+    // its orig's n_chars, and the (n_chars DESC, id ASC) argmax lands on
+    // the orig winner's k=0 replica — so the kept set maps 1:1 back to
+    // the base winners, exactly KeepSetKind's algebra. Shares the rep
+    // dir's memoized component labeling with the rows above.
+    "curate_cluster_survivors" -> KeepSetKind(),
     "curate_semantic_dedup" -> KeepSetKind(idCol = "vec_id"),
     // curate_incremental_semantic is NOT probed: its new/ref split keys on
     // vec_id % 5, which the probe's id remapping (origId*factor + k) does
