@@ -111,6 +111,24 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("curate_cluster_survivors: one partial-aggregated argmax, no window, no rank") {
+    // The survivor policy must stay ONE map-side-combinable max_by per
+    // component — a rank/row_number window over the joined frame is the
+    // semantic twin that shuffles every member row to its component's
+    // reducer WITH the carried columns and sorts there; the agg ships
+    // one partial row per (map task, component) instead. Scoped to the
+    // query's OWN final plan: the memoized labeling build legitimately
+    // contains the exact-dup canonical-assignment window and has its
+    // own plan guards elsewhere.
+    val p = finalPlan("curate_cluster_survivors")
+    assert(!p.contains("Window"), s"survivor selection fell back to a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !"BroadcastNestedLoopJoin [^,]*, Inner".r
+      .findFirstIn(p).isDefined, p)
+    assert("max_by".r.findFirstIn(p).isDefined &&
+      "partial_max_by|partial\\(max_by".r.findFirstIn(p).isDefined,
+      s"expected a partial-aggregated max_by:\n$p")
+  }
+
   test("pipeline_curate_v2: fingerprint window stays partitioned; pack stays two-phase") {
     val p = allExecutedPlans("pipeline_curate_v2").mkString("\n===\n")
     // The md5 dedup window is PARTITIONED by fingerprint (fine); what
