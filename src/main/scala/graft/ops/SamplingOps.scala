@@ -190,6 +190,55 @@ object SamplingOps {
       .drop("_den", "_num")
   }
 
+  /** Temperature-balanced mixture at α = 0.5: resample so group
+    * proportions follow √n instead of n — the classic multilingual
+    * rebalance (Gopher / mBERT exponent-smoothing with the standard
+    * α = 0.5): head groups are downsampled toward the tail, the
+    * scarcest-per-weight group is kept whole, and every group's keep
+    * decision is the same pure-hash integer-threshold filter as
+    * [[mixtureSample]] — deterministic, order/partition-independent,
+    * membership reproducible bit-exactly by an external engine.
+    *
+    * Weights are DERIVED from the data (w = max(1, floor(√n)) per
+    * group) rather than passed in; everything after the √ is exact
+    * integer arithmetic. α is pinned to 0.5 because IEEE-754 `sqrt` is
+    * correctly rounded — Spark and any oracle engine compute the SAME
+    * double, so floor(√n) can never disagree across engines; a
+    * general `pow(n, α)` floats on libm and could flip a threshold by
+    * one ulp. (Other dyadic α compose from √ if ever needed.)
+    *
+    * Shape at 100 TB: one group-cardinality count aggregate, two 1-row
+    * broadcasts (Σw and the whole-kept group's scale), then a
+    * broadcast-rates hash filter on the corpus — no window, no
+    * per-group shuffle, no driver read. Thresholds use n·Σw in long
+    * arithmetic: with floor-√ weights that overflows only past ~10^10
+    * rows per group times ~10^8 Σw — beyond any per-group corpus this
+    * library targets; the guard fails loudly rather than wrapping.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, key: Column,
+      salt: String = "temp"): DataFrame = {
+    val group = ColNames.quotedCol(groupCol)
+    val weighted = df.groupBy(group).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", greatest(floor(sqrt(col("_n"))).cast("long"), lit(1L)))
+    val rates = Caching.withCached(weighted) {
+      val withSw = weighted
+        .crossJoin(broadcast(weighted.agg(sum(col("_w")).as("_sw"))))
+        // n·Σw is the filter's modulus; a silent long wrap would turn
+        // the threshold into garbage membership, so refuse loudly.
+        .withColumn("_den", when(
+          col("_n") <= expr(s"${Long.MaxValue}L div _sw"),
+          col("_n") * col("_sw")).otherwise(raise_error(concat(
+            lit("temperatureSample: n*Σw overflows long for group '"),
+            group.cast("string"), lit("'")))))
+      withSw
+        .crossJoin(broadcast(withSw.agg(min(expr("_den div _w")).as("_t"))))
+        .select(group, col("_den"), (col("_w") * col("_t")).as("_num"))
+    }
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(hashOf(key, salt), col("_den")) < col("_num"))
+      .drop("_den", "_num")
+  }
+
   /** Stratified cap: at most `cap` rows per group, chosen by hash order of
     * `key` (deterministic; independent of input order). One shuffle on the
     * group columns — the balance step that keeps a dominant stratum (e.g.

@@ -3986,6 +3986,32 @@ object GraftQueries {
               % den < num
       ORDER BY d.doc_id"""))
 
+  /** Temperature-balanced mixture ([[SamplingOps.temperatureSample]],
+    * α = 0.5): proportions follow √n per language — the multilingual
+    * rebalance with DATA-DERIVED integer weights (max(1, floor(√n)));
+    * IEEE-correctly-rounded sqrt keeps floor(√n) engine-identical, so
+    * the oracle replays the weights, the min-scale fold, and the hash
+    * threshold bit-exactly. Row-level output: the gate checks
+    * MEMBERSHIP, like sample_mixture.
+    */
+  private val sm7 = Q("sample_temperature",
+    (s, dir) => SamplingOps.temperatureSample(
+        t(s, dir, "documents"), groupCol = "lang", key = col("doc_id"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang, n,
+              greatest(cast(floor(sqrt(n)) as bigint), 1) AS wt FROM c),
+      sw AS (SELECT cast(sum(wt) as bigint) AS s FROM w),
+      d0 AS (SELECT lang, n, wt, n * (SELECT s FROM sw) AS den FROM w),
+      tt AS (SELECT min(den // wt) AS t FROM d0),
+      r AS (SELECT lang, den, wt * (SELECT t FROM tt) AS num FROM d0)
+      SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5('temp' || cast(d.doc_id as varchar)), 1, 15))::bigint
+              % den < num
+      ORDER BY d.doc_id"""))
+
   // -------------------------------------------------------- multimodal
 
   private val m01 = Q("mm_decode_stats",
@@ -4340,7 +4366,7 @@ object GraftQueries {
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
-    sm1, sm2, sm3, sm4, sm5, sm6, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
+    sm1, sm2, sm3, sm4, sm5, sm6, sm7, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
 
   // A duplicated name would silently last-win in the .toMap below and
   // shrink the correctness gate by one query with no error anywhere.

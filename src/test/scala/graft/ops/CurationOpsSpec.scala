@@ -161,6 +161,29 @@ class CurationOpsSpec extends SparkSuite {
     assert(strictIds == one)
   }
 
+  test("temperatureSample: √n composition, scarcest-per-weight kept whole, deterministic") {
+    // 900 a / 100 b / 25 c → w = (30, 10, 5), Σw = 45.
+    // t = min(900·45 div 30, 100·45 div 10, 25·45 div 5) = min(1350, 450, 225) = 225
+    // → rates a: 30·225/40500 = 1/6, b: 10·225/4500 = 1/2, c: 5·225/1125 = 1 (whole).
+    val df = ((1 to 900).map(i => (i.toLong, "a")) ++
+      (901 to 1000).map(i => (i.toLong, "b")) ++
+      (1001 to 1025).map(i => (i.toLong, "c"))).toDF("doc_id", "grp")
+    val got = SamplingOps.temperatureSample(df, "grp", col("doc_id"))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 25L, s"binding group must be kept whole: $got")
+    assert(got("a") > 100 && got("a") < 200, got.toString)   // ~150
+    assert(got("b") > 30 && got("b") < 70, got.toString)     // ~50
+    // Head flattened toward the tail: the a:b KEPT ratio must sit near
+    // the √n ratio 3:1, far from the raw 9:1.
+    val ratio = got("a").toDouble / got("b")
+    assert(ratio > 1.8 && ratio < 4.5, s"kept ratio $ratio not flattened")
+    // Deterministic membership under repartitioning.
+    def ids(parts: Int) = SamplingOps.temperatureSample(
+        df.repartition(parts), "grp", col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(1) == ids(13))
+  }
+
   // ---------------------------------------------------- quantizeInt8
 
   test("quantizeInt8: dequant error bounded by scale; extremes hit ±127") {
