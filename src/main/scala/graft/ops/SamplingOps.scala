@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines (north star,
@@ -110,11 +109,10 @@ object SamplingOps {
     *
     * Shape at 100 TB: the only corpus-scale work is one count per group
     * (map-side partial agg) and one broadcast-joined filter pass. An
-    * exactly-capped variant needs a per-group global rank — a window
-    * partitioned by a FEW HUGE groups (one task per language at any
-    * cluster size), which is precisely the skew shape this library avoids
-    * ([[stratifiedCap]] is that shape, fine for its many-small-groups
-    * use). Modulo bias is ≤ (W·n_g)/2^60 — vanishing while `W·n_g` stays
+    * exactly-capped variant needs a per-group global rank
+    * ([[stratifiedCap]] provides it, via the bounded-heap TopKPerKey
+    * plan rather than the one-task-per-language window).
+    * Modulo bias is ≤ (W·n_g)/2^60 — vanishing while `W·n_g` stays
     * below ~2^50 (a quadrillion-row group would revisit this).
     *
     * Determinism contract: membership depends only on (key, salt,
@@ -240,17 +238,28 @@ object SamplingOps {
   }
 
   /** Stratified cap: at most `cap` rows per group, chosen by hash order of
-    * `key` (deterministic; independent of input order). One shuffle on the
-    * group columns — the balance step that keeps a dominant stratum (e.g.
-    * one language) from swamping a training mix.
+    * `key` (deterministic; independent of input order) — the balance step
+    * that keeps a dominant stratum (e.g. one language) from swamping a
+    * training mix.
+    *
+    * Routed through the [[graft.plans.GraftPlans.topKPerKey]] whole-plan
+    * operator rather than a `row_number` window: strata are FEW HUGE
+    * groups (languages, sources), and a window partitioned that way
+    * sorts every member of a group in one task at any cluster size. The
+    * plan's partial stage instead keeps a cap-bounded heap per group on
+    * the map side (flush-at-cap), so only ≤ cap·groups rows per task
+    * reach the shuffle — the group's corpus never sorts anywhere.
+    * Semantics are identical to the window form (RowNumberMode is
+    * row_number ≤ cap under the same (hash, key) order); membership is
+    * deterministic whenever (hash, key) is unique per group — i.e.
+    * whenever `key` is.
     */
   def stratifiedCap(df: DataFrame, groupCols: Seq[String], cap: Int,
       key: Column, salt: String = "c"): DataFrame = {
     require(cap > 0)
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(hashOf(key, salt).asc, key.asc)
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= cap)
-      .drop("_rk")
+    graft.plans.GraftPlans.topKPerKey(
+        df.withColumn("_h", hashOf(key, salt)).withColumn("_tk", key),
+        groupCols, orderBy = Seq(("_h", true), ("_tk", true)), k = cap)
+      .drop("_h", "_tk")
   }
 }

@@ -129,6 +129,15 @@ class PlanAssertionsSpec extends SparkSuite {
       s"expected a partial-aggregated max_by:\n$p")
   }
 
+  test("sample_deterministic: the stratified cap runs on TopKPerKey, not a window") {
+    // Strata are few huge groups; the cap must plan as the bounded-heap
+    // whole-plan operator (map-side flush-at-cap), never a per-group
+    // row_number window that sorts a whole language in one task.
+    val p = allExecutedPlans("sample_deterministic").mkString("\n===\n")
+    assert(p.contains("TopKPerKey"), s"expected the TopKPerKey node:\n$p")
+    assert(!p.contains("Window"), s"stratified cap fell back to a window:\n$p")
+  }
+
   test("pipeline_curate_v2: fingerprint window stays partitioned; pack stays two-phase") {
     val p = allExecutedPlans("pipeline_curate_v2").mkString("\n===\n")
     // The md5 dedup window is PARTITIONED by fingerprint (fine); what
