@@ -3301,12 +3301,20 @@ object GraftQueries {
       val scored = st.join(dfc, "token").crossJoin(broadcast(nd))
         .withColumn("tfidf",
           round(col("tf") * log(col("nd").cast("double") / col("dfc").cast("double")), 6))
-      val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("token").asc)
+      // Top-3 via the bounded-heap TopKPerKey plan: sources are FEW HUGE
+      // groups, and a row_number window partitioned by source sorts one
+      // source's whole vocabulary in one task; the plan's partial stage
+      // keeps a 3-row heap per source map-side. The visible rank is
+      // recomputed on the CAPPED frame (≤ 3·sources rows) — same total
+      // order, so it equals the window oracle's rank exactly.
       graft.ops.Caching.withCached(tokc) {
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("source"), col("rank").cast("int").as("rank"),
-            col("token"), col("tfidf"))
+        val capped = graft.plans.GraftPlans.topKPerKey(scored,
+          keys = Seq("source"),
+          orderBy = Seq(("tfidf", false), ("token", true)), k = 3)
+        val w = Window.partitionBy("source")
+          .orderBy(col("tfidf").desc, col("token").asc)
+        capped.withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("source"), col("rank"), col("token"), col("tfidf"))
       }.orderBy("source", "rank")
     },
     Some("""
