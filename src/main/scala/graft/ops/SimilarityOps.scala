@@ -72,19 +72,11 @@ object SimilarityOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 12, tables: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      val signed = (0 until tables).foldLeft(df)((d, t) =>
-        withLshSignature(d, vecCol, bits, t))
-      signed.select(col(idCol),
-          explode(array((0 until tables).map(t =>
-            struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk"))
-        .select(col(idCol), col("bk.t").as("t"), col("bk.sig").as("sig"))
-    }
     // persist (Caching.withCached): signatures are expensive per-row
     // projections consumed by the join; left lazy they'd be inlined and
     // recomputed per candidate.
-    val qb = buckets(queries, "query_id", "qv")
-    val cb = buckets(corpus, "vec_id", "cv")
+    val qb = lshBuckets(queries, "query_id", "qv", bits, tables)
+    val cb = lshBuckets(corpus, "vec_id", "cv", bits, tables)
     Caching.withCached(qb, cb) {
     val pairs = cb.join(broadcast(qb), Seq("t", "sig"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
@@ -101,6 +93,25 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
     }
+  }
+
+  /** The (id, t, sig) bucket frame of [[lshTopK]]'s candidate join — one
+    * row per (row, table) with the table's `bits`-bit signature. Public
+    * as the op's inspectable model surface: the value-exact oracle of the
+    * registered `sim_topk_lsh` row dumps EXACTLY these frames during
+    * Verify and replays the bucket join + exact cosine re-rank from them,
+    * so the scoring/ranking arithmetic is hash-checked while the
+    * signature artifact (splitmix64-derived, not SQL-expressible) is
+    * pinned by sharing this code path with the op itself.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int): DataFrame = {
+    val signed = (0 until tables).foldLeft(df)((d, t) =>
+      withLshSignature(d, vecCol, bits, t))
+    signed.select(col(idCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"lsh_sig_$t").as("sig"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.t").as("t"), col("bk.sig").as("sig"))
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
@@ -147,15 +158,9 @@ object SimilarityOps {
     // result shape, matching bruteForceTopK/lshTopK on the same input —
     // the three top-k entry points are interchangeable.
     if (centroids0.isEmpty) return emptyTopK(queries, corpus)
-    // A corpus with fewer rows than nlist yields fewer seed lists; clamp
-    // nprobe so probing still works (probing every existing list).
-    val effectiveProbe = math.min(nprobe, centroids0.size)
-    val argmaxAssign = argmaxWith(centroids0) _
-    val assignedCorpus = corpus
-      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
-    val probedQueries = queries
-      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
-      .select(col("query_id"), col("qv"), col("probe.id").as("list_id"))
+    val assignedCorpus = assignListIds(corpus, centroids0, vecCol = "cv")
+    val probedQueries = probeListIds(queries, centroids0, nprobe, vecCol = "qv")
+      .select(col("query_id"), col("qv"), col("list_id"))
     // Probe: equi-join on list_id, exact re-rank.
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
@@ -166,6 +171,33 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Nearest-list assignment under a trained coarse quantizer: the input
+    * frame plus a `list_id` column (argmax of centroid cosine, ties to the
+    * larger id — the [[argmaxWith]] struct ordering). The SHARED
+    * assignment expression of [[ivfTopK]]/[[ivfTopKQ8]]/[[encodePqCorpus]],
+    * public so the Verify-time model dumps of the registered ANN rows
+    * write exactly what the ops compute (shared code — the dump cannot
+    * drift from the serve path).
+    */
+  def assignListIds(df: DataFrame, cents: Seq[(Int, Array[Double])],
+      vecCol: String = "cv"): DataFrame =
+    df.withColumn("list_id",
+      argmaxWith(cents)(col(vecCol), 1).getItem(0).getField("id"))
+
+  /** Probe selection under a trained coarse quantizer: one row per
+    * (input row, probed list) — the `nprobe` most-similar centroids by
+    * cosine, ties to the larger id (the [[argmaxWith]] sort order, which
+    * the DuckDB oracles replay as `ORDER BY sim DESC, list_id DESC`).
+    * Shared by the three IVF-family probe paths; nprobe is clamped to the
+    * lists that exist.
+    */
+  def probeListIds(df: DataFrame, cents: Seq[(Int, Array[Double])],
+      nprobe: Int, vecCol: String = "qv"): DataFrame =
+    df.withColumn("probe",
+        explode(argmaxWith(cents)(col(vecCol), math.min(nprobe, cents.size))))
+      .withColumn("list_id", col("probe.id"))
+      .drop("probe")
 
   private def emptyTopK(queries: DataFrame, corpus: DataFrame): DataFrame =
     queries.limit(0).crossJoin(corpus.limit(0))
@@ -318,18 +350,16 @@ object SimilarityOps {
     val centroids0 = centroids.getOrElse(
       trainIvfCentroids(corpus, nlist, trainIters, trainFraction))
     if (centroids0.isEmpty) return emptyTopK(queries, corpus)
-    val effectiveProbe = math.min(nprobe, centroids0.size)
-    val argmaxAssign = argmaxWith(centroids0) _
     // Assignment stays fp32 (one map pass, full precision decides the
     // lists); the probe payload is (list_id, vec_id, qvec) only.
     val qCorpus = quantizeInt8(
-        corpus.select(col("vec_id"), col("cv"))
-          .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id")),
+        assignListIds(corpus.select(col("vec_id"), col("cv")), centroids0, vecCol = "cv"),
         vecCol = "cv")
       .select(col("list_id"), col("vec_id"), col("qvec").as("cq"))
-    val qQueries = quantizeInt8(queries.select(col("query_id"), col("qv")), vecCol = "qv")
-      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
-      .select(col("query_id"), col("probe.id").as("list_id"), col("qvec").as("qq"))
+    val qQueries = probeListIds(
+        quantizeInt8(queries.select(col("query_id"), col("qv")), vecCol = "qv"),
+        centroids0, nprobe, vecCol = "qv")
+      .select(col("query_id"), col("list_id"), col("qvec").as("qq"))
     val w8 = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("vec_id").asc)
     val shortlist = qCorpus.join(broadcast(qQueries), Seq("list_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
@@ -530,13 +560,10 @@ object SimilarityOps {
     * [[graft.functions.PqEncode]] kernel; assignment stays fp32.
     */
   def encodePqCorpus(corpus: DataFrame, cents: Seq[(Int, Array[Double])],
-      cbs: PqCodebooks): DataFrame = {
-    val argmaxAssign = argmaxWith(cents) _
-    corpus.select(col("vec_id"), col("cv"))
-      .withColumn("list_id", argmaxAssign(col("cv"), 1).getItem(0).getField("id"))
+      cbs: PqCodebooks): DataFrame =
+    assignListIds(corpus.select(col("vec_id"), col("cv")), cents, vecCol = "cv")
       .withColumn("codes", GraftFunctions.pq_encode(col("cv"), bookArrays(cbs)))
       .select(col("list_id"), col("vec_id"), col("codes"))
-  }
 
   /** IVF-PQ INDEX — the encode-once / serve-many artifact the 100 TB
     * deployment actually holds: the coarse quantizer + PQ codebooks
@@ -611,11 +638,13 @@ object SimilarityOps {
     * re-rank of the ADC shortlist (the classic IVF-PQ split: codes in
     * memory, full vectors fetched by id — the shortlist is k·rerank
     * per query, so the fetch is a broadcast join into the vector
-    * table, never a scan) and MUST be the table the index encoded:
-    * a vec_id the index holds but `corpus` lacks would silently drop
-    * from the re-rank, so mismatched generations are on the caller
-    * exactly as with [[DedupOps.jaccardPairsAgainstIndex]]'s shingleN
-    * contract.
+    * table, never a scan) and MUST be the table the index encoded.
+    * A persisted, appended, multi-session index makes generation skew
+    * the realistic operator error, so it fails LOUDLY (the
+    * loadPqIndex/loadRefIndex contract): a shortlisted vec_id absent
+    * from `corpus` raises naming the id, instead of silently dropping
+    * from the re-rank. The check rides the shortlist (k·rerank·queries
+    * rows), not the corpus — zero cost at scale.
     */
   def ivfTopKPqIndexed(queries: DataFrame, index: PqIndex,
       corpus: DataFrame, k: Int, nprobe: Int = 2,
@@ -625,7 +654,7 @@ object SimilarityOps {
       index.codebooks.isEmpty || index.codebooks.forall(_._2.isEmpty))
       return emptyTopK(queries, corpus)
     pqProbeServe(queries, index.encoded, corpus, index.centroids,
-      index.codebooks, k, nprobe, excludeSelf, rerank)
+      index.codebooks, k, nprobe, excludeSelf, rerank, strictCorpus = true)
   }
 
   /** Probe + ADC score + exact re-rank against an already-encoded
@@ -634,15 +663,14 @@ object SimilarityOps {
   private def pqProbeServe(queries: DataFrame, assignedCorpus: DataFrame,
       corpus: DataFrame, cents: Seq[(Int, Array[Double])],
       cbs: PqCodebooks, k: Int, nprobe: Int, excludeSelf: Boolean,
-      rerank: Int): DataFrame = {
+      rerank: Int, strictCorpus: Boolean = false): DataFrame = {
     require(nprobe >= 1)
-    val effectiveProbe = math.min(nprobe, cents.size)
-    val argmaxAssign = argmaxWith(cents) _
     val books = bookArrays(cbs)
-    val probedQueries = queries.select(col("query_id"), col("qv"))
-      .withColumn("tables", GraftFunctions.pq_tables(col("qv"), books))
-      .withColumn("probe", explode(argmaxAssign(col("qv"), effectiveProbe)))
-      .select(col("query_id"), col("probe.id").as("list_id"), col("tables"))
+    val probedQueries = probeListIds(
+        queries.select(col("query_id"), col("qv"))
+          .withColumn("tables", GraftFunctions.pq_tables(col("qv"), books)),
+        cents, nprobe, vecCol = "qv")
+      .select(col("query_id"), col("list_id"), col("tables"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id").asc)
     val shortlist = assignedCorpus.join(broadcast(probedQueries), Seq("list_id"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
@@ -654,8 +682,23 @@ object SimilarityOps {
     // broadcast the bounded shortlist for the fp32 re-rank, exactly as
     // ivfTopKQ8 (plan-asserted): an SMJ here would shuffle the full
     // vector table and undo the 16-byte-payload win.
-    broadcast(shortlist)
-      .join(corpus.select(col("vec_id"), col("cv")), "vec_id")
+    val corpusVecs = corpus.select(col("vec_id"), col("cv"))
+    val fetched =
+      if (!strictCorpus) broadcast(shortlist).join(corpusVecs, "vec_id")
+      else broadcast(shortlist)
+        // LEFT join + raise on a missing match: the indexed serve's
+        // generation-mismatch guard (an inner join would silently drop
+        // the row — exactly the footgun this makes loud).
+        .join(corpusVecs.withColumn("_found", lit(true)), Seq("vec_id"), "left")
+        .withColumn("cv", when(col("_found").isNotNull, col("cv"))
+          .otherwise(raise_error(concat(
+            lit("ivfTopKPqIndexed: vec_id "), col("vec_id").cast("string"),
+            lit(" is in the encoded index but missing from the re-rank " +
+              "corpus — index/corpus generation mismatch (serve against " +
+              "the corpus the index encoded, or rebuild/append the index " +
+              "to match the corpus)")))))
+        .drop("_found")
+    fetched
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

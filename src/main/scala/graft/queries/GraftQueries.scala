@@ -81,6 +81,18 @@ object GraftQueries {
   private val SemDedupDumpPath = "/tmp/graft_semdedup_dump"
   private val MqDumpPath = "/tmp/graft_mq_wordcount_dump"
   private val ZOrderRoundtripPath = "/tmp/graft_zorder_roundtrip"
+  // Model dumps for the value-exact ANN oracles (the curate_semdedup
+  // dump-and-replay pattern applied to the sim_topk_* rows): the DuckDB
+  // oracle trusts ONLY these model artifacts — quantizer centroids, list
+  // assignments, PQ codebooks/codes, LSH bucket signatures — and replays
+  // every downstream step (probe selection, int8 quantization, integer
+  // kernels, ADC lookups, exact cosine, ranks) from the raw tables.
+  private val IvfCentsDumpPath = "/tmp/graft_ivf_cents_dump"
+  private val IvfAssignDumpPath = "/tmp/graft_ivf_assign_dump"
+  private val PqBooksDumpPath = "/tmp/graft_pq_books_dump"
+  private val PqCodesDumpPath = "/tmp/graft_pq_codes_dump"
+  private val LshQBucketsDumpPath = "/tmp/graft_lsh_qbuckets_dump"
+  private val LshCBucketsDumpPath = "/tmp/graft_lsh_cbuckets_dump"
 
   /** Exact money sum: double → decimal(18,2) (exact for 2-dp data) →
     * order-independent decimal sum → double. Identical in DuckDB.
@@ -2696,6 +2708,42 @@ object GraftQueries {
       registeredIvfCentroids(s, dir), registeredPqCodebooks(s, dir),
       dims = 64, m = 16)
 
+  /** Verify-time model dumps for the IVF-family value-exact oracles: the
+    * shared trained quantizer (nlist×dims — config-sized) and the corpus
+    * list assignments, computed by the SAME public expression the ops
+    * serve with ([[SimilarityOps.assignListIds]] — shared code, so the
+    * dump cannot drift from the serve path). Each consuming query dumps
+    * what its oracle reads (training is cached and deterministic, so
+    * repeated dumps are byte-identical); outside Verify nothing runs.
+    */
+  private def dumpIvfModel(s: SparkSession, dir: String): Unit =
+    if (sys.props.contains("graft.verify.dump")) {
+      import s.implicits._
+      verifyDump(registeredIvfCentroids(s, dir)
+        .map { case (id, c) => (id, c.toSeq) }.toDF("list_id", "centroid"),
+        IvfCentsDumpPath)
+      verifyDump(SimilarityOps.assignListIds(
+          queriesAndCorpus(s, dir)._2, registeredIvfCentroids(s, dir))
+        .select("vec_id", "list_id"), IvfAssignDumpPath)
+    }
+
+  /** [[dumpIvfModel]]'s PQ sibling: the quantizer (probe selection), the
+    * trained codebooks (the oracle rebuilds the per-query ADC tables from
+    * them), and the encoded corpus codes the registered query actually
+    * serves from. */
+  private def dumpPqModel(s: SparkSession, dir: String): Unit =
+    if (sys.props.contains("graft.verify.dump")) {
+      import s.implicits._
+      verifyDump(registeredIvfCentroids(s, dir)
+        .map { case (id, c) => (id, c.toSeq) }.toDF("list_id", "centroid"),
+        IvfCentsDumpPath)
+      verifyDump(registeredPqCodebooks(s, dir)
+        .flatMap { case (sub, words) =>
+          words.map { case (code, w) => (sub, code, w.toSeq) } }
+        .toDF("s", "code", "word"), PqBooksDumpPath)
+      verifyDump(registeredPqIndex(s, dir).encoded, PqCodesDumpPath)
+    }
+
   /** The corpus-trained BPE merge table at the registered depth (8
     * merges), shared by text_bpe_train and text_bpe_apply — both queries
     * previously re-ran the identical 8-step argmax trainer. Same
@@ -2734,21 +2782,54 @@ object GraftQueries {
         round(cos, 6) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  // LSH path: approximate — no SQL oracle (rows-only check); its recall is
-  // pinned value-exactly by sim_recall_ann. Parameters come from the
-  // tools/LshTune grid at this SF: bucket population scales as N/2^bits,
-  // so bits must track log₂(N) — 12 bits over 5k near-orthogonal vectors
-  // leaves buckets near-empty (recall 0), while 8 bits × 8 tables scans
-  // ~3% of the corpus per query for recall ≈ 0.2 on this structureless
-  // data (clustered real embeddings bucket far better). At 100 TB the
-  // same grid is rerun with bits sized to the corpus.
+  // LSH path: approximate by design, but VALUE-EXACT under its oracle via
+  // dump-and-replay (the curate_semdedup pattern): Verify dumps the
+  // (id, table, signature) bucket frames — computed by the same
+  // [[SimilarityOps.lshBuckets]] code the op joins on — and the oracle
+  // replays the bucket join, candidate dedup, self-exclusion, exact
+  // cosine, and ranking from the raw embeddings table, so any
+  // scoring/ranking bug hash-mismatches. (The splitmix64 signature itself
+  // is not SQL-expressible — it is the trusted model artifact, exactly as
+  // semdedup trusts its dumped cluster assignments.) Parameters come from
+  // the tools/LshTune grid at this SF: bucket population scales as
+  // N/2^bits, so bits must track log₂(N) — 12 bits over 5k
+  // near-orthogonal vectors leaves buckets near-empty (recall 0), while
+  // 8 bits × 8 tables scans ~3% of the corpus per query for recall ≈ 0.2
+  // on this structureless data (clustered real embeddings bucket far
+  // better). At 100 TB the same grid is rerun with bits sized to the
+  // corpus.
   private val s02 = Q("sim_topk_lsh",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
+      if (sys.props.contains("graft.verify.dump")) {
+        verifyDump(SimilarityOps.lshBuckets(q, "query_id", "qv",
+          bits = 8, tables = 8), LshQBucketsDumpPath)
+        verifyDump(SimilarityOps.lshBuckets(c, "vec_id", "cv",
+          bits = 8, tables = 8), LshCBucketsDumpPath)
+      }
       SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH qb AS (SELECT query_id, t, sig
+                  FROM read_parquet('$LshQBucketsDumpPath/*.parquet')),
+      cb AS (SELECT vec_id, t, sig
+             FROM read_parquet('$LshCBucketsDumpPath/*.parquet')),
+      tt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM tt WHERE vec_id < 10),
+      pairs AS (SELECT DISTINCT qb.query_id, cb.vec_id
+        FROM cb JOIN qb ON qb.t = cb.t AND qb.sig = cb.sig
+        WHERE qb.query_id <> cb.vec_id),
+      scored AS (SELECT p.query_id, p.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, tt.v) AS cos
+        FROM pairs p JOIN q USING (query_id) JOIN tt ON tt.vec_id = p.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, cast(rank as int) AS rank, neighbor_id,
+        round(cos, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Algebraic, pair-free within/cross mean cosine
     * ([[SimilarityOps.labelPairMeans]]): Σ_{i<j} u_i·u_j =
@@ -2796,48 +2877,142 @@ object GraftQueries {
       FROM win
       ORDER BY grp"""))
 
-  // IVF scale path: approximate (probe subset of inverted lists) — no SQL
-  // oracle; exactness at nprobe==nlist is asserted in OpsSpec. The
-  // quantizer trains on a deterministic 25% hash-sample with 5 Lloyd
-  // passes: passes scan only the training set (centroids need the
-  // density shape, not every row — the standard IVF practice and the
-  // registered 100 TB posture), quality plateaus well before the
+  // IVF scale path: approximate (probe subset of inverted lists), but
+  // VALUE-EXACT under its oracle via dump-and-replay: Verify dumps the
+  // trained quantizer + corpus list assignments ([[dumpIvfModel]]) and
+  // the oracle replays probe selection (cosine to each dumped centroid,
+  // top-nprobe with the op's sim-DESC/id-DESC tie-break), the candidate
+  // join, self-exclusion, exact cosine, and ranks from the raw
+  // embeddings table. Exactness at nprobe==nlist stays asserted in
+  // OpsSpec. The quantizer trains on a deterministic 25% hash-sample
+  // with 5 Lloyd passes: passes scan only the training set (centroids
+  // need the density shape, not every row — the standard IVF practice
+  // and the registered 100 TB posture), quality plateaus well before the
   // train-to-convergence default at this sample size, and the full
   // corpus is still assigned exactly once.
   private val s05 = Q("sim_topk_ivf",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
+      dumpIvfModel(s, dir)
       SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5,
           centroids = Some(registeredIvfCentroids(s, dir)))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH cents AS (SELECT list_id, centroid::DOUBLE[] AS c
+                     FROM read_parquet('$IvfCentsDumpPath/*.parquet')),
+      assign AS (SELECT vec_id, list_id
+                 FROM read_parquet('$IvfAssignDumpPath/*.parquet')),
+      tt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM tt WHERE vec_id < 10),
+      psim AS (SELECT q.query_id, cents.list_id,
+          list_cosine_similarity(q.qv, cents.c) AS sim
+        FROM q CROSS JOIN cents),
+      probes AS (SELECT query_id, list_id FROM (
+          SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, list_id DESC) AS pr
+          FROM psim) WHERE pr <= 2),
+      cand AS (SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a USING (list_id)
+        WHERE a.vec_id <> p.query_id),
+      scored AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, tt.v) AS cos
+        FROM cand c JOIN q USING (query_id) JOIN tt ON tt.vec_id = c.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, cast(rank as int) AS rank, neighbor_id,
+        round(cos, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   // Int8-quantized IVF probe ([[SimilarityOps.ivfTopKQ8]]): the candidate
   // join streams 1-byte qvecs and scores with the integer int8_cosine
-  // kernel; exact fp32 re-rank of the top rerank·k shortlist. Approximate
-  // like its siblings — no SQL oracle; recall vs brute force and the
-  // int8-kernel error bound are asserted in OpsSpec.
+  // kernel; exact fp32 re-rank of the top rerank·k shortlist. VALUE-EXACT
+  // under its oracle: only the quantizer model is dumped
+  // ([[dumpIvfModel]], shared with sim_topk_ivf) — the oracle replays
+  // EVERYTHING else from the raw table: the int8 quantization chain
+  // (max|x| / divide / ·127 / floor — the sim_quantize_int8-proven
+  // IEEE-identical recipe), the integer cosine kernel (dots and norms are
+  // exact integers below 2^53, so the double arithmetic is bit-identical
+  // by construction), the rerank·k shortlist with the op's tie-break,
+  // and the exact fp32 re-rank.
   private val s05b = Q("sim_topk_ivf_q8",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
+      dumpIvfModel(s, dir)
       SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5, rerank = 4,
           centroids = Some(registeredIvfCentroids(s, dir)))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH cents AS (SELECT list_id, centroid::DOUBLE[] AS c
+                     FROM read_parquet('$IvfCentsDumpPath/*.parquet')),
+      assign AS (SELECT vec_id, list_id
+                 FROM read_parquet('$IvfAssignDumpPath/*.parquet')),
+      tt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM tt WHERE vec_id < 10),
+      psim AS (SELECT q.query_id, cents.list_id,
+          list_cosine_similarity(q.qv, cents.c) AS sim
+        FROM q CROSS JOIN cents),
+      probes AS (SELECT query_id, list_id FROM (
+          SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, list_id DESC) AS pr
+          FROM psim) WHERE pr <= 2),
+      q8 AS (SELECT vec_id,
+          CASE WHEN mx = 0 THEN list_transform(v, x -> cast(0 as bigint))
+               ELSE list_transform(v, x -> cast(floor(x / mx * 127) as bigint))
+          END AS qv8
+        FROM (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) AS mx FROM tt)),
+      cand AS (SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a USING (list_id)
+        WHERE a.vec_id <> p.query_id),
+      s8 AS (SELECT c.query_id, c.vec_id,
+          list_sum(list_transform(range(1, 65), i -> qq.qv8[i] * cq.qv8[i])) AS dot,
+          list_sum(list_transform(qq.qv8, x -> x * x)) AS nx,
+          list_sum(list_transform(cq.qv8, x -> x * x)) AS ny
+        FROM cand c JOIN q8 qq ON qq.vec_id = c.query_id
+                    JOIN q8 cq ON cq.vec_id = c.vec_id),
+      cos8 AS (SELECT query_id, vec_id,
+          CASE WHEN sqrt(cast(nx as double)) * sqrt(cast(ny as double)) = 0
+               THEN NULL
+               ELSE cast(dot as double)
+                 / (sqrt(cast(nx as double)) * sqrt(cast(ny as double)))
+          END AS c8 FROM s8),
+      shortlist AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY c8 DESC NULLS LAST, vec_id) AS r8
+          FROM cos8) WHERE r8 <= 20),
+      scored AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, tt.v) AS cos
+        FROM shortlist sl JOIN q USING (query_id)
+                          JOIN tt ON tt.vec_id = sl.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, cast(rank as int) AS rank, neighbor_id,
+        round(cos, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   // IVF-PQ probe ([[SimilarityOps.ivfTopKPq]]): the candidate join streams
   // a 16-BYTE product-quantization code per corpus vector (vs dims bytes
   // int8, 4·dims fp32) and scores via the pq_adc_score lookup kernel
   // against per-query broadcast tables; exact fp32 re-rank of the top
-  // rerank·k shortlist. Approximate like its siblings — no SQL oracle;
-  // recall is pinned value-exactly by sim_recall_ann and spec floors.
+  // rerank·k shortlist. VALUE-EXACT under its oracle: Verify dumps the
+  // quantizer, the trained codebooks, and the encoded corpus codes the
+  // query serves from ([[dumpPqModel]]); the oracle rebuilds each
+  // query's ADC table from the codebooks (sub-dot / query-norm, the
+  // PqTables contract: dsub=4 left-to-right dots over the raw vector),
+  // replays probe selection, the ADC lookups + rerank·k shortlist, and
+  // the exact fp32 re-rank from the raw table.
   private val s05c = Q("sim_topk_ivfpq",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
+      dumpPqModel(s, dir)
       // Serve from the run-shared encoded corpus (the PqIndex
       // lifecycle): result-identical to the inline-encode form under
       // the same models, with the corpus-linear encode paid once per
@@ -2846,11 +3021,59 @@ object GraftQueries {
           k = 5, nprobe = 2, rerank = 4)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH cents AS (SELECT list_id, centroid::DOUBLE[] AS c
+                     FROM read_parquet('$IvfCentsDumpPath/*.parquet')),
+      books AS (SELECT s, code, word::DOUBLE[] AS w
+                FROM read_parquet('$PqBooksDumpPath/*.parquet')),
+      codes AS (SELECT list_id, vec_id, codes
+                FROM read_parquet('$PqCodesDumpPath/*.parquet')),
+      tt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM tt WHERE vec_id < 10),
+      psim AS (SELECT q.query_id, cents.list_id,
+          list_cosine_similarity(q.qv, cents.c) AS sim
+        FROM q CROSS JOIN cents),
+      probes AS (SELECT query_id, list_id FROM (
+          SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, list_id DESC) AS pr
+          FROM psim) WHERE pr <= 2),
+      qn AS (SELECT query_id,  qv,
+          sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q),
+      entries AS (SELECT qn.query_id, b.s, b.code,
+          CASE WHEN qn.nrm > 0 THEN
+            list_sum(list_transform(range(1, 5),
+              i -> qn.qv[b.s * 4 + i] * b.w[i])) / qn.nrm
+          ELSE 0 END AS e
+        FROM qn CROSS JOIN books b),
+      cand AS (SELECT p.query_id, c.vec_id, c.codes
+        FROM probes p JOIN codes c USING (list_id)
+        WHERE c.vec_id <> p.query_id),
+      cexp AS (SELECT query_id, vec_id, so - 1 AS s, codes[so] AS code
+        FROM cand, unnest(range(1, 17)) AS r(so)),
+      adc AS (SELECT cexp.query_id, cexp.vec_id, sum(e.e) AS adc
+        FROM cexp JOIN entries e ON e.query_id = cexp.query_id
+          AND e.s = cexp.s AND e.code = cexp.code
+        GROUP BY cexp.query_id, cexp.vec_id),
+      shortlist AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc DESC NULLS LAST, vec_id) AS ra
+          FROM adc) WHERE ra <= 20),
+      scored AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+          list_cosine_similarity(q.qv, tt.v) AS cos
+        FROM shortlist sl JOIN q USING (query_id)
+                          JOIN tt ON tt.vec_id = sl.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, cast(rank as int) AS rank, neighbor_id,
+        round(cos, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Recall@k of every ANN path against brute force, as a VALUE-EXACT
-    * correctness row (the three `sim_topk_*` approximate paths themselves
-    * are rows-only — this pins their recall arithmetic instead): the ANN
+    * correctness row (the `sim_topk_*` paths are themselves value-exact
+    * via model dump-and-replay since r16 — this row additionally pins
+    * their recall arithmetic and the cross-path measurement): the ANN
     * results (exactly the registered queries' parameters) are dumped via
     * [[verifyDump]], and the DuckDB oracle recomputes the brute-force
     * top-k INDEPENDENTLY (same tie-break-by-id idiom as

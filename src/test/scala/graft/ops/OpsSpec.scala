@@ -1170,15 +1170,14 @@ class OpsSpec extends SparkSuite {
     }
   }
 
-  test("oracle coverage: every query has an oracle or a documented reason") {
+  test("oracle coverage: every registered query has an oracle") {
     val noOracle = GraftQueries.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // Only the genuinely non-SQL-expressible ops lack oracles: the three
-    // approximate ANN paths (LSH, IVF, int8 IVF) — whose recall arithmetic
-    // is nonetheless pinned value-exactly by sim_recall_ann, and whose
-    // exactness floors are asserted below. mq_wordcount gained a real
-    // oracle via the Verify-run row dump; layout_zorder_roundtrip
-    // likewise oracles the write path.
-    assert(noOracle == Set("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_q8",
-      "sim_topk_ivfpq"))
+    // Since r16 the set is EMPTY: the four approximate ANN paths — the
+    // last rows-only holdouts — went value-exact via model dump-and-replay
+    // (quantizer/assignments/codebooks/codes/bucket signatures dumped at
+    // Verify, the oracle replaying probe selection, quantization, kernels,
+    // and ranks from the raw tables). sim_recall_ann still pins their
+    // recall arithmetic; exactness floors are asserted below.
+    assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 }

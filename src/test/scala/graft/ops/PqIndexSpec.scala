@@ -107,6 +107,34 @@ class PqIndexSpec extends SparkSuite {
       Seq("query_id", "rank", "neighbor_id", "cosine"))
   }
 
+  test("serving against a truncated corpus fails loudly (generation mismatch)") {
+    val c = corpus
+    val (cents, cbs) = models(c)
+    val idx = SimilarityOps.buildPqIndex(c, dims = dims, nlist = 4,
+      m = m, ksub = ksub, centroids = Some(cents), codebooks = Some(cbs))
+    // A corpus missing rows the index encoded — e.g. serving yesterday's
+    // vector table against today's appended index. The re-rank fetch
+    // must raise naming the missing vec_id, not silently drop it.
+    val truncated = c.filter(col("vec_id") < 24)
+    val e = intercept[Exception] {
+      SimilarityOps.ivfTopKPqIndexed(queries, idx, truncated, k = 3,
+        nprobe = 2, excludeSelf = false, rerank = 4).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c2 => Option(c2.getMessage)).getOrElse("")
+    assert(msg.contains("generation mismatch"),
+      s"expected a loud generation-mismatch error, got: $e")
+    // The guard costs nothing when generations line up: the full corpus
+    // still serves identically to the unguarded inline-encode call.
+    val served = rows(SimilarityOps.ivfTopKPqIndexed(queries, idx, c,
+      k = 3, nprobe = 2, excludeSelf = false, rerank = 4))
+    val direct = rows(SimilarityOps.ivfTopKPq(queries, c, k = 3,
+      dims = dims, nlist = 4, nprobe = 2, m = m, ksub = ksub,
+      excludeSelf = false, rerank = 4,
+      centroids = Some(cents), codebooks = Some(cbs)))
+    assert(served == direct)
+  }
+
   test("append(build(A), B) ≡ build(A ∪ B) under the frozen models") {
     val c = corpus
     val (cents, cbs) = models(c)
