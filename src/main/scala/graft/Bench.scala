@@ -46,7 +46,8 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * The line also carries "mq_rows_per_sec":{"row":N,"columnar":N} — a
   * fixed-workload AvailableNow drain of the generated MQ backend
-  * (SPARK_GRAFT_MQ_DRAIN_ROWS rows, default 2M; 0 disables), the
+  * (SPARK_GRAFT_MQ_DRAIN_ROWS rows, default 8M since r16 — rebased from
+  * 2M, see the drainRows note in main; 0 disables), the
   * streaming-throughput trend handle for the connector. See
   * [[mqDrainRowsPerSec]].
   */
@@ -74,6 +75,12 @@ object Bench {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
+
+  /** Locale-pinned 2-decimal formatting for every number on the line:
+    * the default-locale f-interpolator would emit comma decimals
+    * (invalid JSON) on e.g. a de_DE JVM (ADVICE r15). */
+  private[graft] def fmt2(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", t: java.lang.Double)
 
   /** Names whose first sample looks like a load spike: above 2 s AND 3x
     * the sweep median. Only successful samples are flagged (a failure is
@@ -166,25 +173,28 @@ object Bench {
 
   /** The "cold":{...} member: the `keep` slowest cold samples kept by
     * name (the only ones a regression hunt needs), the rest folded into
-    * "other" so the map's sum still equals cold_total — same
-    * fold-preserves-total contract as the warm queries map, but with a
-    * FIXED keep count: the line budget is shared with the warm map, and
-    * a fixed-size cold member keeps the fold arithmetic of renderLine
-    * single-knobbed (it only ever shrinks the warm map).
+    * "other" so the map's sum still equals cold_total up to the
+    * per-entry 2-decimal rounding (each entry rounds independently, so
+    * the sum can drift from cold_total by ≤ 0.005·entries — the spec's
+    * tolerance) — same fold-preserves-total contract as the warm queries
+    * map, but with a FIXED keep count: the line budget is shared with
+    * the warm map, and a fixed-size cold member keeps the fold
+    * arithmetic of renderLine single-knobbed (it only ever shrinks the
+    * warm map).
     */
   private[graft] def renderColdMap(cold: Seq[(String, Double)], keep: Int = 10): String = {
     val sorted = cold.sortBy(-_._2)
     val folded = sorted.drop(keep).map(_._2).sum
     val entries = sorted.take(keep).sortBy(_._1)
-      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + f"$v%.2f" } ++
-      (if (folded > 0) Seq("\"other\":" + f"$folded%.2f") else Nil)
+      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + fmt2(v) } ++
+      (if (folded > 0) Seq("\"other\":" + fmt2(folded)) else Nil)
     entries.mkString("{", ",", "}")
   }
 
   private[graft] def renderLine(timed: Seq[(String, Double)], errors: Seq[String],
       sfDir: String, nQueries: Int, extra: String = ""): String = {
     val total = timed.map(_._2).sum
-    def fmt(t: Double): String = f"$t%.2f"
+    def fmt(t: Double): String = fmt2(t)
     val extraPart = if (extra.isEmpty) "" else extra + ","
     def render(entries: Seq[(String, Double)], folded: Double, errShown: Int): String = {
       val qs = (entries.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + fmt(v) } ++
@@ -318,14 +328,23 @@ object Bench {
         val coldTotal = coldOk.map(_._2).sum
         val escalated = if (extraRuns > 0) s""","spread_escalated":$extraRuns""" else ""
         (merged,
-          f""""mode":"warm$warmN","cold_total":$coldTotal%.2f,"cold":${renderColdMap(coldOk)},"spread_med":$spreadMed%.2f$escalated""")
+          s""""mode":"warm$warmN","cold_total":${fmt2(coldTotal)},"cold":${renderColdMap(coldOk)},"spread_med":${fmt2(spreadMed)}$escalated""")
       }
 
     // MQ streaming-throughput figure (fixed generated workload through the
     // full AvailableNow trigger loop, row and columnar reader modes). A
     // small untimed drain first so streaming-engine init doesn't land in
     // the row-mode figure.
-    val drainRows = sys.env.getOrElse("SPARK_GRAFT_MQ_DRAIN_ROWS", "2000000").toLong
+    //
+    // REBASED r15 → r16: 2M → 8M rows. DrainProbe attribution showed the
+    // 2M figure was ~90% fixed per-trigger cost (8 triggers × ~240 ms of
+    // micro-batch planning + checkpoint WAL), which buried the reader-mode
+    // seam; at 8M (same 8-trigger admission slicing) the figure measures
+    // streaming throughput — columnar visibly > row (~3.7M vs ~3.0M
+    // rows/s; marginal per-row rate ~2×). Cross-round comparisons of
+    // mq_rows_per_sec against r15-and-earlier lines must divide by ~3.3
+    // (the workload grew 4× against the fixed trigger cost).
+    val drainRows = sys.env.getOrElse("SPARK_GRAFT_MQ_DRAIN_ROWS", "8000000").toLong
     val mqResults =
       if (drainRows <= 0) Nil
       else {

@@ -268,6 +268,17 @@ object GeneratedPayloads {
   val Vocab: IndexedSeq[String] = IndexedSeq(
     "spark", "stream", "batch", "query", "shuffle", "merge", "window", "offset")
 
+  // Pre-encoded vocab + the constant header pair: messageAt runs once per
+  // generated message on the drain hot path (DrainProbe attribution,
+  // r16), so payload bytes are assembled directly instead of via
+  // word-Seq → mkString → getBytes, and the per-message constants are
+  // hoisted. Output is BYTE-IDENTICAL to the original formulation (the
+  // mix64 draw chain, space-joined payload, "$partition-$offset" key,
+  // and header content are unchanged — spec- and oracle-pinned).
+  private val VocabBytes: Array[Array[Byte]] =
+    Vocab.map(_.getBytes("UTF-8")).toArray
+  private val GeneratedHeaderValue: Array[Byte] = "generated".getBytes("UTF-8")
+
   /** Event-time scheme of the generated backend: every message at
     * `offset` is stamped Base + offset·Step (micros). ONE definition —
     * [[GraftMqStart.offsetForTimestamp]] inverts this arithmetic for
@@ -289,15 +300,33 @@ object GeneratedPayloads {
 
   def messageAt(opts: GraftMqOptions, partition: Int, offset: Long): MqMessage = {
     val base = mix64(opts.seed ^ (partition.toLong << 40) ^ offset)
-    val words = (0 until opts.wordsPerMessage).map { i =>
-      Vocab((math.abs(mix64(base + i)) % Vocab.size).toInt)
+    val n = opts.wordsPerMessage
+    // Two tight passes over the word draws (sizing, then fill) — the
+    // same words space-joined, without the intermediate Seq/String.
+    val idx = new Array[Int](n)
+    var len = if (n > 1) n - 1 else 0
+    var i = 0
+    while (i < n) {
+      val w = (math.abs(mix64(base + i)) % Vocab.size).toInt
+      idx(i) = w; len += VocabBytes(w).length; i += 1
     }
-    val payload = words.mkString(" ").getBytes("UTF-8")
-    val key = s"$partition-$offset".getBytes("UTF-8")
+    val payload = new Array[Byte](len)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { payload(pos) = ' '; pos += 1 }
+      val wb = VocabBytes(idx(i))
+      System.arraycopy(wb, 0, payload, pos, wb.length); pos += wb.length
+      i += 1
+    }
+    val key = (partition.toString + "-" + offset.toString).getBytes("UTF-8")
     // Deterministic event time: fixed epoch + 1s per offset (micros).
     val ts = BaseTimestampMicros + offset * StepMicros
+    // One shared header pair per message (fresh outer array — consumers
+    // may not assume identity — but the constant value bytes are hoisted;
+    // nothing downstream mutates header payloads).
     val headers: Array[(String, Array[Byte])] =
-      Array("source" -> "generated".getBytes("UTF-8"))
+      Array("source" -> GeneratedHeaderValue)
     MqMessage(key, payload, ts, headers)
   }
 }
