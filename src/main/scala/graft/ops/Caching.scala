@@ -109,26 +109,31 @@ private[graft] object Caching extends org.apache.spark.internal.Logging {
         sc.getCheckpointDir match {
           case None =>
             sc.setCheckpointDir(dir)
-            // Record what Spark ACTUALLY stored (the dir comes back
-            // qualified plus a random UUID subdir), keyed by the
-            // context's applicationId — no strong SparkContext ref, so
-            // cycled sessions stay collectable.
+            // Record BOTH the conf value this set came from and what
+            // Spark ACTUALLY stored (the dir comes back qualified plus a
+            // random UUID subdir), keyed by the context's applicationId —
+            // no strong SparkContext ref, so cycled sessions stay
+            // collectable. Keeping the conf value means a MID-SESSION
+            // conf change is a mismatch again (ADVICE r15): the new value
+            // is being ignored, and first-wins only silences the warning
+            // for the value that actually won.
             sc.getCheckpointDir.foreach(actual =>
-              dirSetHere.put(sc.applicationId, actual))
+              dirSetHere.put(sc.applicationId, dir -> actual))
           // First-wins is the contract (one directory per session), but a
           // dir set by OTHER code — before first use, or overriding ours
           // afterwards — means the configured key is NOT where
           // checkpoints land; say so ONCE per (conf value, actual dir)
           // pair rather than leave the mismatch unobservable at runtime
           // (or spam it per materialization). Two suppressors: the
-          // current dir is the one OUR setCheckpointDir produced
+          // CURRENT conf value is the one our own setCheckpointDir
+          // recorded AND the current dir is what that set produced
           // (compared actual-vs-actual, so the qualified+UUID shape
           // cannot false-positive), or external code set the SAME
           // configured path itself (its parent qualifies to the conf
           // value — checkpoints land where configured, nothing to warn
           // about).
           case Some(existing)
-              if !dirSetHere.getOrDefault(sc.applicationId, "").equals(existing)
+              if dirSetHere.getOrDefault(sc.applicationId, null) != (dir -> existing)
                 && !underConfigured(sc, dir, existing) =>
             if (warnedMismatch.add(dir -> existing))
               logWarning(s"$CheckpointDirKey=$dir ignored: SparkContext " +
@@ -151,10 +156,11 @@ private[graft] object Caching extends org.apache.spark.internal.Logging {
       Option(new org.apache.hadoop.fs.Path(existing).getParent).contains(q)
     } catch { case scala.util.control.NonFatal(_) => false }
 
-  /** applicationId → the actual checkpoint dir [[materialize]]'s own
-    * setCheckpointDir produced — one entry per context in practice. */
+  /** applicationId → (conf value, actual checkpoint dir) from
+    * [[materialize]]'s own setCheckpointDir — one entry per context in
+    * practice. */
   private val dirSetHere =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Mismatches already reported — the warning fires once per distinct
     * (configured, actual) pair, not once per materialization. */

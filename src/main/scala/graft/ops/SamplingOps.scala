@@ -257,9 +257,18 @@ object SamplingOps {
   def stratifiedCap(df: DataFrame, groupCols: Seq[String], cap: Int,
       key: Column, salt: String = "c"): DataFrame = {
     require(cap > 0)
+    // Collision-safe temp names (ADVICE r15): withColumn REPLACES a
+    // same-named caller column, so an input that already carries `_h` or
+    // `_tk` would silently lose it through the add-then-drop. Suffix
+    // deterministically until fresh.
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val hCol = fresh("_h")
+    val tkCol = fresh("_tk")
     graft.plans.GraftPlans.topKPerKey(
-        df.withColumn("_h", hashOf(key, salt)).withColumn("_tk", key),
-        groupCols, orderBy = Seq(("_h", true), ("_tk", true)), k = cap)
-      .drop("_h", "_tk")
+        df.withColumn(hCol, hashOf(key, salt)).withColumn(tkCol, key),
+        groupCols, orderBy = Seq((hCol, true), (tkCol, true)), k = cap)
+      .drop(hCol, tkCol)
   }
 }

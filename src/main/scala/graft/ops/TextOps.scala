@@ -261,7 +261,12 @@ object TextOps {
     * an address inside a URL counts once as the URL, never twice.
     *
     * Emits `pii_redacted` plus `n_pii_urls` / `n_pii_emails` /
-    * `n_pii_ipv4` / `n_pii_phones`. The phone pattern is deliberately
+    * `n_pii_ipv4` / `n_pii_phones`. The IPv4 octets are anchored to
+    * 0-255 (ADVICE r15 — a bare `\d{1,3}` would also redact
+    * version-like strings such as `1.2.3.400`); dotted quads of VALID
+    * octets that aren't addresses (e.g. a `1.2.3.4` release tag) still
+    * match — indistinguishable without context, and over-redaction is
+    * the safe side for a PII scrub. The phone pattern is deliberately
     * narrow (`+CC NNN-NNNN` international-lite); a production deployment
     * swaps patterns, not plumbing. Patterns stay in the Java∩RE2 common
     * dialect (no backrefs/lookaround) so the DuckDB oracle applies the
@@ -276,7 +281,8 @@ object TextOps {
     val stages = Seq( // (count column, pattern, placeholder)
       ("n_pii_urls", "https?://[^ \\t\\n]+", "<URL>"),
       ("n_pii_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      ("n_pii_ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      ("n_pii_ipv4", "\\b((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
+        "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\b", "<IP>"),
       ("n_pii_phones", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{4}", "<PHONE>"))
     val (out, counted) = stages.foldLeft((col(textCol), docs)) {
       case ((txt, df), (cnt, pat, tok)) =>

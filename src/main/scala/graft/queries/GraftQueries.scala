@@ -1235,9 +1235,15 @@ object GraftQueries {
   /** Run-artifact memo keyed by (session, input dir, INPUT SIGNATURE):
     * the signature hashes the dir's recursive file listing (path,
     * length, mtime), so a MUTATED input directory — rewritten parquet,
-    * appended part files — can never serve artifacts built from the
-    * previous bytes (the r13/r14 advisory: keys were (session, dir)
-    * only). The immutable-dir-within-a-run assumption the caches used
+    * appended part files — is detected and forces a rebuild (the
+    * r13/r14 advisory: keys were (session, dir) only). The guard is
+    * BEST-EFFORT, as strong as the listing metadata: a rewrite that
+    * preserves every file's path and length within the filesystem's
+    * mtime granularity (coarse object-store/HDFS timestamps) can still
+    * serve a stale artifact — the same staleness contract as mtime-based
+    * build tools; stores exposing content checksums/ETags could
+    * strengthen the signature if that regime ever matters (ADVICE r15).
+    * The immutable-dir-within-a-run assumption the caches used
     * to REQUIRE is now merely the common case the memo optimizes; a
     * mutation shows up as a new signature and forces a rebuild. Listing
     * cost per lookup is driver-side and the same order as the file
@@ -2192,9 +2198,9 @@ object GraftQueries {
         FROM s1),
       s3 AS (SELECT source, seeded, n_urls, n_emails,
           len(regexp_extract_all(t2,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+            '\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b')) AS n_ipv4,
           regexp_replace(t2,
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+            '\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b', '<IP>', 'g') AS t3
         FROM s2),
       s4 AS (SELECT source, seeded, n_urls, n_emails, n_ipv4,
           len(regexp_extract_all(t3, '\+\d{1,2}[ -]\d{3}[ -]\d{4}')) AS n_phones,

@@ -128,6 +128,20 @@ object ScaleProbe {
     */
   final case class SubstringDedupKind(n: Int) extends Kind
 
+  /** Temperature-sample rows `(idCol, groupCol)` — the α = 0.5 sampler's
+    * membership re-derived from CLOSED FORM on each corpus: the probe
+    * recomputes the op's integer thresholds driver-side from one
+    * group-cardinality count of the corpus (n_g; w = max(1, floor(√n));
+    * Σw; den = n·Σw; T = min(den div w); num = w·T — all exact long
+    * arithmetic, √ is IEEE-correctly-rounded) and re-evaluates the hash
+    * predicate; the query's output must equal the derivation EXACTLY on
+    * base AND on the replicated corpus, where the input group counts must
+    * equal factor × base (so the thresholds re-derive under n' = f·n and
+    * w' = max(1, floor(√(f·n))) ≈ √f·w — the rebalance algebra at scale).
+    */
+  final case class TemperatureKind(groupCol: String = "lang",
+      idCol: String = "doc_id", salt: String = "temp") extends Kind
+
   val defaultQueries: Seq[(String, Kind)] = Seq(
     "dedup_simhash_pairs" -> PairsKind(0.0),
     "dedup_minhash_lsh" -> PairsKind(1.0),
@@ -161,6 +175,7 @@ object ScaleProbe {
     // shows up in the wall-time ceiling.
     "curate_incremental_append" -> VerdictKind(),
     "curate_semdedup" -> SemDedupKind(),
+    "sample_temperature" -> TemperatureKind(),
     "text_paragraph_dedup" -> ParagraphDedupKind,
     "text_dup_spans" -> DupSpansSaturationKind(8),
     "text_substring_dedup" -> SubstringDedupKind(8),
@@ -563,6 +578,54 @@ object ScaleProbe {
     errs.result()
   }
 
+  private def checkTemperature(spark: SparkSession, baseDir: String,
+      repDir: String, base: DataFrame, rep: DataFrame, factor: Int,
+      kind: TemperatureKind): Seq[String] = {
+    val TemperatureKind(groupCol, idCol, salt) = kind
+    val errs = Seq.newBuilder[String]
+    // Group-cardinality counts (≤ #languages rows) — probe oracle read,
+    // like longScalar; nothing corpus-sized reaches the driver.
+    def groupCounts(dir: String): Map[String, Long] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseCounts = groupCounts(baseDir)
+    val repCounts = groupCounts(repDir)
+    if (repCounts != baseCounts.map { case (g, n) => g -> n * factor })
+      errs += s"replicated group counts $repCounts != factor x base $baseCounts"
+    // The op's exact integer thresholds, re-derived independently.
+    def thresholds(counts: Map[String, Long]): Seq[(String, Long, Long)] = {
+      val w = counts.map { case (g, n) =>
+        g -> math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong) }
+      val sw = w.values.sum
+      val den = counts.map { case (g, n) => g -> n * sw }
+      val t = counts.keys.map(g => den(g) / w(g)).min
+      counts.keys.toSeq.map(g => (g, den(g), w(g) * t))
+    }
+    def checkSide(dir: String, counts: Map[String, Long], out: DataFrame,
+        tag: String): Unit = {
+      val sp = spark
+      import sp.implicits._
+      val thrDf = thresholds(counts).toDF(groupCol, "_den", "_num")
+      val expected = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col(idCol), col(groupCol))
+        .join(broadcast(thrDf), Seq(groupCol))
+        .filter(pmod(graft.ops.SamplingOps.hashOf(col(idCol), salt),
+          col("_den")) < col("_num"))
+        .select(col(idCol), col(groupCol))
+      val got = out.select(col(idCol), col(groupCol))
+      val onlyOut = got.except(expected).count()
+      val onlyExp = expected.except(got).count()
+      if (onlyOut > 0)
+        errs += s"$tag: $onlyOut sampled rows outside the closed-form membership"
+      if (onlyExp > 0)
+        errs += s"$tag: $onlyExp closed-form members missing from the sample"
+    }
+    checkSide(baseDir, baseCounts, base, "base")
+    checkSide(repDir, repCounts, rep, s"x$factor")
+    errs.result()
+  }
+
   private def checkDupSpansSaturation(base: DataFrame, rep: DataFrame,
       factor: Int, n: Int): Seq[String] = {
     val errs = Seq.newBuilder[String]
@@ -599,6 +662,8 @@ object ScaleProbe {
         case v: VerdictKind => checkVerdict(baseDf, repDf, factor, v)
         case s: SemDedupKind => checkSemDedup(baseDf, repDf, factor, s)
         case ParagraphDedupKind => checkParagraphDedup(baseDf, repDf, factor)
+        case t: TemperatureKind =>
+          checkTemperature(spark, baseDir, repDir, baseDf, repDf, factor, t)
         case DupSpansSaturationKind(n) => checkDupSpansSaturation(baseDf, repDf, factor, n)
         case SubstringDedupKind(n) =>
           checkSubstringDedup(spark, baseDir, baseDf, repDf, factor, n)

@@ -64,10 +64,12 @@ class CollectLintSpec extends AnyFunSuite {
                                      // result sets (queries×k rows),
                                      // bounded by the grid's fixed
                                      // 10-query probe
-    "graft/tools/ScaleProbe.scala" -> 1) // longScalar: the sizing
-                                     // probe's 1-row pair-budget
-                                     // aggregate — probe oracle, not an
-                                     // operator
+    "graft/tools/ScaleProbe.scala" -> 2) // longScalar (the sizing probe's
+                                     // 1-row pair-budget aggregate) and
+                                     // checkTemperature's group-
+                                     // cardinality counts (≤ #languages
+                                     // rows) — probe oracles, not
+                                     // operators
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

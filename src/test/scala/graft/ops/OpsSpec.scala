@@ -1047,7 +1047,9 @@ class OpsSpec extends SparkSuite {
       (1L, "visit https://ex.com/u?e=bob@ex.com then mail bob@ex.org"),
       (2L, "host 10.0.3.45 call +1 555-0147 and +44 555-9999"),
       (3L, "nothing to scrub here"),
-      (4L, "version 1.2.3.4.5 is not an address")).toDF("doc_id", "text")
+      (4L, "version 1.2.3.4.5 is not an address"),
+      (5L, "build 1.2.3.400 and peer 256.1.1.1 and edge 255.255.255.255"))
+      .toDF("doc_id", "text")
     val got = TextOps.redactPii(docs)
       .select($"doc_id", $"pii_redacted", $"n_pii_urls", $"n_pii_emails",
         $"n_pii_ipv4", $"n_pii_phones")
@@ -1066,6 +1068,14 @@ class OpsSpec extends SparkSuite {
     // \b..\b pattern matches the leading 1.2.3.4 (boundary at the dot);
     // pin the actual behavior so a pattern change is a conscious choice.
     assert(got(4L)._5 == 1 && got(4L)._2 == "version <IP>.5 is not an address")
+    // Octet anchoring (ADVICE r15): values above 255 are version-like
+    // strings, not addresses — no sub-quad may match either (the \b..\b
+    // ends can't land inside a digit run); 255.255.255.255 is the valid
+    // upper edge.
+    assert(got(5L)._5 == 1,
+      s"expected only the 255-edge address to match, got ${got(5L)}")
+    assert(got(5L)._2 ==
+      "build 1.2.3.400 and peer 256.1.1.1 and edge <IP>")
   }
 
   test("winnow-candidate jaccard join equals the unfiltered exact join") {

@@ -35,7 +35,7 @@ class RunArtifactsSpec extends SparkSuite {
     assert(a.sameElements(c), "rebuilt labeling diverged from the original")
   }
 
-  test("mutating the input dir forces a rebuild — stale artifacts can never serve") {
+  test("mutating the input dir forces a rebuild (listing-metadata guard, best-effort)") {
     // The r13/r14 advisory: cache keys were (session, dir) only, so a
     // rewritten input directory would keep serving artifacts built from
     // the OLD bytes. The key now carries an input signature (file

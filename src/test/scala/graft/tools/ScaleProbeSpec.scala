@@ -24,6 +24,7 @@ class ScaleProbeSpec extends SparkSuite {
       Set("dedup_jaccard_exact", "dedup_simhash_pairs", "dedup_embedding_pairs",
         "dedup_components", "curate_near_dup", "curate_incremental_dedup",
         "curate_incremental_append", // VerdictKind through the append path
+        "sample_temperature", // TemperatureKind: closed-form re-derivation
         "text_paragraph_dedup", "text_dup_spans", "text_substring_dedup",
         "pipeline_pack_shards")(n)
     }
