@@ -81,6 +81,14 @@ object GraftFunctions {
   def pq_tables(v: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
     col(PqTables(expr(v), codebooks))
 
+  /** Top-`take` (sim, id) centroid structs of a vector under a trained
+    * coarse quantizer, sorted (sim DESC, id DESC) — codegen'd, the model
+    * rides as a reference object so plan size is nlist-independent.
+    */
+  def nearest_centroids(v: Column, cents: Seq[(Int, Array[Double])],
+      take: Int): Column =
+    col(NearestCentroids(expr(v), cents, take))
+
   /** Injective IEEE-754 byte layout of a float/double array — the
     * formatting-independent fingerprint base (md5 over it keys
     * exact-vector-equality classes).

@@ -204,25 +204,21 @@ object SimilarityOps {
       .select(col("query_id"), lit(0).cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"))
 
-  private def centroidSim(v: Column, c: Array[Double]): Column =
-    GraftFunctions.cosine_sim(v, typedLit(c))
-
-  /** top-`take` list_ids by centroid similarity, as an array column —
-    * centroids are literals, so assignment is a join-free codegen'd
-    * expression. The CORPUS-sized pass is always take=1 (list
-    * assignment): a single O(nlist) array_max over (sim, id) structs,
-    * no per-row sort. The O(nlist log nlist) sort path only runs on
-    * the QUERY side (take=nprobe, queries ≪ corpus rows), so growing
-    * nlist to hundreds leaves the corpus pass linear; struct ordering
-    * (sim first, id tie-break) makes both paths pick identically.
+  /** top-`take` (sim, id) centroid structs by cosine, sorted desc — the
+    * native [[graft.functions.NearestCentroids]] kernel (r16): the model
+    * rides as a reference object, so PLAN size is nlist-independent and
+    * the corpus-sized assignment pass stays one whole-stage-codegen'd
+    * call however large the quantizer grows. The composed literal-tree
+    * form this replaces (one cosine_sim struct node per centroid) parsed
+    * fine at nlist=8 but is a scale cliff: SemDeDup's √N sizing rule
+    * puts nlist in the tens of thousands at corpus scale, where an
+    * nlist-wide Catalyst tree blows janino's method limits — the exact
+    * failure mode the PQ kernels solved the same way. Result-identical
+    * to the composed form (spec-pinned, NearestCentroidsSpec): same
+    * cosine doubles, same null-sim ordering, same larger-id tie-break.
     */
-  private def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
-    val sims = array(cents.map { case (id, c) =>
-      struct(centroidSim(v, c).as("sim"), lit(id).as("id"))
-    }: _*)
-    if (take == 1) array(array_max(sims))
-    else slice(reverse(array_sort(sims)), 1, take)
-  }
+  private def argmaxWith(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column =
+    GraftFunctions.nearest_centroids(v, cents, take)
 
   /** Shared coarse-quantizer trainer of [[ivfTopK]] and [[ivfTopKQ8]];
     * corpus carries `(vec_id, cv)`. Returns the (possibly < nlist on tiny

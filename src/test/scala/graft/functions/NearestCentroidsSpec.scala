@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The native IVF assignment/probe kernel must be RESULT-IDENTICAL to
+  * the composed Catalyst form it replaced (one cosine_sim struct node
+  * per centroid + array_max / reverse(array_sort)): same cosine doubles,
+  * null sims (zero-norm vector, dims-mismatched centroid) ordered below
+  * every non-null sim, ties to the larger id. The composed form lives
+  * here as the reference implementation — it is the SEMANTICS SPEC, kept
+  * out of main because an nlist-wide expression tree is the scale cliff
+  * the native kernel exists to remove (janino method limits at SemDeDup's
+  * √N nlist sizing).
+  */
+class NearestCentroidsSpec extends SparkSuite {
+
+  private def composed(cents: Seq[(Int, Array[Double])])(v: Column, take: Int): Column = {
+    val sims = array(cents.map { case (id, c) =>
+      struct(GraftFunctions.cosine_sim(v, typedLit(c)).as("sim"),
+        lit(id).as("id"))
+    }: _*)
+    if (take == 1) array(array_max(sims))
+    else slice(reverse(array_sort(sims)), 1, take)
+  }
+
+  private def vecs(dims: Int, n: Int): DataFrame = {
+    import spark.implicits._
+    // Includes a zero vector (all sims NULL → all-null tie-break) and
+    // near-duplicate rows (sim ties at full double precision).
+    (Seq.tabulate(n)(i =>
+      (i.toLong, Seq.tabulate(dims)(d => math.sin(i * 13 + d * 7).toFloat))) :+
+      (n.toLong, Seq.fill(dims)(0.0f)) :+
+      (n + 1L, Seq.tabulate(dims)(d => math.sin(7 + d * 7).toFloat)))
+      .toDF("vec_id", "v")
+  }
+
+  private def cents(dims: Int, nlist: Int): Seq[(Int, Array[Double])] =
+    Seq.tabulate(nlist)(c => (c, Array.tabulate(dims)(d =>
+      math.cos(c * 31 + d * 3))))
+
+  private def check(dims: Int, nlist: Int, take: Int,
+      model: Seq[(Int, Array[Double])]): Unit = {
+    val df = vecs(dims, 64)
+    val both = df.select(col("vec_id"),
+      GraftFunctions.nearest_centroids(col("v"), model, take).as("native"),
+      composed(model)(col("v"), take).as("ref"))
+    val diff = both.filter(not(col("native") <=> col("ref"))).count()
+    assert(diff == 0,
+      s"native != composed for dims=$dims nlist=$nlist take=$take ($diff rows)")
+  }
+
+  test("native kernel ≡ composed form: assignment (take=1) and probes (take=3)") {
+    val model = cents(16, 8)
+    check(16, 8, take = 1, model)
+    check(16, 8, take = 3, model)
+  }
+
+  test("null sims order below non-null; mismatched-dims centroid yields null sim") {
+    // One centroid deliberately the wrong width: its sim is NULL for
+    // every row (cosine_sim's length guard), so it may only win on the
+    // zero vector's all-null tie-break (larger id wins there).
+    val model = cents(16, 6) :+ (99, Array.tabulate(8)(_.toDouble))
+    check(16, 7, take = 1, model)
+    check(16, 7, take = 4, model)
+  }
+
+  test("take beyond nlist returns every centroid, still sorted") {
+    val model = cents(16, 5)
+    check(16, 5, take = 9, model)
+  }
+
+  test("large quantizer (nlist=2048) computes in one codegen'd call") {
+    // The composed form at this size is an ~2048-node expression tree —
+    // the cliff the kernel removes. Only the native path runs here; the
+    // equivalence is established at small nlist above (same code path,
+    // model-size-independent).
+    val model = cents(16, 2048)
+    val out = vecs(16, 64).select(col("vec_id"),
+      GraftFunctions.nearest_centroids(col("v"), model, 2).as("top"))
+    assert(out.filter(size(col("top")) === 2).count() == out.count())
+    // Sorted desc with distinct ids per row.
+    val bad = out.filter(
+      col("top")(0).getField("sim") < col("top")(1).getField("sim") ||
+        col("top")(0).getField("id") === col("top")(1).getField("id")).count()
+    assert(bad == 0)
+  }
+}
