@@ -71,6 +71,31 @@ class NearestCentroidsSpec extends SparkSuite {
     check(16, 5, take = 9, model)
   }
 
+  test("property: native ≡ composed over arbitrary models and vectors (tie-heavy domain)") {
+    import org.scalacheck.{Gen, Prop}
+    // Components drawn from a tiny discrete set so exact cosine TIES
+    // (including ±0.0 and all-null sims from zero vectors) are common —
+    // the ordering edges a smooth random domain would never hit.
+    val comp = Gen.oneOf(-1.0f, 0.0f, 0.5f, 1.0f)
+    val gen = for {
+      dims <- Gen.choose(1, 6)
+      nlist <- Gen.choose(1, 6)
+      take <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(nlist,
+        Gen.listOfN(dims, comp.map(_.toDouble)).map(_.toArray))
+      rows <- Gen.choose(1, 8)
+      vs <- Gen.listOfN(rows, Gen.listOfN(dims, comp))
+    } yield (dims, cs.zipWithIndex.map { case (c, i) => (i, c) }, take, vs)
+    graft.PropCheck.check(Prop.forAll(gen) { case (_, model, take, vs) =>
+      import spark.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      df.select(
+          GraftFunctions.nearest_centroids(col("v"), model, take).as("native"),
+          composed(model)(col("v"), take).as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count() == 0L
+    }, minSuccessful = 20) // each evaluation runs a Spark job
+  }
+
   test("large quantizer (nlist=2048) computes in one codegen'd call") {
     // The composed form at this size is an ~2048-node expression tree —
     // the cliff the kernel removes. Only the native path runs here; the

@@ -163,6 +163,25 @@ class PlanAssertionsSpec extends SparkSuite {
       s"q8 re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
   }
 
+  test("IVF assignment/probe run the native nearest_centroids kernel") {
+    // The composed per-centroid cosine_sim struct tree is an nlist-sized
+    // PLAN — a janino/codegen cliff under SemDeDup's √N nlist sizing; the
+    // native kernel carries the model as a reference object (r16). A
+    // refactor back to the composed form would be value-identical at
+    // nlist=8 and a scale cliff at corpus nlist, so pin the kernel.
+    Seq("sim_topk_ivf", "sim_topk_ivf_q8", "curate_semdedup").foreach { q =>
+      val p = allExecutedPlans(q).mkString("\n===\n")
+      assert(p.contains("nearest_centroids"),
+        s"$q assignment/probe no longer uses the native kernel:\n$p")
+    }
+    // On the pure-IVF path cosine_sim may appear ONLY for the exact
+    // re-rank — one expression, not one per centroid (nlist=8 would show
+    // eight per argmax site under the composed form).
+    val ivf = finalPlan("sim_topk_ivf")
+    assert("cosine_sim".r.findAllIn(ivf).size <= 2,
+      s"per-centroid cosine tree is back in the assignment path:\n$ivf")
+  }
+
   test("curate_semdedup: within-cluster pairs are equi-joins, never pair enumeration") {
     GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
     val p = allExecutedPlans("curate_semdedup").mkString("\n===\n")
