@@ -349,8 +349,22 @@ object Bench {
       if (drainRows <= 0) Nil
       else {
         mqDrainRowsPerSec(spark, 20000, columnar = false)
-        Seq("row" -> mqDrainRowsPerSec(spark, drainRows, columnar = false),
-          "columnar" -> mqDrainRowsPerSec(spark, drainRows, columnar = true))
+        // INTERLEAVED best-of-2 per mode (r16): one sequential sample per
+        // mode at the end of a 125-query session reversed the
+        // row/columnar ordering on session noise alone (SURVEY r16 —
+        // controlled DrainProbe interleaves put columnar consistently
+        // ahead); interleaving and keeping each mode's best restores a
+        // fair comparison for +2 drains. A mode that fails every sample
+        // reports its first error.
+        val samples = Seq.fill(2)(Seq(
+          "row" -> mqDrainRowsPerSec(spark, drainRows, columnar = false),
+          "columnar" -> mqDrainRowsPerSec(spark, drainRows, columnar = true)))
+          .flatten
+        Seq("row", "columnar").map { tag =>
+          val s = samples.collect { case (t, r) if t == tag => r }
+          tag -> s.collect { case Right(v) => v }.maxOption
+            .map(Right(_): Either[String, Long]).getOrElse(s.head)
+        }
       }
     val mqMembers = mqResults.collect { case (tag, Right(rps)) => s""""$tag":$rps""" }
     val mqPart =
