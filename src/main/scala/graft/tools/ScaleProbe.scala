@@ -702,13 +702,23 @@ object ScaleProbe {
         oneProbe(s"/tmp/graft_scale_probe_skew_f$factor", perturb = true,
           "base", s"x$factor", "rows", (sp, rd) => runSkew(sp, baseDir, rd,
             factor, hotBucketThreshold = 64L, splitTarget = 32L))
-      // `... <sfDir> <factor> semdedup-sizing`: the Σ C(|c|, 2) budget at
-      // two nlist values — the nlist cost-law probe. BOTH figures come
-      // from the replicated dir (the columns are nlist settings, not a
-      // base-vs-replicated comparison — label them as such).
-      case Seq("semdedup-sizing") =>
+      // `... <sfDir> <factor> semdedup-sizing [lo hi]`: the Σ C(|c|, 2)
+      // budget at two nlist values — the nlist cost-law probe (defaults
+      // 16→64; pass lo/hi to probe the √N regime — the native
+      // NearestCentroids kernel keeps large-nlist assignment plannable,
+      // r16). BOTH figures come from the replicated dir (the columns are
+      // nlist settings, not a base-vs-replicated comparison — label them
+      // as such).
+      case "semdedup-sizing" +: rest =>
+        val (lo, hi) = rest match {
+          case Seq(l, h) => (l.toInt, h.toInt)
+          case Seq() => (16, 64)
+          case other => throw new IllegalArgumentException(
+            s"semdedup-sizing takes [lo hi], got $other")
+        }
         oneProbe(s"/tmp/graft_scale_probe_f$factor", perturb = false,
-          "nlist=16", "nlist=64", "pairs", (sp, rd) => runSemDedupSizing(sp, rd))
+          s"nlist=$lo", s"nlist=$hi", "pairs",
+          (sp, rd) => runSemDedupSizing(sp, rd, lo, hi))
       case _ =>
         val byName = defaultQueries.toMap
         val queries = names.map(n => n -> byName.getOrElse(n,
