@@ -33,9 +33,13 @@ import org.apache.spark.sql.types._
   * every non-null sim exactly as Spark's struct ordering places null
   * fields first ascending; ties (including all-null) break to the
   * LARGER id, matching `array_max`/`reverse(array_sort(...))` on
-  * (sim, id) structs. Comparisons use java.lang.Double.compare — Spark's
-  * own double ordering (NaN largest, -0.0 < 0.0), though cosine here
-  * never produces NaN.
+  * (sim, id) structs. A NULL input vector behaves as the composed form
+  * does — every per-centroid cosine is NULL, so the result is the
+  * all-null-sim id-descending array, NOT a null output (the expression
+  * is non-nullable, like the array constructor it replaces).
+  * Comparisons use java.lang.Double.compare — Spark's own double
+  * ordering (NaN largest, -0.0 < 0.0), though cosine here never
+  * produces NaN.
   */
 case class NearestCentroids(child: Expression,
     centroids: Seq[(Int, Array[Double])], take: Int)
@@ -60,7 +64,22 @@ case class NearestCentroids(child: Expression,
       math.sqrt(s)
     }
 
-  override def nullSafeEval(a: Any): Any = topK(a.asInstanceOf[ArrayData])
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) topKNull() else topK(v.asInstanceOf[ArrayData])
+  }
+
+  /** The composed form's null-vector result: every sim NULL, ids
+    * descending — reached for a NULL input (cosine_sim(null, c) is NULL
+    * per centroid in the tree this replaces). */
+  def topKNull(): ArrayData = {
+    val k = math.min(take, ids.length)
+    val sorted = ids.sortBy(-_).take(k)
+    new GenericArrayData(sorted.map(id =>
+      InternalRow(null, id): Any))
+  }
 
   /** (simIsNull, sim, id) `a` strictly beats `b` under (sim DESC, id
     * DESC) with null sims smallest. */
@@ -74,9 +93,14 @@ case class NearestCentroids(child: Expression,
   def topK(x: ArrayData): ArrayData = {
     val et = elemType(child.dataType)
     val n = x.numElements()
+    // Materialize the vector into a primitive array during the norm
+    // pass: the centroid loop below reads it nlist times, and per-read
+    // evalGet (type match + null-bitset check) in the hot loop would
+    // waste exactly the work this kernel exists to save at large nlist.
+    val xv = new Array[Double](n)
     var nx = 0.0
     var i = 0
-    while (i < n) { val v = evalGet(et, x, i); nx += v * v; i += 1 }
+    while (i < n) { val v = evalGet(et, x, i); xv(i) = v; nx += v * v; i += 1 }
     val sx = math.sqrt(nx)
     val k = math.min(take, vecs.length)
     // Bounded insertion buffer, kept sorted best-first — k is 1
@@ -94,7 +118,7 @@ case class NearestCentroids(child: Expression,
       if (cv.length == n) {
         var dot = 0.0
         var j = 0
-        while (j < n) { dot += evalGet(et, x, j) * cv(j); j += 1 }
+        while (j < n) { dot += xv(j) * cv(j); j += 1 }
         val denom = sx * norms(c)
         if (denom != 0.0) { isNull = false; sim = dot / denom }
       }
@@ -124,9 +148,19 @@ case class NearestCentroids(child: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val ref = ctx.addReferenceObj("nearestCentroids", this,
       classOf[NearestCentroids].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.topK($a);")
+    val childGen = child.genCode(ctx)
+    val arrayData = classOf[ArrayData].getName
+    // Non-nullable output with an explicit null branch: a NULL vector
+    // takes the composed form's all-null-sim result, not a null array.
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$arrayData ${ev.value} = ${childGen.isNull}
+      |  ? $ref.topKNull() : $ref.topK(${childGen.value});
+      """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

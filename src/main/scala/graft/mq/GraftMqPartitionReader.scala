@@ -322,11 +322,13 @@ object GeneratedPayloads {
     val key = (partition.toString + "-" + offset.toString).getBytes("UTF-8")
     // Deterministic event time: fixed epoch + 1s per offset (micros).
     val ts = BaseTimestampMicros + offset * StepMicros
-    // One shared header pair per message (fresh outer array — consumers
-    // may not assume identity — but the constant value bytes are hoisted;
-    // nothing downstream mutates header payloads).
+    // clone(): every message OWNS its header bytes, as before the r16
+    // byte-assembly rewrite — sharing one mutable array across all
+    // messages would let any consumer mutation corrupt every other
+    // message's header. A 9-byte arraycopy is still far cheaper than
+    // the per-message getBytes encode it replaced.
     val headers: Array[(String, Array[Byte])] =
-      Array("source" -> GeneratedHeaderValue)
+      Array("source" -> GeneratedHeaderValue.clone())
     MqMessage(key, payload, ts, headers)
   }
 }

@@ -331,9 +331,13 @@ object SimilarityOps {
     * fp32 again), which absorbs quantization noise: int8 ordering only
     * has to get the true top-k INTO the shortlist, not rank it.
     *
-    * Same trainer, assignment, and output shape as [[ivfTopK]]; recall vs
-    * brute force is spec-asserted (no SQL oracle — approximate by
-    * design, like its siblings).
+    * Same trainer, assignment, and output shape as [[ivfTopK]].
+    * Approximate by design, but VALUE-EXACT under the driver oracle
+    * since r16: the registered row's DuckDB oracle replays the
+    * quantization chain, the integer kernel, the shortlist, and the
+    * re-rank from the dumped quantizer model — a change to any of this
+    * arithmetic must stay engine-replayable (exact-integer dots below
+    * 2^53, IEEE sqrt/divide). Recall floors stay spec-asserted.
     */
   def ivfTopKQ8(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 2, excludeSelf: Boolean = true,
@@ -638,9 +642,14 @@ object SimilarityOps {
     * A persisted, appended, multi-session index makes generation skew
     * the realistic operator error, so it fails LOUDLY (the
     * loadPqIndex/loadRefIndex contract): a shortlisted vec_id absent
-    * from `corpus` raises naming the id, instead of silently dropping
-    * from the re-rank. The check rides the shortlist (k·rerank·queries
-    * rows), not the corpus — zero cost at scale.
+    * from `corpus` raises at CALL time naming the miss count and a
+    * sample id, instead of silently dropping from the re-rank. The
+    * check compares two materialized BOUNDED frames (the shortlist and
+    * its corpus fetch, ≤ k·rerank·queries rows each — the probe and the
+    * fetch join run exactly once), so this serve entry point is EAGER;
+    * the fetch itself stays an inner broadcast-shortlist join (an
+    * outer-join guard cannot broadcast the preserved small side and
+    * would flip the build onto the corpus at scale).
     */
   def ivfTopKPqIndexed(queries: DataFrame, index: PqIndex,
       corpus: DataFrame, k: Int, nprobe: Int = 2,
@@ -677,23 +686,43 @@ object SimilarityOps {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     // broadcast the bounded shortlist for the fp32 re-rank, exactly as
     // ivfTopKQ8 (plan-asserted): an SMJ here would shuffle the full
-    // vector table and undo the 16-byte-payload win.
+    // vector table and undo the 16-byte-payload win. The fetch stays an
+    // INNER join in BOTH modes — preserving the small side of an outer
+    // join cannot broadcast it (a hash join can only stream the
+    // preserved side), so a LEFT-join guard would silently flip the
+    // build side onto the corpus at scale.
     val corpusVecs = corpus.select(col("vec_id"), col("cv"))
     val fetched =
       if (!strictCorpus) broadcast(shortlist).join(corpusVecs, "vec_id")
-      else broadcast(shortlist)
-        // LEFT join + raise on a missing match: the indexed serve's
-        // generation-mismatch guard (an inner join would silently drop
-        // the row — exactly the footgun this makes loud).
-        .join(corpusVecs.withColumn("_found", lit(true)), Seq("vec_id"), "left")
-        .withColumn("cv", when(col("_found").isNotNull, col("cv"))
-          .otherwise(raise_error(concat(
-            lit("ivfTopKPqIndexed: vec_id "), col("vec_id").cast("string"),
-            lit(" is in the encoded index but missing from the re-rank " +
-              "corpus — index/corpus generation mismatch (serve against " +
-              "the corpus the index encoded, or rebuild/append the index " +
-              "to match the corpus)")))))
-        .drop("_found")
+      else {
+        // EAGER generation-mismatch guard at serve-call time: the
+        // shortlist and its corpus fetch are both BOUNDED
+        // (≤ k·rerank·queries rows), so materialize each once (the
+        // probe and the corpus join run exactly once) and compare —
+        // a shortlisted vec_id the corpus lacks throws here, naming
+        // the count, instead of silently dropping from the re-rank.
+        // The serve call therefore EXECUTES the probe on the strict
+        // (indexed) path; the inline-encode path stays fully lazy.
+        val sl = Caching.materialize(shortlist)
+        val got = Caching.materialize(broadcast(sl).join(corpusVecs, "vec_id"))
+        // broadcast: both sides are bounded, but checkpointed frames
+        // carry no size stats, so the planner would SMJ without the hint
+        // (LeftOuter may broadcast its right/build side).
+        val missing = sl.join(broadcast(got.select(col("vec_id")).distinct()
+            .withColumn("_f", lit(true))), Seq("vec_id"), "left")
+          .filter(col("_f").isNull)
+        val nMissing = missing.count()
+        if (nMissing > 0) {
+          val sample = missing.agg(min(col("vec_id"))).head().get(0)
+          throw new IllegalStateException(
+            s"ivfTopKPqIndexed: $nMissing shortlisted vec_id(s) (e.g. " +
+              s"$sample) are in the encoded index but missing from the " +
+              "re-rank corpus — index/corpus generation mismatch (serve " +
+              "against the corpus the index encoded, or rebuild/append " +
+              "the index to match the corpus)")
+        }
+        got
+      }
     fetched
       .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("cos", GraftFunctions.cosine_sim(col("qv"), col("cv")))

@@ -281,8 +281,12 @@ object TextOps {
     val stages = Seq( // (count column, pattern, placeholder)
       ("n_pii_urls", "https?://[^ \\t\\n]+", "<URL>"),
       ("n_pii_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      ("n_pii_ipv4", "\\b((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}" +
-        "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\b", "<IP>"),
+      // Octet = 0-255, with zero-padded forms (001, 010) accepted — a
+      // real address written with leading zeros must still redact
+      // (under-redaction is the unsafe side); >255 values stay version
+      // strings, not addresses.
+      ("n_pii_ipv4", "\\b((25[0-5]|2[0-4]\\d|1\\d\\d|0\\d{1,2}|[1-9]?\\d)\\.){3}" +
+        "(25[0-5]|2[0-4]\\d|1\\d\\d|0\\d{1,2}|[1-9]?\\d)\\b", "<IP>"),
       ("n_pii_phones", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{4}", "<PHONE>"))
     val (out, counted) = stages.foldLeft((col(textCol), docs)) {
       case ((txt, df), (cnt, pat, tok)) =>

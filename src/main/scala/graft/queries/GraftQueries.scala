@@ -2198,9 +2198,9 @@ object GraftQueries {
         FROM s1),
       s3 AS (SELECT source, seeded, n_urls, n_emails,
           len(regexp_extract_all(t2,
-            '\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b')) AS n_ipv4,
+            '\b((25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)\b')) AS n_ipv4,
           regexp_replace(t2,
-            '\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b', '<IP>', 'g') AS t3
+            '\b((25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|0\d{1,2}|[1-9]?\d)\b', '<IP>', 'g') AS t3
         FROM s2),
       s4 AS (SELECT source, seeded, n_urls, n_emails, n_ipv4,
           len(regexp_extract_all(t3, '\+\d{1,2}[ -]\d{3}[ -]\d{4}')) AS n_phones,
@@ -3015,6 +3015,17 @@ object GraftQueries {
   // PqTables contract: dsub=4 left-to-right dots over the raw vector),
   // replays probe selection, the ADC lookups + rerank·k shortlist, and
   // the exact fp32 re-rank from the raw table.
+  /** The ivfpq oracle's ADC sum, ordered EXACTLY as [[graft.functions.PqAdcScore]]
+    * adds its m=16 lookups (left-to-right by subspace): each `eS` is an
+    * exact single-value pivot (one entry row per (candidate, subspace)),
+    * and the explicit `e0 + e1 + … + e15` fixes the double-addition
+    * order — a plain GROUP-BY sum would add in unspecified aggregate
+    * order, and near-tied shortlist boundaries must not rest on
+    * FP-summation luck. */
+  private val pqAdcPivots = (0 until 16).map(i =>
+    s"sum(CASE WHEN cexp.s = $i THEN e.e END) AS e$i").mkString(", ")
+  private val pqAdcSum = (0 until 16).map(i => s"e$i").mkString(" + ")
+
   private val s05c = Q("sim_topk_ivfpq",
     (s, dir) => {
       val (q, c) = queriesAndCorpus(s, dir)
@@ -3047,8 +3058,9 @@ object GraftQueries {
           sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q),
       entries AS (SELECT qn.query_id, b.s, b.code,
           CASE WHEN qn.nrm > 0 THEN
-            list_sum(list_transform(range(1, 5),
-              i -> qn.qv[b.s * 4 + i] * b.w[i])) / qn.nrm
+            (qn.qv[b.s * 4 + 1] * b.w[1] + qn.qv[b.s * 4 + 2] * b.w[2]
+              + qn.qv[b.s * 4 + 3] * b.w[3] + qn.qv[b.s * 4 + 4] * b.w[4])
+            / qn.nrm
           ELSE 0 END AS e
         FROM qn CROSS JOIN books b),
       cand AS (SELECT p.query_id, c.vec_id, c.codes
@@ -3056,10 +3068,11 @@ object GraftQueries {
         WHERE c.vec_id <> p.query_id),
       cexp AS (SELECT query_id, vec_id, so - 1 AS s, codes[so] AS code
         FROM cand, unnest(range(1, 17)) AS r(so)),
-      adc AS (SELECT cexp.query_id, cexp.vec_id, sum(e.e) AS adc
+      adcp AS (SELECT cexp.query_id, cexp.vec_id, $pqAdcPivots
         FROM cexp JOIN entries e ON e.query_id = cexp.query_id
           AND e.s = cexp.s AND e.code = cexp.code
         GROUP BY cexp.query_id, cexp.vec_id),
+      adc AS (SELECT query_id, vec_id, $pqAdcSum AS adc FROM adcp),
       shortlist AS (SELECT query_id, vec_id FROM (
           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
               ORDER BY adc DESC NULLS LAST, vec_id) AS ra

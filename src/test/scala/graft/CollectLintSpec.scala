@@ -34,9 +34,12 @@ class CollectLintSpec extends AnyFunSuite {
     * materializations; everything not listed must have zero.
     */
   private val allowedCollects: Map[String, Int] = Map(
-    "graft/ops/SimilarityOps.scala" -> 2, // meansOf: nlist×dims centroid model
+    "graft/ops/SimilarityOps.scala" -> 3, // meansOf: nlist×dims centroid model
                                           // fit; pqMeans: dims×ksub PQ codebook
-                                          // fit — both config-sized per pass
+                                          // fit — both config-sized per pass;
+                                          // pqProbeServe strict guard: 1-row
+                                          // min(vec_id) on the FAILURE path
+                                          // only, over the bounded shortlist
     "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
     "graft/ops/TextOps.scala" -> 1,  // trainBpeMerges: 1-row argmax per
                                      // merge step — the model fit, like

@@ -84,7 +84,10 @@ class NearestCentroidsSpec extends SparkSuite {
       cs <- Gen.listOfN(nlist,
         Gen.listOfN(dims, comp.map(_.toDouble)).map(_.toArray))
       rows <- Gen.choose(1, 8)
-      vs <- Gen.listOfN(rows, Gen.listOfN(dims, comp))
+      // Null vectors included: the composed form yields all-null sims
+      // (cosine_sim(null, c) is NULL per centroid) — the kernel must
+      // reproduce that, not emit a null array.
+      vs <- Gen.listOfN(rows, Gen.option(Gen.listOfN(dims, comp)))
     } yield (dims, cs.zipWithIndex.map { case (c, i) => (i, c) }, take, vs)
     graft.PropCheck.check(Prop.forAll(gen) { case (_, model, take, vs) =>
       import spark.implicits._

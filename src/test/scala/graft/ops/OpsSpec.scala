@@ -1048,7 +1048,8 @@ class OpsSpec extends SparkSuite {
       (2L, "host 10.0.3.45 call +1 555-0147 and +44 555-9999"),
       (3L, "nothing to scrub here"),
       (4L, "version 1.2.3.4.5 is not an address"),
-      (5L, "build 1.2.3.400 and peer 256.1.1.1 and edge 255.255.255.255"))
+      (5L, "build 1.2.3.400 and peer 256.1.1.1 and edge 255.255.255.255"),
+      (6L, "login from 192.168.001.001 denied"))
       .toDF("doc_id", "text")
     val got = TextOps.redactPii(docs)
       .select($"doc_id", $"pii_redacted", $"n_pii_urls", $"n_pii_emails",
@@ -1076,6 +1077,9 @@ class OpsSpec extends SparkSuite {
       s"expected only the 255-edge address to match, got ${got(5L)}")
     assert(got(5L)._2 ==
       "build 1.2.3.400 and peer 256.1.1.1 and edge <IP>")
+    // Zero-padded octets are real addresses (device/firewall log style)
+    // — under-redaction is the unsafe side, so they must match.
+    assert(got(6L)._5 == 1 && got(6L)._2 == "login from <IP> denied")
   }
 
   test("winnow-candidate jaccard join equals the unfiltered exact join") {

@@ -190,15 +190,21 @@ class PlanAssertionsSpec extends SparkSuite {
   }
 
   test("sim_topk_ivfpq: ADC probe broadcasts queries, re-rank broadcasts the shortlist") {
-    val p = finalPlan("sim_topk_ivfpq")
+    // The indexed serve is EAGER since r16 (the strict generation guard
+    // materializes the bounded shortlist + fetch at call time), so the
+    // probe's plans execute inside the query fn — observe EVERY executed
+    // plan, not just the returned re-rank tail.
+    val p = allExecutedPlans("sim_topk_ivfpq").mkString("\n===\n")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"IVF-PQ probe degenerated to pair enumeration:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
-    // Same contract as the q8 sibling: the fp32 re-rank join must
-    // broadcast the bounded shortlist — an SMJ would shuffle the full
-    // vector table and undo the 16-byte-code payload win.
+    // Same contract as the q8 sibling: no join in the whole serve —
+    // probe, guard, or re-rank — may sort-merge; the corpus-touching
+    // joins broadcast the bounded side (an SMJ would shuffle the full
+    // vector table and undo the 16-byte-code payload win), and the
+    // guard compares two bounded materialized frames.
     assert(!p.contains("SortMergeJoin"),
-      s"IVF-PQ re-rank join shuffles the corpus instead of broadcasting the shortlist:\n$p")
+      s"IVF-PQ serve shuffles the corpus instead of broadcasting the bounded side:\n$p")
     // The ADC kernel itself must be in the plan (scoring via lookups,
     // not a resurrected vector-arithmetic path).
     assert(p.contains("pq_adc_score"), s"expected the ADC lookup kernel in:\n$p")
