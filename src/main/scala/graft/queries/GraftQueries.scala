@@ -2670,9 +2670,9 @@ object GraftQueries {
     * rows (ivf / ivf_q8 / ivf_pq / recall_ann) serve from the same fit
     * instead of each re-running an identical deterministic k-means.
     * Determinism (spec-asserted) makes the shared fit bit-identical to
-    * per-query fits, so the rows-only results and the value-exact
-    * recall row are unchanged. Same input-signature guard as the v3
-    * stage cache ([[RunArtifactCache]]).
+    * per-query fits, so every consumer's value-exact result — the four
+    * dump-and-replay ANN rows and the recall row — is unchanged. Same
+    * input-signature guard as the v3 stage cache ([[RunArtifactCache]]).
     */
   private val ivfCentroidCache = new RunArtifactCache[Seq[(Int, Array[Double])]]
 
