@@ -83,7 +83,8 @@ object GraftFunctions {
 
   /** Top-`take` (sim, id) centroid structs of a vector under a trained
     * coarse quantizer, sorted (sim DESC, id DESC) — codegen'd, the model
-    * rides as a reference object so plan size is nlist-independent.
+    * ships as a torrent-broadcast handle so plan AND task-binary size
+    * are nlist-independent.
     */
   def nearest_centroids(v: Column, cents: Seq[(Int, Array[Double])],
       take: Int): Column =

@@ -1,11 +1,40 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+
+/** A trained coarse-quantizer model in kernel layout — parallel
+  * (ids, vecs, norms) arrays, norms precomputed driver-side with the
+  * exact per-centroid accumulation order [[CosineSimilarity]] uses
+  * (left-to-right product sum, correctly-rounded √). Broadcast ONCE per
+  * model; [[NearestCentroids]] holds only the [[Broadcast]] handle, so
+  * plan serialization, explain/UI plumbing, and every task-binary
+  * rebuild carry a few hundred bytes however large nlist×dims grows
+  * (√N sizing at corpus scale puts the raw model in the hundreds of MB
+  * — torrent broadcast is built for that; the plan object is not).
+  */
+final class CentroidModel private[functions] (
+    val ids: Array[Int],
+    val vecs: Array[Array[Double]],
+    val norms: Array[Double]) extends Serializable
+
+object CentroidModel {
+  def apply(centroids: Seq[(Int, Array[Double])]): CentroidModel = {
+    val vecs = centroids.map(_._2).toArray
+    val norms = vecs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    new CentroidModel(centroids.map(_._1).toArray, vecs, norms)
+  }
+}
 
 /** nearest_centroids(vec) → array<struct<sim, id>>: the `take`
   * most-cosine-similar centroids of a trained coarse quantizer, sorted
@@ -20,9 +49,12 @@ import org.apache.spark.sql.types._
   * nlist-wide expression tree blows past janino's method limits and
   * knocks the corpus-sized assignment projection out of whole-stage
   * codegen (the exact failure mode the PQ kernels already solved, and at
-  * 16×64×4-node scale the LSH signature did too). Here the model rides
-  * as a constructor reference object (nlist×dims doubles — broadcast
-  * with the plan) and each row costs one tight nlist×dims loop plus a
+  * 16×64×4-node scale the LSH signature did too). The model rides as a
+  * [[Broadcast]] handle (r17 — previously the nlist×dims doubles were
+  * embedded in the expression and re-shipped with every task binary):
+  * executors fetch it via torrent broadcast once per executor, and the
+  * plan object, explain output, and task binaries stay a few hundred
+  * bytes at any nlist. Each row costs one tight nlist×dims loop plus a
   * bounded `take`-insertion, independent of nlist in PLAN size.
   *
   * Result contract (spec-pinned equal to the composed form): sims are
@@ -37,12 +69,17 @@ import org.apache.spark.sql.types._
   * does — every per-centroid cosine is NULL, so the result is the
   * all-null-sim id-descending array, NOT a null output (the expression
   * is non-nullable, like the array constructor it replaces).
-  * Comparisons use java.lang.Double.compare — Spark's own double
-  * ordering (NaN largest, -0.0 < 0.0), though cosine here never
-  * produces NaN.
+  * Sim comparisons match Spark's nanSafeCompareDoubles — the ordering
+  * array_sort/array_max apply to the composed form — exactly: NaN
+  * largest and equal to itself, and -0.0 == 0.0 (a ±0.0 sim tie falls
+  * through to the id tie-break; java.lang.Double.compare alone would
+  * order -0.0 < 0.0). Cosine here never produces NaN, and -0.0 is
+  * reachable only via subnormal-underflow division, but the kernel is
+  * spec-pinned equal to the composed form so the edge is honored, not
+  * just unlikely.
   */
 case class NearestCentroids(child: Expression,
-    centroids: Seq[(Int, Array[Double])], take: Int)
+    model: Broadcast[CentroidModel], take: Int)
     extends UnaryExpression with VectorArrayCodegen {
   require(take >= 1, s"take must be >= 1, got $take")
 
@@ -52,17 +89,10 @@ case class NearestCentroids(child: Expression,
   override def prettyName: String = "nearest_centroids"
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(acceptedVector)
 
-  @transient private lazy val ids: Array[Int] = centroids.map(_._1).toArray
-  @transient private lazy val vecs: Array[Array[Double]] = centroids.map(_._2).toArray
-  // √Σc² per centroid, precomputed once per (driver) construction — the
-  // same double CosineSimilarity recomputes per pair (same products,
-  // same left-to-right order, correctly-rounded √).
-  @transient private lazy val norms: Array[Double] =
-    vecs.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      math.sqrt(s)
-    }
+  // One broadcast fetch per executor (torrent), then plain array reads.
+  @transient private lazy val ids: Array[Int] = model.value.ids
+  @transient private lazy val vecs: Array[Array[Double]] = model.value.vecs
+  @transient private lazy val norms: Array[Double] = model.value.norms
 
   override def nullable: Boolean = false
 
@@ -76,17 +106,23 @@ case class NearestCentroids(child: Expression,
     * per centroid in the tree this replaces). */
   def topKNull(): ArrayData = {
     val k = math.min(take, ids.length)
-    val sorted = ids.sortBy(-_).take(k)
+    // Ordering.Int.reverse, NOT sortBy(-_): negating Int.MinValue is the
+    // identity, which would mis-order it FIRST — unreachable from trained
+    // quantizers (0-based ids) but this is a public API over arbitrary ids.
+    val sorted = ids.sorted(Ordering.Int.reverse).take(k)
     new GenericArrayData(sorted.map(id =>
       InternalRow(null, id): Any))
   }
 
   /** (simIsNull, sim, id) `a` strictly beats `b` under (sim DESC, id
-    * DESC) with null sims smallest. */
-  private def beats(aNull: Boolean, aSim: Double, aId: Int,
+    * DESC) with null sims smallest. Sim equality is nan-safe Spark
+    * semantics: `aSim == bSim` first makes ±0.0 a TIE (Double.compare
+    * alone orders -0.0 < 0.0, diverging from array_sort); Double.compare
+    * then handles NaN (largest, equal to itself). */
+  private[functions] def beats(aNull: Boolean, aSim: Double, aId: Int,
       bNull: Boolean, bSim: Double, bId: Int): Boolean =
     if (aNull != bNull) bNull
-    else if (!aNull && java.lang.Double.compare(aSim, bSim) != 0)
+    else if (!aNull && aSim != bSim && java.lang.Double.compare(aSim, bSim) != 0)
       java.lang.Double.compare(aSim, bSim) > 0
     else aId > bId
 
@@ -165,4 +201,39 @@ case class NearestCentroids(child: Expression,
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object NearestCentroids {
+  // One broadcast per (model Seq, context): the IVF ops build assign AND
+  // probe expressions from the SAME trained-model instance (often several
+  // serve calls deep — sim_recall_ann scores three IVF paths off one
+  // fit), and re-broadcasting per expression would both duplicate the
+  // shipped bytes and break the case-class equality two same-model
+  // expressions had under the old structural design (Broadcast equality
+  // is by reference). Weak keys: the cache must not pin models the
+  // caller dropped.
+  private val cache =
+    new java.util.WeakHashMap[Seq[(Int, Array[Double])],
+      (org.apache.spark.SparkContext, Broadcast[CentroidModel])]
+
+  /** Broadcast-and-wrap constructor: the trained model is driver-side
+    * `Seq[(id, vec)]` everywhere upstream (Lloyd's output, ModelIO
+    * loads); this ships it to executors ONCE via torrent broadcast and
+    * hands the expression the handle. Requires an active SparkSession
+    * (always true where plans are being built).
+    */
+  def apply(child: Expression, centroids: Seq[(Int, Array[Double])],
+      take: Int): NearestCentroids = {
+    val sc = SparkSession.active.sparkContext
+    val bc = cache.synchronized {
+      cache.get(centroids) match {
+        case (`sc`, b) if !sc.isStopped => b
+        case _ =>
+          val b = sc.broadcast(CentroidModel(centroids))
+          cache.put(centroids, (sc, b))
+          b
+      }
+    }
+    new NearestCentroids(child, bc, take)
+  }
 }

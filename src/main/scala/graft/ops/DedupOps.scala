@@ -29,6 +29,16 @@ object DedupOps {
     * comparisons — the most one task is allowed to own. */
   private[ops] val HotBucketThreshold = 4096L
 
+  /** Hard cap on the per-partition key map of [[maxBucketUpperBound]]
+    * (tier 1 of the hot-bucket guard). ~2M distinct keys ≈ 64 MB of
+    * LongMap per task — comfortably inside the same executor-memory
+    * envelope every hash aggregate in the plan assumes. A partition
+    * with MORE distinct bucket keys than this abandons tier 1
+    * ("bound unknown") rather than let the shuffle-free pre-pass
+    * itself become the memory problem; the caller falls through to
+    * the tier-2 exact count, which was always the safe path. */
+  private[ops] val MaxTrackedBucketKeys = 1 << 21
+
   /** Sub-group size the grid split aims for: each (g1, g2) block compares
     * ≤ splitTarget² ≈ 4.2M element pairs, whatever the bucket size. */
   private[ops] val HotBucketSplitTarget = 2048L
@@ -323,29 +333,45 @@ object DedupOps {
     * combine shrinks nothing when bucket keys are mostly unique, so its
     * shuffle is ~banded-volume), and the driver reads one partition-count
     * row. Memory: one LongMap of the partition's DISTINCT keys — bounded
-    * by partition row count, i.e. sized by `maxPartitionBytes` /
-    * `shuffle.partitions`, the same envelope every hash aggregate in the
-    * plan already assumes. A legitimately hot dataset trips the bound
+    * by partition row count AND hard-capped at `maxTrackedKeys`
+    * ([[MaxTrackedBucketKeys]]): a pathological many-distinct-keys
+    * partition reports "bound unknown" (→ Long.MaxValue, so the caller
+    * takes the tier-2 exact count) instead of growing the map past the
+    * envelope every hash aggregate in the plan already assumes. A
+    * legitimately hot dataset trips the bound
     * (possibly spuriously near the threshold — sum-of-maxima overcounts
     * when a bucket spreads across partitions) and pays the tier-2 exact
     * count; healthy corpora — every registered dataset — skip it.
     */
   private[ops] def maxBucketUpperBound(banded: DataFrame,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String],
+      maxTrackedKeys: Int = MaxTrackedBucketKeys): Long = {
     import banded.sparkSession.implicits._
     val perPartitionMax = banded
       .select(xxhash64(keyCols.map(col): _*).as("k")).as[Long]
       .mapPartitions { it =>
         val counts = scala.collection.mutable.LongMap.empty[Long]
         var mx = 0L
-        it.foreach { k =>
+        var capped = false
+        while (!capped && it.hasNext) {
+          val k = it.next()
           val c = counts.getOrElse(k, 0L) + 1L
-          counts.update(k, c)
-          if (c > mx) mx = c
+          // A NEW key past the cap → stop scanning (the rest of the
+          // partition can't lower an upper bound anyway) and report the
+          // -1 "bound unknown" sentinel for this partition.
+          if (c == 1L && counts.size >= maxTrackedKeys) capped = true
+          else {
+            counts.update(k, c)
+            if (c > mx) mx = c
+          }
         }
-        Iterator.single(mx)
+        Iterator.single(if (capped) -1L else mx)
       }.toDF("mx")
-    longAgg(perPartitionMax, sum(col("mx")))
+    // Any -1 "unknown" partition poisons the whole bound to MaxValue
+    // (caller → tier-2); one combined aggregate keeps this the same
+    // single 1-row driver read longAgg always was (CollectLintSpec).
+    longAgg(perPartitionMax,
+      when(min(col("mx")) < 0L, lit(Long.MaxValue)).otherwise(sum(col("mx"))))
   }
 
   /** [[withSetCollapse]]'s sibling for pipelines whose candidate AND

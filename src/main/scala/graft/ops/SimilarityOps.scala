@@ -206,7 +206,8 @@ object SimilarityOps {
 
   /** top-`take` (sim, id) centroid structs by cosine, sorted desc — the
     * native [[graft.functions.NearestCentroids]] kernel (r16): the model
-    * rides as a reference object, so PLAN size is nlist-independent and
+    * ships as a broadcast handle (r17 — was a plan-embedded reference
+    * object), so PLAN size is nlist-independent and
     * the corpus-sized assignment pass stays one whole-stage-codegen'd
     * call however large the quantizer grows. The composed literal-tree
     * form this replaces (one cosine_sim struct node per centroid) parsed
@@ -711,12 +712,15 @@ object SimilarityOps {
         val missing = sl.join(broadcast(got.select(col("vec_id")).distinct()
             .withColumn("_f", lit(true))), Seq("vec_id"), "left")
           .filter(col("_f").isNull)
-        val nMissing = missing.count()
+        // DISTINCT vec_ids, not shortlist rows: one corpus-absent vector
+        // shortlisted by several queries is ONE mismatched id, and the
+        // error should say so.
+        val nMissing = missing.select(col("vec_id")).distinct().count()
         if (nMissing > 0) {
           val sample = missing.agg(min(col("vec_id"))).head().get(0)
           throw new IllegalStateException(
-            s"ivfTopKPqIndexed: $nMissing shortlisted vec_id(s) (e.g. " +
-              s"$sample) are in the encoded index but missing from the " +
+            s"ivfTopKPqIndexed: $nMissing distinct shortlisted vec_id(s) " +
+              s"(e.g. $sample) are in the encoded index but missing from the " +
               "re-rank corpus — index/corpus generation mismatch (serve " +
               "against the corpus the index encoded, or rebuild/append " +
               "the index to match the corpus)")

@@ -2977,7 +2977,8 @@ object GraftQueries {
         FROM probes p JOIN assign a USING (list_id)
         WHERE a.vec_id <> p.query_id),
       s8 AS (SELECT c.query_id, c.vec_id,
-          list_sum(list_transform(range(1, 65), i -> qq.qv8[i] * cq.qv8[i])) AS dot,
+          list_sum(list_transform(range(1, len(qq.qv8) + 1),
+                                  i -> qq.qv8[i] * cq.qv8[i])) AS dot,
           list_sum(list_transform(qq.qv8, x -> x * x)) AS nx,
           list_sum(list_transform(cq.qv8, x -> x * x)) AS ny
         FROM cand c JOIN q8 qq ON qq.vec_id = c.query_id

@@ -3,6 +3,7 @@ package graft.functions
 import graft.SparkSuite
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** The native IVF assignment/probe kernel must be RESULT-IDENTICAL to
   * the composed Catalyst form it replaced (one cosine_sim struct node
@@ -113,5 +114,53 @@ class NearestCentroidsSpec extends SparkSuite {
       col("top")(0).getField("sim") < col("top")(1).getField("sim") ||
         col("top")(0).getField("id") === col("top")(1).getField("id")).count()
     assert(bad == 0)
+  }
+
+  test("plan object stays small at nlist=4096: the model ships by broadcast") {
+    // 4096 × 64 dims × 8 B = 2 MB of raw model. Embedded in the
+    // expression (the r16 design) that rides through plan serialization,
+    // explain/UI plumbing, and EVERY task-binary rebuild; as a broadcast
+    // handle the serialized expression stays O(100 B) at any nlist.
+    val model = cents(64, 4096)
+    val e = Bridge.expression(GraftFunctions.nearest_centroids(col("v"), model, 1))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(e); oos.close()
+    assert(bos.size() < 64 * 1024,
+      s"serialized expression is ${bos.size()} B — the model leaked into the plan object")
+    // And the broadcast path still EXECUTES: every row lands on a valid list.
+    val assigned = graft.ops.SimilarityOps.assignListIds(
+      vecs(64, 32).withColumnRenamed("v", "cv"), model, vecCol = "cv")
+    assert(assigned.filter(col("list_id") >= 0 && col("list_id") < 4096).count()
+      == assigned.count())
+  }
+
+  test("sim comparator: ±0.0 is a tie (id breaks it), NaN largest and self-equal") {
+    // Spark's nanSafeCompareDoubles semantics — what array_sort applies
+    // to the composed form. java.lang.Double.compare alone would order
+    // -0.0 < 0.0 and flip the ±0.0 tie away from the id tie-break.
+    val e = Bridge.expression(
+      GraftFunctions.nearest_centroids(col("v"), cents(4, 2), 1))
+      .asInstanceOf[NearestCentroids]
+    assert(e.beats(false, -0.0, 5, false, 0.0, 3))
+    assert(!e.beats(false, -0.0, 3, false, 0.0, 5))
+    assert(e.beats(false, 0.0, 5, false, -0.0, 3))
+    assert(e.beats(false, Double.NaN, 1, false, 1.0, 9))
+    assert(e.beats(false, Double.NaN, 9, false, Double.NaN, 3))
+    assert(!e.beats(false, Double.NaN, 3, false, Double.NaN, 9))
+    // Null sims stay smallest regardless of the non-null sim's value.
+    assert(e.beats(false, -1e300, 0, true, 0.0, 9))
+  }
+
+  test("topKNull orders Int.MinValue id LAST (arbitrary public-API ids)") {
+    // sortBy(-_) negation is the identity on Int.MinValue and would have
+    // mis-ordered it first; the kernel sorts with Ordering.Int.reverse.
+    val model = Seq(Int.MinValue, 0, 7).map(id => (id, Array.fill(4)(1.0)))
+    val e = Bridge.expression(
+      GraftFunctions.nearest_centroids(col("v"), model, 3))
+      .asInstanceOf[NearestCentroids]
+    val out = e.topKNull()
+    val ids = (0 until out.numElements()).map(i => out.getStruct(i, 2).getInt(1))
+    assert(ids == Seq(7, 0, Int.MinValue))
   }
 }

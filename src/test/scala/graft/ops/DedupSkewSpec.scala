@@ -183,4 +183,28 @@ class DedupSkewSpec extends SparkSuite {
       bound >= exactMax
     }, minSuccessful = 30)
   }
+
+  test("maxBucketUpperBound: distinct keys past the tracking cap → bound unknown") {
+    // Tier 1's per-partition key map is hard-capped: a partition with
+    // more DISTINCT bucket keys than maxTrackedKeys abandons the
+    // shuffle-free bound (Long.MaxValue = "unknown", caller falls to the
+    // tier-2 exact count) instead of growing the map without bound — the
+    // guard must never itself become the memory problem.
+    import spark.implicits._
+    val manyDistinct = (0 until 1000).map(i => (i.toLong, i.toLong))
+      .toDF("id", "bkey").coalesce(1)
+    assert(DedupOps.maxBucketUpperBound(manyDistinct, Seq("bkey"),
+      maxTrackedKeys = 16) == Long.MaxValue)
+    // Cap above the distinct-key count: the bound stays finite and sound.
+    val fits = DedupOps.maxBucketUpperBound(manyDistinct, Seq("bkey"),
+      maxTrackedKeys = 2048)
+    assert(fits >= 1L && fits < Long.MaxValue)
+    // The cap counts DISTINCT keys, not rows: heavy repetition of few
+    // keys keeps counting under a tiny cap and still bounds the max.
+    val fewHot = (0 until 1000).map(i => (i.toLong, (i % 8).toLong))
+      .toDF("id", "bkey").coalesce(1)
+    val hotBound = DedupOps.maxBucketUpperBound(fewHot, Seq("bkey"),
+      maxTrackedKeys = 16)
+    assert(hotBound >= 125L && hotBound < Long.MaxValue)
+  }
 }
