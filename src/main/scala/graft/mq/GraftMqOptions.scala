@@ -55,6 +55,13 @@ import java.util.Locale
   *                           column vectors instead of per-row
   *                           InternalRows; schemas containing `headers`
   *                           fall back to the row reader automatically
+  *  - `pollTimeoutMs`      — broker backend: per-fetch latency bound
+  *                           (default 120000, the Kafka consumer default
+  *                           the reference documents at README.md:367-370);
+  *                           a chunk fetch exceeding it throws
+  *                           [[MqPollTimeoutException]] (README.md:654) —
+  *                           a contended broker fails the task loudly
+  *                           instead of hanging the trigger loop
   */
 final case class GraftMqOptions(
     topic: String,
@@ -74,7 +81,8 @@ final case class GraftMqOptions(
     endingOffsets: String = "latest",
     minRowsPerBatch: Option[Long] = None,
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
-    columnarReader: Boolean = true) extends Serializable {
+    columnarReader: Boolean = true,
+    pollTimeoutMs: Long = 120000L) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -156,6 +164,9 @@ object GraftMqOptions {
     val minParts = get("minPartitions").map(_.toInt)
     require(minParts.forall(_ > 0),
       s"graft-mq: minPartitions must be positive, got ${minParts.get}")
+    val pollTimeout = get("pollTimeoutMs").map(_.toLong).getOrElse(120000L)
+    require(pollTimeout > 0,
+      s"graft-mq: pollTimeoutMs must be positive, got $pollTimeout")
     GraftMqOptions(
       topic = get("topic").getOrElse("default"),
       backend = backend,
@@ -176,6 +187,7 @@ object GraftMqOptions {
       minRowsPerBatch = get("minRowsPerBatch").map(_.toLong),
       maxTriggerDelayMs =
         get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000),
-      columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true))
+      columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true),
+      pollTimeoutMs = pollTimeout)
   }
 }

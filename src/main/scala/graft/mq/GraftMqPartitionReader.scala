@@ -81,6 +81,29 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
     m
   }
 
+  /** One chunk fetch under the `pollTimeoutMs` latency bound — the Kafka
+    * consumer contract the reference README documents (README.md:535 calls
+    * `consumer.get(..., pollTimeoutMs, ...)` per record fetch; README.md:654
+    * specifies a TimeoutException past the bound). The in-memory broker has
+    * no async poll to await, so the bound is enforced as fetch-duration
+    * accounting: a fetch that took longer than the timeout (broker
+    * contention — injected via `TopicState.injectFetchDelay` in tests, a
+    * genuinely slow remote broker in a networked backend) throws
+    * [[MqPollTimeoutException]] and fails the task loudly. The task's
+    * offset range is immutable, so a retry re-reads the same range —
+    * latency can delay or fail a batch, never corrupt one (spec-pinned).
+    */
+  private def timedRead(topic: InMemoryMqBroker.TopicState, from: Long, until: Long): IndexedSeq[MqMessage] = {
+    val t0 = System.nanoTime()
+    val r = topic.read(p.partition, from, until)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    if (elapsedMs > p.opts.pollTimeoutMs)
+      throw new MqPollTimeoutException(
+        s"graft-mq: fetch on ${p.topic}-${p.partition} [$from, $until) took " +
+          s"$elapsedMs ms > pollTimeoutMs=${p.opts.pollTimeoutMs}")
+    r
+  }
+
   private def brokerMessageAt(o: Long): MqMessage = {
     if (o >= chunkStart + chunk.size || o < chunkStart) {
       val topic = InMemoryMqBroker.get(p.topic).getOrElse {
@@ -88,7 +111,7 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
       }
       chunkStart = o
       chunk =
-        try topic.read(p.partition, o, math.min(p.until, o + ChunkSize))
+        try timedRead(topic, o, math.min(p.until, o + ChunkSize))
         catch {
           case e: MqOffsetOutOfRangeException if !p.opts.failOnDataLoss =>
             // failOnDataLoss=false: skip the lost range, resume at earliest
@@ -97,7 +120,7 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
             val earliest = topic.earliestOffsets(p.partition)
             chunkStart = math.max(o, earliest)
             if (chunkStart >= p.until) IndexedSeq.empty
-            else topic.read(p.partition, chunkStart, math.min(p.until, chunkStart + ChunkSize))
+            else timedRead(topic, chunkStart, math.min(p.until, chunkStart + ChunkSize))
         }
       offset = chunkStart
       if (chunk.isEmpty) return null

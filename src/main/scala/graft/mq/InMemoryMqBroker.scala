@@ -35,6 +35,18 @@ object InMemoryMqBroker {
       Array.fill(numPartitions)(new ArrayBuffer[MqMessage])
     /** Offset of the first retained message per partition (grows on truncate). */
     private val logStart: Array[Long] = Array.fill(numPartitions)(0L)
+    /** Injected per-partition fetch latency (ms) — the CONTENDED-BROKER
+      * failure mode (/root/reference/README.md:367-370, 654: a slow broker
+      * makes the consumer's poll block; the client bounds the wait with
+      * `pollTimeoutMs`). Tests inject a delay here to pin reader behavior
+      * under broker latency; the sleep happens in [[read]] OUTSIDE the
+      * monitor so a slow reader never blocks concurrent producers.
+      */
+    private val fetchDelayMs = new java.util.concurrent.atomic.AtomicLongArray(numPartitions)
+
+    /** Test hook: every subsequent fetch of `partition` takes ≥ `delayMs`. */
+    def injectFetchDelay(partition: Int, delayMs: Long): Unit =
+      fetchDelayMs.set(partition, math.max(0L, delayMs))
 
     def append(partition: Int, msg: MqMessage): Long = synchronized {
       val log = logs(partition)
@@ -52,9 +64,17 @@ object InMemoryMqBroker {
     }
 
     /** Read [from, until). Throws [[MqOffsetOutOfRangeException]] if the
-      * range precedes retention (the `failOnDataLoss=true` path).
+      * range precedes retention (the `failOnDataLoss=true` path). An
+      * injected fetch delay (contention model) is paid per call, before
+      * the monitor is taken.
       */
-    def read(partition: Int, from: Long, until: Long): IndexedSeq[MqMessage] = synchronized {
+    def read(partition: Int, from: Long, until: Long): IndexedSeq[MqMessage] = {
+      val delay = fetchDelayMs.get(partition)
+      if (delay > 0) Thread.sleep(delay)
+      readLocked(partition, from, until)
+    }
+
+    private def readLocked(partition: Int, from: Long, until: Long): IndexedSeq[MqMessage] = synchronized {
       val start = logStart(partition)
       if (from < start)
         throw new MqOffsetOutOfRangeException(
@@ -122,3 +142,13 @@ object InMemoryMqBroker {
 }
 
 class MqOffsetOutOfRangeException(msg: String) extends RuntimeException(msg)
+
+/** A partition fetch exceeded the reader's `pollTimeoutMs` — the Kafka
+  * consumer contract the reference README documents at README.md:654
+  * ("@throws TimeoutException if cannot fetch the record in
+  * `pollTimeoutMs` milliseconds"): broker LATENCY fails the task loudly
+  * instead of hanging the trigger loop. The offset range a task reads is
+  * immutable, so a Spark retry of the failed task re-reads the same
+  * range — a timeout can delay or fail a batch but never corrupt one.
+  */
+class MqPollTimeoutException(msg: String) extends RuntimeException(msg)
