@@ -113,7 +113,9 @@ class GraftMqHardeningSpec extends SparkSuite {
     val (rows, elapsedMs) = drain()
     // Delayed, not corrupted: every message arrived, none malformed.
     assert(rows == (1 to 40).map(i => s"m$i").toSet, s"got ${rows.size} distinct rows")
-    // The contended partition's fetch delay was actually on the path.
+    // Sanity floor only (streaming overhead swamps one 150 ms sleep);
+    // the slow-fail test below is what PROVES the injected-delay path
+    // actually runs — it throws through it.
     assert(elapsedMs >= 150L, s"run took $elapsedMs ms — injected delay not exercised")
   }
 
