@@ -852,19 +852,36 @@ object SimilarityOps {
       val assigned = reps.select(col("vec_id"), col("cv"))
         .withColumn("list_id",
           argmaxWith(cents)(col("cv"), 1).getItem(0).getField("id"))
-      // persist: the assignment projection feeds the pair join twice
-      // (both vector sides) plus the final left join — left lazy, every
-      // consumer re-runs the nlist-way argmax per row.
+      // persist: the assignment projection feeds the within-cluster
+      // self-join (both sides, via its scoped persist) plus the final
+      // left join — left lazy, every consumer re-runs the nlist-way
+      // argmax per row.
       val canon = Caching.withCached(assigned) {
+        // The within-cluster pair stream is Σ|c|² ≈ N²/nlist rows — N^1.5
+        // under the √N sizing rule, the op's DOMINANT volume by far. It
+        // must never hit an exchange or sorter: vectors ride THROUGH the
+        // self-join as carry columns (each rep has exactly ONE cluster
+        // row, so the carry widens the corpus-linear banded frame by one
+        // vector — unlike the multi-band LSH ops, where carry would
+        // multiply the banded frame by bands and the cross-band distinct
+        // is load-bearing), and the cosine filter runs ON the join
+        // output INSIDE the same stage, so only the filtered dropped ids
+        // (≤ N) ever shuffle. The pre-r17 formulation materialized the
+        // bare pair set through a distinct PLUS two vector-attach joins —
+        // three full shuffles (and SMJ sorts) of the N^1.5 stream; at 5M
+        // vectors (LinearProbe ×100) those sorts spilled ~80 GB and
+        // killed the single-node run, while this shape completes with
+        // zero pair-sized shuffle bytes. No distinct on the pairs: in
+        // the healthy path each pair occurs once by construction (one
+        // cluster per rep); grid-split hot buckets emit same-group pairs
+        // at most twice, costing duplicate cosine evaluations map-side —
+        // the final distinct on dropped ids folds any effect.
         val pairs = DedupOps.selfJoinWithinBuckets(
-            assigned.select(col("vec_id").as("id"), col("list_id")),
-            Seq("list_id"), carry = Seq.empty,
+            assigned.select(col("vec_id").as("id"), col("list_id"), col("cv")),
+            Seq("list_id"), carry = Seq("cv"),
             hotBucketThreshold = hotBucketThreshold, splitTarget = splitTarget)
-          .select("id_a", "id_b").distinct()
         val dropped = pairs
-          .join(assigned.select(col("vec_id").as("id_a"), col("cv").as("va")), "id_a")
-          .join(assigned.select(col("vec_id").as("id_b"), col("cv").as("vb")), "id_b")
-          .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= threshold)
+          .filter(GraftFunctions.cosine_sim(col("cv_a"), col("cv_b")) >= threshold)
           .select(col("id_b").as("vec_id")).distinct()
         assigned
           .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")

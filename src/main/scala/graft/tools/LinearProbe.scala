@@ -91,16 +91,32 @@ object LinearProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: LinearProbe <baseDir> <factor> [queries...]")
+    require(args.length >= 2, "usage: LinearProbe <baseDir> <factor> [--reuse] [queries...]")
     val baseDir = args(0)
     val factor = args(1).toInt
-    val queries = if (args.length > 2) args.drop(2).toSeq else defaultQueries
+    val reuse = args.contains("--reuse")
+    val queries = {
+      val q = args.drop(2).filterNot(_ == "--reuse").toSeq
+      if (q.nonEmpty) q else defaultQueries
+    }
     val scaledDir = "/tmp/graft_linear_probe/scaled"
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      println(s"[linear] building $scaledDir = $baseDir x$factor")
-      MakeSf.build(spark, baseDir, scaledDir, factor)
+      // --reuse: skip the (minutes-long at large factors) rebuild when the
+      // on-disk dir was built by MakeSf from the SAME base at the SAME
+      // factor — the marker records both; any mismatch rebuilds.
+      val marker = java.nio.file.Paths.get(scaledDir).resolve(MakeSf.Marker)
+      val canReuse = reuse && java.nio.file.Files.exists(marker) && {
+        val m = java.nio.file.Files.readString(marker)
+        m.contains(s"factor=$factor\n") && m.contains(
+          s"base=${java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize()}\n")
+      }
+      if (canReuse) println(s"[linear] reusing $scaledDir (marker matches $baseDir x$factor)")
+      else {
+        println(s"[linear] building $scaledDir = $baseDir x$factor")
+        MakeSf.build(spark, baseDir, scaledDir, factor)
+      }
       val results = run(spark, baseDir, scaledDir, factor, queries)
       val failed = results.filter(!_.ok)
       println(s"[linear] ${results.count(_.ok)}/${results.size} PASS" +

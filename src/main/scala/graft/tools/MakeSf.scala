@@ -74,7 +74,11 @@ object MakeSf {
         .forEach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(out)
-    Files.writeString(marker, "scaled test-data directory written by graft.tools.MakeSf\n")
+    // The marker records the build parameters so a consumer reusing the
+    // directory (LinearProbe --reuse) can verify it matches its ask.
+    Files.writeString(marker,
+      s"scaled test-data directory written by graft.tools.MakeSf\n" +
+        s"base=${Paths.get(baseDir).toAbsolutePath.normalize()}\nfactor=$factor\n")
 
     val base = Paths.get(baseDir).toAbsolutePath.normalize()
     val listing = Files.list(base)
