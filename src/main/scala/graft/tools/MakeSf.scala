@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *    every cosine is preserved bit-for-bit structurally (the dup/ANN
   *    topology of the base corpus repeats per replica) while
   *    cross-replica cosines are scrambled below any dedup threshold.
+  *    Caveat at factor > dims: the rotation period is dims (gcd(7, 64) =
+  *    1 ⇒ 64 distinct shifts for 64-dim vectors), so replicas k and
+  *    k+64 are EXACT duplicates — a factor-100 build carries ≈64/100 of
+  *    its vectors distinct and the rest as 2-copy classes (which the
+  *    ops' vector-value collapse absorbs; strict linearity in distinct
+  *    vectors holds up to factor = dims).
   *  - fact tables (`customer supplier part orders lineitem events`):
   *    ids shift by `orig * factor + k` consistently across foreign keys,
   *    so joins keep exactly their base selectivity and referential
