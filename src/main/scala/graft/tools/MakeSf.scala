@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   *    every cosine is preserved bit-for-bit structurally (the dup/ANN
   *    topology of the base corpus repeats per replica) while
   *    cross-replica cosines are scrambled below any dedup threshold.
-  *    Caveat at factor > dims: the rotation period is dims (gcd(7, 64) =
-  *    1 ⇒ 64 distinct shifts for 64-dim vectors), so replicas k and
-  *    k+64 are EXACT duplicates — a factor-100 build carries ≈64/100 of
-  *    its vectors distinct and the rest as 2-copy classes (which the
-  *    ops' vector-value collapse absorbs; strict linearity in distinct
-  *    vectors holds up to factor = dims).
+  *    The rotation alone has period dims (gcd(7, 64) = 1 ⇒ 64 distinct
+  *    shifts for 64-dim vectors), so past factor = dims a second
+  *    orthogonal layer keeps replicas distinct: replicas in rotation
+  *    block b = k div dims (b > 0) also flip each dimension's sign by a
+  *    hash of (b, i). Sign flips preserve within-replica dots EXACTLY
+  *    ((-x)·(-y) = x·y in IEEE) while decorrelating k from k+dims, so
+  *    strict linearity in distinct vectors holds at any factor; block 0
+  *    is the identity, so factor ≤ dims builds are byte-identical to
+  *    the rotation-only form.
   *  - fact tables (`customer supplier part orders lineitem events`):
   *    ids shift by `orig * factor + k` consistently across foreign keys,
   *    so joins keep exactly their base selectivity and referential
@@ -113,10 +116,20 @@ object MakeSf {
           // Circular rotation by k*7 (mod dims); k=0 is the identity.
           val dims = size(col("embedding"))
           val shift = pmod(col("_k") * 7, dims)
-          shifted.withColumn("embedding",
+          val rotated =
             when(shift === 0, col("embedding")).otherwise(
               concat(slice(col("embedding"), shift + 1, dims - shift),
-                slice(col("embedding"), lit(1), shift))))
+                slice(col("embedding"), lit(1), shift)))
+          // Per-block sign layer (see scaladoc): block b = k div dims;
+          // b = 0 is the identity, b > 0 flips dimension i's sign when
+          // xxhash64(b, i) is odd — orthogonal, so within-replica dots
+          // are preserved bit-for-bit while k and k+dims decorrelate.
+          val block = floor(col("_k") / dims).cast("int")
+          shifted.withColumn("embedding",
+            when(block === 0, rotated).otherwise(
+              zip_with(rotated, sequence(lit(0), dims - 1), (x, i) =>
+                (x.cast("double") * (lit(1) - lit(2) *
+                  pmod(xxhash64(block, i), lit(2)).cast("int"))).cast("float"))))
         case _ => shifted
       }
       perturbed.drop("_k")

@@ -80,6 +80,34 @@ class MakeSfSpec extends SparkSuite {
     assert(docs.filter(col("n_chars") =!= length(col("text"))).count() == 0)
   }
 
+  test("factor > dims: the sign layer keeps replicas k and k+dims distinct, within-replica dots exact") {
+    // Rotation alone has period dims (= 64): replica 65 would equal
+    // replica 1 without the per-block sign layer. Build at factor 66 and
+    // pin both halves of the layer's contract.
+    val dir = tmp("graft-makesf-wide") + "/scaled"
+    MakeSf.build(spark, sf(), dir, 66)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ids = (0 until 4).map(_.toLong)
+    def vec(k: Long, orig: Long): Seq[Float] =
+      emb.filter(col("vec_id") === orig * 66 + k).select("embedding")
+        .head().getSeq[Float](0)
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).map { case (a, c) => a.toDouble * c }.sum
+    for (i <- ids) {
+      // Same rotation shift (7), different block: must differ now.
+      assert(vec(1, i) != vec(65, i), s"replica 65 duplicates replica 1 for orig $i")
+    }
+    // Within replica 65 the dup/ANN topology is still the base corpus's:
+    // sign flips are orthogonal, so pairwise dots match the base exactly.
+    val base = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def baseVec(orig: Long): Seq[Float] =
+      base.filter(col("vec_id") === orig).select("embedding").head().getSeq[Float](0)
+    for (i <- ids; j <- ids if i < j) {
+      assert(math.abs(dot(vec(65, i), vec(65, j)) - dot(baseVec(i), baseVec(j))) < 1e-6,
+        s"replica 65: dot($i,$j) drifted")
+    }
+  }
+
   test("embeddings: rotation preserves within-replica cosines exactly and scrambles cross-replica ones") {
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     val base = spark.read.parquet(s"${sf()}/embeddings.parquet")
