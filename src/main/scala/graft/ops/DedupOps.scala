@@ -1003,17 +1003,34 @@ object DedupOps {
     // Same Caching contract as every sibling pair op: the sign-signature
     // projection feeds BOTH sides of the self-join (and the caller's
     // actions would otherwise re-run the whole lazy pipeline per action).
+    //
+    // CANDIDATE STREAM DISCIPLINE (r17 — the semdedup lesson, found by
+    // the ×100 probe on a 200k-distinct-vector corpus): at 8-bit buckets
+    // a dense corpus piles ~N/256 reps per bucket, so the candidate
+    // stream is quadratic-in-density (≈6·10⁸ rows at 200k vectors) — the
+    // pre-r17 shape (bare-pair distinct, then TWO vector-attach joins
+    // that SMJ-sort the candidate stream with a 64-double payload)
+    // spilled ~80 GB and died. Vectors now ride THROUGH the bucket join
+    // as carry columns (banded frame grows to bands× vector copies —
+    // corpus-linear, the cheap side of the trade for a SYMMETRIC op
+    // whose candidates dwarf its corpus) and the cosine filter runs on
+    // the join output in the same stage; only the answer-sized survivors
+    // reach the cross-band distinct, which now keys (pair, cosine) —
+    // identical rows whichever band or grid orientation produced them,
+    // so the collapse is exact. Duplicate candidates pay ≤ bands extra
+    // in-stage cosine evaluations (CPU) instead of three candidate-sized
+    // sorted shuffles (disk). The BIPARTITE sibling keeps the join-back
+    // shape deliberately: its candidates are batch-sized while carrying
+    // vectors would duplicate the whole reference corpus bands× in the
+    // persisted frame — the trade points the other way there.
     val repPairs = Caching.withCached(sig) {
-      val cand = selfJoinWithinBuckets(sig, Seq("band", "bucket"), Nil,
+      selfJoinWithinBuckets(sig, Seq("band", "bucket"), Seq("v"),
           hotBucketThreshold, splitTarget)
-        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
-        .distinct()
-      val va = repVecs.select(col("id").as("vec_a"), col("v").as("va"))
-      val vb = repVecs.select(col("id").as("vec_b"), col("v").as("vb"))
-      cand.join(va, "vec_a").join(vb, "vec_b")
-        .withColumn("cosine", GraftFunctions.cosine_sim(col("va"), col("vb")))
+        .withColumn("cosine", GraftFunctions.cosine_sim(col("v_a"), col("v_b")))
         .filter(col("cosine") >= threshold)
-        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .distinct()
     }
     if (maxClassSize(reps) <= 1L) repPairs
     else {
@@ -1037,13 +1054,16 @@ object DedupOps {
     }
   }
 
-  /** Sign-band LSH rows `(id, band, bucket)` for vector frame `(id, v)` —
-    * the shared candidate signature of [[embeddingNearDupPairs]] and
+  /** Sign-band LSH rows `(id, v, band, bucket)` for vector frame `(id, v)`
+    * — the shared candidate signature of [[embeddingNearDupPairs]] and
     * [[embeddingPairsAgainstRef]]: band `b`'s bucket packs the signs of
-    * dimensions `b·bits+1 .. (b+1)·bits` into an int (codegen'd, join-free).
+    * dimensions `b·bits+1 .. (b+1)·bits` into an int (codegen'd,
+    * join-free). The vector rides along for consumers that carry it
+    * through the bucket join (the symmetric op); the bipartite op drops
+    * it to keep its persisted band frames narrow.
     */
   private def signBandRows(vecs: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
-    vecs.select(col("id"),
+    vecs.select(col("id"), col("v"),
       explode(array((0 until bands).map { b =>
         val bucket = (0 until bitsPerBand).map { j =>
           when(element_at(col("v"), b * bitsPerBand + j + 1) >= 0,
@@ -1051,7 +1071,7 @@ object DedupOps {
         }.reduce(_ + _)
         struct(lit(b).as("band"), bucket.as("bucket"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
   /** Drop rows of `big` whose `bigKey` cannot appear among `small`'s
     * `smallKey`s, via a Bloom filter of the small side
@@ -1224,11 +1244,17 @@ object DedupOps {
     val rReps = refIndex.reps
     val rMembers = refIndex.members
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
-      val nSig = signBandRows(nReps.select(col("id"), col("v")), bands, bitsPerBand)
+      // v dropped from both band frames: the bipartite op keeps the
+      // join-back shape (batch-sized candidates; carrying vectors would
+      // duplicate the reference corpus bands× in the persisted frame —
+      // see the symmetric op's candidate-stream-discipline note).
+      val nSig = signBandRows(nReps.select(col("id"), col("v")),
+        bands, bitsPerBand).drop("v")
       // (band, bucket) packs into one long — band in the high 32 bits —
       // for the Bloom key; bucket < 2^30 by the bitsPerBand bound.
       def bandKey = col("band").cast("long") * 4294967296L + col("bucket")
-      val rSig0 = signBandRows(rReps.select(col("id"), col("v")), bands, bitsPerBand)
+      val rSig0 = signBandRows(rReps.select(col("id"), col("v")),
+        bands, bitsPerBand).drop("v")
       val rSig = if (refGateBits <= 0) rSig0
         else bloomGateAgainst(rSig0, bandKey, nSig, bandKey, refGateBits)
       val repPairs = Caching.withCached(nSig, rSig) {
@@ -1236,9 +1262,22 @@ object DedupOps {
             hotBucketThreshold, splitTarget)
           .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
           .distinct()
+        // Vector attach as SHUFFLED HASH joins (build = the reps side):
+        // an SMJ here SORTS the candidate stream — twice, the second
+        // time carrying a 64-double payload — and the candidate stream
+        // is batch×density-sized, not batch-sized, when the batch is
+        // large (the ×100 probe measured 216 s / ~40 GB of sort spill
+        // for a half-corpus batch at 8-bit buckets). With hash joins
+        // the candidates hash-shuffle once per attach (linear IO, no
+        // sort amplification) and the per-partition build side is reps
+        // rows — the bounded side by construction. The hint is
+        // best-effort: if a planner change ignores it the op degrades
+        // to the SMJ shape, never to a wrong result.
         cand
-          .join(nReps.select(col("id").as("new_id"), col("v").as("nv")), "new_id")
-          .join(rReps.select(col("id").as("ref_id"), col("v").as("rv")), "ref_id")
+          .join(nReps.select(col("id").as("new_id"), col("v").as("nv"))
+            .hint("shuffle_hash"), "new_id")
+          .join(rReps.select(col("id").as("ref_id"), col("v").as("rv"))
+            .hint("shuffle_hash"), "ref_id")
           .withColumn("cosine", GraftFunctions.cosine_sim(col("nv"), col("rv")))
           .filter(col("cosine") >= threshold)
           .select(col("new_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
