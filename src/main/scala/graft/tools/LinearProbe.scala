@@ -41,15 +41,18 @@ object LinearProbe {
   val Slack = 1.5
 
   /** One expensive representative per operator family (§8): banded
-    * dedup (3 formulations + exact + graph), semantic dedup, incremental
-    * dedup, ANN (recall + the PQ serve), substring/span text ops,
-    * model training, packing/pipeline composition, and two plain-SQL
-    * join/agg shapes.
+    * dedup (3 formulations + exact + graph), semantic dedup (both the
+    * SemDeDup cluster rule and the pair-graph path — the r17 ×100 runs
+    * found candidate-stream spill cliffs in BOTH, so they stay probed),
+    * incremental dedup on both axes, ANN (recall + the PQ serve),
+    * substring/span text ops, model training, packing/pipeline
+    * composition, and two plain-SQL join/agg shapes.
     */
   val defaultQueries: Seq[String] = Seq(
     "dedup_jaccard_prefix", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_jaccard_exact", "dedup_components", "curate_semdedup",
-    "curate_incremental_dedup", "sim_recall_ann", "sim_topk_ivfpq",
+    "curate_semantic_dedup", "curate_incremental_dedup",
+    "curate_incremental_semantic", "sim_recall_ann", "sim_topk_ivfpq",
     "text_substring_dedup", "text_dup_spans", "text_tfidf_top",
     "curate_quality_classifier", "pipeline_pack_shards", "pipeline_curate_v3",
     "q01_pricing_summary", "q05_region_nation_revenue")
