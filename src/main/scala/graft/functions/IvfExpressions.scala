@@ -204,17 +204,57 @@ case class NearestCentroids(child: Expression,
 }
 
 object NearestCentroids {
-  // One broadcast per (model Seq, context): the IVF ops build assign AND
-  // probe expressions from the SAME trained-model instance (often several
-  // serve calls deep — sim_recall_ann scores three IVF paths off one
-  // fit), and re-broadcasting per expression would both duplicate the
-  // shipped bytes and break the case-class equality two same-model
-  // expressions had under the old structural design (Broadcast equality
-  // is by reference). Weak keys: the cache must not pin models the
-  // caller dropped.
-  private val cache =
-    new java.util.WeakHashMap[Seq[(Int, Array[Double])],
-      (org.apache.spark.SparkContext, Broadcast[CentroidModel])]
+  /** Cache key with CONTENT equality — ids plus vector values, hashCode
+    * precomputed once. The r17 weak-keyed map keyed on the raw
+    * `Seq[(Int, Array[Double])]`, whose hashCode hashes the arrays by
+    * IDENTITY: two ModelIO loads of the same model file missed each
+    * other and re-broadcast (VERDICT r17 #3). Structural keys make
+    * every load of the same model hit one broadcast.
+    */
+  private final class ModelKey(m: Seq[(Int, Array[Double])]) {
+    private val ids: Array[Int] = m.map(_._1).toArray
+    private val vecs: Array[Array[Double]] = m.map(_._2).toArray
+    override val hashCode: Int = {
+      var h = java.util.Arrays.hashCode(ids)
+      var i = 0
+      while (i < vecs.length) {
+        h = 31 * h + java.util.Arrays.hashCode(vecs(i)); i += 1
+      }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: ModelKey =>
+        java.util.Arrays.equals(ids, k.ids) && vecs.length == k.vecs.length && {
+          var i = 0; var eq = true
+          while (eq && i < vecs.length) {
+            eq = java.util.Arrays.equals(vecs(i), k.vecs(i)); i += 1
+          }
+          eq
+        }
+      case _ => false
+    }
+  }
+
+  private val MaxCached = 16
+
+  // One broadcast per model CONTENT per context: the IVF ops build
+  // assign AND probe expressions from the same trained model (often
+  // several serve calls deep — sim_recall_ann scores three IVF paths
+  // off one fit), and ModelIO re-loads produce structurally-equal
+  // models that must reuse the shipped bytes, not duplicate them.
+  // Bounded LRU instead of weak keys: a content key has no external
+  // strong referent to keep a WeakHashMap entry alive, so the bound is
+  // the anti-pinning mechanism — an evicted entry merely drops the
+  // cache's reference and ContextCleaner reclaims the broadcast once no
+  // live plan holds it. 16 models ≈ a few hundred MB at the largest
+  // √N-sized quantizer, driver-side only.
+  private val cache = new java.util.LinkedHashMap[ModelKey,
+      (org.apache.spark.SparkContext, Broadcast[CentroidModel])](
+      MaxCached, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[ModelKey,
+        (org.apache.spark.SparkContext, Broadcast[CentroidModel])]): Boolean =
+      size() > MaxCached
+  }
 
   /** Broadcast-and-wrap constructor: the trained model is driver-side
     * `Seq[(id, vec)]` everywhere upstream (Lloyd's output, ModelIO
@@ -225,12 +265,13 @@ object NearestCentroids {
   def apply(child: Expression, centroids: Seq[(Int, Array[Double])],
       take: Int): NearestCentroids = {
     val sc = SparkSession.active.sparkContext
+    val key = new ModelKey(centroids)
     val bc = cache.synchronized {
-      cache.get(centroids) match {
+      cache.get(key) match {
         case (`sc`, b) if !sc.isStopped => b
         case _ =>
           val b = sc.broadcast(CentroidModel(centroids))
-          cache.put(centroids, (sc, b))
+          cache.put(key, (sc, b))
           b
       }
     }

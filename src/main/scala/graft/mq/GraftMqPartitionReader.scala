@@ -84,24 +84,37 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
   /** One chunk fetch under the `pollTimeoutMs` latency bound — the Kafka
     * consumer contract the reference README documents (README.md:535 calls
     * `consumer.get(..., pollTimeoutMs, ...)` per record fetch; README.md:654
-    * specifies a TimeoutException past the bound). The in-memory broker has
-    * no async poll to await, so the bound is enforced as fetch-duration
-    * accounting: a fetch that took longer than the timeout (broker
-    * contention — injected via `TopicState.injectFetchDelay` in tests, a
-    * genuinely slow remote broker in a networked backend) throws
-    * [[MqPollTimeoutException]] and fails the task loudly. The task's
+    * specifies a TimeoutException past the bound). The bound is a TRUE
+    * asynchronous wait, not post-hoc accounting (r18 — the r17 form
+    * measured elapsed time after the fetch RETURNED, so a fetch that
+    * never returns hung the task forever, the exact failure the README
+    * contract exists to prevent): the broker call runs on a daemon
+    * fetch thread and the task awaits at most `pollTimeoutMs`, so a
+    * slow-under-bound fetch (contention — injected via
+    * `TopicState.injectFetchDelay` in tests, a genuinely slow remote
+    * broker in a networked backend) delivers normally, while a
+    * past-bound or outright HUNG fetch throws [[MqPollTimeoutException]]
+    * at the bound and interrupts the stranded fetch thread. The task's
     * offset range is immutable, so a retry re-reads the same range —
-    * latency can delay or fail a batch, never corrupt one (spec-pinned).
+    * latency can delay or fail a batch, never corrupt one (spec-pinned
+    * on both sides of the bound, including an indefinite stall).
     */
   private def timedRead(topic: InMemoryMqBroker.TopicState, from: Long, until: Long): IndexedSeq[MqMessage] = {
-    val t0 = System.nanoTime()
-    val r = topic.read(p.partition, from, until)
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    if (elapsedMs > p.opts.pollTimeoutMs)
-      throw new MqPollTimeoutException(
-        s"graft-mq: fetch on ${p.topic}-${p.partition} [$from, $until) took " +
-          s"$elapsedMs ms > pollTimeoutMs=${p.opts.pollTimeoutMs}")
-    r
+    val fut = MqMessageCursor.fetchPool.submit(
+      new java.util.concurrent.Callable[IndexedSeq[MqMessage]] {
+        override def call(): IndexedSeq[MqMessage] =
+          topic.read(p.partition, from, until)
+      })
+    try fut.get(p.opts.pollTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true) // interrupt the stranded fetch; it must not leak a pool thread
+        throw new MqPollTimeoutException(
+          s"graft-mq: fetch on ${p.topic}-${p.partition} [$from, $until) did not " +
+            s"complete within pollTimeoutMs=${p.opts.pollTimeoutMs} ms")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause // broker exceptions (e.g. offset-out-of-range) unwrap verbatim
+    }
   }
 
   private def brokerMessageAt(o: Long): MqMessage = {
@@ -127,6 +140,20 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
     }
     chunk((offset - chunkStart).toInt)
   }
+}
+
+private[mq] object MqMessageCursor {
+  /** Shared fetch pool for the `pollTimeoutMs` bound: cached (a healthy
+    * reader reuses one thread per task; a cancelled hung fetch's thread
+    * is replaced), daemon (fetch threads must never block JVM exit).
+    */
+  private[mq] val fetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-mq-fetch"); t.setDaemon(true); t
+        }
+      })
 }
 
 /** Bounded executor-side reader over `[from, until)`.

@@ -31,12 +31,14 @@ import org.apache.spark.sql.functions._
   *    is reproduced exactly (a base near-dup pair's two texts get the
   *    same suffixing, preserving their Jaccard). `n_chars` is recomputed.
   *  - `embeddings.embedding`: replica k circularly rotates the vector by
-  *    k·7 positions. Rotation is an orthogonal map, so WITHIN a replica
+  *    k·stride positions, stride = the smallest s ≥ 7 coprime to the
+  *    corpus's dims (derived at build time — 7 for the 64-dim test
+  *    corpora). Rotation is an orthogonal map, so WITHIN a replica
   *    every cosine is preserved bit-for-bit structurally (the dup/ANN
   *    topology of the base corpus repeats per replica) while
   *    cross-replica cosines are scrambled below any dedup threshold.
-  *    The rotation alone has period dims (gcd(7, 64) = 1 ⇒ 64 distinct
-  *    shifts for 64-dim vectors), so past factor = dims a second
+  *    Coprimality gives the rotation alone period dims (dims distinct
+  *    shifts for dims-dim vectors), so past factor = dims a second
   *    orthogonal layer keeps replicas distinct: replicas in rotation
   *    block b = k div dims (b > 0) also flip each dimension's sign by a
   *    hash of (b, i). Sign flips preserve within-replica dots EXACTLY
@@ -83,11 +85,15 @@ object MakeSf {
         .forEach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(out)
-    // The marker records the build parameters so a consumer reusing the
-    // directory (LinearProbe --reuse) can verify it matches its ask.
+    // Ownership marker up front (so a crashed build's directory is still
+    // wipe-safe on retry) — but the base=/factor= parameter lines a
+    // consumer matches against (LinearProbe --reuse) are appended only
+    // AFTER the table-build loop completes: an interrupted build leaves a
+    // marker that owns the directory without attesting to its contents,
+    // so --reuse rejects it and rebuilds instead of benching a partial
+    // corpus.
     Files.writeString(marker,
-      s"scaled test-data directory written by graft.tools.MakeSf\n" +
-        s"base=${Paths.get(baseDir).toAbsolutePath.normalize()}\nfactor=$factor\n")
+      "scaled test-data directory written by graft.tools.MakeSf\n")
 
     val base = Paths.get(baseDir).toAbsolutePath.normalize()
     val listing = Files.list(base)
@@ -98,6 +104,19 @@ object MakeSf {
 
     keyShifts.foreach { case (table, shiftCols) =>
       val df = spark.read.parquet(s"$baseDir/$table")
+      if (table == "documents.parquet") {
+        // The cross-replica disjointness argument assumes NO base token
+        // already ends in ~<digits>: replica 0 keeps "foo~2" verbatim
+        // while replica 2 turns "foo" into "foo~2", silently
+        // reintroducing cross-replica dup candidates and bending the
+        // linear-workload guarantee the probe ratios rely on. Escaping
+        // would break replica 0's verbatim contract, so assert instead.
+        val tainted = df.filter(col("text").rlike("~\\d+(\\s|$)")).count()
+        require(tainted == 0L,
+          s"MakeSf: $tainted base document(s) contain tokens ending in " +
+            "~<digits> — the replica-suffix scheme cannot guarantee " +
+            "cross-replica disjointness on this corpus")
+      }
       val exploded = df.select(
         explode(array((0 until factor).map(lit): _*)).as("_k"), col("*"))
       val shifted = shiftCols.foldLeft(exploded) { (d, c) =>
@@ -113,9 +132,25 @@ object MakeSf {
                 concat(lit("$1~"), col("_k").cast("string")))))
             .withColumn("n_chars", length(col("text")).cast("long"))
         case "embeddings.parquet" =>
-          // Circular rotation by k*7 (mod dims); k=0 is the identity.
+          // Circular rotation by k*stride (mod dims); k=0 is the
+          // identity. The rotation has period dims only when
+          // gcd(stride, dims) = 1 — otherwise replicas k and
+          // k + dims/gcd inside the same sign block are byte-identical,
+          // creating cross-replica exact duplicates the scaladoc's
+          // linearity claim forbids. So the stride is DERIVED at build
+          // time: the smallest s >= 7 coprime to the corpus's actual
+          // dims (7 for the 64-dim test corpora, preserving existing
+          // built dirs byte-for-byte).
+          val dimBounds = df.agg(min(size(col("embedding"))),
+            max(size(col("embedding")))).head
+          val dimsVal = dimBounds.getInt(0)
+          require(dimsVal == dimBounds.getInt(1) && dimsVal >= 1,
+            s"MakeSf: embeddings have mixed dims [${dimBounds.getInt(0)}, " +
+              s"${dimBounds.getInt(1)}] — the rotation scheme needs one width")
+          val stride = Iterator.from(7)
+            .find(s => BigInt(s).gcd(BigInt(dimsVal)) == 1).get
           val dims = size(col("embedding"))
-          val shift = pmod(col("_k") * 7, dims)
+          val shift = pmod(col("_k") * stride, dims)
           val rotated =
             when(shift === 0, col("embedding")).otherwise(
               concat(slice(col("embedding"), shift + 1, dims - shift),
@@ -136,6 +171,11 @@ object MakeSf {
         .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
     }
+    // Parameter attestation — only a COMPLETE build earns the lines
+    // LinearProbe --reuse matches on.
+    Files.writeString(marker,
+      s"base=${base}\nfactor=$factor\n",
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   def main(args: Array[String]): Unit = {

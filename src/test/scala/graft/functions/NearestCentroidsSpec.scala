@@ -163,4 +163,24 @@ class NearestCentroidsSpec extends SparkSuite {
     val ids = (0 until out.numElements()).map(i => out.getStruct(i, 2).getInt(1))
     assert(ids == Seq(7, 0, Int.MinValue))
   }
+
+  test("structurally-equal models share ONE broadcast (content-keyed cache)") {
+    // Two loads of the same model file produce structurally-equal but
+    // identity-distinct Seq/array instances; the r17 weak identity key
+    // missed and re-broadcast per load (VERDICT r17 #3). Deep-copy a
+    // model and require both expressions hold the same Broadcast id —
+    // and a genuinely DIFFERENT model must not collide.
+    val m1 = cents(8, 4)
+    val m2 = m1.map { case (id, v) => (id, v.clone()) }
+    def bcId(m: Seq[(Int, Array[Double])]): Long =
+      Bridge.expression(GraftFunctions.nearest_centroids(col("v"), m, 1))
+        .asInstanceOf[NearestCentroids].model.id
+    assert(bcId(m1) == bcId(m2),
+      "structurally-equal models broadcast twice — the cache key is identity-based")
+    val m3 = m1.map { case (id, v) =>
+      (id, v.clone()) } match {
+      case (id, v) +: rest => (id, { v(0) += 1.0; v }) +: rest
+    }
+    assert(bcId(m1) != bcId(m3), "distinct models collided in the broadcast cache")
+  }
 }
