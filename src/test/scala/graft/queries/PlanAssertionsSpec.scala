@@ -348,6 +348,61 @@ class PlanAssertionsSpec extends SparkSuite {
       s"text_top_boilerplate: expected per-partition top-k heaps:\n$p")
   }
 
+  test("incremental semantic serve: vector attach joins are shuffled-hash, never sort-merge") {
+    // The r17 fix's measured alternative (VERDICT r17 #1): without the
+    // shuffle_hash hints the two candidate→vector attach joins plan as
+    // SMJ, which SORTS the candidate stream twice — the second time
+    // carrying a 64-double payload — at batch×density volume (216 s and
+    // ~40 GB of sort spill at the ×100 probe vs 61 s hashed). The hints
+    // are best-effort, so pin the EXECUTED shape: both attaches must be
+    // ShuffledHashJoin, and no sort-merge may ever key on the candidate
+    // pair's id columns anywhere in the serve.
+    for (q <- Seq("curate_incremental_semantic", "curate_incremental_append_semantic")) {
+      GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
+      val p = allExecutedPlans(q).mkString("\n===\n")
+      assert("ShuffledHashJoin \\[new_id".r.findFirstIn(p).isDefined,
+        s"$q: new-side vector attach is no longer a shuffled-hash join:\n$p")
+      assert("ShuffledHashJoin \\[ref_id".r.findFirstIn(p).isDefined,
+        s"$q: ref-side vector attach is no longer a shuffled-hash join:\n$p")
+      assert("SortMergeJoin \\[(new_id|ref_id)".r.findFirstIn(p).isEmpty,
+        s"$q: a sort-merge join crept onto the candidate id columns:\n$p")
+    }
+  }
+
+  test("symmetric embedding pair ops: cosine verify runs inside the bucket join, in-stage") {
+    // The single biggest scale win in the repo (r17, found by the ×100
+    // probe): vectors CARRY THROUGH the bucket self-join and the
+    // threshold cosine evaluates on the join output in the same stage —
+    // Catalyst pushes it into the join CONDITION itself — so only
+    // answer-sized survivors ever reach an exchange. The pre-r17 shape
+    // (bare-pair distinct + two vector-attach joins + cosine filter
+    // after) shuffled the N^1.5/quadratic-in-density candidate stream
+    // three times with vector payloads (~80 GB spill, run death at
+    // ×100). Discriminator: in the fixed shape the pair-threshold
+    // cosine_sim sits in a join keyed on the BUCKET columns; in the
+    // regressed shape it sits above (or inside) id-keyed attach joins
+    // and the bucket join carries no cosine at all.
+    for ((q, bucketKey) <- Seq("dedup_embedding_pairs" -> "band",
+        "curate_semantic_dedup" -> "band", "curate_semdedup" -> "list_id")) {
+      GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
+      val p = allExecutedPlans(q).mkString("\n===\n")
+      assert(("(?m)Join \\[" + bucketKey + "#.*cosine_sim\\(").r.findFirstIn(p).isDefined,
+        s"$q: the threshold cosine no longer evaluates inside the " +
+          s"$bucketKey-keyed candidate join — the carry-through shape regressed:\n$p")
+      // Belt-and-suspenders for a planner that stops pushing the
+      // predicate into join conditions: a STANDALONE cross-attribute
+      // cosine filter is only legal directly above a bucket-keyed join,
+      // never above id-keyed attach joins. Self-cosine filters
+      // (cosine_sim(v, v) — the within-class eligibility test) are fine.
+      val crossAttrFilter = ("(?m)Filter [^\\n]*cosine_sim\\((\\w+#\\d+)[^,]*, " +
+        "(\\w+#\\d+)").r
+      val bad = crossAttrFilter.findAllMatchIn(p).filter(m => m.group(1) != m.group(2))
+      assert(bad.isEmpty,
+        s"$q: a standalone cross-attribute cosine filter appeared — check it still " +
+          s"sits on the bucket join's output, not above attach joins:\n$p")
+    }
+  }
+
   test("curate_dsir_weights: bucket model broadcast — corpus never shuffles against it") {
     // The model is `buckets` rows; the per-doc join must broadcast it.
     // The only corpus-scale shuffle is the (doc, bucket) partial count.
