@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -122,4 +122,55 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** sorted_intersect_atleast(array<long>, array<long>, int need) → int.
+  *
+  * [[SortedIntersectCount]] with EARLY TERMINATION at a required
+  * minimum: returns the exact intersection size when it is ≥ `need`,
+  * or -1 as soon as the remaining merge provably cannot reach `need`
+  * (count so far + min(remaining) < need). The PPJoin-family verify
+  * kernel: a candidate pair only matters if its overlap clears the
+  * threshold's equivalent-overlap bound α, and for a dissimilar pair
+  * the merge discovers that about halfway through instead of paying
+  * the full O(n_a + n_b). This is the role PPJoin+'s suffix filter
+  * plays (Xiao et al. 2008 §4) — in the DataFrame formulation the
+  * arrays are already attached when verification runs, so a bounded
+  * merge strictly dominates a separate divide-and-conquer suffix
+  * probe followed by the full merge the survivors still need.
+  * Callers must treat any negative result as "below threshold"; the
+  * exact sub-`need` count is never computed.
+  */
+case class SortedIntersectAtLeast(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_atleast"
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+
+  override def nullSafeEval(l: Any, r: Any, m: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val need = m.asInstanceOf[Int]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    // Same null-element skip as SortedIntersectCount: a null is no
+    // value; it matches nothing and never counts toward the bound.
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < need) return -1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+    }
+    if (c >= need) c else -1
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }

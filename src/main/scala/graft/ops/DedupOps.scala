@@ -766,13 +766,52 @@ object DedupOps {
     }
   }
 
-  /** Exact Jaccard pairs with prefix filtering (PPJoin family): under a
-    * fixed global total order on shingles, two sets with Jaccard ≥ t MUST
-    * share a shingle within each set's first `n − ceil(t·n) + 1` shingles,
-    * and their sizes must satisfy `t ≤ min(n)/max(n)`. Indexing only
-    * prefixes (and joining under the length filter) shrinks the candidate
-    * join while staying EXACT: candidates are verified with the full
-    * `|∩|/|∪|`.
+  /** Exact Jaccard pairs with PPJoin-family prefix filtering (Xiao et
+    * al. 2008): under a fixed global total order on shingles, two sets
+    * with Jaccard ≥ t MUST share a shingle within bounded prefixes, and
+    * their sizes must satisfy `t ≤ min(n)/max(n)`. Indexing only
+    * prefixes (and joining under the length, role, and positional
+    * filters below) shrinks the candidate join while staying EXACT:
+    * candidates are verified with the full `|∩|/|∪|`.
+    *
+    * Three candidate filters beyond the basic prefix join (r18 — the
+    * prefix-only formulation was the registry's priciest row and the
+    * closest to its ×100 probe ceiling):
+    *
+    *  - SIZE-ROLE PREFIXES: every pair is generated with its SMALLER set
+    *    probing and its larger set indexed ((n, id)-lexicographic role).
+    *    The smaller side's overlap bound is α = ceil(2t/(1+t)·n), so its
+    *    probing prefix shrinks from `n − ceil(t·n) + 1` to
+    *    `n − ceil(2t/(1+t)·n) + 1` (at t = 0.5: n/3 + 1 vs n/2 + 1) —
+    *    the candidate space is (mid-prefix × standard-prefix), not
+    *    (standard × standard).
+    *  - POSITIONAL / CANDIDATE-MAP FILTER: the pair distinct becomes a
+    *    same-key groupBy carrying (match count mc, first/last matched
+    *    positions), and two overlap upper bounds prune post-agg:
+    *    `mc + min(n_a − last_a, n_b − last_b)` (every common element
+    *    NOT matched in the prefixes exceeds the last matched value —
+    *    it would otherwise be a prefix×prefix match itself — so it
+    *    sits after BOTH last positions) and
+    *    `min(first_a, first_b) + min(n_a − first_a, n_b − first_b)`
+    *    (common elements below the first matched value precede both
+    *    positions, those above follow both). Exact: both bounds
+    *    dominate the true overlap, and the bound-to-jaccard comparison
+    *    reuses the verify's own round(·, 6) ≥ t test, so monotonicity
+    *    never drops a true pair. The bounds deliberately do NOT run as
+    *    per-row join filters: dropping individual match rows would
+    *    undercount mc and silently invalidate the map bound.
+    *  - EARLY-TERMINATING VERIFY: survivors verify with
+    *    [[graft.functions.SortedIntersectAtLeast]] — the linear merge
+    *    bails (result -1, filtered by the shared threshold tail) the
+    *    moment the remaining elements cannot reach the pair's required
+    *    overlap α. This is PPJoin+'s suffix-filter role: with arrays
+    *    already attached, a bounded merge strictly dominates a separate
+    *    suffix probe plus the full merge survivors still need.
+    *
+    * All bound arithmetic uses t′ = t − 10⁻⁶: the verify admits pairs
+    * whose round(j, 6) crosses t from below, so every filter must too —
+    * the slack only ADMITS boundary candidates, never drops one, and the
+    * exact verify settles them.
     *
     * The global order here is `fnv64(shingle)` ascending — a fixed
     * pseudo-random order every document computes LOCALLY, so the prefix is
@@ -780,8 +819,8 @@ object DedupOps {
     * candidate join. (Classic PPJoin orders by document frequency to make
     * prefixes maximally rare, but that needs a full inverted-index shuffle
     * plus a per-doc ranking pass — measured at sf0.1 the ranking cost an
-    * order of magnitude more than the candidates it saved; the theorem
-    * holds under ANY fixed total order, so the cheap order wins at every
+    * order of magnitude more than the candidates it saved; the theorems
+    * hold under ANY fixed total order, so the cheap order wins at every
     * scale until candidate volume, not ranking, dominates.) Hash
     * collisions could only merge two order keys (~|shingles|²/2⁶⁵ odds);
     * candidates are verified exactly either way, and the join key being
@@ -790,40 +829,80 @@ object DedupOps {
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1)
+    val t = threshold - 1e-6 // round(·,6)-verify slack; see scaladoc
+    val midFrac = 2 * t / (1 + t)
     withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
     val hashed = base.select(col("id"), size(col("sh")).as("n"),
       array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
-    // Keep each doc's prefix: its (n - ceil(t*n) + 1) smallest hashes.
-    // Persisted alongside hashed: both SIDES of the self-join consume it,
-    // and without the persist each side re-runs the fnv64 hash + sort of
-    // every document.
-    val prefixes = hashed.select(col("id"), col("n"),
-      explode(slice(col("hs"), lit(1),
-        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("shingle"))
+    // Standard (index-role) prefix with 1-based positions: each doc's
+    // (n - ceil(t*n) + 1) smallest hashes. The probe side filters this
+    // SAME cached frame down to the mid-prefix — one explode, two roles.
+    // (The -1e-9 inside ceil guards double rounding UP across an integer
+    // boundary, which would shorten a prefix illegally; rounding down
+    // only lengthens it.) Persisted alongside hashed: both sides of the
+    // self-join consume it, and without the persist each side re-runs
+    // the fnv64 hash + sort of every document.
+    val prefixes = hashed
+      .select(col("id"), col("n"), posexplode(slice(col("hs"), lit(1),
+        (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("pos"),
+        col("col").as("shingle"))
     Caching.withCached(hashed, prefixes) {
-    val a = prefixes.as("a"); val b = prefixes.as("b")
-    val candidates = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          // length filter: t <= min(n)/max(n)
-          least(col("a.n"), col("b.n")).cast("double")
-            >= greatest(col("a.n"), col("b.n")) * threshold)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    val probe = prefixes.filter(col("pos") <=
+      (col("n") - ceil(col("n") * midFrac - lit(1e-9)) + 1).cast("int"))
+    val a = probe.as("a"); val b = prefixes.as("b")
+    // Join under the per-PAIR filters only (role + length — constant
+    // across a pair's match rows, so dropping is always sound); the
+    // positional bounds need the pair's FULL match statistics and run
+    // after the groupBy that replaces the old bare-pair distinct (same
+    // shuffle key, five small ints of carry instead of dedupe-only).
+    val matches = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+          // role: the probe is the strictly-smaller set (id breaks ties)
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
+          // length filter: t <= n_a/n_b (a is the smaller by role)
+          col("a.n").cast("double") >= col("b.n") * t)
+      .groupBy(col("a.id").as("id_s"), col("b.id").as("id_l"),
+        col("a.n").as("n_s"), col("b.n").as("n_l"))
+      .agg(count(lit(1)).as("mc"),
+        min(col("a.pos")).as("fps"), min(col("b.pos")).as("fpl"),
+        max(col("a.pos")).as("lps"), max(col("b.pos")).as("lpl"))
+    // Both overlap upper bounds, phrased as the verify's own jaccard
+    // test (monotone in the overlap, so never drops a true pair).
+    def jaccardUpper(u: Column) =
+      round(u.cast("double") / (col("n_s") + col("n_l") - u), 6) >= threshold
+    val mapBound = col("mc") +
+      least(col("n_s") - col("lps"), col("n_l") - col("lpl"))
+    val firstBound = least(col("fps"), col("fpl")) +
+      least(col("n_s") - col("fps"), col("n_l") - col("fpl"))
+    val candidates = matches
+      .filter(jaccardUpper(mapBound) && jaccardUpper(firstBound))
+      .select(least(col("id_s"), col("id_l")).as("doc_a"),
+        greatest(col("id_s"), col("id_l")).as("doc_b"))
     // Verify on the per-doc SORTED hash arrays (computed once, broadcast-
-    // sized): |∩| by linear merge, |∪| = n_a + n_b − |∩|. At a permissive
-    // threshold the prefix join admits ~1700× more candidates than
-    // survivors, so per-pair verify cost dominates the whole operator —
-    // string-array array_intersect here measured 15 s at sf0.1 vs ~2 s
-    // for the primitive merge. Same 64-bit collision trade as the
-    // jaccardPairs join key (~|shingles|²/2⁶⁵), which the string verify
-    // this replaces did not share — accepted for the identical reason.
+    // sized): |∩| by early-terminating merge against the pair's required
+    // overlap α = ceil(t(n_a+n_b)/(1+t)), |∪| = n_a + n_b − |∩|. Even
+    // with the candidate-map bounds (2.1× fewer verified pairs than the
+    // r17 prefix-only formulation at sf0.1: 428k → 204k) the join admits
+    // far more candidates than survivors, so per-pair verify cost
+    // dominates the whole operator — string-array array_intersect here
+    // measured 15 s at sf0.1 vs ~2 s for the primitive merge, and the α
+    // bail-out cuts the merge short on the dissimilar majority. Same
+    // 64-bit collision trade as the jaccardPairs join key
+    // (~|shingles|²/2⁶⁵), which the string verify this replaces did not
+    // share — accepted for the identical reason. A -1 bail-out yields a
+    // negative jaccard in the shared tail and is filtered with the
+    // sub-threshold pairs.
     jaccardFromCounts(candidates
       .join(hashed.select(col("id").as("doc_a"), col("n").as("n_a"),
         col("hs").as("hs_a")), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("n").as("n_b"),
         col("hs").as("hs_b")), "doc_b")
-      .withColumn("n_inter",
-        GraftFunctions.sorted_intersect_count(col("hs_a"), col("hs_b"))),
+      .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
+        col("hs_a"), col("hs_b"),
+        ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))
+          .cast("int"))),
       threshold)
     }
     }

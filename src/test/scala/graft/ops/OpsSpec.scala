@@ -55,6 +55,31 @@ class OpsSpec extends SparkSuite {
         s"extra ${(prefix -- exact).size}")
   }
 
+  test("PPJoin filters (size-role prefixes, positional, α-bail verify) stay exact across thresholds") {
+    // The r18 candidate filters all carry exactness proofs keyed to
+    // prefix-length and overlap-bound arithmetic that rounds per (n,
+    // threshold); sweep thresholds (including ones where t·n and
+    // 2t/(1+t)·n land ON integer boundaries — the double-rounding edge
+    // the -1e-9 guards) over a deterministic corpus of tiny-to-mid
+    // random token bags, where every boundary case (n=1, equal sizes,
+    // overlap exactly α) actually occurs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    val docs = (1L to 160L).map { id =>
+      val len = 3 + rnd.nextInt(24)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.25, 1.0 / 3, 0.5, 2.0 / 3, 0.75, 0.9, 1.0)) {
+      val exact = DedupOps.jaccardPairs(docs, threshold = t)
+        .select("doc_a", "doc_b", "jaccard").collect().toSet
+      val prefix = DedupOps.jaccardPairsPrefix(docs, threshold = t)
+        .select("doc_a", "doc_b", "jaccard").collect().toSet
+      assert(prefix == exact,
+        s"t=$t: missed ${(exact -- prefix).size}, extra ${(prefix -- exact).size}")
+    }
+  }
+
   test("trainBpeMerges == reference word-type BPE trainer, incl. overlap counting and ties") {
     import spark.implicits._
     // Reference implementation: word-type BPE over (word -> freq), pairs

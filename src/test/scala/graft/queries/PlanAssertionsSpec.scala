@@ -256,7 +256,7 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(winnow.contains("winnow_fps60"), winnow)
     val prefix = allExecutedPlans("dedup_jaccard_prefix").mkString("\n===\n")
     assert(prefix.contains("word_shingles"), prefix)
-    assert(prefix.contains("sorted_intersect_count"), prefix)
+    assert(prefix.contains("sorted_intersect_atleast"), prefix) // α-bailing merge (r18)
     assert(!prefix.contains("array_intersect"), prefix)
   }
 
