@@ -63,8 +63,11 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
   private var offset = p.from
   // Broker reads are chunked so a huge range doesn't materialize at once.
   private val ChunkSize = 4096
-  private var chunk: IndexedSeq[MqMessage] = IndexedSeq.empty
-  private var chunkStart = p.from
+  // Pooled broker session + fetched-data cache, borrowed lazily on the
+  // first broker access (the generated backend never borrows) and
+  // returned — buffer intact — in [[close]]. See [[MqConsumerPool]] for
+  // the reference contract (README.md:565-587).
+  private var consumer: MqConsumer = null
 
   /** Offset of the message most recently returned by [[advance]]. */
   def lastOffset: Long = offset - 1
@@ -81,79 +84,58 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
     m
   }
 
-  /** One chunk fetch under the `pollTimeoutMs` latency bound — the Kafka
-    * consumer contract the reference README documents (README.md:535 calls
-    * `consumer.get(..., pollTimeoutMs, ...)` per record fetch; README.md:654
-    * specifies a TimeoutException past the bound). The bound is a TRUE
-    * asynchronous wait, not post-hoc accounting (r18 — the r17 form
-    * measured elapsed time after the fetch RETURNED, so a fetch that
-    * never returns hung the task forever, the exact failure the README
-    * contract exists to prevent): the broker call runs on a daemon
-    * fetch thread and the task awaits at most `pollTimeoutMs`, so a
-    * slow-under-bound fetch (contention — injected via
-    * `TopicState.injectFetchDelay` in tests, a genuinely slow remote
-    * broker in a networked backend) delivers normally, while a
-    * past-bound or outright HUNG fetch throws [[MqPollTimeoutException]]
-    * at the bound and interrupts the stranded fetch thread. The task's
-    * offset range is immutable, so a retry re-reads the same range —
-    * latency can delay or fail a batch, never corrupt one (spec-pinned
-    * on both sides of the bound, including an indefinite stall).
+  /** One consumer refill, invalidating the consumer on ANY fetch failure
+    * (timeout, data-loss abort): a consumer that threw never re-enters
+    * the pool — the reference's `releaseConsumer()` in the fetch error
+    * handler (README.md:618-623).
     */
-  private def timedRead(topic: InMemoryMqBroker.TopicState, from: Long, until: Long): IndexedSeq[MqMessage] = {
-    val fut = MqMessageCursor.fetchPool.submit(
-      new java.util.concurrent.Callable[IndexedSeq[MqMessage]] {
-        override def call(): IndexedSeq[MqMessage] =
-          topic.read(p.partition, from, until)
-      })
-    try fut.get(p.opts.pollTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  private def refillAt(from: Long): Int =
+    try consumer.refill(from, ChunkSize, p.opts.pollTimeoutMs)
     catch {
-      case _: java.util.concurrent.TimeoutException =>
-        fut.cancel(true) // interrupt the stranded fetch; it must not leak a pool thread
-        throw new MqPollTimeoutException(
-          s"graft-mq: fetch on ${p.topic}-${p.partition} [$from, $until) did not " +
-            s"complete within pollTimeoutMs=${p.opts.pollTimeoutMs} ms")
-      case e: java.util.concurrent.ExecutionException =>
-        throw e.getCause // broker exceptions (e.g. offset-out-of-range) unwrap verbatim
+      case e: Throwable =>
+        MqConsumerPool.invalidate(consumer)
+        consumer = null
+        throw e
     }
-  }
 
   private def brokerMessageAt(o: Long): MqMessage = {
-    if (o >= chunkStart + chunk.size || o < chunkStart) {
-      val topic = InMemoryMqBroker.get(p.topic).getOrElse {
-        throw new IllegalStateException(s"graft-mq: topic '${p.topic}' not found on executor")
-      }
-      chunkStart = o
-      chunk =
-        try timedRead(topic, o, math.min(p.until, o + ChunkSize))
-        catch {
-          case e: MqOffsetOutOfRangeException if !p.opts.failOnDataLoss =>
-            // failOnDataLoss=false: skip the lost range, resume at earliest
-            // retained (README.md:642-645 semantics).
-            logWarning(s"graft-mq: data loss on ${p.topic}-${p.partition}: ${e.getMessage}; skipping")
-            val earliest = topic.earliestOffsets(p.partition)
-            chunkStart = math.max(o, earliest)
-            if (chunkStart >= p.until) IndexedSeq.empty
-            else timedRead(topic, chunkStart, math.min(p.until, chunkStart + ChunkSize))
-        }
-      offset = chunkStart
-      if (chunk.isEmpty) return null
+    if (consumer == null) consumer = MqConsumerPool.borrow(p.topic, p.partition)
+    val hit = consumer.cached(o)
+    if (hit != null) {
+      // Served from the buffer a previous task on this partition left
+      // behind (or this task's own last refill) — zero broker calls.
+      consumer.stats.bufferHits.incrementAndGet()
+      return hit
     }
-    chunk((offset - chunkStart).toInt)
+    var from = o
+    val n =
+      try refillAt(from)
+      catch {
+        case e: MqOffsetOutOfRangeException if !p.opts.failOnDataLoss =>
+          // failOnDataLoss=false: skip the lost range, resume at earliest
+          // retained (README.md:642-645 semantics). refillAt dropped the
+          // poisoned consumer; borrow a fresh one for the resume fetch.
+          logWarning(s"graft-mq: data loss on ${p.topic}-${p.partition}: ${e.getMessage}; skipping")
+          consumer = MqConsumerPool.borrow(p.topic, p.partition)
+          from = math.max(o, consumer.earliestOffset)
+          if (from >= p.until) { offset = from; return null }
+          refillAt(from)
+      }
+    offset = from
+    if (n == 0) null else consumer.cached(from)
   }
-}
 
-private[mq] object MqMessageCursor {
-  /** Shared fetch pool for the `pollTimeoutMs` bound: cached (a healthy
-    * reader reuses one thread per task; a cancelled hung fetch's thread
-    * is replaced), daemon (fetch threads must never block JVM exit).
+  /** Return the borrowed consumer — buffer intact — to the executor-side
+    * pool: the reference's `consumer.release()` in the reader's `close()`
+    * (README.md:556-559). The retained buffer is what lets the NEXT
+    * micro-batch's task on this partition start without a broker fetch.
     */
-  private[mq] val fetchPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newCachedThreadPool(
-      new java.util.concurrent.ThreadFactory {
-        override def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, "graft-mq-fetch"); t.setDaemon(true); t
-        }
-      })
+  def close(): Unit = {
+    if (consumer != null) {
+      MqConsumerPool.release(consumer)
+      consumer = null
+    }
+  }
 }
 
 /** Bounded executor-side reader over `[from, until)`.
@@ -235,7 +217,7 @@ class GraftMqPartitionReader(p: GraftMqInputPartition, readSchema: StructType)
     new GenericInternalRow(vals)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = cursor.close()
 }
 
 /** Vectorized reader: fills on-heap column vectors in `BatchSize`-row
@@ -305,7 +287,10 @@ class GraftMqColumnarPartitionReader(p: GraftMqInputPartition, readSchema: Struc
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
 
-  override def close(): Unit = batch.close()
+  override def close(): Unit = {
+    cursor.close()
+    batch.close()
+  }
 }
 
 /** Pure-function payload generator: message at (seed, partition, offset) is

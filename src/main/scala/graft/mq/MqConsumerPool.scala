@@ -1,0 +1,235 @@
+package graft.mq
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.internal.Logging
+
+/** Executor-side pooled consumer for one (topic, partition): a broker
+  * session handle plus its fetched-data cache — the roles
+  * `InternalKafkaConsumer` and `FetchedData` play in the reference's
+  * connector walkthrough (/root/reference/README.md:565-587: consumers
+  * wrap `KafkaConsumer.assign(TopicPartition)` and are cached in an
+  * `InternalKafkaConsumerPool` built on `GenericKeyedObjectPool`;
+  * README.md:590-596: each poll may return more data than the current
+  * fetch needs, so the surplus is buffered and served first on the next
+  * fetch).
+  *
+  * Why this matters even with an in-memory broker: a micro-batch trigger
+  * plans one task per partition range, and WITHOUT a pool every task
+  * re-resolves its session and starts with a cold buffer — at Kafka
+  * scale that is a connect+assign+seek round trip per partition per
+  * trigger (the cost the reference's pool amortizes), and even here it
+  * is one broker fetch per trigger that the retained buffer makes
+  * unnecessary. A pooled consumer OVER-FETCHES past the task's `until`
+  * bound (Kafka `poll` semantics — the broker clamps at its log end, the
+  * range contract is enforced by the cursor, not the fetch), so when the
+  * next trigger's task for the same partition resumes at exactly the
+  * previous `until`, its first messages are already buffered and the
+  * trigger pays ZERO broker round trips until the buffer drains
+  * (spec-pinned: MqConsumerPoolSpec counts fetches across triggers).
+  *
+  * Consistency contract of the cache (same as the reference's
+  * FetchedData): buffered messages were valid when fetched; a retention
+  * truncation that overtakes an offset AFTER it was buffered does not
+  * retro-invalidate the buffer. Data-loss detection applies at fetch
+  * time — exactly when the reference's `fetchRecord` raises
+  * `OffsetOutOfRangeException` (README.md:618-629).
+  */
+final class MqConsumer private[mq] (
+    val topic: String,
+    val partition: Int,
+    private[mq] val state: InMemoryMqBroker.TopicState) {
+
+  private[mq] val stats: MqPoolStats = MqConsumerPool.stats(topic, partition)
+
+  private var chunk: IndexedSeq[MqMessage] = IndexedSeq.empty
+  private var chunkStart: Long = 0L
+
+  /** The buffered message at `o`, or null if `o` is outside the cache. */
+  def cached(o: Long): MqMessage =
+    if (o >= chunkStart && o < chunkStart + chunk.size) chunk((o - chunkStart).toInt)
+    else null
+
+  /** Earliest retained offset — the `failOnDataLoss=false` resume point. */
+  def earliestOffset: Long = state.earliestOffsets(partition)
+
+  /** Refill the cache with `[from, from + chunkSize)` under the
+    * `pollTimeoutMs` bound. Deliberately NOT clamped to the task's
+    * `until`: the surplus past the range bound is this pool's payoff —
+    * it serves the next micro-batch's first fetch (the broker clamps at
+    * its own log end, so nothing is fabricated). Returns the number of
+    * messages now buffered from `from`.
+    */
+  def refill(from: Long, chunkSize: Int, pollTimeoutMs: Long): Int = {
+    val fetched = MqConsumerPool.timedRead(this, from, from + chunkSize, pollTimeoutMs)
+    chunkStart = from
+    chunk = fetched
+    stats.brokerFetches.incrementAndGet()
+    fetched.size
+  }
+}
+
+/** Per-(topic, partition) pool observability — monotone totals, keyed so
+  * concurrently-running suites (sbt runs suites in parallel in one JVM)
+  * cannot contaminate each other's assertions.
+  */
+final class MqPoolStats {
+  val created = new AtomicLong
+  val borrowed = new AtomicLong
+  val bufferHits = new AtomicLong
+  val brokerFetches = new AtomicLong
+  val invalidated = new AtomicLong
+  val evicted = new AtomicLong
+  val staleDiscards = new AtomicLong
+}
+
+/** JVM-wide (= executor-wide in local mode; per-executor on a cluster)
+  * keyed pool of [[MqConsumer]]s — the reference's
+  * `InternalKafkaConsumerPool` rebuilt without the commons-pool2
+  * dependency (README.md:565-587). Semantics kept:
+  *
+  *  - `borrow` is computeIfAbsent-grade (README.md:584): an idle
+  *    consumer for the key is reused, else a new one is created.
+  *    Concurrent tasks on the same partition (two queries over one
+  *    topic) each get their OWN consumer — a consumer's buffer position
+  *    is single-reader state, never shared.
+  *  - `release` returns the consumer — buffer intact — to the idle set;
+  *    idle retention is bounded per key and globally (oldest evicted
+  *    first), the role of commons-pool2's maxIdle/eviction policy.
+  *  - `invalidate` discards a poisoned consumer (fetch timeout,
+  *    data-loss abort) — the reference's `releaseConsumer()` inside the
+  *    `OffsetOutOfRangeException` handler (README.md:618-623).
+  *  - Staleness guard on borrow (commons-pool2 testOnBorrow): an idle
+  *    consumer whose session is no longer the live topic (topic dropped
+  *    and recreated — the in-memory analogue of a dead connection) is
+  *    discarded, never served.
+  */
+object MqConsumerPool extends Logging {
+
+  final case class Key(topic: String, partition: Int)
+
+  /** Idle consumers per key, most-recently-released last; total idle is
+    * also capped so one wide topic cannot pin unbounded buffers.
+    */
+  private val idle = mutable.LinkedHashMap.empty[Key, mutable.ArrayDeque[MqConsumer]]
+  private val MaxIdlePerKey = 2
+  private val MaxIdleTotal = 256
+
+  private val statsMap = new ConcurrentHashMap[Key, MqPoolStats]()
+
+  /** Monotone counters for (topic, partition) — created on first touch. */
+  def stats(topic: String, partition: Int): MqPoolStats =
+    statsMap.computeIfAbsent(Key(topic, partition), _ => new MqPoolStats)
+
+  /** Borrow a consumer for (topic, partition), reusing an idle one whose
+    * session is still the live topic state. Throws if the topic does not
+    * exist on this executor (same contract as the unpooled lookup).
+    */
+  def borrow(topic: String, partition: Int): MqConsumer = {
+    val live = InMemoryMqBroker.get(topic).getOrElse {
+      throw new IllegalStateException(s"graft-mq: topic '$topic' not found on executor")
+    }
+    val st = stats(topic, partition)
+    st.borrowed.incrementAndGet()
+    val key = Key(topic, partition)
+    val reused: Option[MqConsumer] = synchronized {
+      idle.get(key).flatMap { q =>
+        var c: MqConsumer = null
+        while (c == null && q.nonEmpty) {
+          val cand = q.removeLast() // most recently released first — warmest buffer
+          if (cand.state eq live) c = cand
+          else st.staleDiscards.incrementAndGet() // dead session: drop silently
+        }
+        if (q.isEmpty) idle.remove(key)
+        Option(c)
+      }
+    }
+    reused.getOrElse {
+      st.created.incrementAndGet()
+      new MqConsumer(topic, partition, live)
+    }
+  }
+
+  /** Return a healthy consumer (buffer retained) to the idle set. */
+  def release(c: MqConsumer): Unit = synchronized {
+    val key = Key(c.topic, c.partition)
+    val q = idle.getOrElseUpdate(key, mutable.ArrayDeque.empty)
+    q.append(c)
+    if (q.size > MaxIdlePerKey) { evict(key, q) }
+    // Global cap: evict from the least-recently-created key until bounded.
+    var total = idle.valuesIterator.map(_.size).sum
+    while (total > MaxIdleTotal && idle.nonEmpty) {
+      val (k, hq) = idle.head
+      evict(k, hq)
+      if (hq.isEmpty) idle.remove(k)
+      total -= 1
+    }
+  }
+
+  private def evict(key: Key, q: mutable.ArrayDeque[MqConsumer]): Unit = {
+    val dropped = q.removeHead() // oldest buffer goes first
+    dropped.stats.evicted.incrementAndGet()
+  }
+
+  /** Discard a poisoned consumer (post-timeout / data-loss abort) — it
+    * never re-enters the idle set.
+    */
+  def invalidate(c: MqConsumer): Unit = c.stats.invalidated.incrementAndGet()
+
+  /** Idle consumers currently pooled for the key (spec observability). */
+  def idleCount(topic: String, partition: Int): Int = synchronized {
+    idle.get(Key(topic, partition)).map(_.size).getOrElse(0)
+  }
+
+  /** One broker fetch under the `pollTimeoutMs` latency bound — the Kafka
+    * consumer contract the reference README documents (README.md:535 calls
+    * `consumer.get(..., pollTimeoutMs, ...)` per record fetch; README.md:654
+    * specifies a TimeoutException past the bound). The bound is a TRUE
+    * asynchronous wait, not post-hoc accounting (r18 — the r17 form
+    * measured elapsed time after the fetch RETURNED, so a fetch that
+    * never returns hung the task forever, the exact failure the README
+    * contract exists to prevent): the broker call runs on a daemon
+    * fetch thread and the task awaits at most `pollTimeoutMs`, so a
+    * slow-under-bound fetch (contention — injected via
+    * `TopicState.injectFetchDelay` in tests, a genuinely slow remote
+    * broker in a networked backend) delivers normally, while a
+    * past-bound or outright HUNG fetch throws [[MqPollTimeoutException]]
+    * at the bound and interrupts the stranded fetch thread. The task's
+    * offset range is immutable, so a retry re-reads the same range —
+    * latency can delay or fail a batch, never corrupt one (spec-pinned
+    * on both sides of the bound, including an indefinite stall).
+    */
+  private[mq] def timedRead(c: MqConsumer, from: Long, until: Long,
+      pollTimeoutMs: Long): IndexedSeq[MqMessage] = {
+    val fut = fetchPool.submit(
+      new java.util.concurrent.Callable[IndexedSeq[MqMessage]] {
+        override def call(): IndexedSeq[MqMessage] =
+          c.state.read(c.partition, from, until)
+      })
+    try fut.get(pollTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true) // interrupt the stranded fetch; it must not leak a pool thread
+        throw new MqPollTimeoutException(
+          s"graft-mq: fetch on ${c.topic}-${c.partition} [$from, $until) did not " +
+            s"complete within pollTimeoutMs=$pollTimeoutMs ms")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause // broker exceptions (e.g. offset-out-of-range) unwrap verbatim
+    }
+  }
+
+  /** Shared fetch pool for the `pollTimeoutMs` bound: cached (a healthy
+    * reader reuses one thread per task; a cancelled hung fetch's thread
+    * is replaced), daemon (fetch threads must never block JVM exit).
+    */
+  private val fetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-mq-fetch"); t.setDaemon(true); t
+        }
+      })
+}
