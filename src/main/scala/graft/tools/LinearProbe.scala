@@ -99,10 +99,15 @@ object LinearProbe {
     val factor = args(1).toInt
     val reuse = args.contains("--reuse")
     val queries = {
-      val q = args.drop(2).filterNot(_ == "--reuse").toSeq
+      val q = args.drop(2).filterNot(a => a == "--reuse" || a.startsWith("--scaled=")).toSeq
       if (q.nonEmpty) q else defaultQueries
     }
-    val scaledDir = "/tmp/graft_linear_probe/scaled"
+    // --scaled=<dir>: probe against an already-built MakeSf dir at another
+    // path (e.g. the sf10 bench directory) instead of this tool's default
+    // build site — the marker check below still guards base/factor match.
+    val scaledDir = args.collectFirst {
+      case a if a.startsWith("--scaled=") => a.stripPrefix("--scaled=")
+    }.getOrElse("/tmp/graft_linear_probe/scaled")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     try {

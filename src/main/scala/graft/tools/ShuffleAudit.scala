@@ -1,0 +1,192 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+
+import graft.queries.GraftQueries
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle/spill audit: the byte-metric complement of
+  * [[LinearProbe]]'s wall-time gate (r18 — VERDICT r17 #3 follow-through:
+  * the r17 candidate-stream fixes were defended by plan-shape assertions
+  * and wall-time probes; this tool pins the QUANTITY those defend — how
+  * many bytes actually cross an exchange or hit the spill files).
+  *
+  * Why bytes and not seconds: task-metric byte counts are DETERMINISTIC
+  * for a deterministic plan — immune to the 30-60% wall-clock drift this
+  * repo has repeatedly had to adjudicate with interleaved A/Bs (SURVEY
+  * §8). One run per side suffices; no best-of-N, no interleave.
+  *
+  * Two enforced invariants, both scale-design claims made in r17:
+  *
+  *  1. **Zero disk spill** for the semantic pair family
+  *     ([[ZeroSpillQueries]]): the carry-through reshape's whole point is
+  *     that nothing pair-sized is ever sorted or exchanged, so the
+  *     ≈N²/nlist cosine stream evaluates in-stage — pure CPU, no disk
+  *     (measured at ×100: was ~80 GB of sort spill and run death, now 0).
+  *     A regression that re-materializes the pair stream spills again and
+  *     fails HERE, even if wall time happens to hide it on a fast disk.
+  *  2. **Shuffle-byte linearity** base → ×factor (when a scaled dir is
+  *     given): in MakeSf's linear regime the true answer (and every
+  *     candidate stream) grows ~linearly with rows, so shuffle WRITE
+  *     bytes must too. Enforced as ratio ≤ factor × [[Slack]] wherever
+  *     the base side shuffles ≥ [[MinSignalBytes]] (below that,
+  *     job-overhead noise dominates, mirroring LinearProbe's signal
+  *     floor). A quadratic candidate stream shows up here at ×10 as a
+  *     ~10× breach — long before it becomes an ×100 spill death.
+  *
+  * Usage:
+  *   runMain graft.tools.ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [queries...]
+  * Defaults to [[LinearProbe.defaultQueries]] plus the embedding pair
+  * ops. Exits non-zero on any enforced breach.
+  */
+object ShuffleAudit {
+
+  /** Queries whose executed plans must never spill a byte to disk: the
+    * semantic-dedup carry-through family (r17 reshape) and the
+    * shuffled-hash vector attaches (plan-pinned in PlanAssertionsSpec;
+    * this enforces their runtime consequence).
+    */
+  val ZeroSpillQueries: Set[String] = Set(
+    "curate_semdedup", "curate_semantic_dedup", "dedup_embedding_pairs",
+    "curate_incremental_semantic", "curate_incremental_append_semantic")
+
+  /** Below this many base-side shuffle-write bytes a ratio is noise. */
+  val MinSignalBytes: Long = 1L << 20
+
+  /** Headroom over the ideal ×factor byte ratio: compressed shuffle
+    * blocks vary a few percent with content, and a factor-linear op may
+    * legitimately shuffle factor× on answer-sized stages — but never
+    * quadratically. Bytes are deterministic, so the slack is tighter
+    * than LinearProbe's wall-time 1.5.
+    */
+  val Slack = 1.35
+
+  final case class Metrics(shuffleWrite: Long, shuffleRead: Long,
+      diskSpill: Long, memSpill: Long) {
+    def -(o: Metrics): Metrics =
+      Metrics(shuffleWrite - o.shuffleWrite, shuffleRead - o.shuffleRead,
+        diskSpill - o.diskSpill, memSpill - o.memSpill)
+  }
+
+  /** Accumulates task metrics across the whole session; queries run
+    * sequentially, so per-query deltas are exact.
+    */
+  private final class Tally extends SparkListener {
+    val shuffleWrite = new LongAdder
+    val shuffleRead = new LongAdder
+    val diskSpill = new LongAdder
+    val memSpill = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        diskSpill.add(m.diskBytesSpilled)
+        memSpill.add(m.memoryBytesSpilled)
+      }
+    }
+    def snapshot: Metrics =
+      Metrics(shuffleWrite.sum, shuffleRead.sum, diskSpill.sum, memSpill.sum)
+  }
+
+  /** Snapshot once the listener bus has drained: totals are read twice
+    * [[QuiesceMs]] apart until two consecutive reads agree (the public
+    * API exposes no waitUntilEmpty; metric deltas must not bleed into
+    * the next query's window).
+    */
+  private def settled(t: Tally, quiesceMs: Long = 150, maxWaitMs: Long = 10000): Metrics = {
+    var prev = t.snapshot
+    var waited = 0L
+    while (waited < maxWaitMs) {
+      Thread.sleep(quiesceMs)
+      waited += quiesceMs
+      val cur = t.snapshot
+      if (cur == prev) return cur
+      prev = cur
+    }
+    prev
+  }
+
+  final case class Audit(query: String, base: Metrics, scaled: Option[Metrics], factor: Int) {
+    def ratio: Option[Double] = scaled.map { s =>
+      if (base.shuffleWrite > 0) s.shuffleWrite.toDouble / base.shuffleWrite
+      else Double.PositiveInfinity
+    }
+    def zeroSpillEnforced: Boolean = ZeroSpillQueries.contains(query)
+    def spillOk: Boolean = !zeroSpillEnforced ||
+      (base.diskSpill == 0 && scaled.forall(_.diskSpill == 0))
+    def ratioEnforced: Boolean = scaled.nonEmpty && base.shuffleWrite >= MinSignalBytes
+    def ratioOk: Boolean = !ratioEnforced || ratio.exists(_ <= factor * Slack)
+    def ok: Boolean = spillOk && ratioOk
+  }
+
+  private def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
+
+  def run(spark: SparkSession, baseDir: String, scaledDir: Option[String],
+      factor: Int, queries: Seq[String]): Seq[Audit] = {
+    val unknown = queries.filterNot(GraftQueries.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val tally = new Tally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      // Untimed warmup (codegen/reader init), same as Bench/LinearProbe.
+      try spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      catch { case _: Throwable => () }
+      def measure(name: String, dir: String): Metrics = {
+        // First run unmeasured: one-time artifacts (ANN index builds,
+        // trained models — SURVEY §8: they bill to the first consumer)
+        // would otherwise land on whichever SIDE builds them and bend the
+        // ratio. The second run is the steady-state serve path — the one
+        // a 100 TB deployment pays per query.
+        GraftQueries.queries(name)(spark, dir).count()
+        val before = settled(tally)
+        GraftQueries.queries(name)(spark, dir).count()
+        settled(tally) - before
+      }
+      queries.map { n =>
+        val base = measure(n, baseDir)
+        val scaled = scaledDir.map(measure(n, _))
+        val a = Audit(n, base, scaled, factor)
+        val tag = if (a.ok) "PASS" else "FAIL"
+        val ratioPart = a.ratio.map { r =>
+          val enf = if (a.ratioEnforced) "" else " (not enforced: base below signal floor)"
+          f"  x$factor write ${mb(scaled.get.shuffleWrite)}  ratio $r%6.2f$enf"
+        }.getOrElse("")
+        val spillPart =
+          if (base.diskSpill > 0 || scaled.exists(_.diskSpill > 0))
+            s"  diskSpill base=${mb(base.diskSpill)} scaled=${scaled.map(s => mb(s.diskSpill)).getOrElse("-")}"
+          else if (a.zeroSpillEnforced) "  diskSpill 0 (enforced)"
+          else ""
+        println(f"[shuffle] $tag $n%-32s write ${mb(base.shuffleWrite)}$ratioPart$spillPart")
+        a
+      }
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [queries...]")
+    val baseDir = args(0)
+    val scaledDir = args.collectFirst { case a if a.startsWith("--scaled=") => a.stripPrefix("--scaled=") }
+    val factor = args.collectFirst { case a if a.startsWith("--factor=") => a.stripPrefix("--factor=").toInt }
+      .getOrElse(10)
+    require(scaledDir.isEmpty || factor >= 2, "factor must be >= 2 when --scaled is given")
+    val queries = {
+      val q = args.drop(1).filterNot(a => a.startsWith("--scaled=") || a.startsWith("--factor=")).toSeq
+      if (q.nonEmpty) q
+      else (LinearProbe.defaultQueries ++ Seq("dedup_embedding_pairs",
+        "curate_incremental_append_semantic")).distinct
+    }
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val results = run(spark, baseDir, scaledDir, factor, queries)
+      val failed = results.filter(!_.ok)
+      println(s"[shuffle] ${results.count(_.ok)}/${results.size} PASS" +
+        (if (failed.nonEmpty) s" — FAILED: ${failed.map(_.query).mkString(", ")}" else ""))
+      if (failed.nonEmpty) sys.exit(1)
+    } finally spark.stop()
+  }
+}
