@@ -18,9 +18,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
+    val n = cpus.toIntOption.getOrElse(32)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive reducer count (r18 — found by ShuffleAudit):
+      // with exactly `cpus` reducers, a reduce-side hash aggregate over
+      // a corpus-sized stream outgrows its per-task memory as SF rises —
+      // dedup_jaccard_exact's intersection-count agg spilled 4.9 GB at
+      // sf10 and its MAP-side partial agg degraded to passthrough (18×
+      // shuffle bytes for 10× rows). AQE plans big stages at 8× the
+      // core count and coalesces small ones back down to ~64 MB targets,
+      // so tiny stages pay nothing while corpus-sized aggs get
+      // memory-bounded tasks — the local analogue of sizing
+      // shuffle.partitions to the data on a real cluster.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (n * 8).toString)
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

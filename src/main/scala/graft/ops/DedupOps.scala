@@ -179,14 +179,26 @@ object DedupOps {
             shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7fffL)).as("bval"))): _*))
           .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
+    // Hamming verifies IN-STAGE on the bucket join's own output, and only
+    // the answer-sized survivors reach the cross-band distinct (keyed
+    // (pair, hamming) — hamming is a pure function of the pair, so the
+    // collapse is exact whichever band produced the row). The pre-r18
+    // shape ran the distinct FIRST, on the raw candidate stream — and at
+    // 4 fixed 15-bit bands that stream is quadratic in corpus density
+    // (random collisions pile ~N/2¹⁵ reps per bucket): ShuffleAudit
+    // measured its shuffle bytes growing 22.8× per 10× rows
+    // (350 MB at 500k docs), where this shape shuffles only the banded
+    // frame (corpus-linear) plus the true pairs. Same candidate-stream
+    // discipline as the r17 semdedup/embedding reshape; the doomed
+    // candidates still pay their popcount, but in CPU, never an exchange.
     selfJoinWithinBuckets(banded, Seq("band", "bval"), Seq("simhash"),
         hotBucketThreshold, splitTarget)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("simhash_a").as("sh_a"), col("simhash_b").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .distinct()
     }
     }
   }
@@ -1098,10 +1110,10 @@ object DedupOps {
     // identical rows whichever band or grid orientation produced them,
     // so the collapse is exact. Duplicate candidates pay ≤ bands extra
     // in-stage cosine evaluations (CPU) instead of three candidate-sized
-    // sorted shuffles (disk). The BIPARTITE sibling keeps the join-back
-    // shape deliberately: its candidates are batch-sized while carrying
-    // vectors would duplicate the whole reference corpus bands× in the
-    // persisted frame — the trade points the other way there.
+    // sorted shuffles (disk). The BIPARTITE sibling adopted the same
+    // carry-through shape in r18 once ShuffleAudit priced its join-back
+    // candidate stream at fixed bucket space (33× shuffle bytes per 10×
+    // rows for the half-corpus registered batch).
     val repPairs = Caching.withCached(sig) {
       selfJoinWithinBuckets(sig, Seq("band", "bucket"), Seq("v"),
           hotBucketThreshold, splitTarget)
@@ -1137,9 +1149,10 @@ object DedupOps {
     * — the shared candidate signature of [[embeddingNearDupPairs]] and
     * [[embeddingPairsAgainstRef]]: band `b`'s bucket packs the signs of
     * dimensions `b·bits+1 .. (b+1)·bits` into an int (codegen'd,
-    * join-free). The vector rides along for consumers that carry it
-    * through the bucket join (the symmetric op); the bipartite op drops
-    * it to keep its persisted band frames narrow.
+    * join-free). The vector rides along: every consumer carries it
+    * through its bucket join (symmetric since r17, bipartite since r18)
+    * so cosine verifies in-stage and no candidate-sized stream is ever
+    * exchanged.
     */
   private def signBandRows(vecs: DataFrame, bands: Int, bitsPerBand: Int): DataFrame =
     vecs.select(col("id"), col("v"),
@@ -1194,7 +1207,8 @@ object DedupOps {
     *     compares ≤ ~splitTarget² pairs regardless of bucket size.
     */
   private[ops] def joinAcrossBuckets(aRaw: DataFrame, bRaw: DataFrame,
-      keyCols: Seq[String], hotBucketThreshold: Long = HotBucketThreshold,
+      keyCols: Seq[String], carry: Seq[String] = Nil,
+      hotBucketThreshold: Long = HotBucketThreshold,
       splitTarget: Long = HotBucketSplitTarget): DataFrame = {
     require(hotBucketThreshold >= 1 && splitTarget >= 1)
     // Same scope-persist rationale as [[selfJoinWithinBuckets]]: the two
@@ -1203,7 +1217,14 @@ object DedupOps {
     val bBanded = Caching.scopedPersist(bRaw)
     val keys = keyCols.map(col)
     def keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    def out = Seq(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // `carry` columns (present on BOTH sides) ride through as <c>_a/<c>_b
+    // — the bipartite face of [[selfJoinWithinBuckets]]'s carry: verify
+    // payloads travel inside the bucket join's own stage instead of
+    // being attached to the (possibly candidate-sized) pair stream by
+    // later joins.
+    def out = Seq(col("a.id").as("id_a"), col("b.id").as("id_b")) ++
+      carry.flatMap(c =>
+        Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
     def counts(df: DataFrame, n: String) =
       df.groupBy(keys: _*).agg(count(lit(1)).as(n))
     // Same two-tier switch as [[selfJoinWithinBuckets]] (including the
@@ -1323,43 +1344,40 @@ object DedupOps {
     val rReps = refIndex.reps
     val rMembers = refIndex.members
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
-      // v dropped from both band frames: the bipartite op keeps the
-      // join-back shape (batch-sized candidates; carrying vectors would
-      // duplicate the reference corpus bands× in the persisted frame —
-      // see the symmetric op's candidate-stream-discipline note).
+      // CANDIDATE STREAM DISCIPLINE, bipartite face (r18 — found by
+      // ShuffleAudit's byte gate, which the r17 wall-time probes had
+      // PASSED): vectors ride THROUGH both band frames and the cosine
+      // verifies inside the bucket join's own stage, so only the
+      // answer-sized survivors ever reach an exchange. The r17 shape
+      // (bare-pair distinct, then two shuffled-hash vector attaches)
+      // had already removed the SORT amplification, but the candidate
+      // stream itself still crossed three exchanges — and at fixed
+      // 8-bit buckets that stream is |batch|·|ref|/2^bits: the audit
+      // measured 436 MB → 14.5 GB shuffle (33×) with 3.2 GB of spill
+      // for 10× rows (20k → 200k vectors, half-corpus batch). Carried
+      // band frames are bands×(|batch|+|ref|) vector copies —
+      // corpus-LINEAR (~800 MB at 200k vectors), the same trade the
+      // symmetric op made in r17. Cross-band/grid duplicate candidates
+      // pay ≤ bands extra in-stage cosines (CPU), and the final
+      // distinct keys (pair, cosine) — exact collapse, cosine being a
+      // pure function of the pair.
       val nSig = signBandRows(nReps.select(col("id"), col("v")),
-        bands, bitsPerBand).drop("v")
+        bands, bitsPerBand)
       // (band, bucket) packs into one long — band in the high 32 bits —
       // for the Bloom key; bucket < 2^30 by the bitsPerBand bound.
       def bandKey = col("band").cast("long") * 4294967296L + col("bucket")
       val rSig0 = signBandRows(rReps.select(col("id"), col("v")),
-        bands, bitsPerBand).drop("v")
+        bands, bitsPerBand)
       val rSig = if (refGateBits <= 0) rSig0
         else bloomGateAgainst(rSig0, bandKey, nSig, bandKey, refGateBits)
       val repPairs = Caching.withCached(nSig, rSig) {
-        val cand = joinAcrossBuckets(nSig, rSig, Seq("band", "bucket"),
+        joinAcrossBuckets(nSig, rSig, Seq("band", "bucket"), carry = Seq("v"),
             hotBucketThreshold, splitTarget)
-          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"))
-          .distinct()
-        // Vector attach as SHUFFLED HASH joins (build = the reps side):
-        // an SMJ here SORTS the candidate stream — twice, the second
-        // time carrying a 64-double payload — and the candidate stream
-        // is batch×density-sized, not batch-sized, when the batch is
-        // large (the ×100 probe measured 216 s / ~40 GB of sort spill
-        // for a half-corpus batch at 8-bit buckets). With hash joins
-        // the candidates hash-shuffle once per attach (linear IO, no
-        // sort amplification) and the per-partition build side is reps
-        // rows — the bounded side by construction. The hint is
-        // best-effort: if a planner change ignores it the op degrades
-        // to the SMJ shape, never to a wrong result.
-        cand
-          .join(nReps.select(col("id").as("new_id"), col("v").as("nv"))
-            .hint("shuffle_hash"), "new_id")
-          .join(rReps.select(col("id").as("ref_id"), col("v").as("rv"))
-            .hint("shuffle_hash"), "ref_id")
-          .withColumn("cosine", GraftFunctions.cosine_sim(col("nv"), col("rv")))
+          .withColumn("cosine", GraftFunctions.cosine_sim(col("v_a"), col("v_b")))
           .filter(col("cosine") >= threshold)
-          .select(col("new_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+          .select(col("id_a").as("new_id"), col("id_b").as("ref_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .distinct()
       }
       val refMax = refIndex.maxClass.getOrElse(maxClassSize(rReps))
       if (math.max(maxClassSize(nReps), refMax) <= 1L) repPairs

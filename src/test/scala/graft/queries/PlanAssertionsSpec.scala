@@ -348,28 +348,7 @@ class PlanAssertionsSpec extends SparkSuite {
       s"text_top_boilerplate: expected per-partition top-k heaps:\n$p")
   }
 
-  test("incremental semantic serve: vector attach joins are shuffled-hash, never sort-merge") {
-    // The r17 fix's measured alternative (VERDICT r17 #1): without the
-    // shuffle_hash hints the two candidate→vector attach joins plan as
-    // SMJ, which SORTS the candidate stream twice — the second time
-    // carrying a 64-double payload — at batch×density volume (216 s and
-    // ~40 GB of sort spill at the ×100 probe vs 61 s hashed). The hints
-    // are best-effort, so pin the EXECUTED shape: both attaches must be
-    // ShuffledHashJoin, and no sort-merge may ever key on the candidate
-    // pair's id columns anywhere in the serve.
-    for (q <- Seq("curate_incremental_semantic", "curate_incremental_append_semantic")) {
-      GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
-      val p = allExecutedPlans(q).mkString("\n===\n")
-      assert("ShuffledHashJoin \\[new_id".r.findFirstIn(p).isDefined,
-        s"$q: new-side vector attach is no longer a shuffled-hash join:\n$p")
-      assert("ShuffledHashJoin \\[ref_id".r.findFirstIn(p).isDefined,
-        s"$q: ref-side vector attach is no longer a shuffled-hash join:\n$p")
-      assert("SortMergeJoin \\[(new_id|ref_id)".r.findFirstIn(p).isEmpty,
-        s"$q: a sort-merge join crept onto the candidate id columns:\n$p")
-    }
-  }
-
-  test("symmetric embedding pair ops: cosine verify runs inside the bucket join, in-stage") {
+  test("embedding pair ops (symmetric AND bipartite): cosine verify runs inside the bucket join, in-stage") {
     // The single biggest scale win in the repo (r17, found by the ×100
     // probe): vectors CARRY THROUGH the bucket self-join and the
     // threshold cosine evaluates on the join output in the same stage —
@@ -382,8 +361,16 @@ class PlanAssertionsSpec extends SparkSuite {
     // cosine_sim sits in a join keyed on the BUCKET columns; in the
     // regressed shape it sits above (or inside) id-keyed attach joins
     // and the bucket join carries no cosine at all.
+    // The BIPARTITE serves joined this list in r18: their r17 shape
+    // (bare-pair distinct + two shuffled-hash attaches — already
+    // sort-free) still exchanged the candidate stream three times, and
+    // at fixed 8-bit buckets ShuffleAudit priced that at 436 MB → 14.5 GB
+    // shuffle + 3.2 GB spill per 10× rows for the registered half-corpus
+    // batch. Carry-through makes their shuffle corpus-linear too.
     for ((q, bucketKey) <- Seq("dedup_embedding_pairs" -> "band",
-        "curate_semantic_dedup" -> "band", "curate_semdedup" -> "list_id")) {
+        "curate_semantic_dedup" -> "band", "curate_semdedup" -> "list_id",
+        "curate_incremental_semantic" -> "band",
+        "curate_incremental_append_semantic" -> "band")) {
       GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
       val p = allExecutedPlans(q).mkString("\n===\n")
       assert(("(?m)Join \\[" + bucketKey + "#.*cosine_sim\\(").r.findFirstIn(p).isDefined,
