@@ -459,6 +459,41 @@ object DedupOps {
     * by definition) are always emitted, where the pre-collapse index
     * dropped them too once every shared shingle was capped.
     */
+  /** Partition count for a posting-list join whose OUTPUT explodes
+    * quadratically per bucket, or None when the session default already
+    * bounds the work. AQE sizes a stage's reducers from its INPUT
+    * statistics, so an exploding join runs on input-sized task counts:
+    * each task then partial-aggregates an exploded slice whose hash map
+    * outgrows its share of execution memory, and the partial aggregate
+    * degrades to sort-based spill with near-passthrough shuffle output
+    * (ShuffleAudit r18: dedup_jaccard_exact wrote 18× the bytes for 10×
+    * the rows with 8 GB of sort spill at sf10; dedup_jaccard_prefix 86×
+    * with 11 GB). Pinning the join's partitioning to the POSTING count
+    * keeps per-task exploded volume — and the aggregate's map — bounded
+    * as the corpus grows: the in-operator analogue of sizing shuffle
+    * partitions to data volume on a real cluster. Capped at 4096 so a
+    * pathological count can't plan a million tasks.
+    */
+  private def explodedJoinPartitions(spark: org.apache.spark.sql.SparkSession,
+      inputRows: Long, rowsPerTask: Long = 1L << 19): Option[Int] = {
+    // The RAW conf value, not SQLConf.numShufflePartitions: with AQE
+    // coalescing on, the latter reports initialPartitionNum (Sessions
+    // sets 8× cores), which silently disabled this guard everywhere —
+    // p never exceeded it, every volume-sized repartition was skipped,
+    // and the agg exchanges fell back to AQE's byte-sized coalescing
+    // (caught because the r18 PlanMetrics dump showed zero
+    // REPARTITION_BY_NUM exchanges where three were expected).
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.min(4096L, (inputRows + rowsPerTask - 1) / rowsPerTask)
+    if (p > base) Some(p.toInt) else None
+  }
+
+  /** Σ rows the frame's `n` column counts — the posting total that sizes
+    * [[explodedJoinPartitions]]; one tiny aggregate over an (already
+    * cached) per-doc frame. */
+  private def totalOf(sized: DataFrame, n: String): Long =
+    sized.agg(coalesce(sum(col(n)), lit(0L))).head().getLong(0)
+
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -469,8 +504,16 @@ object DedupOps {
     // shingles colliding would miscount an intersection; at 64 bits the
     // probability is ~|shingles|²/2⁶⁵ (≈1e-9 at 10⁵ distinct) — the
     // standard trade for exact-dedup pipelines at scale.
-    val inv = base.select(col("id"), explode(col("sh")).as("sh_str"))
-      .select(col("id"), GraftFunctions.fnv64(col("sh_str")).as("shingle"))
+    // `n` rides on every posting row (+4 bytes) so the pair aggregate can
+    // group on (ids, sizes) and score WITHOUT attaching sizes afterwards:
+    // PlanMetrics at sf10 showed the old `inter JOIN sizes JOIN sizes`
+    // tail SMJ-sorting the 112M-pair stream twice (7.5 GB of sort spill,
+    // 2.3 GB of exchanges) to deliver two ints per pair. n is
+    // functionally dependent on the id, so the widened grouping key is
+    // the same groups.
+    val inv = base.select(col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("sh_str"))
+      .select(col("id"), col("n"), GraftFunctions.fnv64(col("sh_str")).as("shingle"))
     // Skew guard via groupBy+co-partitioned join (not a window: a window
     // would sort the whole inverted index inside each shuffle partition).
     // Skipped when inactive — Jaccard stays exact and the index saves a
@@ -485,13 +528,36 @@ object DedupOps {
           .select("shingle")
         inv.join(dfCounts, Seq("shingle"), "left_semi")
       }
-    val a = filtered.as("a"); val b = filtered.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    jaccardFromCounts(inter
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b"),
+    // Corpus-sized partitioning for the exploding self-join (see
+    // [[explodedJoinPartitions]]); filter/alias preserve the hash
+    // partitioning, so both join sides stay co-partitioned and the join
+    // itself adds no exchange.
+    val postings = totalOf(sizes, "n")
+    val sized = explodedJoinPartitions(docs.sparkSession, postings)
+      .map(p => filtered.repartition(p, col("shingle"))).getOrElse(filtered)
+    val a = sized.as("a"); val b = sized.as("b")
+    val joined = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    // Volume-sized pair aggregation: map-side combining is near-useless
+    // here (a pair's incidence rows scatter across shingle partitions —
+    // PlanMetrics at sf10: 126M → 125M rows, 0.8% combined, while the
+    // partial agg spilled 10.7 GB and the final — planned at AQE's
+    // byte-sized reducer count, millions of map entries per task —
+    // spilled 10.4 GB more). When the exact pair volume (one df-count
+    // pass over the already-repartitioned index, priced only when the
+    // guard is active) is large, repartition the incidence stream by the
+    // PAIR key at volume-sized parallelism: the aggregate's distribution
+    // is already satisfied, so no further exchange is added and every
+    // agg map is bounded by construction.
+    val pairVol = if (postings < (1L << 19)) 0L
+      else totalOf(sized.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
+    val pre = explodedJoinPartitions(docs.sparkSession, pairVol)
+      .map(p => joined.repartition(p, col("a.id"), col("b.id"))).getOrElse(joined)
+    jaccardFromCounts(
+      pre.groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .agg(count(lit(1)).as("n_inter")),
       threshold)
     }
 
@@ -731,9 +797,12 @@ object DedupOps {
     val rReps = refIndex.reps
     val rMembers = refIndex.members
     Caching.withCached(nMembers, rMembers, nReps, rReps) {
+      // `n` rides on the posting rows so the pair aggregate groups on
+      // (ids, sizes) and scores without attach joins — same shape as
+      // [[jaccardPairs]] (r18).
       def inv(reps: DataFrame): DataFrame =
-        reps.select(col("id"), explode(col("sh")).as("s"))
-          .select(col("id"), GraftFunctions.fnv64(col("s")).as("shingle"))
+        reps.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+          .select(col("id"), col("n"), GraftFunctions.fnv64(col("s")).as("shingle"))
       val nInv = inv(nReps)
       // Bloom gate BEFORE the df count: for any shingle the batch holds,
       // every reference row passes (no false negatives), so cross-side
@@ -754,14 +823,31 @@ object DedupOps {
           (nInv.join(keep, Seq("shingle"), "left_semi"),
             rInv.join(keep, Seq("shingle"), "left_semi"))
         }
-      val inter = nIdx.as("a").join(rIdx.as("b"),
-          col("a.shingle") === col("b.shingle"))
-        .groupBy(col("a.id").as("new_id"), col("b.id").as("ref_id"))
-        .agg(count(lit(1)).as("n_inter"))
-      val nSizes = nReps.select(col("id").as("new_id"), size(col("sh")).as("n_a"))
-      val rSizes = rReps.select(col("id").as("ref_id"), size(col("sh")).as("n_b"))
+      // Corpus-sized partitioning for the exploding cross-side posting
+      // join (see [[explodedJoinPartitions]]; sized from the cached
+      // reps' shingle totals — an upper bound on the gated index).
+      val postings =
+        totalOf(nReps.select(size(col("sh")).as("n")), "n") +
+          totalOf(rReps.select(size(col("sh")).as("n")), "n")
+      val (nJ, rJ) = explodedJoinPartitions(newDocs.sparkSession, postings)
+        .map(p => (nIdx.repartition(p, col("shingle")),
+          rIdx.repartition(p, col("shingle")))).getOrElse((nIdx, rIdx))
+      val joined = nJ.as("a").join(rJ.as("b"),
+        col("a.shingle") === col("b.shingle"))
+      // Volume-sized pair aggregation (see [[jaccardPairs]]): the cross
+      // pair volume is bounded above by Σ df·(df−1)/2 over the UNIONED
+      // posting sides (≥ Σ df_new·df_ref per shingle — only ever too
+      // many partitions), priced only when the guard is active.
+      val pairVol = if (postings < (1L << 19)) 0L
+        else totalOf(nJ.select("shingle").unionAll(rJ.select("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
+      val pre = explodedJoinPartitions(newDocs.sparkSession, pairVol)
+        .map(p => joined.repartition(p, col("a.id"), col("b.id"))).getOrElse(joined)
       val repPairs = jaccardFromCounts(
-        inter.join(nSizes, "new_id").join(rSizes, "ref_id"),
+        pre.groupBy(col("a.id").as("new_id"), col("b.id").as("ref_id"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .agg(count(lit(1)).as("n_inter")),
         threshold, "new_id", "ref_id")
       // The ref side's class-size max is a build-time constant of the
       // index — a LOADED index carries it, so a daily batch never pays a
@@ -860,21 +946,46 @@ object DedupOps {
       .select(col("id"), col("n"), (col("pos") + 1).as("pos"),
         col("col").as("shingle"))
     Caching.withCached(hashed, prefixes) {
-    val probe = prefixes.filter(col("pos") <=
+    // Corpus-sized partitioning for the exploding prefix join (see
+    // [[explodedJoinPartitions]]; the count is one pass over the cached
+    // frame). The probe side is a FILTER of the repartitioned index
+    // side — filters preserve hash partitioning, so the roles stay
+    // co-partitioned and the join adds no exchange.
+    val prefixRows = prefixes.count()
+    val idx = explodedJoinPartitions(docs.sparkSession, prefixRows)
+      .map(p => prefixes.repartition(p, col("shingle"))).getOrElse(prefixes)
+    val probe = idx.filter(col("pos") <=
       (col("n") - ceil(col("n") * midFrac - lit(1e-9)) + 1).cast("int"))
-    val a = probe.as("a"); val b = prefixes.as("b")
+    val a = probe.as("a"); val b = idx.as("b")
     // Join under the per-PAIR filters only (role + length — constant
     // across a pair's match rows, so dropping is always sound); the
     // positional bounds need the pair's FULL match statistics and run
     // after the groupBy that replaces the old bare-pair distinct (same
     // shuffle key, five small ints of carry instead of dedupe-only).
-    val matches = a.join(b,
+    val joined = a.join(b,
         col("a.shingle") === col("b.shingle") &&
           // role: the probe is the strictly-smaller set (id breaks ties)
           (col("a.n") < col("b.n") ||
             (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
           // length filter: t <= n_a/n_b (a is the smaller by role)
           col("a.n").cast("double") >= col("b.n") * t)
+    // Volume-sized pair aggregation — same rationale as [[jaccardPairs]]'
+    // incidence agg (map-side combining is near-nil on a bucket-scattered
+    // pair stream; PlanMetrics at sf10 measured 8.4 GB of agg spill at
+    // input-sized task counts). The match volume is bounded by
+    // Σ df·(df−1)/2 over the PREFIX index (a slight overestimate of the
+    // mid×standard role join — only ever too many partitions, never too
+    // few), priced by one df-count pass over the cached repartitioned
+    // frame, only when the guard is active.
+    // Priced whenever the prefix frame carries real volume — the match
+    // volume can trip the agg guard even when the frame itself doesn't
+    // (13.4M prefix rows → 33M match rows at sf10).
+    val matchVol = if (prefixRows < (1L << 19)) 0L
+      else totalOf(idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
+    val pre = explodedJoinPartitions(docs.sparkSession, matchVol)
+      .map(p => joined.repartition(p, col("a.id"), col("b.id"))).getOrElse(joined)
+    val matches = pre
       .groupBy(col("a.id").as("id_s"), col("b.id").as("id_l"),
         col("a.n").as("n_s"), col("b.n").as("n_l"))
       .agg(count(lit(1)).as("mc"),
@@ -906,11 +1017,18 @@ object DedupOps {
     // share — accepted for the identical reason. A -1 bail-out yields a
     // negative jaccard in the shared tail and is filtered with the
     // sub-threshold pairs.
+    // Attach joins as SHUFFLED HASH (same rationale as the r17 semantic
+    // attach fix): above the broadcast threshold the planner's SMJ SORTS
+    // the candidate stream — the second sort carrying the first join's
+    // ~1.2 KB hash-array payload per row — and ShuffleAudit priced that
+    // at 11 GB of sort spill / 12.5 GB shuffle at sf10. Hash attaches
+    // shuffle each stream once with no sort amplification; the build
+    // side is the per-doc hashed frame — corpus-bounded by construction.
     jaccardFromCounts(candidates
       .join(hashed.select(col("id").as("doc_a"), col("n").as("n_a"),
-        col("hs").as("hs_a")), "doc_a")
+        col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("n").as("n_b"),
-        col("hs").as("hs_b")), "doc_b")
+        col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
       .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
         col("hs_a"), col("hs_b"),
         ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))

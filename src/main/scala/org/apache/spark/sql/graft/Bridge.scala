@@ -90,4 +90,29 @@ object Bridge {
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
   def typeCollection(ts: AbstractType*): AbstractType =
     org.apache.spark.sql.types.TypeCollection(ts: _*)
+
+  /** Every physical node of an EXECUTED plan, descending through the AQE
+    * wrapper (`AdaptiveSparkPlanExec.executedPlan` — the final, re-planned
+    * tree), materialized query stages, reused exchanges, and subqueries —
+    * the traversal `SparkPlan.children` alone misses under AQE. Paired
+    * with each node's post-execution `metrics` values this is the
+    * attribution layer beneath ShuffleAudit's per-query totals: WHICH
+    * exchange/sort/aggregate spilled or wrote the bytes.
+    */
+  def flattenExecuted(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case o => o.children
+    }
+    (p +: kids.flatMap(flattenExecuted)) ++ p.subqueries.flatMap(flattenExecuted)
+  }
+
+  /** Post-execution metric values of one node: name → raw long (bytes for
+    * size metrics, counts for row metrics). */
+  def nodeMetrics(p: org.apache.spark.sql.execution.SparkPlan): Map[String, Long] =
+    p.metrics.map { case (k, m) => k -> m.value }.toMap
 }

@@ -44,10 +44,13 @@ class CollectLintSpec extends AnyFunSuite {
     "graft/ops/TextOps.scala" -> 1,  // trainBpeMerges: 1-row argmax per
                                      // merge step — the model fit, like
                                      // the IVF centroid loop
-    "graft/ops/DedupOps.scala" -> 1, // maxLongOf: the one 1-row max read
+    "graft/ops/DedupOps.scala" -> 2, // maxLongOf: the one 1-row max read
                                      // behind every plan switch (dup-class
                                      // size, hot-bucket counts) — bounded
-                                     // by agg at every call site
+                                     // by agg at every call site; totalOf
+                                     // (r18): the 1-row sum aggregate
+                                     // pricing posting/pair volume for the
+                                     // volume-sized partitioning guards
     "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit

@@ -348,6 +348,23 @@ class PlanAssertionsSpec extends SparkSuite {
       s"text_top_boilerplate: expected per-partition top-k heaps:\n$p")
   }
 
+  test("jaccard prefix verify: hash-array attaches are shuffled-hash, never sort-merge") {
+    // The hints are best-effort (same pin rationale as the r17 semantic
+    // attach guard): without them, above the broadcast threshold the
+    // planner SMJ-sorts the candidate stream twice — the second time
+    // carrying the first attach's ~1.2 KB sorted-hash-array payload —
+    // measured at 11 GB of sort spill / 12.5 GB shuffle at sf10
+    // (ShuffleAudit r18). Pin the EXECUTED shape.
+    GraftQueries.clearRunArtifacts() // observe the BUILD, not a memo read
+    val p = allExecutedPlans("dedup_jaccard_prefix").mkString("\n===\n")
+    assert("ShuffledHashJoin \\[doc_a".r.findFirstIn(p).isDefined,
+      s"dedup_jaccard_prefix: doc_a hash-array attach is not shuffled-hash:\n$p")
+    assert("ShuffledHashJoin \\[doc_b".r.findFirstIn(p).isDefined,
+      s"dedup_jaccard_prefix: doc_b hash-array attach is not shuffled-hash:\n$p")
+    assert("SortMergeJoin \\[(doc_a|doc_b)".r.findFirstIn(p).isEmpty,
+      s"dedup_jaccard_prefix: a sort-merge join crept onto the candidate ids:\n$p")
+  }
+
   test("embedding pair ops (symmetric AND bipartite): cosine verify runs inside the bucket join, in-stage") {
     // The single biggest scale win in the repo (r17, found by the ×100
     // probe): vectors CARRY THROUGH the bucket self-join and the
