@@ -35,6 +35,16 @@ import org.apache.spark.sql.SparkSession
   *     floor). A quadratic candidate stream shows up here at ×10 as a
   *     ~10× breach — long before it becomes an ×100 spill death.
   *
+  * Ratio-gating caveat (learned from the first r18 sweep): byte ratios
+  * compare EXECUTED plans, and a join that broadcasts at the small scale
+  * but shuffles at the large one (autoBroadcastJoinThreshold sits
+  * between the two side sizes) reads as a spurious super-linear ratio —
+  * the base side undercounts, not the scaled side overcounts. Five of
+  * six sf0.1→×10 "failures" were this artifact; the same queries
+  * measured ×10→×100 (both sides past the broadcast threshold) read
+  * linear. For ENFORCEMENT, compare two scaled dirs — the recorded r18
+  * gate is `<×10 dir> --scaled=<×100 dir> --factor=10`.
+  *
   * Usage:
   *   runMain graft.tools.ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [queries...]
   * Defaults to [[LinearProbe.defaultQueries]] plus the embedding pair
