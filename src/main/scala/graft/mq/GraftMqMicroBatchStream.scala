@@ -393,6 +393,17 @@ class GraftMqBatch(opts: GraftMqOptions,
   override def planInputPartitions(): Array[InputPartition] =
     GraftMqPlanner.plan(opts, startEnds, limitedEnds)
 
+  /** The per-partition `[start, end)` this batch would read — exactly the
+    * row-reader's ranges (start-mode resolution, endingOffsets bound,
+    * data-loss clamp/abort, pushed seeks, LIMIT cap all applied). The
+    * pushed-down-count path ([[GraftMqCountBatch]]) sums these instead of
+    * reading messages, so the two paths cannot disagree on semantics.
+    */
+  private[mq] def plannedRanges: Map[Int, (Long, Long)] = {
+    val ends = limitedEnds
+    startEnds.map { case (p, s) => p -> (s, ends.getOrElse(p, s)) }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     GraftMqPartitionReaderFactory(opts, readSchema)
 }

@@ -55,6 +55,10 @@ import java.util.Locale
   *                           column vectors instead of per-row
   *                           InternalRows; schemas containing `headers`
   *                           fall back to the row reader automatically
+  *  - `aggregatePushdown`  — batch reads: allow `count(*)` to be answered
+  *                           from resolved offset ranges without fetching
+  *                           a single message (default true; disable for
+  *                           A/B verification)
   *  - `pollTimeoutMs`      — broker backend: per-fetch latency bound
   *                           (default 120000, the Kafka consumer default
   *                           the reference documents at README.md:367-370);
@@ -82,7 +86,8 @@ final case class GraftMqOptions(
     minRowsPerBatch: Option[Long] = None,
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
     columnarReader: Boolean = true,
-    pollTimeoutMs: Long = 120000L) extends Serializable {
+    pollTimeoutMs: Long = 120000L,
+    aggregatePushdown: Boolean = true) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def schema: StructType = {
     val base =
@@ -188,6 +193,7 @@ object GraftMqOptions {
       maxTriggerDelayMs =
         get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000),
       columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true),
-      pollTimeoutMs = pollTimeout)
+      pollTimeoutMs = pollTimeout,
+      aggregatePushdown = get("aggregatePushdown").map(_.toBoolean).getOrElse(true))
   }
 }

@@ -2,11 +2,12 @@ package graft.mq
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
@@ -93,15 +94,19 @@ class GraftMqTable(opts: GraftMqOptions,
   */
 class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var pruned: StructType = opts.schema
   private var pushed: Array[Filter] = Array.empty
   private var anyFilters: Boolean = false
   private var bounds: GraftMqScanBounds = GraftMqScanBounds()
   private var limit: Option[Int] = None
+  private var countStarCols: Int = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    pruned = requiredSchema
+    // After an aggregate pushdown the output schema is the aggregation's
+    // own (fixed in pushAggregation); the engine's subsequent prune call
+    // carries that same schema and must not re-widen to message fields.
+    if (countStarCols == 0) pruned = requiredSchema
 
   /** Filter pushdown as offset-range SEEKS (see [[GraftMqScanBounds]]):
     * `partition`/`offset` bounds and `timestamp` lower bounds narrow the
@@ -126,7 +131,42 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
   override def pushLimit(l: Int): Boolean =
     if (!anyFilters) { limit = Some(l); true } else false
 
-  override def build(): Scan = new GraftMqScan(opts, pruned, bounds, limit)
+  /** COUNT(*) pushdown: a batch `count(*)` over an MQ topic is pure offset
+    * arithmetic — Σ (until − from) over the SAME resolved ranges the row
+    * scan would read ([[GraftMqCountBatch]]) — so it is answered with ZERO
+    * message fetches: at 100 TB, counting a topic costs a metadata lookup
+    * instead of a full log read. COMPLETE pushdown (the scan emits the one
+    * final row) — correct because the count batch plans exactly one
+    * partition holding the pre-summed total.
+    *
+    * Accepted only when the count is exactly offset arithmetic:
+    *  - no filters AT ALL (this builder keeps every filter residual, so
+    *    the engine skips aggregate pushdown itself whenever one exists —
+    *    guarded here anyway against engine-behavior drift);
+    *  - no GROUP BY (grouping needs message fields);
+    *  - CountStar only: `count(col)` skips nulls, which requires reading
+    *    values (message fields are non-null by schema, but equating the
+    *    two here would silently break if a nullable column ever lands).
+    */
+  private def countable(agg: Aggregation): Boolean =
+    opts.aggregatePushdown && !anyFilters && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!countable(agg)) false
+    else {
+      countStarCols = agg.aggregateExpressions.length
+      pruned = StructType((0 until countStarCols).map(i =>
+        StructField(if (i == 0) "count(*)" else s"count(*)_$i",
+          LongType, nullable = false)))
+      true
+    }
+
+  override def build(): Scan =
+    new GraftMqScan(opts, pruned, bounds, limit, countStarCols)
 }
 
 /** Scan bridging to both execution modes. `readSchema` returns the real
@@ -135,10 +175,15 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
   */
 class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
     bounds: GraftMqScanBounds = GraftMqScanBounds(),
-    limit: Option[Int] = None) extends Scan {
+    limit: Option[Int] = None,
+    countStarCols: Int = 0) extends Scan {
   override def readSchema(): StructType = readSchemaValue
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Aggregate pushdown is a batch-plan rewrite; the engine never routes
+    // a streaming relation through it. Defensive, not reachable.
+    require(countStarCols == 0,
+      "graft-mq: pushed-down count(*) is batch-only")
     // Kafka parity: endingOffsets bounds batch scans only; accepting it on
     // a stream would silently read unbounded (ADVICE r03).
     require(opts.endingOffsets == "latest",
@@ -155,10 +200,13 @@ class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
       GraftMqScanBounds(minTimestampMicros = bounds.minTimestampMicros))
   }
 
-  override def toBatch: Batch = new GraftMqBatch(opts, readSchemaValue, bounds, limit)
+  override def toBatch: Batch =
+    if (countStarCols > 0) new GraftMqCountBatch(opts, countStarCols)
+    else new GraftMqBatch(opts, readSchemaValue, bounds, limit)
 
   override def description(): String =
     s"graft-mq topic=${opts.topic} backend=${opts.backend} partitions=${opts.numPartitions}" +
       (if (bounds.isEmpty) "" else s" seek=$bounds") +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      (if (countStarCols > 0) s" countStar=$countStarCols" else "")
 }

@@ -44,6 +44,14 @@ object InMemoryMqBroker {
       */
     private val fetchDelayMs = new java.util.concurrent.atomic.AtomicLongArray(numPartitions)
 
+    /** Data-fetch calls served (metadata lookups — end/earliest offsets,
+      * timestamp seeks — deliberately NOT counted): the observable that
+      * lets specs assert a pushed-down `count(*)` was answered from
+      * offset arithmetic alone, with zero message reads.
+      */
+    private val dataReads = new java.util.concurrent.atomic.AtomicLong(0L)
+    def dataReadCalls: Long = dataReads.get()
+
     /** Test hook: every subsequent fetch of `partition` takes ≥ `delayMs`. */
     def injectFetchDelay(partition: Int, delayMs: Long): Unit =
       fetchDelayMs.set(partition, math.max(0L, delayMs))
@@ -69,6 +77,7 @@ object InMemoryMqBroker {
       * the monitor is taken.
       */
     def read(partition: Int, from: Long, until: Long): IndexedSeq[MqMessage] = {
+      dataReads.incrementAndGet()
       val delay = fetchDelayMs.get(partition)
       if (delay > 0) Thread.sleep(delay)
       readLocked(partition, from, until)

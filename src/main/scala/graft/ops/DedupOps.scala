@@ -263,7 +263,8 @@ object DedupOps {
     * (emitted only for non-empty sets, matching the oracle's exclusion
     * of sub-`shingleN`-token docs — and only when `threshold ≤ 1`).
     */
-  private def withSetCollapse(base: DataFrame, threshold: Double)(
+  private def withSetCollapse(base: DataFrame, threshold: Double,
+      scoreCol: String = "jaccard")(
       run: DataFrame => DataFrame): DataFrame = {
     // Per-shingle md5 BEFORE concatenation: shingles are arbitrary
     // strings (crawl text can contain any separator byte), so no in-band
@@ -285,7 +286,10 @@ object DedupOps {
         val withinFps = reps
           .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
           .select(col("fp"))
-        expandCollapsed(members, reps, "jaccard", lit(1.0), withinFps, repPairs)
+        // Within-class pairs have IDENTICAL sets: jaccard and overlap
+        // coefficient are both exactly 1.0, so one literal serves every
+        // set-similarity score this wrapper hosts.
+        expandCollapsed(members, reps, scoreCol, lit(1.0), withinFps, repPairs)
       }
     }
   }
@@ -498,6 +502,50 @@ object DedupOps {
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
+      jaccardFromCounts(pairIntersectionCounts(base, maxShingleDf), threshold)
+    }
+
+  /** Overlap-coefficient near-dup pairs: |∩| / min(|A|, |B|) ≥ threshold
+    * over the same word-n-gram shingle sets as [[jaccardPairs]]. The
+    * overlap coefficient is the CONTAINMENT detector resemblance misses:
+    * a truncation, excerpt, or quote whose shingles are a subset of a
+    * longer document scores 1.0 here while its Jaccard (divided by the
+    * UNION) can be arbitrarily low — the FineWeb-style "longest member
+    * survives" policy exists precisely because crawl dups are usually
+    * subsumptions, and this operator finds them directly. Since
+    * |∩|/min ≥ |∩|/|∪| always, the output is a superset of
+    * [[jaccardPairs]] at the same threshold (spec-pinned).
+    *
+    * Same machinery, same 100 TB posture: duplicate collapse before the
+    * inverted index, fnv64 posting keys, volume-sized pair aggregation
+    * with sizes riding the posting rows — only the scoring tail differs,
+    * so the scale fixes measured for the Jaccard family hold here by
+    * construction.
+    */
+  def overlapPairs(docs: DataFrame, threshold: Double = 0.8, shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold,
+        scoreCol = "overlap") { base =>
+      pairIntersectionCounts(base, maxShingleDf)
+        .withColumn("overlap", round(col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6))
+        .filter(col("overlap") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("overlap"))
+    }
+
+  /** Shared count-based candidate machinery of the set-similarity family:
+    * inverted-index self-join on fnv64(shingle) → one row per
+    * (doc_a < doc_b) candidate with `(n_a, n_b, n_inter)`. All the
+    * measured scale shapes live HERE once — corpus-sized partitioning for
+    * the exploding self-join, the optional `maxShingleDf` skew guard, and
+    * the volume-sized pair aggregation (r18: the partial/final agg pair
+    * at AQE-chosen task counts spilled 22 GB at sf10; repartitioning the
+    * incidence stream by the PAIR key at Σ df·(df−1)/2-sized parallelism
+    * bounds every agg map by construction) — so every scoring tail
+    * (jaccard, overlap coefficient) inherits them identically.
+    */
+  private def pairIntersectionCounts(base: DataFrame, maxShingleDf: Int): DataFrame = {
     val sizes = base.select(col("id"), size(col("sh")).as("n"))
     // The inverted index joins on fnv64(shingle) — an 8-byte key instead
     // of a ~20-byte string roughly halves the heaviest shuffle. Distinct
@@ -533,7 +581,7 @@ object DedupOps {
     // partitioning, so both join sides stay co-partitioned and the join
     // itself adds no exchange.
     val postings = totalOf(sizes, "n")
-    val sized = explodedJoinPartitions(docs.sparkSession, postings)
+    val sized = explodedJoinPartitions(base.sparkSession, postings)
       .map(p => filtered.repartition(p, col("shingle"))).getOrElse(filtered)
     val a = sized.as("a"); val b = sized.as("b")
     val joined = a.join(b,
@@ -552,14 +600,12 @@ object DedupOps {
     val pairVol = if (postings < (1L << 19)) 0L
       else totalOf(sized.groupBy("shingle").agg(count(lit(1)).as("df"))
         .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
-    val pre = explodedJoinPartitions(docs.sparkSession, pairVol)
+    val pre = explodedJoinPartitions(base.sparkSession, pairVol)
       .map(p => joined.repartition(p, col("a.id"), col("b.id"))).getOrElse(joined)
-    jaccardFromCounts(
-      pre.groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-          col("a.n").as("n_a"), col("b.n").as("n_b"))
-        .agg(count(lit(1)).as("n_inter")),
-      threshold)
-    }
+    pre.groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+  }
 
   /** Shared scoring tail of the count-based Jaccard formulations:
     * jaccard = n_inter / (n_a + n_b − n_inter), rounded to 6 then

@@ -195,6 +195,45 @@ object TextOps {
           col("rule_alpha_words") && col("rule_stopwords"))
   }
 
+  /** C4's line-level cleaning rules (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2) — the OTHER famous hard-rule filter, and the one
+    * [[withGopherRules]] can't express: Gopher keeps or drops whole
+    * documents, C4 first EDITS them line by line:
+    *
+    *  - a line survives only if it ends in a terminal punctuation mark
+    *    (`.`, `!`, `?`, `"`), has at least `minWordsPerLine` words, and
+    *    does not contain the word "javascript" (case-insensitive);
+    *  - the document survives only if at least `minSentences` lines
+    *    remain AND the original text contains neither "lorem ipsum"
+    *    (case-insensitive) nor a curly brace `{` (code markers).
+    *
+    * Output columns: `n_lines`, `n_kept_lines`, `clean_text` (the kept
+    * lines re-joined with newlines — empty when none survive), and
+    * `keep`. Pure per-row codegen'd HOFs (split → filter → array_join):
+    * no shuffle, no model, trivially linear at any corpus scale; the
+    * C4 span-dedup step lives separately in the substring-dedup family
+    * ([[substringDedup]]), matching how the paper pipelines them.
+    */
+  def withC4Rules(docs: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    docs
+      .withColumn("n_lines", size(lines))
+      .withColumn("_kept", kept)
+      .withColumn("n_kept_lines", size(col("_kept")))
+      .withColumn("clean_text", array_join(col("_kept"), "\n"))
+      .withColumn("keep",
+        col("n_kept_lines") >= minSentences &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{"))
+      .drop("_kept")
+  }
+
   /** Gopher-style repetition signals per document: the mass fraction of
     * the most frequent unigram and bigram — high values flag boilerplate /
     * degenerate machine text that near-dup passes miss (the doc repeats

@@ -1060,6 +1060,26 @@ object GraftQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  /** Overlap-coefficient pairs ([[DedupOps.overlapPairs]]): |∩|/min ≥ 0.8
+    * — the containment axis (truncations/excerpts score 1.0 here while
+    * their Jaccard can be arbitrarily low). Oracle = the jaccardOracle's
+    * shingle algebra with the min-denominator score.
+    */
+  private val d32 = Q("dedup_overlap_pairs",
+    (s, dir) => DedupOps.overlapPairs(t(s, dir, "documents"), threshold = 0.8)
+      .orderBy("doc_a", "doc_b"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM t WHERE len(tk) >= 3),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(cast(len(list_intersect(a.sh, b.sh)) as double)
+                / cast(least(len(a.sh), len(b.sh)) as double), 6) AS overlap
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, overlap FROM p WHERE overlap >= 0.8
+      ORDER BY doc_a, doc_b"""))
+
   /** Winnow-fingerprint candidates + exact-Jaccard verify
     * ([[DedupOps.winnowPairs]]): pairs sharing ≥2 winnowing fingerprints
     * (count filter) with Jaccard ≥ 0.5 — the oracle reruns the full
@@ -2625,6 +2645,49 @@ object GraftQueries {
           AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** C4 line-level cleaning ([[TextOps.withC4Rules]]). The synthetic
+    * corpus has no newlines or punctuation, so the query SEEDS the line
+    * structure the rules need (the text_clean_stats/text_pii_stats
+    * precedent): tokens are folded into 6-token lines, even-indexed lines
+    * terminated with '.' — both engines rebuild the identical structure,
+    * then replay the line filter (terminal punctuation + ≥5 words +
+    * no-javascript) and the document rules (≥3 kept lines, no lorem
+    * ipsum, no brace). `clean_fp` pins the EXACT cleaned text by md5.
+    */
+  private val d33 = Q("curate_c4_rules",
+    (s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val nLines = ceil(size(tk).cast("double") / 6.0).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(tk, i * 6 + 1, lit(6)), " "),
+          when(i % 2 === 0, lit(".")).otherwise(lit(""))))
+      val structured = t(s, dir, "documents")
+        .withColumn("text", array_join(lines, "\n"))
+      TextOps.withC4Rules(structured, minWordsPerLine = 5, minSentences = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          md5(col("clean_text")).as("clean_fp"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      l AS (SELECT doc_id, list_transform(range(0, cast(ceil(len(tk) / 6.0) as int)),
+              i -> concat(array_to_string(tk[i*6+1 : i*6+6], ' '),
+                   CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) AS lines
+            FROM t),
+      c AS (SELECT doc_id, lines,
+              list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+                AND len(string_split(x, ' ')) >= 5
+                AND NOT contains(lower(x), 'javascript')) AS kept
+            FROM l),
+      r AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+              md5(array_to_string(kept, chr(10))) AS clean_fp,
+              len(kept) >= 3
+                AND NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+                AND NOT contains(array_to_string(lines, chr(10)), '{') AS keep
+            FROM c)
+      SELECT doc_id, n_lines, n_kept_lines, clean_fp, keep FROM r
+      ORDER BY doc_id"""))
+
   private val d16 = Q("curate_quality_quantile",
     (s, dir) => {
       val scored = TextOps.withQualityScore(t(s, dir, "documents"))
@@ -4106,6 +4169,50 @@ object GraftQueries {
           min(cast(source as varchar)), max(cast(source as varchar)) FROM documents)
       ORDER BY "column""""))
 
+  /** Count-Min sketch frequency estimates ([[StatsOps.cmsSketch]] +
+    * [[StatsOps.cmsEstimate]]): build a 4×1024 CMS over every token of
+    * the corpus, then read estimates for the exact top-20 tokens (by true
+    * count, ties to the lexicographically smaller) next to their true
+    * counts. The oracle REPLAYS the sketch — same md5-prefix buckets,
+    * same per-(row, bucket) counting, same min-over-rows read — so the
+    * comparison is value-exact even where the sketch overestimates: both
+    * engines must overestimate identically. At 100 TB the sketch is the
+    * point: per-task aggregate state is capped at depth×width counters
+    * regardless of vocabulary, where the exact groupBy's state is
+    * vocabulary-sized.
+    */
+  private val x27 = Q("stats_cms_freq",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_true"))
+      val probes = truth.orderBy(col("n_true").desc, col("token")).limit(20)
+      Caching.withCached(probes) {
+        val sketch = StatsOps.cmsSketch(docs, depth = 4, width = 1024)
+        StatsOps.cmsEstimate(sketch, probes, depth = 4, width = 1024)
+          .join(probes, "token")
+          .select(col("token"), col("n_true"), col("n_est"))
+          .orderBy("token")
+      }
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      tc AS (SELECT token, count(*) AS n_true FROM tok GROUP BY 1),
+      probes AS (SELECT token, n_true FROM tc ORDER BY n_true DESC, token LIMIT 20),
+      r AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cms AS (SELECT j,
+                ('0x' || substr(md5(cast(j as varchar) || '|' || token), 1, 15))::bigint
+                  % 1024 AS bucket,
+                count(*) AS cnt
+              FROM tok CROSS JOIN r GROUP BY 1, 2),
+      est AS (SELECT p.token, p.n_true, min(coalesce(c.cnt, 0)) AS n_est
+              FROM probes p CROSS JOIN r
+              LEFT JOIN cms c ON c.j = r.j AND c.bucket =
+                ('0x' || substr(md5(cast(r.j as varchar) || '|' || p.token), 1, 15))::bigint
+                  % 1024
+              GROUP BY 1, 2)
+      SELECT token, n_true, n_est FROM est ORDER BY token"""))
+
   // ----------------------------------------------------------- sampling
 
   /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
@@ -4614,9 +4721,9 @@ object GraftQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31,
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
     sm1, sm2, sm3, sm4, sm5, sm6, sm7, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
 
   // A duplicated name would silently last-win in the .toMap below and

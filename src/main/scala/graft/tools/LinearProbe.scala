@@ -50,7 +50,8 @@ object LinearProbe {
     */
   val defaultQueries: Seq[String] = Seq(
     "dedup_jaccard_prefix", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "dedup_jaccard_exact", "dedup_components", "curate_semdedup",
+    "dedup_jaccard_exact", "dedup_overlap_pairs", "dedup_components",
+    "curate_semdedup",
     "curate_semantic_dedup", "curate_incremental_dedup",
     "curate_incremental_semantic", "sim_recall_ann", "sim_topk_ivfpq",
     "text_substring_dedup", "text_dup_spans", "text_tfidf_top",

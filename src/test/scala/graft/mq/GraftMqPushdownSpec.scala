@@ -248,4 +248,79 @@ class GraftMqPushdownSpec extends SparkSuite {
     val err = intercept[IllegalArgumentException] { scan.toMicroBatchStream("unused") }
     assert(err.getMessage.contains("endingOffsets"), err.getMessage)
   }
+
+  // ------------------------------------------------- count(*) pushdown
+
+  private def countStarPushed(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .exists(_.scan.description().contains("countStar"))
+
+  test("count(*) is answered from offsets with zero message fetches") {
+    freshTopic("push-count")
+    val state = InMemoryMqBroker.getOrCreate("push-count", 2)
+    val before = state.dataReadCalls
+    val df = read("push-count").groupBy().count()
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(15L))
+    assert(countStarPushed(df), df.queryExecution.executedPlan.toString)
+    assert(state.dataReadCalls == before,
+      s"pushed count(*) fetched data: ${state.dataReadCalls - before} read call(s)")
+  }
+
+  test("count(*) pushdown respects starting/ending offset bounds") {
+    freshTopic("push-count-bounds")
+    val df = spark.read.format("graft-mq")
+      .option("topic", "push-count-bounds").option("numPartitions", "2")
+      .option("includeMetadata", "true")
+      .option("startingOffsets", """{"0":2,"1":1}""")
+      .option("endingOffsets", """{"0":7,"1":-1}""")
+      .load()
+    val rows = df.count() // (7-2) + (5-1)
+    assert(rows == 9L)
+    val counted = df.groupBy().count()
+    assert(countStarPushed(counted))
+    assert(counted.head().getLong(0) == 9L)
+  }
+
+  test("count(*) under any filter is NOT pushed (filters stay residual)") {
+    freshTopic("push-count-filter")
+    val state = InMemoryMqBroker.getOrCreate("push-count-filter", 2)
+    val before = state.dataReadCalls
+    val df = read("push-count-filter").filter(col("partition") === 0).groupBy().count()
+    assert(!countStarPushed(df), df.queryExecution.executedPlan.toString)
+    assert(df.head().getLong(0) == 10L)
+    assert(state.dataReadCalls > before, "filtered count must read messages")
+  }
+
+  test("count(col) and grouped counts are NOT pushed (value semantics)") {
+    freshTopic("push-count-col")
+    val byCol = read("push-count-col").agg(count(col("value")))
+    assert(!countStarPushed(byCol))
+    assert(byCol.head().getLong(0) == 15L)
+    val grouped = read("push-count-col").groupBy(col("partition")).count()
+    assert(!countStarPushed(grouped))
+    assert(grouped.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 10L, 1 -> 5L))
+  }
+
+  test("aggregatePushdown=false restores the row-reading count") {
+    freshTopic("push-count-off")
+    val state = InMemoryMqBroker.getOrCreate("push-count-off", 2)
+    val before = state.dataReadCalls
+    val df = spark.read.format("graft-mq")
+      .option("topic", "push-count-off").option("numPartitions", "2")
+      .option("aggregatePushdown", "false").load()
+      .groupBy().count()
+    assert(!countStarPushed(df))
+    assert(df.head().getLong(0) == 15L)
+    assert(state.dataReadCalls > before)
+  }
+
+  test("count(*) pushdown on the generated backend prices the synthetic batch") {
+    val df = spark.read.format("graft-mq")
+      .option("backend", "generated").option("numPartitions", "3")
+      .option("rowsPerBatch", "7").load()
+      .groupBy().count()
+    assert(countStarPushed(df))
+    assert(df.head().getLong(0) == 21L)
+  }
 }

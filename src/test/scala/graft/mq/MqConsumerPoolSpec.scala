@@ -91,7 +91,10 @@ class MqConsumerPoolSpec extends SparkSuite {
     val df = spark.read.format("graft-mq")
       .option("topic", topic).option("numPartitions", "1")
       .option("pollTimeoutMs", "300").load()
-    val err = intercept[Exception] { df.count() }
+    // collect(), not count(): a bare count(*) is now answered from offset
+    // arithmetic (aggregate pushdown) and would never touch a consumer —
+    // this test is about FETCH failure, so it must fetch.
+    val err = intercept[Exception] { df.collect() }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(err).exists(_.isInstanceOf[MqPollTimeoutException]), err.toString)
@@ -101,7 +104,7 @@ class MqConsumerPoolSpec extends SparkSuite {
 
     // Healthy again: the next read creates a fresh consumer and succeeds.
     state.injectFetchDelay(0, 0)
-    assert(df.count() == 10)
+    assert(df.collect().length == 10)
     assert(MqConsumerPool.idleCount(topic, 0) == 1)
   }
 

@@ -1199,6 +1199,80 @@ class OpsSpec extends SparkSuite {
     assert(got == Seq(("dot.ted", 3L, 3L, 2L), ("it's", 3L, 3L, 2L), ("we`ird", 3L, 2L, 2L)))
   }
 
+  test("withC4Rules: line filter, javascript lines, lorem/brace page drops") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 qualifying sentences + a no-punct line + a short line -> keep
+      (1L, "one two three four five six.\nno punctuation here at all\nseven eight nine ten eleven!\nshort line.\nis this a question mark line?"),
+      // javascript line is removed even with punctuation -> only 2 left -> drop
+      (2L, "one two three four five six.\nenable JavaScript to view this.\nseven eight nine ten eleven!"),
+      // lorem ipsum anywhere drops the page even with 3 good lines
+      (3L, "lorem ipsum dolor sit amet one.\ntwo three four five six seven.\neight nine ten eleven twelve!"),
+      // curly brace (code marker) drops the page
+      (4L, "function call with braces {x}.\ntwo three four five six seven.\neight nine ten eleven twelve!")
+    ).toDF("doc_id", "text")
+    val got = TextOps.withC4Rules(docs)
+      .select("doc_id", "n_lines", "n_kept_lines", "keep", "clean_text")
+      .as[(Long, Int, Int, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 5, 3, true,
+      "one two three four five six.\nseven eight nine ten eleven!\nis this a question mark line?")))
+    assert(got(1)._3 == 2 && !got(1)._4) // javascript line filtered, page dropped
+    assert(got(2)._3 == 3 && !got(2)._4) // lines fine, lorem ipsum kills the page
+    assert(got(3)._3 == 3 && !got(3)._4) // all 3 lines pass the LINE filter; '{' kills the page
+  }
+
+  test("overlapPairs: superset of jaccardPairs; catches pure containment jaccard misses") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // |∩|/min >= |∩|/|∪| pointwise, so at one threshold the overlap pair
+    // set must contain the jaccard pair set.
+    val j = DedupOps.jaccardPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val o = DedupOps.overlapPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(j.subsetOf(o), s"missing from overlap: ${(j -- o).take(5)}")
+    // Containment fixture: B is a strict prefix of A — B's shingles are a
+    // subset of A's, so overlap = 1.0 while jaccard = 3/8 misses it.
+    val fix = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val op = DedupOps.overlapPairs(fix, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(op == Seq((1L, 2L, 1.0)), op.toString)
+    assert(DedupOps.jaccardPairs(fix, threshold = 0.99).isEmpty)
+  }
+
+  test("cms: estimates dominate true counts, state is depth×width-bounded, builds are deterministic") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // Deliberately tiny width so collisions (the overestimation the
+    // domination property must survive) actually occur at this corpus.
+    val (depth, width) = (3, 64)
+    val sketch = StatsOps.cmsSketch(docs, depth, width)
+    val rows = sketch.collect()
+    assert(rows.length <= depth * width)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < depth))
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) < width))
+    // Each hash row partitions ALL token occurrences: every row's counters
+    // sum to the corpus token count.
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " "))).cast("long")).as[Long].head()
+    val perRow = sketch.groupBy("row").agg(sum("cnt").as("s"))
+      .select("s").as[Long].collect()
+    assert(perRow.length == depth && perRow.forall(_ == totalTokens))
+    // CMS guarantee: est >= true for EVERY token in the corpus (probes =
+    // the full vocabulary, not a favorable subset).
+    val truth = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_true"))
+    val under = StatsOps.cmsEstimate(sketch, truth.select("token"), depth, width)
+      .join(truth, "token").filter(col("n_est") < col("n_true"))
+    assert(under.isEmpty, under.limit(5).collect().mkString(", "))
+    // Replayability: a second independent build is value-identical.
+    val again = StatsOps.cmsSketch(docs, depth, width).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+  }
+
   test("every registered query runs at sf0.001 and is non-degenerate") {
     // May legitimately be empty at tiny SF (10 suppliers across 25 nations
     // leave some nation pairs unpopulated; every customer may have orders).
