@@ -55,9 +55,11 @@ import java.util.Locale
   *                           column vectors instead of per-row
   *                           InternalRows; schemas containing `headers`
   *                           fall back to the row reader automatically
-  *  - `aggregatePushdown`  — batch reads: allow `count(*)` to be answered
-  *                           from resolved offset ranges without fetching
-  *                           a single message (default true; disable for
+  *  - `aggregatePushdown`  — batch reads: allow `count(*)`,
+  *                           `min/max(offset)`, and their `GROUP BY
+  *                           partition` forms to be answered from
+  *                           resolved offset ranges without fetching a
+  *                           single message (default true; disable for
   *                           A/B verification)
   *  - `pollTimeoutMs`      — broker backend: per-fetch latency bound
   *                           (default 120000, the Kafka consumer default

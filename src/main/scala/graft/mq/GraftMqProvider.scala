@@ -1,8 +1,8 @@
 package graft.mq
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -100,13 +100,13 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
   private var anyFilters: Boolean = false
   private var bounds: GraftMqScanBounds = GraftMqScanBounds()
   private var limit: Option[Int] = None
-  private var countStarCols: Int = 0
+  private var pushedAgg: Option[MqPushedAggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // After an aggregate pushdown the output schema is the aggregation's
     // own (fixed in pushAggregation); the engine's subsequent prune call
     // carries that same schema and must not re-widen to message fields.
-    if (countStarCols == 0) pruned = requiredSchema
+    if (pushedAgg.isEmpty) pruned = requiredSchema
 
   /** Filter pushdown as offset-range SEEKS (see [[GraftMqScanBounds]]):
     * `partition`/`offset` bounds and `timestamp` lower bounds narrow the
@@ -131,42 +131,86 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
   override def pushLimit(l: Int): Boolean =
     if (!anyFilters) { limit = Some(l); true } else false
 
-  /** COUNT(*) pushdown: a batch `count(*)` over an MQ topic is pure offset
-    * arithmetic — Σ (until − from) over the SAME resolved ranges the row
-    * scan would read ([[GraftMqCountBatch]]) — so it is answered with ZERO
-    * message fetches: at 100 TB, counting a topic costs a metadata lookup
-    * instead of a full log read. COMPLETE pushdown (the scan emits the one
-    * final row) — correct because the count batch plans exactly one
-    * partition holding the pre-summed total.
+  /** Aggregate pushdown for the aggregations that are pure OFFSET
+    * ARITHMETIC over the resolved `[start, end)` ranges — answered with
+    * ZERO message fetches ([[GraftMqCountBatch]]): at 100 TB, counting a
+    * topic or locating its offset bounds costs plan-time metadata lookups
+    * instead of a full log read. COMPLETE pushdown: the scan emits the
+    * final rows (one, or one per nonempty partition when grouped).
     *
-    * Accepted only when the count is exactly offset arithmetic:
+    * Accepted shapes:
+    *  - aggregates: `count(*)` (range width), `min(offset)` /
+    *    `max(offset)` (range ends), in any combination;
+    *  - grouping: none, or exactly `GROUP BY partition` (the partition IS
+    *    the range key);
     *  - no filters AT ALL (this builder keeps every filter residual, so
     *    the engine skips aggregate pushdown itself whenever one exists —
-    *    guarded here anyway against engine-behavior drift);
-    *  - no GROUP BY (grouping needs message fields);
-    *  - CountStar only: `count(col)` skips nulls, which requires reading
-    *    values (message fields are non-null by schema, but equating the
-    *    two here would silently break if a nullable column ever lands).
+    *    guarded here anyway against engine-behavior drift) and no pushed
+    *    LIMIT.
+    *
+    * Rejected (row path): `count(col)` (skips nulls — needs values; the
+    * message fields are non-null by schema today, but equating the two
+    * would silently break if a nullable column ever lands),
+    * `min/max(timestamp)` (producer-supplied timestamps are
+    * non-monotonic: offset order bounds nothing), any other column or
+    * grouping.
     */
-  private def countable(agg: Aggregation): Boolean =
-    opts.aggregatePushdown && !anyFilters && limit.isEmpty &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  private def translate(agg: Aggregation): Option[MqPushedAggregation] = {
+    import MqPushedAggregation._
+    def singleName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def colOf(f: AggregateFunc): Option[Col] = f match {
+      case _: CountStar => Some(CountAll)
+      case m: Min => singleName(m.column).collect { case "offset" => MinOffset }
+      case m: Max => singleName(m.column).collect { case "offset" => MaxOffset }
+      case _ => None
+    }
+    val grouped = agg.groupByExpressions match {
+      case Array() => Some(false)
+      case Array(g) => singleName(g).collect { case "partition" => true }
+      case _ => None
+    }
+    val cols = agg.aggregateExpressions.toSeq.map(colOf)
+    if (opts.aggregatePushdown && !anyFilters && limit.isEmpty &&
+        grouped.isDefined && cols.nonEmpty && cols.forall(_.isDefined))
+      Some(MqPushedAggregation(grouped.get, cols.map(_.get)))
+    else None
+  }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countable(agg)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (!countable(agg)) false
-    else {
-      countStarCols = agg.aggregateExpressions.length
-      pruned = StructType((0 until countStarCols).map(i =>
-        StructField(if (i == 0) "count(*)" else s"count(*)_$i",
-          LongType, nullable = false)))
-      true
+    translate(agg) match {
+      case None => false
+      case Some(p) =>
+        import MqPushedAggregation._
+        pushedAgg = Some(p)
+        val groupFields =
+          if (p.groupByPartition)
+            Seq(StructField("partition", org.apache.spark.sql.types.IntegerType,
+              nullable = false))
+          else Nil
+        // min/max are null on an all-empty topic (ungrouped form only —
+        // grouped rows exist only for nonempty partitions).
+        val aggFields = p.cols.zipWithIndex.map { case (c, i) =>
+          val (name, nullable) = c match {
+            case CountAll => ("count(*)", false)
+            case MinOffset => ("min(offset)", !p.groupByPartition)
+            case MaxOffset => ("max(offset)", !p.groupByPartition)
+          }
+          StructField(if (p.cols.take(i).contains(c)) s"${name}_$i" else name,
+            LongType, nullable)
+        }
+        pruned = StructType(groupFields ++ aggFields)
+        true
     }
 
   override def build(): Scan =
-    new GraftMqScan(opts, pruned, bounds, limit, countStarCols)
+    new GraftMqScan(opts, pruned, bounds, limit, pushedAgg)
 }
 
 /** Scan bridging to both execution modes. `readSchema` returns the real
@@ -176,14 +220,14 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
 class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
     bounds: GraftMqScanBounds = GraftMqScanBounds(),
     limit: Option[Int] = None,
-    countStarCols: Int = 0) extends Scan {
+    pushedAgg: Option[MqPushedAggregation] = None) extends Scan {
   override def readSchema(): StructType = readSchemaValue
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     // Aggregate pushdown is a batch-plan rewrite; the engine never routes
     // a streaming relation through it. Defensive, not reachable.
-    require(countStarCols == 0,
-      "graft-mq: pushed-down count(*) is batch-only")
+    require(pushedAgg.isEmpty,
+      "graft-mq: pushed-down aggregation is batch-only")
     // Kafka parity: endingOffsets bounds batch scans only; accepting it on
     // a stream would silently read unbounded (ADVICE r03).
     require(opts.endingOffsets == "latest",
@@ -200,13 +244,14 @@ class GraftMqScan(opts: GraftMqOptions, readSchemaValue: StructType,
       GraftMqScanBounds(minTimestampMicros = bounds.minTimestampMicros))
   }
 
-  override def toBatch: Batch =
-    if (countStarCols > 0) new GraftMqCountBatch(opts, countStarCols)
-    else new GraftMqBatch(opts, readSchemaValue, bounds, limit)
+  override def toBatch: Batch = pushedAgg match {
+    case Some(agg) => new GraftMqCountBatch(opts, agg)
+    case None => new GraftMqBatch(opts, readSchemaValue, bounds, limit)
+  }
 
   override def description(): String =
     s"graft-mq topic=${opts.topic} backend=${opts.backend} partitions=${opts.numPartitions}" +
       (if (bounds.isEmpty) "" else s" seek=$bounds") +
       limit.map(l => s" limit=$l").getOrElse("") +
-      (if (countStarCols > 0) s" countStar=$countStarCols" else "")
+      pushedAgg.map(a => s" pushedAgg=$a").getOrElse("")
 }

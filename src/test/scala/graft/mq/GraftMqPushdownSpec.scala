@@ -253,7 +253,7 @@ class GraftMqPushdownSpec extends SparkSuite {
 
   private def countStarPushed(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
-      .exists(_.scan.description().contains("countStar"))
+      .exists(_.scan.description().contains("pushedAgg"))
 
   test("count(*) is answered from offsets with zero message fetches") {
     freshTopic("push-count")
@@ -291,15 +291,11 @@ class GraftMqPushdownSpec extends SparkSuite {
     assert(state.dataReadCalls > before, "filtered count must read messages")
   }
 
-  test("count(col) and grouped counts are NOT pushed (value semantics)") {
+  test("count(col) is NOT pushed (null semantics need values)") {
     freshTopic("push-count-col")
     val byCol = read("push-count-col").agg(count(col("value")))
     assert(!countStarPushed(byCol))
     assert(byCol.head().getLong(0) == 15L)
-    val grouped = read("push-count-col").groupBy(col("partition")).count()
-    assert(!countStarPushed(grouped))
-    assert(grouped.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
-      Map(0 -> 10L, 1 -> 5L))
   }
 
   test("aggregatePushdown=false restores the row-reading count") {
@@ -313,6 +309,62 @@ class GraftMqPushdownSpec extends SparkSuite {
     assert(!countStarPushed(df))
     assert(df.head().getLong(0) == 15L)
     assert(state.dataReadCalls > before)
+  }
+
+  test("min/max(offset) and GROUP BY partition push down as offset arithmetic") {
+    freshTopic("push-minmax")
+    val state = InMemoryMqBroker.getOrCreate("push-minmax", 2)
+    val before = state.dataReadCalls
+
+    // Ungrouped combination in one aggregate.
+    val global = read("push-minmax")
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("lo"),
+        max(col("offset")).as("hi"))
+    assert(countStarPushed(global), global.queryExecution.executedPlan.toString)
+    assert(global.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((15L, 0L, 9L)))
+
+    // Grouped: one row per nonempty partition, still zero fetches.
+    val grouped = read("push-minmax").groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("hi"))
+    assert(countStarPushed(grouped), grouped.queryExecution.executedPlan.toString)
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == Seq((0, 10L, 9L), (1, 5L, 4L)))
+
+    assert(state.dataReadCalls == before,
+      s"pushed offset aggregates fetched data: ${state.dataReadCalls - before}")
+
+    // min/max over message VALUES (timestamp: non-monotonic by contract)
+    // must keep the row path — and actually read.
+    val ts = read("push-minmax").agg(max(col("timestamp")))
+    assert(!countStarPushed(ts))
+    ts.collect()
+    assert(state.dataReadCalls > before)
+    // grouping by anything but partition keeps the row path too
+    val byValue = read("push-minmax").groupBy(col("offset")).count()
+    assert(!countStarPushed(byValue))
+  }
+
+  test("grouped count on a partially-empty topic omits empty partitions (row-agg parity)") {
+    InMemoryMqBroker.drop("push-empty-part")
+    val state = InMemoryMqBroker.getOrCreate("push-empty-part", 3)
+    (0 until 4).foreach(i =>
+      state.append(1, MqMessage(null, s"x$i".getBytes("UTF-8"), base + i)))
+    def df = spark.read.format("graft-mq")
+      .option("topic", "push-empty-part").option("numPartitions", "3")
+      .option("includeMetadata", "true").load()
+    val grouped = df.groupBy("partition").count()
+    assert(countStarPushed(grouped))
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 4L)))
+    // ...and matches the non-pushed answer exactly.
+    val rowPath = spark.read.format("graft-mq")
+      .option("topic", "push-empty-part").option("numPartitions", "3")
+      .option("includeMetadata", "true").option("aggregatePushdown", "false")
+      .load().groupBy("partition").count()
+    assert(!countStarPushed(rowPath))
+    assert(rowPath.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 4L)))
   }
 
   test("count(*) pushdown on the generated backend prices the synthetic batch") {

@@ -488,6 +488,42 @@ class GraftMqStreamingOpsSpec extends SparkSuite {
     }
   }
 
+  test("streaming CMS sketch: complete-mode stream aggregate equals the batch sketch") {
+    // cmsSketch is explode → bounded groupBy-count, so it runs UNCHANGED
+    // as a streaming complete-mode aggregate — the state store holds at
+    // most depth×width counters no matter how long the stream runs (the
+    // sketch's memory guarantee, now as STREAMING state): the
+    // constant-space way to track token frequencies on an unbounded
+    // topic. Multiple micro-batches must converge to the batch answer.
+    val src = "cms-stream-src"
+    InMemoryMqBroker.drop(src)
+    val state = InMemoryMqBroker.getOrCreate(src, 1)
+    val base = 1700000000000000L
+    Seq("the quick brown fox", "the lazy dog", "the quick dog",
+        "fox and dog and fox").zipWithIndex.foreach { case (v, i) =>
+      state.append(0, MqMessage(null, v.getBytes("UTF-8"), base + i * 1000000L))
+    }
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.StatsOps.cmsSketch(
+        df.select(col("value").cast("string").as("text")), depth = 3, width = 32)
+    val q = sketch(spark.readStream.format("graft-mq")
+        .option("topic", src).option("numPartitions", "1")
+        // force several micro-batches so the state actually accumulates
+        .option("maxRowsPerBatch", "2").load())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("cms-stream-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = rows(spark.table("cms_stream"))
+    val batch = rows(sketch(spark.read.format("graft-mq")
+      .option("topic", src).option("numPartitions", "1").load()))
+    assert(streamed == batch && streamed.nonEmpty, s"streamed=$streamed batch=$batch")
+    assert(streamed.size <= 3 * 32)
+  }
+
   test("streaming near-dup: dedupe by content fingerprint within watermark") {
     val topic = "neardup-stream"
     InMemoryMqBroker.drop(topic)
