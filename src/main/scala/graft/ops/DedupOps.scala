@@ -43,6 +43,15 @@ object DedupOps {
     * ≤ splitTarget² ≈ 4.2M element pairs, whatever the bucket size. */
   private[ops] val HotBucketSplitTarget = 2048L
 
+  /** Priced hash-order match volume above which [[jaccardPairsPrefix]]
+    * switches to df-ordered (rarest-first) prefixes: past ~8M candidate
+    * matches the array-attach verify exchange (≈1.2 KB/candidate)
+    * dwarfs the one corpus-linear ranking pass the df order costs, and
+    * rare prefixes typically cut candidates by an order of magnitude.
+    * Below it the ranking pass can't pay for itself (measured ~10× the
+    * savings at sf0.1). */
+  private[ops] val DfOrderMatchVol = 1L << 23
+
   /** Within-bucket candidate pairs with a HOT-BUCKET SKEW GUARD — the
     * shared self-join core of the three banded LSH pair generators
     * (simhash / minhash / embedding sign bands). Input: one row per
@@ -957,41 +966,89 @@ object DedupOps {
     * the slack only ADMITS boundary candidates, never drops one, and the
     * exact verify settles them.
     *
-    * The global order here is `fnv64(shingle)` ascending — a fixed
-    * pseudo-random order every document computes LOCALLY, so the prefix is
-    * a per-doc map-side `array_sort` + `slice` with no shuffle before the
-    * candidate join. (Classic PPJoin orders by document frequency to make
-    * prefixes maximally rare, but that needs a full inverted-index shuffle
-    * plus a per-doc ranking pass — measured at sf0.1 the ranking cost an
-    * order of magnitude more than the candidates it saved; the theorems
-    * hold under ANY fixed total order, so the cheap order wins at every
-    * scale until candidate volume, not ranking, dominates.) Hash
-    * collisions could only merge two order keys (~|shingles|²/2⁶⁵ odds);
-    * candidates are verified exactly either way, and the join key being
-    * the 8-byte hash also halves the shuffle width vs. raw shingles.
+    * The global order is ADAPTIVE (r18): `fnv64(shingle)` ascending by
+    * default — a fixed pseudo-random order every document computes
+    * LOCALLY, so the prefix is a per-doc map-side `array_sort` + `slice`
+    * with no shuffle before the candidate join — switching to classic
+    * PPJoin ASCENDING-DF order (rarest shingles in the prefix) once the
+    * priced hash-order match volume crosses [[DfOrderMatchVol]]. The df
+    * order needs a corpus-linear ranking pass (postings ⋈ df, per-doc
+    * re-sort) that measured ~10× more than it saved at sf0.1, but at
+    * sf10 the hash order's 20.6M candidates carried an 11.6 GB verify
+    * attach for 25.6k true pairs — the regime where rare prefixes pay
+    * (measured: see §8). The theorems hold under ANY fixed total order,
+    * so both paths are exact and the switch is a pure cost decision;
+    * `dfOrderedPrefix` forces a path for specs/probes. Hash collisions
+    * could only merge two order keys (~|shingles|²/2⁶⁵ odds); candidates
+    * are verified exactly either way, and the join key being the 8-byte
+    * hash also halves the shuffle width vs. raw shingles.
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      dfOrderedPrefix: Option[Boolean] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val t = threshold - 1e-6 // round(·,6)-verify slack; see scaladoc
     val midFrac = 2 * t / (1 + t)
     withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
     val hashed = base.select(col("id"), size(col("sh")).as("n"),
       array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
+    Caching.withCached(hashed) {
     // Standard (index-role) prefix with 1-based positions: each doc's
-    // (n - ceil(t*n) + 1) smallest hashes. The probe side filters this
-    // SAME cached frame down to the mid-prefix — one explode, two roles.
-    // (The -1e-9 inside ceil guards double rounding UP across an integer
-    // boundary, which would shorten a prefix illegally; rounding down
-    // only lengthens it.) Persisted alongside hashed: both sides of the
-    // self-join consume it, and without the persist each side re-runs
-    // the fnv64 hash + sort of every document.
-    val prefixes = hashed
-      .select(col("id"), col("n"), posexplode(slice(col("hs"), lit(1),
-        (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))))
+    // (n - ceil(t*n) + 1) smallest elements UNDER THE CHOSEN TOTAL ORDER.
+    // The probe side filters this SAME cached frame down to the
+    // mid-prefix — one explode, two roles. (The -1e-9 inside ceil guards
+    // double rounding UP across an integer boundary, which would shorten
+    // a prefix illegally; rounding down only lengthens it.)
+    val prefLen = (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int")
+    val hashPrefixes = hashed
+      .select(col("id"), col("n"), posexplode(slice(col("hs"), lit(1), prefLen)))
       .select(col("id"), col("n"), (col("pos") + 1).as("pos"),
         col("col").as("shingle"))
-    Caching.withCached(hashed, prefixes) {
+    // ADAPTIVE ORDER SWITCH (r18): the hash order is free (per-doc
+    // map-side sort, no shuffle) but blind — a prefix hash is as likely
+    // to be a stopword-run shingle shared by half the corpus as a rare
+    // one, so candidate volume grows with corpus density. The classic
+    // PPJoin order is ASCENDING DOCUMENT FREQUENCY (rarest shingles in
+    // the prefix — Xiao et al. 2008 §3): it costs a corpus-linear
+    // ranking pass (postings ⋈ df counts, one per-doc re-sort), which
+    // measured ~10× more than it saved at sf0.1 — but at sf10 the
+    // hash-order candidate stream reached 20.6M pairs carrying a
+    // 11.6 GB array-attach exchange for 25.6k true pairs (PlanMetrics,
+    // this round), exactly the "candidate volume dominates" regime the
+    // r17 scaladoc predicted. So: price the hash-order match volume
+    // (Σ df·(df−1)/2 over the prefix index — one aggregate over the
+    // cached frame) and switch to df-ordering once it crosses
+    // [[DfOrderMatchVol]]; `dfOrderedPrefix` forces either path for
+    // specs and probes. EXACTNESS is order-independent: the prefix
+    // theorems hold under ANY fixed total order, positions in the
+    // bounds are positions in the chosen order on both sides, and the
+    // verify runs on the hash-SORTED arrays either way (the merge needs
+    // its own order, not the prefix's).
+    val prefixVolGate = totalOf(
+      hashed.select(prefLen.cast("long").as("n")), "n") >= (1L << 19)
+    val hashMatchVol = if (!prefixVolGate) 0L
+      else totalOf(hashPrefixes.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
+    val useDf = dfOrderedPrefix.getOrElse(hashMatchVol > DfOrderMatchVol)
+    val prefixes =
+      if (!useDf) hashPrefixes
+      else {
+        // Ranking pass: per-shingle df over the collapsed corpus (the
+        // global order is (df, hash) — deterministic, ties by hash),
+        // then each doc's shingles re-sorted by that order and cut to
+        // the prefix. collect_list per doc is set-sized (the same bound
+        // as the hs array itself), so the agg state is per-doc bounded;
+        // the df join is an equi-join of two corpus-linear frames.
+        val postings = hashed.select(col("id"), col("n"), explode(col("hs")).as("h"))
+        val dfc = postings.groupBy("h").agg(count(lit(1)).as("df"))
+        postings.join(dfc, "h")
+          .groupBy(col("id"), col("n"))
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+          .select(col("id"), col("n"), posexplode(slice(col("o"), lit(1), prefLen)))
+          .select(col("id"), col("n"), (col("pos") + 1).as("pos"),
+            col("col.h").as("shingle"))
+      }
+    Caching.withCached(prefixes) {
     // Corpus-sized partitioning for the exploding prefix join (see
     // [[explodedJoinPartitions]]; the count is one pass over the cached
     // frame). The probe side is a FILTER of the repartitioned index
@@ -1080,6 +1137,7 @@ object DedupOps {
         ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))
           .cast("int"))),
       threshold)
+    }
     }
     }
   }

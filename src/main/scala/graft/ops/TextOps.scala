@@ -871,4 +871,69 @@ object TextOps {
           round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
     }
   }
+
+  /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009) — the
+    * "search your own corpus" operator a curation pipeline reaches for
+    * when hunting contamination sources, mining topical subsets, or
+    * spot-checking what a filter kept: for each query (a bag of terms),
+    * the k highest-scoring documents under
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Shape at 100 TB: one tokenize+explode pass collapsed immediately to
+    * per-(doc, term) counts (map-side partial agg — the x08 tf-idf
+    * lesson); the corpus-sized stream is then SEMI-JOINED to the
+    * broadcast query terms before anything else, so df counting and
+    * scoring touch only matching postings (query-sized · df, never
+    * corpus · vocabulary); N and avgdl ride a broadcast 1-row aggregate
+    * (no driver constant); the final top-k per query is the bounded-heap
+    * [[graft.plans.GraftPlans.topKPerKey]] plan, not a window sort.
+    *
+    * Determinism: each term's contribution is cast to decimal(38,12)
+    * before the per-(query, doc) sum (the s07 order-independent-sum
+    * idiom), the visible score is round(·, 6), and ranking orders by
+    * (rounded score desc, doc_id) — a total order both engines replay
+    * exactly (`log` ≡ DuckDB `ln` on identical doubles, the x08 idiom).
+    *
+    * Query TERMS are deduplicated per query (BM25's standard bag-of-terms
+    * saturation already lives in the tf normalization; double-counting a
+    * repeated query word would just scale its idf).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: no queries given")
+    val spark = docs.sparkSession
+    val qterms = broadcast(spark.createDataFrame(
+      queries.flatMap { case (qid, qt) =>
+        qt.split(" ").filter(_.nonEmpty).distinct.map(term => (qid, term))
+      }).toDF("query_id", "term"))
+    val id = col(idCol)
+    val tokc = docs
+      .select(id, explode(tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    Caching.withCached(tokc) {
+      // Only postings of query terms survive past this line.
+      val tfq = tokc.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+      val dfc = tfq.groupBy("term").agg(count(lit(1)).as("dfc"))
+      val dl = tokc.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("nd"),
+        avg(size(tokens(col(textCol)))).as("avgdl"))
+      val contrib =
+        log(lit(1.0) + (col("nd") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      val scored = tfq
+        .join(qterms, "term")
+        .join(dfc, "term")
+        .join(dl, idCol)
+        .crossJoin(broadcast(stats))
+        .withColumn("c", contrib.cast("decimal(38,12)"))
+        .groupBy(col("query_id"), id)
+        .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      graft.plans.GraftPlans.topKPerKey(scored,
+        keys = Seq("query_id"),
+        orderBy = Seq(("score", false), (idCol, true)), k = k)
+    }
+  }
 }

@@ -4213,6 +4213,56 @@ object GraftQueries {
               GROUP BY 1, 2)
       SELECT token, n_true, n_est FROM est ORDER BY token"""))
 
+  /** BM25 top-k retrieval ([[TextOps.bm25TopK]]) for three fixed probe
+    * queries over the corpus vocabulary — k=5 best documents each. The
+    * oracle replays the full scoring chain (Lucene idf, tf saturation,
+    * decimal-cast contributions summed order-independently, round(,6),
+    * ranking by (score desc, doc_id)); the Spark side's top-k is the
+    * bounded-heap TopKPerKey plan, the oracle's is the row_number window
+    * it is spec-proven equivalent to.
+    */
+  private val x28 = Q("text_bm25_topk",
+    (s, dir) => {
+      val capped = TextOps.bm25TopK(t(s, dir, "documents"),
+        queries = Seq(1 -> "spark stream batch", 2 -> "join filter merge",
+          3 -> "customer order window"),
+        k = 5)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      capped.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q(query_id, term) AS (VALUES
+        (1, 'spark'), (1, 'stream'), (1, 'batch'),
+        (2, 'join'), (2, 'filter'), (2, 'merge'),
+        (3, 'customer'), (3, 'order'), (3, 'window')),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT count(*) AS nd,
+                  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+      dfq AS (SELECT term, count(*) AS dfc FROM tf
+              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+      sc AS (SELECT q.query_id, tf.doc_id,
+               round(cast(sum(cast(
+                 ln(1 + (nd - dfc + 0.5) / (dfc + 0.5)) *
+                   (tf.tf * (1.2 + 1)) /
+                   (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / avgdl))
+                 as decimal(38,12))) as double), 6) AS score
+             FROM q JOIN tf ON tf.term = q.term
+                    JOIN dfq ON dfq.term = q.term
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN stats
+             GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rank
+            FROM sc)
+      SELECT query_id, cast(rank as int) AS rank, doc_id, score
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // ----------------------------------------------------------- sampling
 
   /** Deterministic sampling ([[SamplingOps]]): per language, a ~10%
@@ -4723,7 +4773,7 @@ object GraftQueries {
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33,
     s01, s02, s03, s04, s05, s05b, s05c, s06, s07, s08, s09, s10,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     sm1, sm2, sm3, sm4, sm5, sm6, sm7, m01, m02, m03, m04, mq1, ly1, ly2, ly3, ly4, ly5)
 
   // A duplicated name would silently last-win in the .toMap below and

@@ -77,6 +77,16 @@ class OpsSpec extends SparkSuite {
         .select("doc_a", "doc_b", "jaccard").collect().toSet
       assert(prefix == exact,
         s"t=$t: missed ${(exact -- prefix).size}, extra ${(prefix -- exact).size}")
+      // The df-ordered (rarest-first) prefix path is a different total
+      // order through the same theorems — forced on, it must stay exact
+      // at every threshold too (the adaptive switch is a pure cost
+      // decision, never a semantic one).
+      val dfOrdered = DedupOps.jaccardPairsPrefix(docs, threshold = t,
+          dfOrderedPrefix = Some(true))
+        .select("doc_a", "doc_b", "jaccard").collect().toSet
+      assert(dfOrdered == exact,
+        s"t=$t df-ordered: missed ${(exact -- dfOrdered).size}, " +
+          s"extra ${(dfOrdered -- exact).size}")
     }
   }
 
@@ -1197,6 +1207,31 @@ class OpsSpec extends SparkSuite {
       .select("column", "n_rows", "n_nonnull", "n_distinct")
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("dot.ted", 3L, 3L, 2L), ("it's", 3L, 3L, 2L), ("we`ird", 3L, 2L, 2L)))
+  }
+
+  test("bm25TopK: tf saturation ranks heavier matches first; non-matching docs never appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark x y"),
+      (2L, "spark alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, queries = Seq(7 -> "spark"), k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Int, Long, Double)].collect().toSeq
+    // Only docs containing a query term score; equal dl, tf 3 > tf 1.
+    assert(got.map(_._2) == Seq(1L, 2L), got.toString)
+    assert(got.head._3 > got(1)._3 && got(1)._3 > 0)
+
+    // k caps per query and scores are non-increasing on the real corpus.
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val ranked = TextOps.bm25TopK(corpus,
+      queries = Seq(1 -> "spark stream", 2 -> "merge join"), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(ranked.groupBy(_._1).forall { case (_, rs) => rs.length == 5 })
+    ranked.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(r => (-r._3, r._2)).map(_._3)
+      assert(s.zip(s.tail).forall { case (a, b2) => a >= b2 })
+    }
   }
 
   test("withC4Rules: line filter, javascript lines, lorem/brace page drops") {
