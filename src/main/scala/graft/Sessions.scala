@@ -18,22 +18,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
-    val n = cpus.toIntOption.getOrElse(32)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Scale-adaptive reducer count (r18 — found by ShuffleAudit):
-      // with exactly `cpus` reducers, a reduce-side hash aggregate over
-      // a corpus-sized stream outgrows its per-task memory as SF rises —
-      // dedup_jaccard_exact's intersection-count agg spilled 4.9 GB at
-      // sf10 and its MAP-side partial agg degraded to passthrough (18×
-      // shuffle bytes for 10× rows). AQE plans big stages at 8× the
-      // core count and coalesces small ones back down to ~64 MB targets,
-      // so tiny stages pay nothing while corpus-sized aggs get
-      // memory-bounded tasks — the local analogue of sizing
-      // shuffle.partitions to the data on a real cluster.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (n * 8).toString)
+      // NO global initialPartitionNum bump (r18, second thoughts): an
+      // 8×-cores AQE initial reducer count shipped briefly to
+      // memory-bound the sf10 jaccard aggs, but the proper fix — the
+      // VOLUME-SIZED explicit repartitions inside the heavy pair ops,
+      // committed the same evening — superseded it where it mattered,
+      // while the blunt global knob taxed every small stage: an
+      // isolated A-B-A at sf0.1 measured UNTOUCHED queries ~2× slower
+      // under it (sample_temperature 0.73 → 1.68 s warm; the whole
+      // 125-query common set 87 → 115 s) because each tiny exchange
+      // pays 256-bucket shuffle writes plus AQE re-planning before
+      // coalescing back down. Corpus-sized stages that need more
+      // reducers than `cpus` must size themselves to their data (the
+      // explodedJoinPartitions pattern) — the same discipline a real
+      // cluster job needs, so nothing is lost at 100 TB by keeping the
+      // session default lean.
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
