@@ -127,9 +127,15 @@ class GraftMqScanBuilder(opts: GraftMqOptions) extends ScanBuilder
     * residual, that means no filters at all — guarded anyway, against ALL
     * pushed filters (not just the prunable subset: capping rows under a
     * residual non-prunable filter would return fewer matches than exist).
+    * Also refused once an aggregate is pushed: Spark 4.1.2 offers the
+    * limit AFTER pushAggregation, but [[GraftMqCountBatch]] answers the
+    * whole aggregate from offset arithmetic and applies no row cap —
+    * accepting here would claim a pushdown the scan does not perform
+    * (correct today only because the engine retains CollectLimit; the
+    * same engine-drift hazard `translate()` guards filters against).
     */
   override def pushLimit(l: Int): Boolean =
-    if (!anyFilters) { limit = Some(l); true } else false
+    if (!anyFilters && pushedAgg.isEmpty) { limit = Some(l); true } else false
 
   /** Aggregate pushdown for the aggregations that are pure OFFSET
     * ARITHMETIC over the resolved `[start, end)` ranges — answered with

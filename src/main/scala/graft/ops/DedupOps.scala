@@ -1024,9 +1024,17 @@ object DedupOps {
     // bounds are positions in the chosen order on both sides, and the
     // verify runs on the hash-SORTED arrays either way (the merge needs
     // its own order, not the prefix's).
-    val prefixVolGate = totalOf(
-      hashed.select(prefLen.cast("long").as("n")), "n") >= (1L << 19)
-    val hashMatchVol = if (!prefixVolGate) 0L
+    // PRICING (r19: one mandatory job, not four): Σ prefLen over the
+    // cached PER-DOC frame is simultaneously (a) the volume gate, (b) the
+    // exact row count of the prefix frame under EITHER order (prefLen
+    // depends only on n, not on which shingles the order picks) — so no
+    // prefixes.count() job exists — and (c) the sizing input for the
+    // exploding-join repartition. The df·(df−1)/2 match-volume aggregate
+    // runs only above the gate, and its hash-order value is REUSED for
+    // the downstream agg guard (repartitioning doesn't change df counts).
+    val prefixRows = totalOf(hashed.select(prefLen.cast("long").as("n")), "n")
+    val prefixVolGate = prefixRows >= (1L << 19)
+    lazy val hashMatchVol = if (!prefixVolGate) 0L
       else totalOf(hashPrefixes.groupBy("shingle").agg(count(lit(1)).as("df"))
         .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
     val useDf = dfOrderedPrefix.getOrElse(hashMatchVol > DfOrderMatchVol)
@@ -1050,11 +1058,10 @@ object DedupOps {
       }
     Caching.withCached(prefixes) {
     // Corpus-sized partitioning for the exploding prefix join (see
-    // [[explodedJoinPartitions]]; the count is one pass over the cached
-    // frame). The probe side is a FILTER of the repartitioned index
-    // side — filters preserve hash partitioning, so the roles stay
-    // co-partitioned and the join adds no exchange.
-    val prefixRows = prefixes.count()
+    // [[explodedJoinPartitions]]; prefixRows was priced above from the
+    // per-doc frame — no count job here). The probe side is a FILTER of
+    // the repartitioned index side — filters preserve hash partitioning,
+    // so the roles stay co-partitioned and the join adds no exchange.
     val idx = explodedJoinPartitions(docs.sparkSession, prefixRows)
       .map(p => prefixes.repartition(p, col("shingle"))).getOrElse(prefixes)
     val probe = idx.filter(col("pos") <=
@@ -1082,8 +1089,11 @@ object DedupOps {
     // frame, only when the guard is active.
     // Priced whenever the prefix frame carries real volume — the match
     // volume can trip the agg guard even when the frame itself doesn't
-    // (13.4M prefix rows → 33M match rows at sf10).
-    val matchVol = if (prefixRows < (1L << 19)) 0L
+    // (13.4M prefix rows → 33M match rows at sf10). On the hash path the
+    // order-switch pricing already computed this exact value; only the
+    // df-ordered prefix (different shingle content) needs a fresh pass.
+    val matchVol = if (!prefixVolGate) 0L
+      else if (!useDf) hashMatchVol
       else totalOf(idx.groupBy("shingle").agg(count(lit(1)).as("df"))
         .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
     val pre = explodedJoinPartitions(docs.sparkSession, matchVol)

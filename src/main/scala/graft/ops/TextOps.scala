@@ -218,9 +218,11 @@ object TextOps {
   def withC4Rules(docs: DataFrame, textCol: String = "text",
       minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
+    // Word count ignores empty tokens so runs of spaces on real crawl
+    // text don't inflate it (split alone would count them as words).
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
-        size(split(l, " ")) >= minWordsPerLine &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     docs
       .withColumn("n_lines", size(lines))
@@ -885,8 +887,9 @@ object TextOps {
     * lesson); the corpus-sized stream is then SEMI-JOINED to the
     * broadcast query terms before anything else, so df counting and
     * scoring touch only matching postings (query-sized · df, never
-    * corpus · vocabulary); N and avgdl ride a broadcast 1-row aggregate
-    * (no driver constant); the final top-k per query is the bounded-heap
+    * corpus · vocabulary); per-doc length dl is a shuffle-free per-row
+    * projection of the raw text, and N and avgdl ride a broadcast 1-row
+    * aggregate (no driver constant); the final top-k per query is the bounded-heap
     * [[graft.plans.GraftPlans.topKPerKey]] plan, not a window sort.
     *
     * Determinism: each term's contribution is cast to decimal(38,12)
@@ -916,7 +919,10 @@ object TextOps {
       // Only postings of query terms survive past this line.
       val tfq = tokc.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
       val dfc = tfq.groupBy("term").agg(count(lit(1)).as("dfc"))
-      val dl = tokc.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+      // dl = Σ tf is by construction the doc's token count — computed
+      // shuffle-free from the raw text (same expression as avgdl) instead
+      // of a corpus-sized explode+groupBy over the token stream.
+      val dl = docs.select(id, size(tokens(col(textCol))).cast("long").as("dl"))
       val stats = docs.agg(count(lit(1)).as("nd"),
         avg(size(tokens(col(textCol)))).as("avgdl"))
       val contrib =

@@ -2676,7 +2676,7 @@ object GraftQueries {
             FROM t),
       c AS (SELECT doc_id, lines,
               list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
-                AND len(string_split(x, ' ')) >= 5
+                AND len(list_filter(string_split(x, ' '), w -> w != '')) >= 5
                 AND NOT contains(lower(x), 'javascript')) AS kept
             FROM l),
       r AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
