@@ -43,6 +43,7 @@ object InMemoryMqBroker {
       * monitor so a slow reader never blocks concurrent producers.
       */
     private val fetchDelayMs = new java.util.concurrent.atomic.AtomicLongArray(numPartitions)
+    private val stubbornDelayMs = new java.util.concurrent.atomic.AtomicLongArray(numPartitions)
 
     /** Data-fetch calls served (metadata lookups — end/earliest offsets,
       * timestamp seeks — deliberately NOT counted): the observable that
@@ -55,6 +56,17 @@ object InMemoryMqBroker {
     /** Test hook: every subsequent fetch of `partition` takes ≥ `delayMs`. */
     def injectFetchDelay(partition: Int, delayMs: Long): Unit =
       fetchDelayMs.set(partition, math.max(0L, delayMs))
+
+    /** Like [[injectFetchDelay]], but the delay IGNORES interrupts (the
+      * sleep swallows InterruptedException and resumes until the
+      * deadline) — the model of a client library whose blocking read
+      * does not honor Thread.interrupt, i.e. the one failure mode
+      * `timedRead`'s cancel(true) cannot clean up. Exists to pin the
+      * fetch-pool thread cap: such a read strands its pool thread for
+      * the full delay no matter how early the bound fired.
+      */
+    def injectStubbornFetchDelay(partition: Int, delayMs: Long): Unit =
+      stubbornDelayMs.set(partition, math.max(0L, delayMs))
 
     def append(partition: Int, msg: MqMessage): Long = synchronized {
       val log = logs(partition)
@@ -80,6 +92,16 @@ object InMemoryMqBroker {
       dataReads.incrementAndGet()
       val delay = fetchDelayMs.get(partition)
       if (delay > 0) Thread.sleep(delay)
+      val stubborn = stubbornDelayMs.get(partition)
+      if (stubborn > 0) {
+        val deadline = System.nanoTime() + stubborn * 1000000L
+        var interrupted = false
+        while (System.nanoTime() < deadline) {
+          try Thread.sleep(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
+          catch { case _: InterruptedException => interrupted = true }
+        }
+        if (interrupted) Thread.currentThread().interrupt() // restore status at the end
+      }
       readLocked(partition, from, until)
     }
 

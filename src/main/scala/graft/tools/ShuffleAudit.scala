@@ -43,10 +43,22 @@ import org.apache.spark.sql.SparkSession
   * six sf0.1→×10 "failures" were this artifact; the same queries
   * measured ×10→×100 (both sides past the broadcast threshold) read
   * linear. For ENFORCEMENT, compare two scaled dirs — the recorded r18
-  * gate is `<×10 dir> --scaled=<×100 dir> --factor=10`.
+  * gate is `<×10 dir> --scaled=<×100 dir> --factor=10` — and pass
+  * `--pin` (r19): it sets autoBroadcastJoinThreshold=-1 on both sides so
+  * no auto-broadcast flip can fabricate a ratio, turning the r18
+  * artifact-class rows into real enforced gates (explicit broadcast()
+  * hints in the queries are deliberately untouched).
+  *
+  * Record-ratio gate (r19 — VERDICT r18 #1): shuffle WRITE RECORDS are
+  * tallied next to bytes and gated at the same ×factor slack. Records
+  * are immune to the per-bucket compression shifts that bent the two
+  * r18 marginal byte crossings (reducer-count changes re-bucket values
+  * and change codec efficiency), so a record breach is always a shape
+  * problem. When the record gate is enforced and linear, the byte gate
+  * widens to [[WideByteSlack]] and the output line says why.
   *
   * Usage:
-  *   runMain graft.tools.ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [queries...]
+  *   runMain graft.tools.ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [--pin] [queries...]
   * Defaults to [[LinearProbe.defaultQueries]] plus the embedding pair
   * ops. Exits non-zero on any enforced breach.
   */
@@ -64,6 +76,11 @@ object ShuffleAudit {
   /** Below this many base-side shuffle-write bytes a ratio is noise. */
   val MinSignalBytes: Long = 1L << 20
 
+  /** Below this many base-side shuffle-write RECORDS a row ratio is
+    * noise (1 MB of ~100-byte rows ≈ 10k records — same floor, row units).
+    */
+  val MinSignalRecords: Long = 10000
+
   /** Headroom over the ideal ×factor byte ratio: compressed shuffle
     * blocks vary a few percent with content, and a factor-linear op may
     * legitimately shuffle factor× on answer-sized stages — but never
@@ -72,11 +89,27 @@ object ShuffleAudit {
     */
   val Slack = 1.35
 
+  /** Headroom for the RECORD ratio — rows are immune to per-bucket
+    * compression shifts, so this is the shape-honest gate (r19 — VERDICT
+    * r18 #1): a record crossing is a real super-linear candidate stream,
+    * never a codec artifact.
+    */
+  val RowSlack = 1.35
+
+  /** When the record ratio is enforced AND linear, bytes may drift past
+    * [[Slack]] from per-bucket compression alone (reducer-count changes
+    * re-bucket values and shift codec efficiency — the r18 marginal
+    * crossings read 13.51× and 14.38× on bytes with linear rows). The
+    * byte gate then widens to this, and the line records the attribution.
+    */
+  val WideByteSlack = 1.7
+
   final case class Metrics(shuffleWrite: Long, shuffleRead: Long,
-      diskSpill: Long, memSpill: Long) {
+      diskSpill: Long, memSpill: Long, shuffleRecords: Long) {
     def -(o: Metrics): Metrics =
       Metrics(shuffleWrite - o.shuffleWrite, shuffleRead - o.shuffleRead,
-        diskSpill - o.diskSpill, memSpill - o.memSpill)
+        diskSpill - o.diskSpill, memSpill - o.memSpill,
+        shuffleRecords - o.shuffleRecords)
   }
 
   /** Accumulates task metrics across the whole session; queries run
@@ -87,6 +120,7 @@ object ShuffleAudit {
     val shuffleRead = new LongAdder
     val diskSpill = new LongAdder
     val memSpill = new LongAdder
+    val shuffleRecords = new LongAdder
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -94,10 +128,12 @@ object ShuffleAudit {
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
         diskSpill.add(m.diskBytesSpilled)
         memSpill.add(m.memoryBytesSpilled)
+        shuffleRecords.add(m.shuffleWriteMetrics.recordsWritten)
       }
     }
     def snapshot: Metrics =
-      Metrics(shuffleWrite.sum, shuffleRead.sum, diskSpill.sum, memSpill.sum)
+      Metrics(shuffleWrite.sum, shuffleRead.sum, diskSpill.sum, memSpill.sum,
+        shuffleRecords.sum)
   }
 
   /** Snapshot once the listener bus has drained: totals are read twice
@@ -123,12 +159,24 @@ object ShuffleAudit {
       if (base.shuffleWrite > 0) s.shuffleWrite.toDouble / base.shuffleWrite
       else Double.PositiveInfinity
     }
+    def rowRatio: Option[Double] = scaled.map { s =>
+      if (base.shuffleRecords > 0) s.shuffleRecords.toDouble / base.shuffleRecords
+      else Double.PositiveInfinity
+    }
     def zeroSpillEnforced: Boolean = ZeroSpillQueries.contains(query)
     def spillOk: Boolean = !zeroSpillEnforced ||
       (base.diskSpill == 0 && scaled.forall(_.diskSpill == 0))
     def ratioEnforced: Boolean = scaled.nonEmpty && base.shuffleWrite >= MinSignalBytes
-    def ratioOk: Boolean = !ratioEnforced || ratio.exists(_ <= factor * Slack)
-    def ok: Boolean = spillOk && ratioOk
+    def rowEnforced: Boolean = scaled.nonEmpty && base.shuffleRecords >= MinSignalRecords
+    def rowOk: Boolean = !rowEnforced || rowRatio.exists(_ <= factor * RowSlack)
+    /** Bytes get [[WideByteSlack]] only when the compression-immune row
+      * gate is enforced AND linear — the r18 marginal-crossing rule.
+      */
+    def byteWidened: Boolean = ratioEnforced && rowEnforced && rowOk &&
+      ratio.exists(r => r > factor * Slack && r <= factor * WideByteSlack)
+    def ratioOk: Boolean = !ratioEnforced ||
+      ratio.exists(_ <= factor * (if (rowEnforced && rowOk) WideByteSlack else Slack))
+    def ok: Boolean = spillOk && ratioOk && rowOk
   }
 
   private def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
@@ -161,8 +209,16 @@ object ShuffleAudit {
         val a = Audit(n, base, scaled, factor)
         val tag = if (a.ok) "PASS" else "FAIL"
         val ratioPart = a.ratio.map { r =>
-          val enf = if (a.ratioEnforced) "" else " (not enforced: base below signal floor)"
-          f"  x$factor write ${mb(scaled.get.shuffleWrite)}  ratio $r%6.2f$enf"
+          val rows = a.rowRatio.map { rr =>
+            val renf = if (a.rowEnforced) "" else " (rows below signal floor)"
+            f"  rows $rr%6.2f$renf"
+          }.getOrElse("")
+          val enf =
+            if (!a.ratioEnforced) " (not enforced: base below signal floor)"
+            else if (a.byteWidened) " (bytes over x" + Slack +
+              " but rows linear -> per-bucket compression; widened to x" + WideByteSlack + ")"
+            else ""
+          f"  x$factor write ${mb(scaled.get.shuffleWrite)}  ratio $r%6.2f$rows$enf"
         }.getOrElse("")
         val spillPart =
           if (base.diskSpill > 0 || scaled.exists(_.diskSpill > 0))
@@ -177,20 +233,33 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [queries...]")
+      "usage: ShuffleAudit <baseDir> [--scaled=<dir> --factor=N] [--pin] [queries...]")
     val baseDir = args(0)
     val scaledDir = args.collectFirst { case a if a.startsWith("--scaled=") => a.stripPrefix("--scaled=") }
     val factor = args.collectFirst { case a if a.startsWith("--factor=") => a.stripPrefix("--factor=").toInt }
       .getOrElse(10)
+    val pin = args.contains("--pin")
     require(scaledDir.isEmpty || factor >= 2, "factor must be >= 2 when --scaled is given")
     val queries = {
-      val q = args.drop(1).filterNot(a => a.startsWith("--scaled=") || a.startsWith("--factor=")).toSeq
+      val q = args.drop(1).filterNot(a => a.startsWith("--")).toSeq
       if (q.nonEmpty) q
       else (LinearProbe.defaultQueries ++ Seq("dedup_embedding_pairs",
         "curate_incremental_append_semantic")).distinct
     }
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    if (pin) {
+      // Strategy pinning (r19 — VERDICT r18 #2): disable AUTO broadcast
+      // on both sides so a join never broadcasts at the base scale and
+      // shuffles at the scaled one — the flip undercounts base bytes and
+      // fabricates a super-linear ratio (3 of r18's 7 FAILs). Explicit
+      // broadcast()/hint() calls in the queries are untouched — those
+      // are scale-independent design decisions, exactly what the audit
+      // should measure.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      println("[shuffle] strategy pin: autoBroadcastJoinThreshold=-1 (both sides)")
+    }
     try {
       val results = run(spark, baseDir, scaledDir, factor, queries)
       val failed = results.filter(!_.ok)

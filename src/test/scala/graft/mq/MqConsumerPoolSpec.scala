@@ -137,6 +137,51 @@ class MqConsumerPoolSpec extends SparkSuite {
     Seq(d, e, f).foreach(MqConsumerPool.release)
   }
 
+  test("fetch pool is capped: interrupt-ignoring stuck fetches exhaust it loudly, then it recovers") {
+    val topic = "pool-cap"
+    val state = fill(topic, 1, 10)
+    val cap = MqConsumerPool.FetchPoolMaxThreads
+    // Every fetch strands its pool thread for 2.5 s REGARDLESS of the
+    // pollTimeoutMs interrupt — the backend-ignores-interrupts model the
+    // cap exists for (an unbounded pool would just keep leaking threads).
+    state.injectStubbornFetchDelay(0, 2500)
+    val callers = java.util.concurrent.Executors.newCachedThreadPool()
+    try {
+      val futs = (0 until cap).map { _ =>
+        callers.submit(new java.util.concurrent.Callable[Throwable] {
+          override def call(): Throwable = {
+            val c = MqConsumerPool.borrow(topic, 0)
+            try { c.refill(0, 16, pollTimeoutMs = 200); null }
+            catch { case t: Throwable => MqConsumerPool.invalidate(c); t }
+          }
+        })
+      }
+      // Wait until the cap's worth of fetch threads are genuinely busy.
+      val deadline = System.nanoTime() + 10000000000L
+      while (MqConsumerPool.activeFetchThreads < cap && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(MqConsumerPool.activeFetchThreads == cap,
+        s"expected $cap busy fetch threads, saw ${MqConsumerPool.activeFetchThreads}")
+      // All cap fetches timed out at the bound (the stuck threads live on).
+      futs.foreach(f => assert(f.get(15, java.util.concurrent.TimeUnit.SECONDS)
+        .isInstanceOf[MqPollTimeoutException]))
+      // The cap+1-th fetch is REJECTED loudly — no silent queueing behind
+      // threads that may never free.
+      val c = MqConsumerPool.borrow(topic, 0)
+      val err = intercept[MqPollTimeoutException] { c.refill(0, 16, pollTimeoutMs = 200) }
+      assert(err.getMessage.contains("fetch pool exhausted"), err.getMessage)
+      MqConsumerPool.invalidate(c)
+      // Stuck threads drain at their own 2.5 s deadline; the pool recovers.
+      state.injectStubbornFetchDelay(0, 0)
+      val recovered = System.nanoTime() + 15000000000L
+      while (MqConsumerPool.activeFetchThreads > 0 && System.nanoTime() < recovered)
+        Thread.sleep(50)
+      val c2 = MqConsumerPool.borrow(topic, 0)
+      try assert(c2.refill(0, 16, pollTimeoutMs = 5000) == 10)
+      finally MqConsumerPool.release(c2)
+    } finally callers.shutdownNow()
+  }
+
   test("buffer continuation survives a data-loss skip (failOnDataLoss=false)") {
     import spark.implicits._
     val topic = "pool-loss"
