@@ -234,19 +234,20 @@ object Bench {
     * return Left and surface in "errors"; they never zero the line.
     */
   private[graft] def mqDrainRowsPerSec(spark: SparkSession, totalRows: Long,
-      columnar: Boolean): Either[String, Long] = {
+      columnar: Boolean,
+      source: Map[String, String] = Map("backend" -> "generated"))
+      : Either[String, Long] = {
     val parts = 4
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-bench-mq-ckpt")
     val tag = if (columnar) "columnar" else "row"
     try {
       val drained = new java.util.concurrent.atomic.LongAdder
-      val df = spark.readStream.format("graft-mq")
-        .option("backend", "generated")
+      val base = spark.readStream.format("graft-mq")
         .option("numPartitions", parts.toString)
         .option("rowsPerBatch", (totalRows / parts).toString)
         .option("maxRowsPerBatch", math.max(totalRows / 8, 1L).toString)
         .option("columnarReader", columnar.toString)
-        .load()
+      val df = source.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
       val t0 = System.nanoTime()
       val q = df.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -61,7 +61,7 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
         generatedHead = Some(GraftMqOffset(next))
         next
       } else {
-        InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
+        MqBackends.session(opts).endOffsets
       }
     if (availableNowArmed) {
       val target = availableNowTarget.getOrElse {
@@ -189,7 +189,7 @@ class GraftMqMicroBatchStream(opts: GraftMqOptions, checkpointLocation: String,
     */
   override def reportLatestOffset(): Offset =
     if (opts.isGenerated) null
-    else GraftMqOffset(InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets)
+    else GraftMqOffset(MqBackends.session(opts).endOffsets)
 
   override def commit(end: Offset): Unit = ()
 
@@ -258,7 +258,7 @@ object GraftMqStart {
     val n = opts.numPartitions
     def ends: Map[Int, Long] =
       if (opts.isGenerated) Map.empty
-      else InMemoryMqBroker.getOrCreate(opts.topic, n).endOffsets
+      else MqBackends.session(opts).endOffsets
     // Kafka's "earliest"/-2 means the earliest RETAINED offset, not 0: on
     // a retention-truncated topic, resolving to 0 would make the first
     // stream start throw MqOffsetOutOfRange instead of starting at the
@@ -266,7 +266,7 @@ object GraftMqStart {
     // all partitions — per-partition rebuilds were O(n²).
     lazy val earliestMap: Map[Int, Long] =
       if (opts.isGenerated) Map.empty
-      else InMemoryMqBroker.getOrCreate(opts.topic, n).earliestOffsets
+      else MqBackends.session(opts).earliestOffsets
     def earliest(p: Int): Long = earliestMap.getOrElse(p, 0L)
     opts.startingTimestampMicros match {
       case Some(ts) =>
@@ -302,8 +302,7 @@ object GraftMqStart {
       val base = GeneratedPayloads.BaseTimestampMicros
       val step = GeneratedPayloads.StepMicros
       if (ts <= base) 0L else (ts - base + step - 1) / step
-    } else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
-      .offsetForTimestamp(p, ts)
+    } else MqBackends.session(opts).offsetForTimestamp(p, ts)
 }
 
 class GraftMqBatch(opts: GraftMqOptions,
@@ -321,7 +320,7 @@ class GraftMqBatch(opts: GraftMqOptions,
       "graft-mq: startingOffsets 'latest' is not valid for batch queries")
     val latest: Map[Int, Long] =
       if (opts.isGenerated) (0 until opts.numPartitions).map(_ -> opts.rowsPerBatch).toMap
-      else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).endOffsets
+      else MqBackends.session(opts).endOffsets
     // Kafka-style endingOffsets (batch only): "latest" or JSON with -1 =
     // latest; unlisted partitions end latest. On the generated backend an
     // explicit end is honored as-is — every offset is defined there, and
@@ -343,7 +342,7 @@ class GraftMqBatch(opts: GraftMqOptions,
       } else latest
     val earliest: Map[Int, Long] =
       if (opts.isGenerated) Map.empty
-      else InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions).earliestOffsets
+      else MqBackends.session(opts).earliestOffsets
     // Clamp start into [earliest, upper]: truncation moved earliest up,
     // and a start beyond the end reads nothing rather than failing. Under
     // failOnDataLoss=true (the default) a requested start BELOW the

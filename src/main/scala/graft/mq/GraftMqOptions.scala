@@ -9,9 +9,14 @@ import java.util.Locale
   * Option surface (all case-insensitive, per DSv2 convention):
   *
   *  - `topic`              — topic name (default "default")
-  *  - `backend`            — "broker" (in-memory broker logs) or "generated"
+  *  - `backend`            — "broker" (in-memory broker logs), "generated"
   *                           (pure-function deterministic payloads; nothing
-  *                           materialized — models an unbounded firehose)
+  *                           materialized — models an unbounded firehose),
+  *                           or "socket" (the same broker surface over a
+  *                           localhost TCP transport — [[MqSocketBroker]];
+  *                           requires `brokerSocket`)
+  *  - `brokerSocket`       — socket backend: the broker address
+  *                           `host:port` (an [[MqSocketBroker.MqBrokerServer]])
   *  - `numPartitions`      — MQ partition count (default 4)
   *  - `rowsPerBatch`       — generated backend: rows appended per partition
   *                           per trigger (default 10)
@@ -89,8 +94,15 @@ final case class GraftMqOptions(
     maxTriggerDelayMs: Long = 15L * 60 * 1000,
     columnarReader: Boolean = true,
     pollTimeoutMs: Long = 120000L,
-    aggregatePushdown: Boolean = true) extends Serializable {
+    aggregatePushdown: Boolean = true,
+    brokerSocket: Option[String] = None) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
+  def isSocket: Boolean = backend == "socket"
+  /** Pool/stats namespace for this source's consumers: socket sessions
+    * must never be mixed with in-process ones for the same topic name.
+    */
+  def poolTopicKey: String =
+    if (isSocket) s"${brokerSocket.get}/$topic" else topic
   def schema: StructType = {
     val base =
       if (includeMetadata || includeHeaders) GraftMqOptions.kafkaGradeSchema
@@ -134,8 +146,11 @@ object GraftMqOptions {
       res
     }
     val backend = get("backend").map(_.toLowerCase(Locale.ROOT)).getOrElse("broker")
-    require(backend == "broker" || backend == "generated",
-      s"graft-mq: unknown backend '$backend' (expected broker|generated)")
+    require(backend == "broker" || backend == "generated" || backend == "socket",
+      s"graft-mq: unknown backend '$backend' (expected broker|generated|socket)")
+    val brokerSocket = get("brokerSocket").map(_.trim)
+    require(backend != "socket" || brokerSocket.exists(_.contains(":")),
+      "graft-mq: backend=socket requires brokerSocket=<host:port>")
     // "earliest" | "latest" | Kafka-style specific-offsets JSON
     // {"0":5,"1":-1} with -1 = latest, -2 = earliest per partition
     // (README.md:372-397 resolution modes). JSON is kept verbatim.
@@ -196,6 +211,7 @@ object GraftMqOptions {
         get("maxTriggerDelayMs").map(_.toLong).getOrElse(15L * 60 * 1000),
       columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true),
       pollTimeoutMs = pollTimeout,
-      aggregatePushdown = get("aggregatePushdown").map(_.toBoolean).getOrElse(true))
+      aggregatePushdown = get("aggregatePushdown").map(_.toBoolean).getOrElse(true),
+      brokerSocket = brokerSocket)
   }
 }

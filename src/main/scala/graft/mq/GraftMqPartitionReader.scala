@@ -99,7 +99,7 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
     }
 
   private def brokerMessageAt(o: Long): MqMessage = {
-    if (consumer == null) consumer = MqConsumerPool.borrow(p.topic, p.partition)
+    if (consumer == null) consumer = MqConsumerPool.borrow(p.opts, p.partition)
     val hit = consumer.cached(o)
     if (hit != null) {
       // Served from the buffer a previous task on this partition left
@@ -116,7 +116,7 @@ private[mq] final class MqMessageCursor(p: GraftMqInputPartition) extends Loggin
           // retained (README.md:642-645 semantics). refillAt dropped the
           // poisoned consumer; borrow a fresh one for the resume fetch.
           logWarning(s"graft-mq: data loss on ${p.topic}-${p.partition}: ${e.getMessage}; skipping")
-          consumer = MqConsumerPool.borrow(p.topic, p.partition)
+          consumer = MqConsumerPool.borrow(p.opts, p.partition)
           from = math.max(o, consumer.earliestOffset)
           if (from >= p.until) { offset = from; return null }
           refillAt(from)

@@ -58,7 +58,7 @@ case class GraftMqCommitMessage(rows: Long) extends WriterCommitMessage
 class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: Int)
     extends DataWriter[InternalRow] {
 
-  private val topic = InMemoryMqBroker.getOrCreate(opts.topic, opts.numPartitions)
+  private val topic = MqBackends.session(opts)
   private val valueIdx = schema.fieldIndex("value")
   private val valueIsString = schema(valueIdx).dataType == StringType
   private val keyIdx = if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1

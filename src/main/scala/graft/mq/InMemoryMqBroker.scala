@@ -30,7 +30,7 @@ final case class MqMessage(key: Array[Byte], value: Array[Byte], timestamp: Long
   */
 object InMemoryMqBroker {
 
-  final class TopicState(val numPartitions: Int) {
+  final class TopicState(val numPartitions: Int) extends MqBrokerSession {
     private val logs: Array[ArrayBuffer[MqMessage]] =
       Array.fill(numPartitions)(new ArrayBuffer[MqMessage])
     /** Offset of the first retained message per partition (grows on truncate). */

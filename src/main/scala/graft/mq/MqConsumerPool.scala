@@ -41,7 +41,7 @@ import org.apache.spark.internal.Logging
 final class MqConsumer private[mq] (
     val topic: String,
     val partition: Int,
-    private[mq] val state: InMemoryMqBroker.TopicState) {
+    private[mq] val state: MqBrokerSession) {
 
   private[mq] val stats: MqPoolStats = MqConsumerPool.stats(topic, partition)
 
@@ -124,24 +124,49 @@ object MqConsumerPool extends Logging {
   def stats(topic: String, partition: Int): MqPoolStats =
     statsMap.computeIfAbsent(Key(topic, partition), _ => new MqPoolStats)
 
-  /** Borrow a consumer for (topic, partition), reusing an idle one whose
-    * session is still the live topic state. Throws if the topic does not
-    * exist on this executor (same contract as the unpooled lookup).
+  /** Borrow a consumer for (topic, partition) on the IN-PROCESS broker,
+    * reusing an idle one whose session is still the live topic state.
+    * Throws if the topic does not exist on this executor (same contract
+    * as the unpooled lookup).
     */
   def borrow(topic: String, partition: Int): MqConsumer = {
     val live = InMemoryMqBroker.get(topic).getOrElse {
       throw new IllegalStateException(s"graft-mq: topic '$topic' not found on executor")
     }
-    val st = stats(topic, partition)
+    borrowWith(topic, partition, cand => cand.state eq live,
+      () => new MqConsumer(topic, partition, live))
+  }
+
+  /** Backend-dispatching borrow: the socket backend pools one CONNECTION
+    * per consumer under an address-qualified key (two brokers may carry
+    * the same topic name), with staleness = connection death or a topic
+    * generation change ([[MqSocketSession.transportAlive]]); other
+    * backends take the in-process path.
+    */
+  def borrow(opts: GraftMqOptions, partition: Int): MqConsumer =
+    if (!opts.isSocket) borrow(opts.topic, partition)
+    else {
+      val key = opts.poolTopicKey
+      borrowWith(key, partition, cand => cand.state.transportAlive,
+        () => new MqConsumer(key, partition,
+          MqSocketBroker.connect(opts.brokerSocket.get, opts.topic)))
+    }
+
+  private def borrowWith(topicKey: String, partition: Int,
+      live: MqConsumer => Boolean, create: () => MqConsumer): MqConsumer = {
+    val st = stats(topicKey, partition)
     st.borrowed.incrementAndGet()
-    val key = Key(topic, partition)
+    val key = Key(topicKey, partition)
     val reused: Option[MqConsumer] = synchronized {
       idle.get(key).flatMap { q =>
         var c: MqConsumer = null
         while (c == null && q.nonEmpty) {
           val cand = q.removeLast() // most recently released first — warmest buffer
-          if (cand.state eq live) c = cand
-          else st.staleDiscards.incrementAndGet() // dead session: drop silently
+          if (live(cand)) c = cand
+          else { // dead session: drop, releasing any transport resources
+            st.staleDiscards.incrementAndGet()
+            cand.state.close()
+          }
         }
         if (q.isEmpty) idle.remove(key)
         Option(c)
@@ -149,7 +174,7 @@ object MqConsumerPool extends Logging {
     }
     reused.getOrElse {
       st.created.incrementAndGet()
-      new MqConsumer(topic, partition, live)
+      create()
     }
   }
 
@@ -172,12 +197,20 @@ object MqConsumerPool extends Logging {
   private def evict(key: Key, q: mutable.ArrayDeque[MqConsumer]): Unit = {
     val dropped = q.removeHead() // oldest buffer goes first
     dropped.stats.evicted.incrementAndGet()
+    dropped.state.close() // transport sessions die with their consumer
   }
 
   /** Discard a poisoned consumer (post-timeout / data-loss abort) — it
-    * never re-enters the idle set.
+    * never re-enters the idle set. Closing the session here is what
+    * UNBLOCKS a stranded interrupt-ignoring fetch on a transport backend
+    * (socket close → IOException in the fetch thread), so the pool-cap
+    * pressure a timed-out fetch created is released as soon as the
+    * consumer is condemned.
     */
-  def invalidate(c: MqConsumer): Unit = c.stats.invalidated.incrementAndGet()
+  def invalidate(c: MqConsumer): Unit = {
+    c.stats.invalidated.incrementAndGet()
+    c.state.close()
+  }
 
   /** Idle consumers currently pooled for the key (spec observability). */
   def idleCount(topic: String, partition: Int): Int = synchronized {

@@ -1037,7 +1037,15 @@ object DedupOps {
     lazy val hashMatchVol = if (!prefixVolGate) 0L
       else totalOf(hashPrefixes.groupBy("shingle").agg(count(lit(1)).as("df"))
         .select((col("df") * (col("df") - lit(1)) / 2).cast("long").as("n")), "n")
-    val useDf = dfOrderedPrefix.getOrElse(hashMatchVol > DfOrderMatchVol)
+    // Order resolution: caller force > session conf pin (the audit
+    // tools set spark.graft.jaccardPrefix.dfOrder so both sides of a
+    // cross-scale byte/row comparison run the SAME regime — the adaptive
+    // switch is a cost decision that otherwise flips between scales and
+    // reads as a spurious super-linear ratio) > priced adaptive default.
+    val confPin = docs.sparkSession.conf
+      .getOption("spark.graft.jaccardPrefix.dfOrder").map(_.toBoolean)
+    val useDf = dfOrderedPrefix.orElse(confPin)
+      .getOrElse(hashMatchVol > DfOrderMatchVol)
     val prefixes =
       if (!useDf) hashPrefixes
       else {

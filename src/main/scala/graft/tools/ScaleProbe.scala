@@ -128,6 +128,30 @@ object ScaleProbe {
     */
   final case class SubstringDedupKind(n: Int) extends Kind
 
+  /** Probe-sized result keyed by `keyCols` whose `countCols` must scale
+    * EXACTLY ×factor under replication, with the key set unchanged — the
+    * Count-Min shape (r19 — VERDICT r18 #6): every CMS counter cell is a
+    * pure sum of token occurrences and the hash depends only on the token
+    * string, so ×factor replication multiplies every cell (and therefore
+    * every min-over-rows estimate, and every true count) by exactly
+    * factor, while the top-k probe-token set and its (count desc, token)
+    * order are invariant under the uniform scaling. Counter-sum
+    * conservation is the sketch's constant-state claim made testable:
+    * a sketch whose agg state grew with the corpus would have to break
+    * this algebra or the wall ceiling.
+    */
+  final case class ScaledCountsKind(keyCols: Seq[String],
+      countCols: Seq[String]) extends Kind
+
+  /** Per-doc rows whose every non-id column is a pure function of the
+    * row's own text — the C4-rules shape (r19): under replication each
+    * replica must carry EXACTLY its orig's values (rows ×factor, each
+    * orig's factor replicas unanimous and equal to the base row). Any
+    * cross-row dependency sneaking into a "per-row codegen'd" op breaks
+    * unanimity here.
+    */
+  final case class RowInvariantKind(idCol: String = "doc_id") extends Kind
+
   /** Temperature-sample rows `(idCol, groupCol)` — the α = 0.5 sampler's
     * membership re-derived from CLOSED FORM on each corpus: the probe
     * recomputes the op's integer thresholds driver-side from one
@@ -179,6 +203,13 @@ object ScaleProbe {
     "text_paragraph_dedup" -> ParagraphDedupKind,
     "text_dup_spans" -> DupSpansSaturationKind(8),
     "text_substring_dedup" -> SubstringDedupKind(8),
+    // r19 (VERDICT r18 #6): the four r18 queries get probe kinds.
+    // Identical copies have overlap coefficient exactly 1.0, and the
+    // containment score of a cross pair is set-determined — PairsKind's
+    // factor² fan-out / within-clique algebra applies verbatim.
+    "dedup_overlap_pairs" -> PairsKind(1.0),
+    "stats_cms_freq" -> ScaledCountsKind(Seq("token"), Seq("n_true", "n_est")),
+    "curate_c4_rules" -> RowInvariantKind(),
     "pipeline_pack_shards" -> PackKind(2000L))
 
   final case class Result(query: String, baseRows: Long, repRows: Long,
@@ -201,8 +232,18 @@ object ScaleProbe {
     *        ID-algebra still holds while payloads are compared only to
     *        round-6 tolerance by [[runSkew]]'s checks.
     */
+  /** @param perturbDocuments disjoint-vocabulary profile (the MakeSf text
+    *        scheme at probe scale): replica k > 0 suffixes every
+    *        whitespace token with `~k`, so replicas share NO tokens with
+    *        the base corpus or each other while each replica's internal
+    *        token structure (counts, lengths) is preserved exactly. The
+    *        regime for retrieval ops: a query over base vocabulary must
+    *        do query-sized work and return base results no matter how
+    *        much disjoint corpus surrounds them.
+    */
   def replicateDir(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int, perturbEmbeddings: Boolean = false): Unit = {
+      factor: Int, perturbEmbeddings: Boolean = false,
+      perturbDocuments: Boolean = false): Unit = {
     require(factor >= 2, s"replication factor must be >= 2, got $factor")
     val replicated = Map("documents.parquet" -> "doc_id",
       "embeddings.parquet" -> "vec_id")
@@ -243,6 +284,11 @@ object ScaleProbe {
           exploded.withColumn("embedding", transform(col("embedding"), x =>
             (x.cast("double") * (lit(1.0) + col("_k").cast("double") * 1e-6))
               .cast("float")))
+        else if (perturbDocuments && table == "documents.parquet")
+          exploded.withColumn("text",
+            when(col("_k") === 0, col("text")).otherwise(array_join(
+              transform(split(col("text"), " "),
+                w => concat(w, lit("~"), col("_k").cast("string"))), " ")))
         else exploded
       perturbed
         .select((col(idCol) * factor + col("_k")).as(idCol) +:
@@ -298,6 +344,53 @@ object ScaleProbe {
     val missing = pairable.except(within.select("oa")).count()
     if (missing > 0) errs += s"$missing positive-norm origs missing their within clique"
     Result("dedup_embedding_pairs[skew]", baseRows, repRows, tBase, tRep, errs.result())
+  }
+
+  /** BM25 retrieval under DISJOINT-vocabulary replication (r19 — VERDICT
+    * r18 #6, the op's query-sized-work claim made testable): replicas
+    * share no tokens with base ([[replicateDir]] `perturbDocuments`), so
+    * for SINGLE-term queries over base vocabulary the result must be
+    * INVARIANT — df and every matching doc's (tf, dl) are untouched, and
+    * a one-term score is a positive per-query constant (the idf, which
+    * legitimately shifts with N) times the doc's tf-saturation term, so
+    * the (score desc, doc_id) ranking cannot move. Asserted: zero
+    * contamination (every result doc is a k=0 replica) and the
+    * orig-mapped (query, rank, doc) triples exactly equal to base.
+    * Single-term queries are load-bearing: across terms idf shifts are
+    * NON-uniform in df, so multi-term rankings may legitimately reorder
+    * — that would test float luck, not the operator.
+    */
+  def runBm25(spark: SparkSession, baseDir: String, repDir: String,
+      factor: Int, k: Int = 10): Result = {
+    import graft.ops.TextOps
+    val probes = Seq(1 -> "spark", 2 -> "join", 3 -> "customer")
+    def ranked(dir: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+      TextOps.bm25TopK(spark.read.parquet(s"$dir/documents.parquet"), probes, k = k)
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank"), col("doc_id"))
+    }
+    val t0 = System.nanoTime()
+    val baseDf = ranked(baseDir)
+    val baseRows = baseDf.count()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val repDf = ranked(repDir)
+    val repRows = repDf.count()
+    val tRep = (System.nanoTime() - t1) / 1e9
+    val errs = Seq.newBuilder[String]
+    val contaminated = repDf.filter(pmod(col("doc_id"), lit(factor)) =!= 0).count()
+    if (contaminated > 0)
+      errs += s"$contaminated result docs are disjoint-vocabulary replicas (k>0) — corpus size leaked into matching"
+    val mapped = repDf.select(col("query_id"), col("rank"),
+      origOf(col("doc_id"), factor).as("doc_id"))
+    val onlyRep = mapped.except(baseDf).count()
+    val onlyBase = baseDf.except(mapped).count()
+    if (onlyRep > 0) errs += s"$onlyRep replicated rank rows absent from base top-$k"
+    if (onlyBase > 0) errs += s"$onlyBase base rank rows lost under disjoint replication"
+    Result(s"text_bm25_topk[disjoint x$factor]", baseRows, repRows, tBase, tRep,
+      errs.result())
   }
 
   /** Cost-law evidence for [[graft.ops.SimilarityOps.semdedupKeepSet]]'s
@@ -626,6 +719,53 @@ object ScaleProbe {
     errs.result()
   }
 
+  private def checkScaledCounts(base: DataFrame, rep: DataFrame, factor: Int,
+      kind: ScaledCountsKind): Seq[String] = {
+    val ScaledCountsKind(keyCols, countCols) = kind
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows)
+      errs += s"scaled-counts rows $repRows != base ($baseRows) — probe-sized result must not grow"
+    val expected = base.select(keyCols.map(col) ++
+      countCols.map(c => (col(c) * factor).as(c)): _*)
+    val got = rep.select((keyCols ++ countCols).map(col): _*)
+    val onlyRep = got.except(expected).count()
+    val onlyBase = expected.except(got).count()
+    if (onlyRep > 0)
+      errs += s"$onlyRep replicated count rows break exact x$factor conservation"
+    if (onlyBase > 0)
+      errs += s"$onlyBase scaled base count rows missing under replication"
+    errs.result()
+  }
+
+  private def checkRowInvariant(base: DataFrame, rep: DataFrame, factor: Int,
+      kind: RowInvariantKind): Seq[String] = {
+    val idCol = kind.idCol
+    val errs = Seq.newBuilder[String]
+    val baseRows = base.count()
+    val repRows = rep.count()
+    if (repRows != baseRows * factor)
+      errs += s"row-invariant rows $repRows != factor * base ($baseRows)"
+    val others = base.columns.filterNot(_ == idCol).toIndexedSeq
+    val mapped = rep.select(origOf(col(idCol), factor).as(idCol) +:
+      others.map(col): _*)
+    val g = mapped.groupBy((idCol +: others).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    g.persist()
+    try {
+      val split = g.filter(col("cnt") =!= factor.toLong).count()
+      if (split > 0)
+        errs += s"$split orig docs whose replicas disagree on the per-row result"
+      val got = g.select((idCol +: others).map(col): _*)
+      val onlyRep = got.except(base.select((idCol +: others).map(col): _*)).count()
+      val onlyBase = base.select((idCol +: others).map(col): _*).except(got).count()
+      if (onlyRep > 0) errs += s"$onlyRep replicated rows absent from the base result"
+      if (onlyBase > 0) errs += s"$onlyBase base rows lost under replication"
+    } finally g.unpersist(blocking = false)
+    errs.result()
+  }
+
   private def checkDupSpansSaturation(base: DataFrame, rep: DataFrame,
       factor: Int, n: Int): Seq[String] = {
     val errs = Seq.newBuilder[String]
@@ -665,6 +805,8 @@ object ScaleProbe {
         case t: TemperatureKind =>
           checkTemperature(spark, baseDir, repDir, baseDf, repDf, factor, t)
         case DupSpansSaturationKind(n) => checkDupSpansSaturation(baseDf, repDf, factor, n)
+        case k: ScaledCountsKind => checkScaledCounts(baseDf, repDf, factor, k)
+        case k: RowInvariantKind => checkRowInvariant(baseDf, repDf, factor, k)
         case SubstringDedupKind(n) =>
           checkSubstringDedup(spark, baseDir, baseDf, repDf, factor, n)
         case PackKind(budget) => checkPack(repDf, budget)
@@ -686,10 +828,12 @@ object ScaleProbe {
     // profile, probe call, and row label.
     def oneProbe(repDir: String, perturb: Boolean, leftTag: String,
         rightTag: String, rowsLabel: String,
-        probe: (SparkSession, String) => Result): Unit = {
+        probe: (SparkSession, String) => Result,
+        perturbDocs: Boolean = false): Unit = {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val spark = graft.Sessions.local(cpus)
-      replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = perturb)
+      replicateDir(spark, baseDir, repDir, factor, perturbEmbeddings = perturb,
+        perturbDocuments = perturbDocs)
       val r = probe(spark, repDir)
       report(leftTag, rightTag, rowsLabel, Seq(r))
       spark.stop()
@@ -702,6 +846,12 @@ object ScaleProbe {
         oneProbe(s"/tmp/graft_scale_probe_skew_f$factor", perturb = true,
           "base", s"x$factor", "rows", (sp, rd) => runSkew(sp, baseDir, rd,
             factor, hotBucketThreshold = 64L, splitTarget = 32L))
+      // `... <sfDir> <factor> bm25`: disjoint-vocabulary replication —
+      // the retrieval invariance probe (see [[runBm25]]).
+      case Seq("bm25") =>
+        oneProbe(s"/tmp/graft_scale_probe_bm25_f$factor", perturb = false,
+          "base", s"x$factor", "rows",
+          (sp, rd) => runBm25(sp, baseDir, rd, factor), perturbDocs = true)
       // `... <sfDir> <factor> semdedup-sizing [lo hi]`: the Σ C(|c|, 2)
       // budget at two nlist values — the nlist cost-law probe (defaults
       // 16→64; pass lo/hi to probe the √N regime — the native

@@ -181,6 +181,30 @@ object ShuffleAudit {
 
   private def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
 
+  /** Strategy pinning (r19 — VERDICT r18 #2): a ratio compares EXECUTED
+    * plans, so any cost-based flip between the two scales fabricates a
+    * super-linear reading. Two flips exist in this registry and both are
+    * pinned to their AT-SCALE side:
+    *
+    *  - auto-broadcast: disabled (-1), so a join never broadcasts at the
+    *    base scale and shuffles at the scaled one (3 of r18's 7 FAILs).
+    *    Explicit broadcast()/hint() calls in queries are untouched —
+    *    those are scale-independent design decisions the audit SHOULD
+    *    measure.
+    *  - dedup_jaccard_prefix's adaptive prefix order: forced to the
+    *    df-ordered path (the regime its match-volume pricing selects at
+    *    scale), so both sides pay the same ranking pass — unpinned, the
+    *    hash order at ×10 vs df order at ×100 read as rows 13.95× /
+    *    bytes 7.56× (r19 sweep), a flip signature, not a shape problem.
+    */
+  def pinStrategies(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.jaccardPrefix.dfOrder", "true")
+    println("[shuffle] strategy pin: autoBroadcastJoinThreshold=-1, " +
+      "jaccardPrefix.dfOrder=true (both sides)")
+  }
+
   def run(spark: SparkSession, baseDir: String, scaledDir: Option[String],
       factor: Int, queries: Seq[String]): Seq[Audit] = {
     val unknown = queries.filterNot(GraftQueries.queries.contains)
@@ -248,18 +272,7 @@ object ShuffleAudit {
     }
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    if (pin) {
-      // Strategy pinning (r19 — VERDICT r18 #2): disable AUTO broadcast
-      // on both sides so a join never broadcasts at the base scale and
-      // shuffles at the scaled one — the flip undercounts base bytes and
-      // fabricates a super-linear ratio (3 of r18's 7 FAILs). Explicit
-      // broadcast()/hint() calls in the queries are untouched — those
-      // are scale-independent design decisions, exactly what the audit
-      // should measure.
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      println("[shuffle] strategy pin: autoBroadcastJoinThreshold=-1 (both sides)")
-    }
+    if (pin) pinStrategies(spark)
     try {
       val results = run(spark, baseDir, scaledDir, factor, queries)
       val failed = results.filter(!_.ok)

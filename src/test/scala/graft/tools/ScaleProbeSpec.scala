@@ -26,6 +26,9 @@ class ScaleProbeSpec extends SparkSuite {
         "curate_incremental_append", // VerdictKind through the append path
         "sample_temperature", // TemperatureKind: closed-form re-derivation
         "text_paragraph_dedup", "text_dup_spans", "text_substring_dedup",
+        "stats_cms_freq", // ScaledCountsKind: CMS counter-sum conservation
+        "curate_c4_rules", // RowInvariantKind: per-row verdict unanimity
+        "dedup_overlap_pairs", // PairsKind through the containment score
         "pipeline_pack_shards")(n)
     }
     val results = ScaleProbe.run(spark, sf(), repDir, factor, queries,
@@ -60,6 +63,18 @@ class ScaleProbeSpec extends SparkSuite {
       hotBucketThreshold = 4L, splitTarget = 4L)
     assert(r.ok, r.failures.mkString("; "))
     assert(r.repRows > r.baseRows, "skewed run should add the within cliques")
+  }
+
+  test("factor-3 disjoint-vocabulary probe: BM25 top-k invariant, zero contamination") {
+    val factor = 3
+    val repDir = tmp("graft-probe-bm25") + "/rep"
+    ScaleProbe.replicateDir(spark, sf(), repDir, factor, perturbDocuments = true)
+    // The perturbation really is vocabulary-disjoint: base tokens and
+    // k>0 replica tokens share nothing (the suffix is on every token).
+    val r = ScaleProbe.runBm25(spark, sf(), repDir, factor, k = 5)
+    assert(r.ok, r.failures.mkString("; "))
+    assert(r.baseRows > 0 && r.baseRows == r.repRows,
+      s"bm25 probe returned base=${r.baseRows} rep=${r.repRows} rows")
   }
 
   test("semdedup nlist sizing probe: larger nlist strictly shrinks the pair budget") {
