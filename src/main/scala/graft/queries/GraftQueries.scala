@@ -2496,12 +2496,27 @@ object GraftQueries {
 
   private val d21 = Q("curate_semdedup",
     (s, dir) => {
-      val cents = semdedupCentroidCache.get(s, dir)(
-        SimilarityOps.trainIvfCentroids(
-          t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("cv")),
-          nlist = 16, trainIters = 5, trainFraction = 0.25))
+      // nlist = the op's own √N sizing rule, derived per corpus — NOT a
+      // pinned constant (r19: ShuffleAudit's pinned ×10→×100 sweep read
+      // rows 27.29× for 10× data and PlanMetrics attributed it to the
+      // hot-bucket grid split activating between scales: with nlist=16
+      // fixed, sf10's 12.5k-member clusters replicate ~4× through the
+      // split while sf1's 1250-member clusters don't split at all. The
+      // fixed value measured the guard's failsafe, not the op; under √N
+      // sizing clusters stay ~√N ≪ the 4096 split threshold at every
+      // driver SF and the shuffle is corpus-linear). The oracle replays
+      // the DUMPED assignments, so it is independent of nlist by
+      // construction.
+      val cents = semdedupCentroidCache.get(s, dir)({
+        val corpus = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("cv"))
+        val nlistEff = math.max(16L,
+          math.ceil(math.sqrt(corpus.count().toDouble)).toLong).toInt
+        SimilarityOps.trainIvfCentroids(corpus,
+          nlist = nlistEff, trainIters = 5, trainFraction = 0.25)
+      })
       val res = SimilarityOps.semdedupKeepSet(t(s, dir, "embeddings"),
-          threshold = 0.4, nlist = 16, trainIters = 5, trainFraction = 0.25,
+          threshold = 0.4, nlist = 0, trainIters = 5, trainFraction = 0.25,
           centroids = Some(cents))
         .orderBy("vec_id")
         // Eager checkpoint: the dump and the returned result must come
