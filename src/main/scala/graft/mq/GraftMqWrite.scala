@@ -59,6 +59,24 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
     extends DataWriter[InternalRow] {
 
   private val topic = MqBackends.session(opts)
+  // Per-task append buffer (socket backend only): rows batch into one
+  // APPEND_N round trip per BufferRows instead of an RPC per row — the
+  // Kafka producer's batching shape. At-least-once is unchanged: the
+  // buffer flushes inside write() and at commit(); an aborted/replayed
+  // task re-appends exactly as the unbuffered path would. In-process
+  // backends keep the direct append (no copy, no latency to amortize).
+  private val BufferRows = 512
+  private val buffer =
+    if (opts.isSocket) new scala.collection.mutable.ArrayBuffer[MqMessage](BufferRows)
+    else null
+  private val mqPartition =
+    (partitionId % opts.numPartitions + opts.numPartitions) % opts.numPartitions
+
+  private def flush(): Unit =
+    if (buffer != null && buffer.nonEmpty) {
+      topic.appendAll(mqPartition, buffer.toSeq)
+      buffer.clear()
+    }
   private val valueIdx = schema.fieldIndex("value")
   private val valueIsString = schema(valueIdx).dataType == StringType
   private val keyIdx = if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1
@@ -85,12 +103,19 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
       else row.getBinary(keyIdx)
     val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx)) row.getLong(tsIdx)
              else opts.defaultTimestampMicros
-    topic.append((partitionId % opts.numPartitions + opts.numPartitions) % opts.numPartitions,
-      MqMessage(key, value, ts))
+    val msg = MqMessage(key, value, ts)
+    if (buffer == null) topic.append(mqPartition, msg)
+    else {
+      buffer += msg
+      if (buffer.size >= BufferRows) flush()
+    }
     written += 1
   }
 
-  override def commit(): WriterCommitMessage = GraftMqCommitMessage(written)
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GraftMqCommitMessage(written)
+  }
+  override def abort(): Unit = if (buffer != null) buffer.clear()
   override def close(): Unit = ()
 }

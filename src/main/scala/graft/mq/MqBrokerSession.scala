@@ -41,6 +41,17 @@ trait MqBrokerSession {
   /** Append one message; returns its offset. */
   def append(partition: Int, msg: MqMessage): Long
 
+  /** Append a batch to one partition; returns the LAST offset. In-process
+    * this is just the loop; a transport overrides it with one round trip —
+    * the writer buffers per partition so the socket sink pays RPCs per
+    * BATCH, not per row (the Kafka producer's batching shape).
+    */
+  def appendAll(partition: Int, msgs: Seq[MqMessage]): Long = {
+    var last = -1L
+    msgs.foreach(m => last = append(partition, m))
+    last
+  }
+
   /** Release any transport resources (no-op in-process). Closing a
     * session with a fetch in flight must UNBLOCK that fetch (socket
     * close → IOException in the reader thread) — it is how a poisoned

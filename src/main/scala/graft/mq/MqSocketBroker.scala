@@ -28,6 +28,7 @@ import org.apache.spark.internal.Logging
   *   op 5 EARLIEST topic                  -> n, (partition, offset)*
   *   op 6 TS_SEEK  topic, p, ts           -> offset
   *   op 7 APPEND   topic, p, message      -> offset
+  *   op 8 APPEND_N topic, p, n, messages  -> last offset (writer batching)
   *
   * Status codes: 0 OK; 1 offset-out-of-range (re-thrown client-side as
   * [[MqOffsetOutOfRangeException]] so failOnDataLoss semantics are
@@ -143,6 +144,14 @@ object MqSocketBroker {
               val p = in.readInt(); val msg = readMessage(in)
               withTopic { st =>
                 out.writeByte(StatusOk); out.writeLong(st.append(p, msg))
+              }
+            case 8 => // APPEND_N
+              val p = in.readInt(); val n = in.readInt()
+              val msgs = IndexedSeq.fill(n)(readMessage(in))
+              withTopic { st =>
+                var last = -1L
+                msgs.foreach(m => last = st.append(p, m))
+                out.writeByte(StatusOk); out.writeLong(last)
               }
             case other =>
               out.writeByte(StatusError)
@@ -315,6 +324,21 @@ object MqSocketBroker {
       rpc {
         out.writeByte(7); out.writeUTF(topic)
         out.writeInt(partition); writeMessage(out, msg)
+      } {
+        case StatusOk => in.readLong()
+        case s => fail(s)
+      }
+
+    /** One round trip for the whole batch — the writer's per-partition
+      * buffers land here (per-row RPCs would serialize a 100 TB sink on
+      * network latency).
+      */
+    override def appendAll(partition: Int, msgs: Seq[MqMessage]): Long =
+      if (msgs.isEmpty) -1L
+      else rpc {
+        out.writeByte(8); out.writeUTF(topic)
+        out.writeInt(partition); out.writeInt(msgs.size)
+        msgs.foreach(writeMessage(out, _))
       } {
         case StatusOk => in.readLong()
         case s => fail(s)

@@ -157,6 +157,26 @@ class MqSocketBackendSpec extends SparkSuite {
     assert(st.created.get - c0 >= 2)
   }
 
+  test("socket writer batches appends: >BufferRows rows land exactly once via APPEND_N") {
+    import spark.implicits._
+    val topic = "sock-write-batch"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.getOrCreate(topic, 1)
+    // 1300 rows through one task: two full 512-row batches + a 276-row
+    // commit-time flush — the per-batch RPC path and the tail flush.
+    (0 until 1300).map(i => s"r$i").toDF("value")
+      .coalesce(1)
+      .select($"value".cast("binary").as("value"))
+      .write.format("graft-mq")
+      .option("backend", "socket").option("brokerSocket", server.address)
+      .option("topic", topic).option("numPartitions", "1")
+      .mode("append").save()
+    val got = reader(topic).load()
+      .select($"value".cast("string")).as[String].collect()
+    assert(got.length == 1300)
+    assert(got.toSet == (0 until 1300).map(i => s"r$i").toSet)
+  }
+
   test("streaming write + read loop over the socket") {
     import spark.implicits._
     val topic = "sock-write"
