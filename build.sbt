@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SEQUENTIALLY in the forked JVM — several specs assert on
+// JVM-global state (the consumer pool's idle sets and fetch-thread
+// counts, broker topics); this pins the sbt default so a future
+// parallelism flip cannot make them racy silently.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

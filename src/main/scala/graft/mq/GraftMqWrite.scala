@@ -58,7 +58,16 @@ case class GraftMqCommitMessage(rows: Long) extends WriterCommitMessage
 class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: Int)
     extends DataWriter[InternalRow] {
 
-  private val topic = MqBackends.session(opts)
+  // Socket backend: a PRIVATE connection per writer task (concurrent
+  // tasks must not serialize their batches — or queue behind the
+  // planner's admission polls — on the shared control session's per-RPC
+  // lock); closed with the writer. In-process backends share the topic
+  // state directly.
+  private val topic =
+    if (opts.isSocket)
+      MqSocketBroker.connectOrCreate(opts.brokerSocket.get, opts.topic,
+        opts.numPartitions)
+    else MqBackends.session(opts)
   // Per-task append buffer (socket backend only): rows batch into one
   // APPEND_N round trip per BufferRows instead of an RPC per row — the
   // Kafka producer's batching shape. At-least-once is unchanged: the
@@ -117,5 +126,5 @@ class GraftMqDataWriter(opts: GraftMqOptions, schema: StructType, partitionId: I
     GraftMqCommitMessage(written)
   }
   override def abort(): Unit = if (buffer != null) buffer.clear()
-  override def close(): Unit = ()
+  override def close(): Unit = if (opts.isSocket) topic.close()
 }

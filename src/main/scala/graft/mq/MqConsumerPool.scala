@@ -147,9 +147,14 @@ object MqConsumerPool extends Logging {
     if (!opts.isSocket) borrow(opts.topic, partition)
     else {
       val key = opts.poolTopicKey
+      // Read-connection socket timeout sits ABOVE the pollTimeoutMs
+      // future so the precise per-fetch bound always fires first; the
+      // socket bound is the backstop for RPCs outside timedRead.
+      val soTimeout = math.min(Int.MaxValue.toLong,
+        math.max(MqSocketBroker.RpcTimeoutMs.toLong, 2L * opts.pollTimeoutMs)).toInt
       borrowWith(key, partition, cand => cand.state.transportAlive,
         () => new MqConsumer(key, partition,
-          MqSocketBroker.connect(opts.brokerSocket.get, opts.topic)))
+          MqSocketBroker.connect(opts.brokerSocket.get, opts.topic, soTimeout)))
     }
 
   private def borrowWith(topicKey: String, partition: Int,
@@ -157,22 +162,30 @@ object MqConsumerPool extends Logging {
     val st = stats(topicKey, partition)
     st.borrowed.incrementAndGet()
     val key = Key(topicKey, partition)
-    val reused: Option[MqConsumer] = synchronized {
-      idle.get(key).flatMap { q =>
-        var c: MqConsumer = null
-        while (c == null && q.nonEmpty) {
+    // The liveness predicate may do transport I/O (the socket backend's
+    // borrow-time META generation check), so it must NOT run under the
+    // pool monitor — a hung broker would otherwise wedge every
+    // borrow/release on the executor, including unrelated topics and the
+    // in-memory backend. Pop one candidate at a time under the lock,
+    // test it outside.
+    def popCandidate(): MqConsumer = synchronized {
+      idle.get(key) match {
+        case Some(q) if q.nonEmpty =>
           val cand = q.removeLast() // most recently released first — warmest buffer
-          if (live(cand)) c = cand
-          else { // dead session: drop, releasing any transport resources
-            st.staleDiscards.incrementAndGet()
-            cand.state.close()
-          }
-        }
-        if (q.isEmpty) idle.remove(key)
-        Option(c)
+          if (q.isEmpty) idle.remove(key)
+          cand
+        case _ => null
       }
     }
-    reused.getOrElse {
+    var cand = popCandidate()
+    while (cand != null && !live(cand)) {
+      // dead session: drop, releasing any transport resources
+      st.staleDiscards.incrementAndGet()
+      cand.state.close()
+      cand = popCandidate()
+    }
+    if (cand != null) cand
+    else {
       st.created.incrementAndGet()
       create()
     }

@@ -358,10 +358,21 @@ object MqSocketBroker {
          catch { case _: Exception => false })
   }
 
-  private def dial(addr: String): Socket = {
+  /** Socket read bound for every RPC that is NOT already under a
+    * `timedRead` future (planner metadata, writer appends, borrow-time
+    * META): a broker that hangs mid-response fails the call here with
+    * the session marked broken, instead of blocking a driver planning
+    * thread or an interrupt-deaf write task forever. Consumer READ
+    * connections get max(this, 2×pollTimeoutMs) so the pollTimeoutMs
+    * future — the precise, per-fetch bound — always fires first.
+    */
+  val RpcTimeoutMs: Int = 120000
+
+  private def dial(addr: String, soTimeoutMs: Int): Socket = {
     val Array(host, port) = addr.split(":", 2)
     val s = new Socket()
     s.setTcpNoDelay(true)
+    s.setSoTimeout(soTimeoutMs)
     s.connect(new InetSocketAddress(host, port.toInt), 10000)
     s
   }
@@ -370,8 +381,9 @@ object MqSocketBroker {
     * pooled consumer. Throws (like the in-memory borrow) if the topic
     * does not exist on the broker.
     */
-  def connect(addr: String, topic: String): MqSocketSession = {
-    val s = new MqSocketSession(addr, topic, dial(addr))
+  def connect(addr: String, topic: String,
+      soTimeoutMs: Int = RpcTimeoutMs): MqSocketSession = {
+    val s = new MqSocketSession(addr, topic, dial(addr, soTimeoutMs))
     if (s.bind()) s
     else {
       s.close()
@@ -380,24 +392,51 @@ object MqSocketBroker {
     }
   }
 
-  // Control sessions (planner metadata + writer appends), shared per
+  /** A private CREATE-backed session — one per writer task, so N write
+    * tasks append over N connections instead of serializing their
+    * APPEND_N batches (and the planner's admission polls) on the shared
+    * control session's per-RPC lock. Caller closes it.
+    */
+  def connectOrCreate(addr: String, topic: String,
+      numPartitions: Int): MqSocketSession = {
+    val s = new MqSocketSession(addr, topic, dial(addr, RpcTimeoutMs))
+    try {
+      val n = s.create(numPartitions)
+      require(n == numPartitions,
+        s"graft-mq: topic '$topic' has $n partitions; requested $numPartitions")
+    } catch { case t: Throwable => s.close(); throw t }
+    s
+  }
+
+  // Control sessions (planner metadata), shared per
   // (addr, topic), created with CREATE (the getOrCreate the in-memory
   // planner sites use). Reconnected transparently when broken.
   private val controls = new ConcurrentHashMap[(String, String), MqSocketSession]()
 
   def control(addr: String, topic: String, numPartitions: Int): MqBrokerSession = {
     val key = (addr, topic)
+    // Partition-count validation on EVERY resolution, cache hit included —
+    // the in-memory getOrCreate's contract (a reader seeing fewer
+    // partitions would silently never read the upper ones).
+    def validated(s: MqSocketSession): MqSocketSession = {
+      require(s.numPartitions == numPartitions,
+        s"graft-mq: topic '$topic' has ${s.numPartitions} partitions; " +
+          s"requested $numPartitions")
+      s
+    }
     val cached = controls.get(key)
-    if (cached != null && cached.transportAliveBasic) cached
+    if (cached != null && cached.transportAliveBasic) validated(cached)
     else controls.synchronized {
       val again = controls.get(key)
-      if (again != null && again.transportAliveBasic) again
+      if (again != null && again.transportAliveBasic) validated(again)
       else {
         if (again != null) again.close()
-        val s = new MqSocketSession(addr, topic, dial(addr))
-        val n = s.create(numPartitions)
-        require(n == numPartitions,
-          s"graft-mq: topic '$topic' has $n partitions; requested $numPartitions")
+        val s = new MqSocketSession(addr, topic, dial(addr, RpcTimeoutMs))
+        try {
+          val n = s.create(numPartitions)
+          require(n == numPartitions,
+            s"graft-mq: topic '$topic' has $n partitions; requested $numPartitions")
+        } catch { case t: Throwable => s.close(); throw t }
         controls.put(key, s)
         s
       }
@@ -417,7 +456,7 @@ object MqSocketBroker {
       if (again != null && again.transportAliveBasic) again
       else {
         if (again != null) again.close()
-        val s = new MqSocketSession(addr, "", dial(addr))
+        val s = new MqSocketSession(addr, "", dial(addr, RpcTimeoutMs))
         metaChannels.put(addr, s)
         s
       }

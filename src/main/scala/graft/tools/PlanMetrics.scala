@@ -49,7 +49,11 @@ object PlanMetrics {
     require(args.length >= 2, "usage: PlanMetrics <sfDir> [--pin] <query> [query...]")
     val dir = args(0)
     val pin = args.contains("--pin")
+    val unknownFlags = args.filter(_.startsWith("--")).filterNot(_ == "--pin")
+    require(unknownFlags.isEmpty,
+      s"unknown flag(s): ${unknownFlags.mkString(", ")} (expected --pin)")
     val queries = args.drop(1).filterNot(_.startsWith("--")).toSeq
+    require(queries.nonEmpty, "usage: PlanMetrics <sfDir> [--pin] <query> [query...]")
     val unknown = queries.filterNot(GraftQueries.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

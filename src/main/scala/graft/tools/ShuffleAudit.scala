@@ -264,6 +264,14 @@ object ShuffleAudit {
       .getOrElse(10)
     val pin = args.contains("--pin")
     require(scaledDir.isEmpty || factor >= 2, "factor must be >= 2 when --scaled is given")
+    // A typo'd flag must fail LOUDLY: silently dropping '--scale=' or
+    // '--pinned' would run an enforcement sweep that enforces nothing
+    // and record a meaningless PASS.
+    val unknownFlags = args.filter(_.startsWith("--")).filterNot(a =>
+      a == "--pin" || a.startsWith("--scaled=") || a.startsWith("--factor="))
+    require(unknownFlags.isEmpty,
+      s"unknown flag(s): ${unknownFlags.mkString(", ")} " +
+        "(expected --pin, --scaled=<dir>, --factor=N)")
     val queries = {
       val q = args.drop(1).filterNot(a => a.startsWith("--")).toSeq
       if (q.nonEmpty) q
