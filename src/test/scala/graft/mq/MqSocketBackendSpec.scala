@@ -157,6 +157,43 @@ class MqSocketBackendSpec extends SparkSuite {
     assert(st.created.get - c0 >= 2)
   }
 
+  test("keys, headers, and timestamp seeks round-trip the wire codec") {
+    import org.apache.spark.sql.functions._
+    val topic = "sock-codec"
+    InMemoryMqBroker.drop(topic)
+    val state = InMemoryMqBroker.getOrCreate(topic, 1)
+    (0 until 6).foreach { i =>
+      val headers =
+        if (i % 2 == 0) Array("h1" -> s"v$i".getBytes("UTF-8"),
+          "h2" -> Array[Byte](0, 1, 2))
+        else null
+      state.append(0, MqMessage(
+        if (i == 3) null else s"k$i".getBytes("UTF-8"),
+        s"m$i".getBytes("UTF-8"), base + i * 1000000L, headers))
+    }
+    val rows = reader(topic)
+      .option("includeHeaders", "true").load()
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("offset"), col("timestamp").cast("long"),
+        expr("transform(headers, h -> struct(h.key, cast(h.value as string)))")
+          .as("hs"))
+      .collect().sortBy(_.getLong(2))
+    assert(rows.length == 6)
+    assert(rows(3).isNullAt(0), "null key must survive the wire")
+    assert(rows(1).getString(0) == "k1")
+    assert(rows.map(_.getString(1)).toSeq == (0 until 6).map(i => s"m$i"))
+    assert(rows(1).isNullAt(4), "absent headers must stay null, not become empty")
+    val h0 = rows(0).getSeq[org.apache.spark.sql.Row](4)
+    assert(h0.map(r => r.getString(0) -> r.getString(1)) ==
+      Seq("h1" -> "v0", "h2" -> new String(Array[Byte](0, 1, 2), "UTF-8")))
+    // Timestamp seek (wire op TS_SEEK): start at the 4th message's event
+    // time — the planner resolves first-start offsets over the socket.
+    val seeked = reader(topic)
+      .option("startingTimestampMicros", (base + 3000000L).toString).load()
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+    assert(seeked == Set("m3", "m4", "m5"))
+  }
+
   test("socket writer batches appends: >BufferRows rows land exactly once via APPEND_N") {
     import spark.implicits._
     val topic = "sock-write-batch"
