@@ -68,11 +68,12 @@ object DrainProbe {
     //    trigger loop with every fetch crossing a localhost TCP broker.
     //    Not directly subtractable from the generated figure — the
     //    generated drain pays per-message SYNTHESIS in the reader while
-    //    this serves pre-materialized logs (it measured FASTER: 425k/755k
-    //    vs 207k/600k row/columnar rows/s at 2M rows) — it is the served-
-    //    log drain rate through the transport at this chunking
-    //    (4096 messages/RPC), the figure a networked deployment cares
-    //    about.
+    //    this serves pre-materialized logs. Clean-load recording at HEAD:
+    //    socket 696k row / 992k columnar rows/s vs generated 1.03M/1.10M
+    //    at 2M rows — the transport+copy tax is ~10-30% at this chunking
+    //    (4096 messages/RPC); under heavy parallel load the two had even
+    //    measured INVERTED (425k/755k vs 207k/600k), so treat either
+    //    figure as load-sensitive and compare only same-run pairs.
     {
       import graft.mq.{InMemoryMqBroker, MqSocketBroker}
       val server = new MqSocketBroker.MqBrokerServer()
