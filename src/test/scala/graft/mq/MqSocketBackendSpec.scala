@@ -214,6 +214,268 @@ class MqSocketBackendSpec extends SparkSuite {
     assert(got.toSet == (0 until 1300).map(i => s"r$i").toSet)
   }
 
+  // ------------------------------------------------------- r20 hardening
+
+  /** TCP forwarder that can (a) inject one garbage byte into the
+    * server→client stream (desync) or (b) truncate a connection
+    * mid-response — the failure classes the wire codec's magic byte and
+    * length caps exist for (VERDICT r19 #1).
+    */
+  private final class CorruptingProxy(target: String) {
+    import java.io.IOException
+    import java.net.{InetAddress, ServerSocket, Socket}
+    private val Array(th, tp) = target.split(":", 2)
+    private val ss = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    @volatile var injectGarbage = false
+    @volatile var truncateNext = false
+    val address = s"${InetAddress.getLoopbackAddress.getHostAddress}:${ss.getLocalPort}"
+    private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+    private def pump(in: java.io.InputStream, out: java.io.OutputStream,
+        serverToClient: Boolean, a: Socket, b: Socket): Thread = {
+      val t = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        try while (true) {
+          val n = in.read(buf)
+          if (n < 0) throw new java.io.EOFException
+          if (serverToClient && truncateNext) {
+            truncateNext = false
+            out.write(buf, 0, 1); out.flush() // forward one byte, then cut
+            a.close(); b.close()
+            throw new java.io.EOFException
+          }
+          if (serverToClient && injectGarbage) {
+            injectGarbage = false
+            out.write(0) // one desyncing byte — every frame after shifts
+          }
+          out.write(buf, 0, n); out.flush()
+        } catch {
+          case _: IOException =>
+            try a.close() catch { case _: IOException => () }
+            try b.close() catch { case _: IOException => () }
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val c = ss.accept()
+        val s = new Socket(th, tp.toInt)
+        conns.add(c); conns.add(s)
+        pump(c.getInputStream, s.getOutputStream, serverToClient = false, c, s)
+        pump(s.getInputStream, c.getOutputStream, serverToClient = true, c, s)
+      } catch { case _: IOException => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    def close(): Unit = {
+      try ss.close() catch { case _: IOException => () }
+      conns.forEach(s => try s.close() catch { case _: IOException => () })
+    }
+  }
+
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causeChain(t.getCause)
+
+  test("a desynced response dies as a typed protocol error; the pool is unpoisoned after") {
+    import spark.implicits._
+    val topic = "sock-desync"
+    fill(topic, 1, 100)
+    val proxy = new CorruptingProxy(server.address)
+    try {
+      def readAll() = spark.read.format("graft-mq")
+        .option("backend", "socket").option("brokerSocket", proxy.address)
+        .option("topic", topic).option("numPartitions", "1").load()
+        .select($"value".cast("string")).as[String].collect().toSet
+      assert(readAll() == (0 until 100).map(i => s"m$i").toSet)
+      proxy.injectGarbage = true
+      val err = intercept[Exception] { readAll() }
+      assert(causeChain(err).exists(_.isInstanceOf[MqProtocolException]),
+        s"expected MqProtocolException in ${causeChain(err).map(_.getClass.getSimpleName)}")
+      // The poisoned session was closed-and-discarded, never re-served:
+      // the next read dials fresh through the (now clean) proxy.
+      assert(readAll() == (0 until 100).map(i => s"m$i").toSet)
+    } finally proxy.close()
+  }
+
+  test("a truncated response fails loudly as a lost connection; recovery is clean") {
+    import spark.implicits._
+    val topic = "sock-trunc"
+    fill(topic, 1, 50)
+    val proxy = new CorruptingProxy(server.address)
+    try {
+      def readAll() = spark.read.format("graft-mq")
+        .option("backend", "socket").option("brokerSocket", proxy.address)
+        .option("topic", topic).option("numPartitions", "1").load()
+        .select($"value".cast("string")).as[String].collect().toSet
+      assert(readAll() == (0 until 50).map(i => s"m$i").toSet)
+      proxy.truncateNext = true
+      val err = intercept[Exception] { readAll() }
+      assert(causeChain(err).exists(t => t.isInstanceOf[IllegalStateException] &&
+        t.getMessage != null && t.getMessage.contains("connection")),
+        s"expected a loud lost-connection error in ${causeChain(err).map(_.toString)}")
+      assert(readAll() == (0 until 50).map(i => s"m$i").toSet)
+    } finally proxy.close()
+  }
+
+  test("a rogue client's oversized length is refused typed — no garbage-length allocation") {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.Socket
+    val topic = "sock-rogue"
+    fill(topic, 1, 1)
+    val Array(h, p) = server.address.split(":", 2)
+    val s = new Socket(h, p.toInt)
+    try {
+      val out = new DataOutputStream(s.getOutputStream)
+      val in = new DataInputStream(s.getInputStream)
+      // APPEND with a ~1.9 GB key length: the server must kill the
+      // session with a typed protocol error, not attempt the allocation.
+      out.writeByte(MqSocketBroker.Magic.toInt)
+      out.writeByte(7); out.writeUTF(topic); out.writeInt(0)
+      out.writeInt(Int.MaxValue - 100)
+      out.flush()
+      assert(in.readByte() == MqSocketBroker.Magic)
+      assert(in.readByte() == 2, "expected the generic-error status")
+      val msg = in.readUTF()
+      assert(msg.contains("exceeds cap"), msg)
+      assert(in.read() == -1, "server must close the desynced connection")
+    } finally s.close()
+    // The server survives the rogue: healthy clients still work.
+    import spark.implicits._
+    assert(reader(topic).load().select($"value".cast("string")).as[String]
+      .collect().toSet == Set("m0"))
+  }
+
+  test("an oversized count in a response is refused typed on the client") {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.{InetAddress, ServerSocket}
+    // Scripted fake broker: answers META correctly (so connect/bind
+    // succeeds), then claims an absurd ENDS entry count.
+    val ss = new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val c = ss.accept()
+        val in = new DataInputStream(c.getInputStream)
+        val out = new DataOutputStream(c.getOutputStream)
+        while (true) {
+          in.readByte() // magic
+          val op = in.readByte()
+          in.readUTF() // topic
+          out.writeByte(MqSocketBroker.Magic.toInt); out.writeByte(0)
+          out.writeLong(1L) // generation
+          if (op == 2) out.writeInt(1) // META: numPartitions
+          else out.writeInt(Int.MaxValue - 5) // ENDS: garbage count
+          out.flush()
+        }
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val addr = s"${InetAddress.getLoopbackAddress.getHostAddress}:${ss.getLocalPort}"
+    try {
+      val sess = MqSocketBroker.connect(addr, "fake-topic")
+      val err = intercept[MqProtocolException] { sess.endOffsets }
+      assert(err.getMessage.contains("exceeds cap"), err.getMessage)
+      assert(!sess.transportAlive, "a protocol error must break the session")
+    } finally ss.close()
+  }
+
+  test("a recreate between borrow and fetch fails typed via the piggybacked generation") {
+    val topic = "sock-genpin"
+    fill(topic, 1, 5)
+    val sess = MqSocketBroker.connect(server.address, topic)
+    try {
+      assert(sess.read(0, 0, 5).size == 5)
+      // Drop + recreate UNDER the live consumer session: its next fetch
+      // must fail typed — offsets 0..5 of the new topic are different
+      // rows, and the r19 session would have served them silently.
+      InMemoryMqBroker.drop(topic)
+      val st2 = InMemoryMqBroker.getOrCreate(topic, 1)
+      (0 until 5).foreach(i =>
+        st2.append(0, MqMessage(null, s"x$i".getBytes("UTF-8"), base + i)))
+      val err = intercept[MqStaleGenerationException] { sess.read(0, 0, 5) }
+      assert(err.getMessage.contains("recreated"), err.getMessage)
+      assert(!sess.transportAlive)
+    } finally sess.close()
+  }
+
+  test("borrow-time generation checks ride the cache, not the meta channel (no funnel)") {
+    val topic = "sock-defunnel"
+    val parts = 8
+    fill(topic, parts, 80)
+    val opts = GraftMqOptions(topic = topic, backend = "socket",
+      numPartitions = parts, rowsPerBatch = 10L, maxRowsPerBatch = None,
+      minPartitions = None, seed = 42L, wordsPerMessage = 4,
+      failOnDataLoss = true, includeMetadata = false,
+      startingOffsets = "earliest", brokerSocket = Some(server.address))
+
+    def borrowAllConcurrently(): Long = {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(parts)
+      val borrowed = new java.util.concurrent.ConcurrentLinkedQueue[MqConsumer]()
+      (0 until parts).foreach { part =>
+        val t = new Thread(() => {
+          start.await()
+          borrowed.add(MqConsumerPool.borrow(opts, part))
+          done.countDown()
+        })
+        t.setDaemon(true); t.start()
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS), "borrows hung")
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      borrowed.forEach(c => MqConsumerPool.release(c))
+      wallMs
+    }
+
+    // Warm: one consumer per partition in the idle pool, gen cache fresh.
+    borrowAllConcurrently()
+    try {
+      // Phase A — warm cache, hung meta path: borrows must not issue ANY
+      // meta RPC (the r19 shape paid one synchronized META per borrow and
+      // would serialize 8 × 5 s here).
+      server.injectMetaDelay(5000)
+      val r0 = MqSocketBroker.genRefreshRpcs.get
+      val wallWarm = borrowAllConcurrently()
+      assert(MqSocketBroker.genRefreshRpcs.get == r0,
+        "warm-cache borrows must not touch the meta channel")
+      assert(wallWarm < 2000, s"warm-cache concurrent borrows took ${wallWarm} ms")
+
+      // Phase B — expired cache, slow meta path: exactly ONE single-flight
+      // bounded refresh on the shared channel; concurrent borrows fail
+      // SAFE (stale-discard + parallel reconnect) instead of queueing.
+      server.injectMetaDelay(3000)
+      Thread.sleep(MqSocketBroker.GenCacheTtlMs + 300)
+      val r1 = MqSocketBroker.genRefreshRpcs.get
+      val wallCold = borrowAllConcurrently()
+      val refreshes = MqSocketBroker.genRefreshRpcs.get - r1
+      assert(refreshes <= 2, s"single-flight violated: $refreshes meta refreshes")
+      assert(wallCold < 9000,
+        s"cold-cache concurrent borrows took ${wallCold} ms — serialized on the meta channel?")
+    } finally server.injectMetaDelay(0)
+    // Healthy afterwards.
+    import spark.implicits._
+    assert(reader(topic, parts).load().select($"value".cast("string"))
+      .as[String].collect().length == 80)
+  }
+
+  test("the socket consumer prefetches one chunk ahead; results stay value-exact") {
+    import spark.implicits._
+    val topic = "sock-prefetch"
+    fill(topic, 1, 10000) // chunk size 4096 → three refills
+    val key = s"${server.address}/$topic"
+    val st = MqConsumerPool.stats(key, 0)
+    val (p0, h0, f0) = (st.prefetches.get, st.prefetchHits.get, st.brokerFetches.get)
+    val got = reader(topic).load()
+      .select($"value".cast("string")).as[String].collect()
+    assert(got.length == 10000)
+    assert(got.toSet == (0 until 10000).map(i => s"m$i").toSet)
+    // Chunk 1 is a live fetch; crossing its midpoint arms chunk 2's
+    // prefetch, whose harvest arms chunk 3's — two prefetched refills.
+    assert(st.brokerFetches.get - f0 == 3, s"fetches=${st.brokerFetches.get - f0}")
+    assert(st.prefetches.get - p0 == 2, s"prefetches=${st.prefetches.get - p0}")
+    assert(st.prefetchHits.get - h0 == 2, s"hits=${st.prefetchHits.get - h0}")
+    assert(MqConsumerPool.idleCount(key, 0) == 1)
+  }
+
   test("streaming write + read loop over the socket") {
     import spark.implicits._
     val topic = "sock-write"
