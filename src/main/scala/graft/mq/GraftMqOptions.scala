@@ -73,6 +73,11 @@ import java.util.Locale
   *                           [[MqPollTimeoutException]] (README.md:654) —
   *                           a contended broker fails the task loudly
   *                           instead of hanging the trigger loop
+  *  - `prefetch`           — transport backends: issue the next chunk's
+  *                           fetch when the cursor crosses mid-buffer so
+  *                           RPC latency overlaps compute (default true;
+  *                           disable for A/B attribution — DrainProbe's
+  *                           transport-tax interleave)
   */
 final case class GraftMqOptions(
     topic: String,
@@ -95,7 +100,8 @@ final case class GraftMqOptions(
     columnarReader: Boolean = true,
     pollTimeoutMs: Long = 120000L,
     aggregatePushdown: Boolean = true,
-    brokerSocket: Option[String] = None) extends Serializable {
+    brokerSocket: Option[String] = None,
+    prefetch: Boolean = true) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def isSocket: Boolean = backend == "socket"
   /** Pool/stats namespace for this source's consumers: socket sessions
@@ -212,6 +218,7 @@ object GraftMqOptions {
       columnarReader = get("columnarReader").map(_.toBoolean).getOrElse(true),
       pollTimeoutMs = pollTimeout,
       aggregatePushdown = get("aggregatePushdown").map(_.toBoolean).getOrElse(true),
-      brokerSocket = brokerSocket)
+      brokerSocket = brokerSocket,
+      prefetch = get("prefetch").map(_.toBoolean).getOrElse(true))
   }
 }

@@ -41,7 +41,10 @@ import org.apache.spark.internal.Logging
 final class MqConsumer private[mq] (
     val topic: String,
     val partition: Int,
-    private[mq] val state: MqBrokerSession) {
+    private[mq] val state: MqBrokerSession,
+    // Refreshed at every borrow: a pooled consumer outlives the query
+    // (and its options) that created it.
+    private[mq] var prefetchEnabled: Boolean = true) {
 
   private[mq] val stats: MqPoolStats = MqConsumerPool.stats(topic, partition)
 
@@ -66,7 +69,7 @@ final class MqConsumer private[mq] (
     */
   def cached(o: Long): MqMessage =
     if (o >= chunkStart && o < chunkStart + chunk.size) {
-      if (prefetchFut == null && state.supportsPrefetch &&
+      if (prefetchFut == null && prefetchEnabled && state.supportsPrefetch &&
           chunk.size == lastChunkSize && o - chunkStart >= (chunk.size >> 1))
         prefetch(chunkStart + chunk.size)
       chunk((o - chunkStart).toInt)
@@ -219,9 +222,11 @@ object MqConsumerPool extends Logging {
       // socket bound is the backstop for RPCs outside timedRead.
       val soTimeout = math.min(Int.MaxValue.toLong,
         math.max(MqSocketBroker.RpcTimeoutMs.toLong, 2L * opts.pollTimeoutMs)).toInt
-      borrowWith(key, partition, cand => cand.state.transportAlive,
+      val c = borrowWith(key, partition, cand => cand.state.transportAlive,
         () => new MqConsumer(key, partition,
           MqSocketBroker.connect(opts.brokerSocket.get, opts.topic, soTimeout)))
+      c.prefetchEnabled = opts.prefetch
+      c
     }
 
   private def borrowWith(topicKey: String, partition: Int,

@@ -98,15 +98,29 @@ object DrainProbe {
       val wst = InMemoryMqBroker.getOrCreate(warmTopic, parts)
       (0 until 20000).foreach(i =>
         wst.append(i % parts, GeneratedPayloads.messageAt(opts, i % parts, i / parts)))
-      def sock(t: String) = Map("backend" -> "socket",
-        "brokerSocket" -> server.address, "topic" -> t)
+      def sock(t: String, prefetch: Boolean) = Map("backend" -> "socket",
+        "brokerSocket" -> server.address, "topic" -> t,
+        "prefetch" -> prefetch.toString)
+      // Prefetch A/B (r20 — VERDICT r19 #4): interleaved off/on samples
+      // per reader mode, best-of-2 each, so the one-chunk-ahead
+      // prefetch's cut of the transport tax is measured in the same run
+      // (cross-run drift on this box is 30-60%; only same-run pairs are
+      // comparable).
       Seq(false, true).foreach { columnar =>
         graft.Bench.mqDrainRowsPerSec(spark, 20000, columnar = columnar,
-          source = sock(warmTopic))
-        val r = graft.Bench.mqDrainRowsPerSec(spark, totalRows, columnar = columnar,
-          source = sock(topic))
-        val tag = (if (columnar) "columnar" else "row") + "@socket"
-        println(f"[drain] $tag%-12s ${r.fold(e => -1L, identity)}%9d rows/s ($r)")
+          source = sock(warmTopic, prefetch = true))
+        val samples = (0 until 2).flatMap { _ =>
+          Seq(false, true).map { pf =>
+            pf -> graft.Bench.mqDrainRowsPerSec(spark, totalRows,
+              columnar = columnar, source = sock(topic, pf))
+          }
+        }
+        Seq(false, true).foreach { pf =>
+          val best = samples.collect { case (`pf`, Right(v)) => v }.maxOption
+          val tag = (if (columnar) "columnar" else "row") +
+            "@socket" + (if (pf) "+prefetch" else "")
+          println(f"[drain] $tag%-22s ${best.getOrElse(-1L)}%9d rows/s")
+        }
       }
       server.close()
     }
