@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -146,8 +147,28 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
     extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_atleast"
-  override def inputTypes: Seq[Bridge.AbstractType] =
-    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+  // array<long> (the full fnv64 verify) or array<int> (the truncated
+  // 32-bit pre-verify, r20 — half the attach bytes); both sides must
+  // agree — a mixed-width merge would compare different hash spaces.
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(
+    Bridge.typeCollection(ArrayType(LongType), ArrayType(IntegerType)),
+    Bridge.typeCollection(ArrayType(LongType), ArrayType(IntegerType)),
+    IntegerType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (first.dataType != second.dataType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: both arrays must have the same element width, " +
+          s"got ${first.dataType.sql} and ${second.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val elemIsInt = first.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(l: Any, r: Any, m: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -162,7 +183,8 @@ case class SortedIntersectAtLeast(first: Expression, second: Expression,
       if (a.isNullAt(i)) i += 1
       else if (b.isNullAt(j)) j += 1
       else {
-        val x = a.getLong(i); val y = b.getLong(j)
+        val x = if (elemIsInt) a.getInt(i).toLong else a.getLong(i)
+        val y = if (elemIsInt) b.getInt(j).toLong else b.getLong(j)
         if (x < y) i += 1
         else if (x > y) j += 1
         else { c += 1; i += 1; j += 1 }

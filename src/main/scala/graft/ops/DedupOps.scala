@@ -1044,6 +1044,15 @@ object DedupOps {
     // reads as a spurious super-linear ratio) > priced adaptive default.
     val confPin = docs.sparkSession.conf
       .getOption("spark.graft.jaccardPrefix.dfOrder").map(_.toBoolean)
+    // A session-conf pin is an AUDIT tool's measurement aid, not a tuning
+    // knob — surface it loudly so a query silently inheriting a leaked
+    // pin (ADVICE r19 #5) is visible in the logs; the audit tools also
+    // unset it after their runs (ShuffleAudit.unpinStrategies).
+    if (confPin.nonEmpty && dfOrderedPrefix.isEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.DedupOps").warn(
+        s"graft: jaccardPrefix prefix order pinned to df=${confPin.get} by session conf " +
+          "spark.graft.jaccardPrefix.dfOrder (audit pin) — overriding the priced " +
+          "adaptive default; unset the conf to restore it")
     val useDf = dfOrderedPrefix.orElse(confPin)
       .getOrElse(hashMatchVol > DfOrderMatchVol)
     val prefixes =
@@ -1124,19 +1133,16 @@ object DedupOps {
       .filter(jaccardUpper(mapBound) && jaccardUpper(firstBound))
       .select(least(col("id_s"), col("id_l")).as("doc_a"),
         greatest(col("id_s"), col("id_l")).as("doc_b"))
-    // Verify on the per-doc SORTED hash arrays (computed once, broadcast-
-    // sized): |∩| by early-terminating merge against the pair's required
-    // overlap α = ceil(t(n_a+n_b)/(1+t)), |∪| = n_a + n_b − |∩|. Even
-    // with the candidate-map bounds (2.1× fewer verified pairs than the
-    // r17 prefix-only formulation at sf0.1: 428k → 204k) the join admits
-    // far more candidates than survivors, so per-pair verify cost
-    // dominates the whole operator — string-array array_intersect here
-    // measured 15 s at sf0.1 vs ~2 s for the primitive merge, and the α
-    // bail-out cuts the merge short on the dissimilar majority. Same
-    // 64-bit collision trade as the jaccardPairs join key
-    // (~|shingles|²/2⁶⁵), which the string verify this replaces did not
-    // share — accepted for the identical reason. A -1 bail-out yields a
-    // negative jaccard in the shared tail and is filtered with the
+    // Verify on the per-doc SORTED hash arrays: |∩| by early-terminating
+    // merge against the pair's required overlap α = ceil(t(n_a+n_b)/(1+t)),
+    // |∪| = n_a + n_b − |∩|. Even with the candidate-map bounds (2.1×
+    // fewer verified pairs than the r17 prefix-only formulation at
+    // sf0.1: 428k → 204k) the join admits far more candidates than
+    // survivors, so per-pair verify cost dominates the whole operator —
+    // string-array array_intersect here measured 15 s at sf0.1 vs ~2 s
+    // for the primitive merge, and the α bail-out cuts the merge short
+    // on the dissimilar majority. A -1 bail-out yields a negative
+    // jaccard in the threshold tail and is filtered with the
     // sub-threshold pairs.
     // Attach joins as SHUFFLED HASH (same rationale as the r17 semantic
     // attach fix): above the broadcast threshold the planner's SMJ SORTS
@@ -1145,20 +1151,79 @@ object DedupOps {
     // at 11 GB of sort spill / 12.5 GB shuffle at sf10. Hash attaches
     // shuffle each stream once with no sort amplification; the build
     // side is the per-doc hashed frame — corpus-bounded by construction.
-    jaccardFromCounts(candidates
+    //
+    // TWO-PHASE VERIFY (r20 — VERDICT r19 #6: the candidates×array
+    // attach was the registry's priciest exchange, 7.0 GB at sf10).
+    // Phase 1 attaches 32-BIT TRUNCATIONS of the sorted hashes — half
+    // the bytes on the candidate-sized exchange — and filters on the
+    // 32-bit jaccard. EXACT as an admitting filter: n stays the TRUE
+    // 64-bit set size, and for every 32-bit value v the merge counts
+    // min(mult_a(v), mult_b(v)) ≥ |A∩B ∩ preimages(v)|, so
+    // inter32 ≥ inter64 and j32 ≥ true jaccard — collisions can only
+    // ADMIT false survivors, never drop a true pair (the α bail-out is
+    // likewise safe: inter32 < α implies inter64 < α). Phase 2 settles
+    // the survivor-sized set exactly on the full 64-bit arrays — the
+    // stream side there is ~true-pair-sized (25.6k rows at sf10 vs the
+    // multi-million candidate stream), so its attach bytes are noise; it
+    // keeps the jaccardPairs 64-bit collision trade (~|shingles|²/2⁶⁵).
+    // (Delta+varint coding was rejected: sorted UNIFORM 64-bit hashes
+    // have ~2⁶⁴/n gaps, so varint deltas still need ~8 bytes — the
+    // entropy is irreducible without dropping bits, which is what the
+    // 32-bit phase does, recoverably.)
+    val alpha = ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))
+      .cast("int")
+    // HIGH 32 bits: arithmetic shift is MONOTONE in the signed 64-bit
+    // order, so the truncated array inherits hs's sortedness — no
+    // re-sort pass — and the int cast is exact (ANSI-safe).
+    val h32 = transform(col("hs"), x => shiftright(x, 32).cast("int"))
+    val survivors32 = candidates
       .join(hashed.select(col("id").as("doc_a"), col("n").as("n_a"),
-        col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
+        h32.as("h32_a")).hint("shuffle_hash"), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("n").as("n_b"),
-        col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
-      .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
-        col("hs_a"), col("hs_b"),
-        ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))
-          .cast("int"))),
-      threshold)
+        h32.as("h32_b")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_i32", GraftFunctions.sorted_intersect_atleast(
+        col("h32_a"), col("h32_b"), alpha))
+      .filter(round(col("n_i32").cast("double") /
+        (col("n_a") + col("n_b") - col("n_i32")).cast("double"), 6) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    Caching.withCached(survivors32) {
+      // Exact settle, survivor-sized end to end: the 32-bit filter's
+      // false admits are boundary-rare, so survivors ≈ true pairs (24.1k
+      // at sf10 vs the 12.3M-row candidate stream). The full arrays are
+      // re-attached from the corpus frame FILTERED by a broadcast of the
+      // survivor ids — a cached-corpus scan plus survivor-sized
+      // shuffles, never a corpus-sized build (an unfiltered hash attach
+      // here measured ~15% warm regression at sf10: two 500k-row ×
+      // 1.2 KB hash-table builds for a 24k-row probe). Guarded: a
+      // pathological threshold could make survivors corpus-scale, where
+      // the id broadcast stops being small and the r19 corpus-build
+      // attach is the safe fallback.
+      val exactSide =
+        if (survivors32.count() <= MaxIdBroadcastPairs) {
+          val ids = survivors32.select(col("doc_a").as("id"))
+            .union(survivors32.select(col("doc_b").as("id"))).distinct()
+          hashed.join(broadcast(ids), "id")
+        } else hashed
+      jaccardFromCounts(survivors32
+        .join(exactSide.select(col("id").as("doc_a"), col("n").as("n_a"),
+          col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
+        .join(exactSide.select(col("id").as("doc_b"), col("n").as("n_b"),
+          col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
+        .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
+          col("hs_a"), col("hs_b"), alpha)),
+        threshold)
+    }
     }
     }
     }
   }
+
+  /** Survivor-pair bound for the exact-settle id broadcast in
+    * [[jaccardPairsPrefix]]: below it the distinct survivor ids (≤ 2×
+    * pairs × 8 bytes — ≤ 64 MB here) broadcast safely on any cluster;
+    * above it the settle falls back to the corpus-build attach.
+    */
+  private val MaxIdBroadcastPairs: Long = 1L << 22
 
   /** Per-document distinct shingle sets. Callers persist this (via
     * [[Caching.withCached]]): shingling is the expensive per-doc map, and

@@ -92,6 +92,9 @@ object PlanMetrics {
           }
         } finally spark.listenerManager.unregister(l)
       }
-    } finally spark.stop()
+    } finally {
+      if (pin) ShuffleAudit.unpinStrategies(spark)
+      spark.stop()
+    }
   }
 }

@@ -70,12 +70,16 @@ class CollectLintSpec extends AnyFunSuite {
                                      // result sets (queries×k rows),
                                      // bounded by the grid's fixed
                                      // 10-query probe
-    "graft/tools/ScaleProbe.scala" -> 2) // longScalar (the sizing probe's
+    "graft/tools/ScaleProbe.scala" -> 2, // longScalar (the sizing probe's
                                      // 1-row pair-budget aggregate) and
                                      // checkTemperature's group-
                                      // cardinality counts (≤ #languages
                                      // rows) — probe oracles, not
                                      // operators
+    "graft/Bench.scala" -> 1)        // calib_ms: the calibration query's
+                                     // 1-row sum aggregate (r20 — the
+                                     // machine-speed divisor on the
+                                     // bench line)
 
   private val collectPattern =
     """\.(collect\(\)|collectAsList|head\(\)|first\(\)|toLocalIterator)""".r

@@ -50,7 +50,7 @@ class ShuffleAuditSpec extends SparkSuite {
     assert(!floored.ratioEnforced && floored.ok)
   }
 
-  test("enforcement math: record gate and the rows-linear byte widening") {
+  test("enforcement math: record gate and the rows-linear byte WARN band") {
     import ShuffleAudit._
     def m(bytes: Long, rows: Long) = Metrics(bytes, 0, 0, 0, rows)
     val f = 10
@@ -59,12 +59,19 @@ class ShuffleAuditSpec extends SparkSuite {
     val rowBreach = Audit("q", m(MinSignalBytes, MinSignalRecords),
       Some(m(MinSignalBytes * f, (MinSignalRecords * f * RowSlack).toLong + 1)), f)
     assert(rowBreach.rowEnforced && !rowBreach.rowOk && !rowBreach.ok)
-    // Bytes past Slack but rows linear -> widened to WideByteSlack: the
-    // r18 marginal-crossing class (13.51x/14.38x vs the 13.5 gate) is a
-    // compression artifact, attributed on the line, and PASSES.
-    val widened = Audit("q", m(MinSignalBytes, MinSignalRecords),
+    // Bytes past Slack, rows linear, NO per-exchange evidence -> the
+    // per-bucket-compression band passes the sweep but as an explicit
+    // WARN (ADVICE r19 #4: r19 silently widened the whole registry).
+    val warned = Audit("q", m(MinSignalBytes, MinSignalRecords),
       Some(m((MinSignalBytes * f * 1.4).toLong, MinSignalRecords * f)), f)
-    assert(widened.rowEnforced && widened.rowOk && widened.byteWidened && widened.ok)
+    assert(warned.rowEnforced && warned.rowOk && warned.byteWarn && warned.ok)
+    // Same crossing WITH matched per-exchange stats, every above-floor
+    // exchange linear -> composition-adjudicated PASS, not a WARN.
+    val adjudicated = warned.copy(
+      baseEx = Seq(ExchangeStat("Exchange", MinSignalBytes, MinSignalRecords)),
+      scaledEx = Some(Seq(ExchangeStat("Exchange", MinSignalBytes * f, MinSignalRecords * f))))
+    assert(adjudicated.compositionBytesOk.contains(true) &&
+      !adjudicated.byteWarn && adjudicated.ok)
     // Bytes past even WideByteSlack fail regardless of linear rows.
     val farBreach = Audit("q", m(MinSignalBytes, MinSignalRecords),
       Some(m((MinSignalBytes * f * (WideByteSlack + 0.1)).toLong, MinSignalRecords * f)), f)
@@ -73,6 +80,42 @@ class ShuffleAuditSpec extends SparkSuite {
     // widening without the compression-immune evidence).
     val noRows = Audit("q", m(MinSignalBytes, MinSignalRecords - 1),
       Some(m((MinSignalBytes * f * 1.4).toLong, (MinSignalRecords - 1) * f)), f)
-    assert(!noRows.rowEnforced && !noRows.byteWidened && !noRows.ok)
+    assert(!noRows.rowEnforced && !noRows.byteWarn && !noRows.ok)
+  }
+
+  test("near-gate composition descent: floor-exempt tails adjudicate, real breaches fail") {
+    import ShuffleAudit._
+    def m(bytes: Long, rows: Long) = Metrics(bytes, 0, 0, 0, rows)
+    val f = 10
+    // Synthetic composition artifact (VERDICT r19 #5's fixture): one big
+    // exchange growing exactly x10 plus a floor-exempt tail growing x300
+    // pushes the AGGREGATE row ratio past the 13.5 gate — the descent
+    // must attribute and PASS it.
+    val bigB = ExchangeStat("Exchange", 100L << 20, 100000)
+    val tinyB = ExchangeStat("Exchange", 1L << 20, 5000)
+    val bigS = ExchangeStat("Exchange", (1000L << 20), 1000000)
+    val tinyS = ExchangeStat("Exchange", 3L << 20, 500000)
+    val aggRows = (bigS.records + tinyS.records).toDouble / (bigB.records + tinyB.records)
+    assert(aggRows > f * RowSlack, s"fixture must cross the aggregate gate, got $aggRows")
+    val artifact = Audit("q",
+      m(bigB.bytes + tinyB.bytes, bigB.records + tinyB.records),
+      Some(m(bigS.bytes + tinyS.bytes, bigS.records + tinyS.records)), f,
+      baseEx = Seq(bigB, tinyB), scaledEx = Some(Seq(bigS, tinyS)))
+    assert(artifact.rowEnforced && !artifact.rowAggregateOk)
+    assert(artifact.compositionRowsOk.contains(true) && artifact.rowOk && artifact.ok)
+    // A REAL super-linear exchange (the big one at x20) fails the
+    // descent — composition cannot launder a genuine breach.
+    val breach = artifact.copy(scaledEx = Some(Seq(
+      bigS.copy(records = bigB.records * 20), tinyS)))
+    assert(breach.compositionRowsOk.contains(false))
+    // Mismatched executed shapes make no per-exchange claim: the
+    // aggregate verdict stands.
+    val mismatched = artifact.copy(scaledEx = Some(Seq(bigS)))
+    assert(mismatched.matchedExchanges.isEmpty && !mismatched.rowOk && !mismatched.ok)
+    // Near-gate detection: within 15% under the gate triggers the
+    // descent's attribution printing.
+    val near = Audit("q", m(100L << 20, 100000),
+      Some(m((100L << 20) * f, (100000 * f * RowSlack * 0.9).toLong)), f)
+    assert(near.rowNearGate && near.rowAggregateOk && near.ok)
   }
 }
