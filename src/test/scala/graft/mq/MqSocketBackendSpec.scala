@@ -476,6 +476,26 @@ class MqSocketBackendSpec extends SparkSuite {
     assert(MqConsumerPool.idleCount(key, 0) == 1)
   }
 
+  test("appendAll above the wire batch cap splits transparently and lands exactly once") {
+    val topic = "sock-bigbatch"
+    InMemoryMqBroker.drop(topic)
+    InMemoryMqBroker.getOrCreate(topic, 1)
+    val n = MqSocketBroker.MaxBatchCount + 700 // forces a split: one full frame + a tail
+    val s = MqSocketBroker.connectOrCreate(server.address, topic, 1)
+    try {
+      val last = s.appendAll(0, (0 until n).map(i =>
+        MqMessage(null, Array(i.toByte), base + i)))
+      assert(last == n - 1, s"last offset $last")
+    } finally s.close()
+    val st = InMemoryMqBroker.get(topic).get
+    assert(st.endOffsets(0) == n.toLong)
+    // Order preserved across the split boundary.
+    val around = st.read(0, MqSocketBroker.MaxBatchCount - 2, MqSocketBroker.MaxBatchCount + 2)
+    assert(around.map(_.timestamp) ==
+      (MqSocketBroker.MaxBatchCount - 2 until MqSocketBroker.MaxBatchCount + 2)
+        .map(i => base + i))
+  }
+
   test("streaming write + read loop over the socket") {
     import spark.implicits._
     val topic = "sock-write"
