@@ -476,6 +476,58 @@ class MqSocketBackendSpec extends SparkSuite {
     assert(MqConsumerPool.idleCount(key, 0) == 1)
   }
 
+  private def socketOpts(topic: String, pollTimeoutMs: Long = 120000L) =
+    GraftMqOptions(topic = topic, backend = "socket", numPartitions = 1,
+      rowsPerBatch = 10L, maxRowsPerBatch = None, minPartitions = None,
+      seed = 42L, wordsPerMessage = 4, failOnDataLoss = true,
+      includeMetadata = false, startingOffsets = "earliest",
+      pollTimeoutMs = pollTimeoutMs, brokerSocket = Some(server.address))
+
+  test("a hung prefetch times out at the harvest bound; invalidate frees its thread") {
+    val topic = "sock-prefhang"
+    val state = fill(topic, 1, 10000)
+    val c = MqConsumerPool.borrow(socketOpts(topic, pollTimeoutMs = 800), 0)
+    try {
+      assert(c.refill(0, 4096, 2000) == 4096)
+      // The delay lands BEFORE the midpoint crossing arms the prefetch,
+      // so the PREFETCHED fetch itself is the hung one — deterministic.
+      state.injectFetchDelay(0, 60000)
+      assert(c.cached(2048) != null) // arms the prefetch of [4096, 8192)
+      val key = s"${server.address}/$topic"
+      val st = MqConsumerPool.stats(key, 0)
+      assert(st.prefetches.get >= 1)
+      // Harvest: the in-flight fetch cannot complete inside the bound —
+      // the prefetch inherits the live read's timeout semantics exactly.
+      intercept[MqPollTimeoutException] { c.refill(4096, 4096, 800) }
+    } finally {
+      MqConsumerPool.invalidate(c) // closes the socket → frees the reader
+      state.injectFetchDelay(0, 0)
+    }
+    val deadline = System.nanoTime() + 10000000000L
+    while (MqConsumerPool.activeFetchThreads > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(MqConsumerPool.activeFetchThreads == 0,
+      "hung prefetch thread was not freed by invalidate's close")
+  }
+
+  test("retention overtaking a prefetched range surfaces typed at harvest") {
+    val topic = "sock-preftrunc"
+    val state = fill(topic, 1, 10000)
+    val c = MqConsumerPool.borrow(socketOpts(topic), 0)
+    try {
+      assert(c.refill(0, 4096, 2000) == 4096)
+      // Truncate past the NEXT chunk's start before the prefetch is
+      // armed: the prefetched read [4096, 8192) begins below retention
+      // (6000), so the broker's out-of-range crosses the wire into the
+      // in-flight future and unwraps VERBATIM at harvest — the same
+      // typed error a live read would throw, feeding the cursor's
+      // failOnDataLoss handling unchanged.
+      state.truncateTo(6000)
+      assert(c.cached(2048) != null) // arms the prefetch
+      intercept[MqOffsetOutOfRangeException] { c.refill(4096, 4096, 2000) }
+    } finally MqConsumerPool.invalidate(c)
+  }
+
   test("appendAll above the wire batch cap splits transparently and lands exactly once") {
     val topic = "sock-bigbatch"
     InMemoryMqBroker.drop(topic)
