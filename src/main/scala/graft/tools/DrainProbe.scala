@@ -68,12 +68,14 @@ object DrainProbe {
     //    trigger loop with every fetch crossing a localhost TCP broker.
     //    Not directly subtractable from the generated figure — the
     //    generated drain pays per-message SYNTHESIS in the reader while
-    //    this serves pre-materialized logs. Clean-load recording at HEAD:
-    //    socket 696k row / 992k columnar rows/s vs generated 1.03M/1.10M
-    //    at 2M rows — the transport+copy tax is ~10-30% at this chunking
-    //    (4096 messages/RPC); under heavy parallel load the two had even
-    //    measured INVERTED (425k/755k vs 207k/600k), so treat either
-    //    figure as load-sensitive and compare only same-run pairs.
+    //    this serves pre-materialized logs. r19 clean-load recording
+    //    (pre-prefetch): socket 696k row / 992k columnar rows/s vs
+    //    generated 1.03M/1.10M at 2M rows (~10-30% transport tax at 4096
+    //    messages/RPC). r20 recording with the one-chunk-ahead prefetch:
+    //    at 2M, row 856k→993k off→on (+16%), columnar 948k→982k —
+    //    socket+prefetch ≥ the same run's generated figures; at the 8M
+    //    bench workload, row 1.02M→1.73M (+69%), columnar 1.70M→1.83M.
+    //    All figures load-sensitive — compare only same-run pairs.
     {
       import graft.mq.{InMemoryMqBroker, MqSocketBroker}
       val server = new MqSocketBroker.MqBrokerServer()
