@@ -197,11 +197,16 @@ object ShuffleAudit {
     def rowEnforced: Boolean = scaled.nonEmpty && base.shuffleRecords >= MinSignalRecords
 
     /** Exchanges matched between scales by name sequence; None when the
-      * two executed shapes differ (no per-exchange claim can be made).
+      * two executed shapes differ OR the captured exchanges do not
+      * account for at least half of the aggregate's task-metric records
+      * (a vacuous or partial capture must never launder an aggregate
+      * breach — the descent may only adjudicate volume it can SEE).
       */
     def matchedExchanges: Option[Seq[(ExchangeStat, ExchangeStat)]] =
       scaledEx.flatMap { s =>
-        if (baseEx.size == s.size && baseEx.map(_.node) == s.map(_.node))
+        val covered = baseEx.map(_.records).sum * 2 >= base.shuffleRecords
+        if (baseEx.nonEmpty && covered &&
+            baseEx.size == s.size && baseEx.map(_.node) == s.map(_.node))
           Some(baseEx.zip(s))
         else None
       }

@@ -112,6 +112,13 @@ class ShuffleAuditSpec extends SparkSuite {
     // aggregate verdict stands.
     val mismatched = artifact.copy(scaledEx = Some(Seq(bigS)))
     assert(mismatched.matchedExchanges.isEmpty && !mismatched.rowOk && !mismatched.ok)
+    // A vacuous or under-covered capture makes no claim either — empty
+    // or partial exchange lists must never launder an aggregate breach.
+    val vacuous = artifact.copy(baseEx = Nil, scaledEx = Some(Nil))
+    assert(vacuous.matchedExchanges.isEmpty && !vacuous.rowOk && !vacuous.ok)
+    val underCovered = artifact.copy(
+      baseEx = Seq(tinyB), scaledEx = Some(Seq(tinyS))) // covers <50% of records
+    assert(underCovered.matchedExchanges.isEmpty && !underCovered.ok)
     // Near-gate detection: within 15% under the gate triggers the
     // descent's attribution printing.
     val near = Audit("q", m(100L << 20, 100000),
