@@ -124,16 +124,35 @@ object ClassifierOps {
     val weights = new Array[Double](numBuckets + 1)
     var step = 0
     while (step < steps) {
-        val margins = feat.groupBy("id", "y").agg(dotCol(weights).as("dot"))
-          .select(col("id"), col("y"), (col("dot") * col("y")).as("margin"))
-        val mis = margins.filter(col("margin") <= 0.0).select("id", "y")
+        // ZERO-WEIGHT SHORTCUT (r21): under an all-zero weight vector
+        // (always true at step 0; also after exactly-cancelling
+        // gradients) every margin is y·0 = 0 ≤ 0, so EVERY doc is
+        // misclassified — the margins aggregation pass is a constant
+        // answer. The bias row (bucket −1) is exactly one row per doc,
+        // so a narrow filter of the cached feature frame yields the
+        // (id, y) set with no aggregation, and the gradient join with
+        // the full id set is the identity and is skipped. Arithmetic is
+        // unchanged: the gradient sums the same rows with the same
+        // decimal(38,12) order-independent sum, so the trajectory —
+        // and the external-oracle replay — is bit-identical.
+        val allMis = weights.forall(_ == 0.0)
+        val mis =
+          if (allMis) feat.filter(col("bucket") === -1).select("id", "y")
+          else Caching.scopedPersist {
+            // Persisted (scope-lifetime): `mis` is consumed twice per
+            // step — class counts and the gradient join — and without
+            // the persist each consumer re-runs the margins pass over
+            // the feature frame.
+            feat.groupBy("id", "y").agg(dotCol(weights).as("dot"))
+              .filter(col("dot") * col("y") <= 0.0).select("id", "y")
+          }
         // Per-class misclassified counts (≤ 2 rows, broadcast) weight
         // the balanced gradient; a contributing doc's own class always
         // counts itself, so ny ≥ 1.
         val classCounts = mis.groupBy("y").agg(count(lit(1)).as("ny"))
         // The one driver read per step: the (numBuckets+1)-row gradient —
         // the model fit (bounded by config, never corpus-sized).
-        val grad = feat.join(mis.select("id"), "id")
+        val grad = (if (allMis) feat else feat.join(mis.select("id"), "id"))
           .join(broadcast(classCounts), "y")
           .groupBy("bucket")
           .agg(sum((col("y") * col("x") / col("ny").cast("double"))

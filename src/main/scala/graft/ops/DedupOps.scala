@@ -880,10 +880,14 @@ object DedupOps {
         }
       // Corpus-sized partitioning for the exploding cross-side posting
       // join (see [[explodedJoinPartitions]]; sized from the cached
-      // reps' shingle totals — an upper bound on the gated index).
-      val postings =
-        totalOf(nReps.select(size(col("sh")).as("n")), "n") +
-          totalOf(rReps.select(size(col("sh")).as("n")), "n")
+      // reps' shingle totals — an upper bound on the gated index). ONE
+      // union aggregate over both cached sides (r21): the serve path's
+      // driver jobs are its fixed per-batch latency, and two 1-row
+      // reads over frames that are both already cached fold into one
+      // job for free.
+      val postings = totalOf(
+        nReps.select(size(col("sh")).as("n"))
+          .unionAll(rReps.select(size(col("sh")).as("n"))), "n")
       val (nJ, rJ) = explodedJoinPartitions(newDocs.sparkSession, postings)
         .map(p => (nIdx.repartition(p, col("shingle")),
           rIdx.repartition(p, col("shingle")))).getOrElse((nIdx, rIdx))
@@ -907,8 +911,14 @@ object DedupOps {
       // The ref side's class-size max is a build-time constant of the
       // index — a LOADED index carries it, so a daily batch never pays a
       // corpus-sized aggregate just to learn the expansion is a no-op.
-      val refMax = refIndex.maxClass.getOrElse(maxClassSize(rReps))
-      if (math.max(maxClassSize(nReps), refMax) <= 1L) repPairs
+      // When it DOESN'T (in-session unsaved index), both sides' maxima
+      // fold into one union aggregate instead of two driver jobs (r21).
+      val bothMax = refIndex.maxClass match {
+        case Some(refMax) => math.max(maxClassSize(nReps), refMax)
+        case None => math.max(1L, maxLongOf(
+          nReps.select(col("cnt")).unionAll(rReps.select(col("cnt"))), "cnt"))
+      }
+      if (bothMax <= 1L) repPairs
       else
         repPairs
           .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")
@@ -985,7 +995,8 @@ object DedupOps {
     */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      dfOrderedPrefix: Option[Boolean] = None): DataFrame = {
+      dfOrderedPrefix: Option[Boolean] = None,
+      twoPhaseVerify: Option[Boolean] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val t = threshold - 1e-6 // round(·,6)-verify slack; see scaladoc
     val midFrac = 2 * t / (1 + t)
@@ -1172,6 +1183,43 @@ object DedupOps {
     // 32-bit phase does, recoverably.)
     val alpha = ceil((col("n_a") + col("n_b")) * lit(t) / lit(1 + t) - lit(1e-9))
       .cast("int")
+    // The exact 64-bit attach+merge tail both phases share: `side` is the
+    // per-doc frame the full arrays come from (the whole cached corpus on
+    // the single-phase path; the survivor-filtered corpus on the settle).
+    def exactAttach(pairs: DataFrame, side: DataFrame): DataFrame =
+      jaccardFromCounts(pairs
+        .join(side.select(col("id").as("doc_a"), col("n").as("n_a"),
+          col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
+        .join(side.select(col("id").as("doc_b"), col("n").as("n_b"),
+          col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
+        .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
+          col("hs_a"), col("hs_b"), alpha)),
+        threshold)
+    // ADAPTIVE PHASE SWITCH (r21): the 32-bit first phase halves the
+    // bytes of the candidate-sized attach exchange — decisive at sf10
+    // (7.0 → 3.6 GB, −28% wall, r20) — but its fixed extra work (a
+    // second attach pass, the survivor count job, the id-broadcast
+    // build) dominates when the candidate stream is small: the r20
+    // watch item measured +14% at sf0.1, where candidates are ~200k
+    // rows and the attach exchange is already noise. matchVol — the
+    // ALREADY-PRICED Σ df·(df−1)/2 upper bound on candidate rows (0
+    // below the prefix volume gate) — prices the choice at no extra
+    // job. Both paths are exact (the 32-bit filter only ever ADMITS
+    // false survivors, and both settle with the same 64-bit merge), so
+    // the switch is a pure cost decision — same contract as the
+    // dfOrder switch, with the same audit conf pin so a cross-scale
+    // byte comparison runs ONE regime on both sides.
+    val phasePin = docs.sparkSession.conf
+      .getOption("spark.graft.jaccardPrefix.twoPhase").map(_.toBoolean)
+    if (phasePin.nonEmpty && twoPhaseVerify.isEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.DedupOps").warn(
+        s"graft: jaccardPrefix verify phase pinned to twoPhase=${phasePin.get} by " +
+          "session conf spark.graft.jaccardPrefix.twoPhase (audit pin) — " +
+          "overriding the priced adaptive default; unset the conf to restore it")
+    val useTwoPhase = twoPhaseVerify.orElse(phasePin)
+      .getOrElse(matchVol > TwoPhaseMatchVol)
+    if (!useTwoPhase) exactAttach(candidates, hashed)
+    else {
     // HIGH 32 bits: arithmetic shift is MONOTONE in the signed 64-bit
     // order, so the truncated array inherits hs's sortedness — no
     // re-sort pass — and the int cast is exact (ANSI-safe).
@@ -1204,14 +1252,8 @@ object DedupOps {
             .union(survivors32.select(col("doc_b").as("id"))).distinct()
           hashed.join(broadcast(ids), "id")
         } else hashed
-      jaccardFromCounts(survivors32
-        .join(exactSide.select(col("id").as("doc_a"), col("n").as("n_a"),
-          col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
-        .join(exactSide.select(col("id").as("doc_b"), col("n").as("n_b"),
-          col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
-        .withColumn("n_inter", GraftFunctions.sorted_intersect_atleast(
-          col("hs_a"), col("hs_b"), alpha)),
-        threshold)
+      exactAttach(survivors32, exactSide)
+    }
     }
     }
     }
@@ -1224,6 +1266,17 @@ object DedupOps {
     * above it the settle falls back to the corpus-build attach.
     */
   private val MaxIdBroadcastPairs: Long = 1L << 22
+
+  /** Priced match volume above which [[jaccardPairsPrefix]] verifies in
+    * two phases (32-bit truncated attach + survivor-sized exact settle):
+    * at ~2M candidates the truncation saves ~1.2 GB on the attach
+    * exchange (≈600 B of hash arrays per candidate halved), which is
+    * where it starts clearing the two-phase's fixed costs — one extra
+    * attach pass, the survivor count job, and the id-broadcast build,
+    * together ~0.5-1 s of stage overhead regardless of volume (the r20
+    * watch item: unconditional two-phase cost +14% at sf0.1's ~200k
+    * candidates while saving 28% at sf10's 12.3M). */
+  private[ops] val TwoPhaseMatchVol: Long = 1L << 21
 
   /** Per-document distinct shingle sets. Callers persist this (via
     * [[Caching.withCached]]): shingling is the expensive per-doc map, and
@@ -1684,8 +1737,14 @@ object DedupOps {
             round(col("cosine"), 6).as("cosine"))
           .distinct()
       }
-      val refMax = refIndex.maxClass.getOrElse(maxClassSize(rReps))
-      if (math.max(maxClassSize(nReps), refMax) <= 1L) repPairs
+      // One union aggregate for the two class maxima when the index
+      // carries none — same driver-job fold as the lexical serve (r21).
+      val bothMax = refIndex.maxClass match {
+        case Some(refMax) => math.max(maxClassSize(nReps), refMax)
+        case None => math.max(1L, maxLongOf(
+          nReps.select(col("cnt")).unionAll(rReps.select(col("cnt"))), "cnt"))
+      }
+      if (bothMax <= 1L) repPairs
       else
         repPairs
           .join(nReps.select(col("id").as("new_id"), col("fp").as("fp_n")), "new_id")

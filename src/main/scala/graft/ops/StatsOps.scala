@@ -87,6 +87,30 @@ object StatsOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsSketch]] built from a PRE-AGGREGATED (token, count) frame —
+    * identical output by algebra: a (row, bucket) counter is the sum of
+    * the counts of every token hashing there, so summing exact per-token
+    * counts equals counting raw occurrences. For callers that already
+    * hold an exact token-count frame (the registered stats_cms_freq
+    * derives its probe set from one), this prices the sketch at
+    * depth × |vocabulary| bucket hashes instead of depth × |occurrences|
+    * (the md5 bucket hash is the sketch build's hot expression) and
+    * skips re-tokenizing the corpus. The aggregate keeps the
+    * ≤ depth × width group bound — the CMS memory guarantee — while the
+    * vocabulary-sized INPUT is the caller's own frame, already paid for.
+    */
+  def cmsSketchFromCounts(tokenCounts: DataFrame, depth: Int = 4,
+      width: Int = 1024, tokenCol: String = "token",
+      countCol: String = "cnt"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth=$depth outside 1..16")
+    require(width >= 2, s"cms width=$width must be >= 2")
+    tokenCounts
+      .select(col(tokenCol).as("token"), col(countCol).as("c"),
+        explode(array((0 until depth).map(lit): _*)).as("row"))
+      .groupBy(col("row"), cmsBucket(col("token"), col("row"), width).as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
   /** Point estimates from a [[cmsSketch]]: for each probe token, the MIN
     * over hash rows of its bucket's counter (absent bucket = 0). The
     * sketch is ≤ depth×width rows, so it broadcasts — estimating any

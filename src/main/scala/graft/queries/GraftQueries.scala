@@ -4201,13 +4201,22 @@ object GraftQueries {
       val docs = t(s, dir, "documents")
       val truth = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n_true"))
-      val probes = truth.orderBy(col("n_true").desc, col("token")).limit(20)
-      Caching.withCached(probes) {
-        val sketch = StatsOps.cmsSketch(docs, depth = 4, width = 1024)
-        StatsOps.cmsEstimate(sketch, probes, depth = 4, width = 1024)
-          .join(probes, "token")
-          .select(col("token"), col("n_true"), col("n_est"))
-          .orderBy("token")
+      // ONE corpus tokenization (r21): the exact count frame the probes
+      // need already holds every token's count, so the sketch is built
+      // from it ([[StatsOps.cmsSketchFromCounts]] — identical counters
+      // by algebra) instead of re-tokenizing the corpus and re-hashing
+      // per occurrence; the vocab-sized truth frame is cached for its
+      // three consumers (probes, sketch, final join).
+      Caching.withCached(truth) {
+        val probes = truth.orderBy(col("n_true").desc, col("token")).limit(20)
+        Caching.withCached(probes) {
+          val sketch = StatsOps.cmsSketchFromCounts(truth, depth = 4,
+            width = 1024, countCol = "n_true")
+          StatsOps.cmsEstimate(sketch, probes, depth = 4, width = 1024)
+            .join(probes, "token")
+            .select(col("token"), col("n_true"), col("n_est"))
+            .orderBy("token")
+        }
       }
     },
     Some("""

@@ -272,24 +272,51 @@ object ShuffleAudit {
     *    hash order at ×10 vs df order at ×100 read as rows 13.95× /
     *    bytes 7.56× (r19 sweep), a flip signature, not a shape problem.
     */
+  /** Confs [[pinStrategies]] sets, with the pinned value each gets. The
+    * prefix verify-phase pin (r21) joins dfOrder for the same reason:
+    * the adaptive single-vs-two-phase switch is a priced cost decision
+    * that flips between scales, and an unpinned flip reads as a
+    * spurious byte-ratio step on the attach exchange. */
+  private val PinnedConfs = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.graft.jaccardPrefix.dfOrder" -> "true",
+    "spark.graft.jaccardPrefix.twoPhase" -> "true")
+
+  /** Pre-pin values captured by [[pinStrategies]] so [[unpinStrategies]]
+    * RESTORES them instead of resetting to Spark defaults (ADVICE r20
+    * #5: in a shared-session embedding, unconditionally unsetting
+    * clobbers a user's own threshold setting). Keyed per session so
+    * concurrent audit embeddings against different sessions don't
+    * cross-restore. */
+  private val prePinValues =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      Seq[(String, Option[String])]]()
+
   def pinStrategies(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.graft.jaccardPrefix.dfOrder", "true")
+    prePinValues.put(spark,
+      PinnedConfs.map { case (k, _) => k -> spark.conf.getOption(k) })
+    PinnedConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     println("[shuffle] strategy pin: autoBroadcastJoinThreshold=-1, " +
-      "jaccardPrefix.dfOrder=true (both sides)")
+      "jaccardPrefix.dfOrder=true, jaccardPrefix.twoPhase=true (both sides)")
   }
 
   /** Undo [[pinStrategies]] (r20 — ADVICE r19 #5: the dfOrder conf is a
     * silent behavior override, so a session that ran an audit must not
-    * leak the pin into later production queries). Tool mains call this
-    * even though they own their sessions — the pair is the contract for
-    * any shared-session embedding (tests, notebooks).
+    * leak the pin into later production queries). RESTORES the pre-pin
+    * values captured by pinStrategies (set-back or unset-if-absent) so
+    * a shared session's own settings survive an audit run; called
+    * without a prior pin it falls back to unsetting. Tool mains call
+    * this even though they own their sessions — the pair is the
+    * contract for any shared-session embedding (tests, notebooks).
     */
   def unpinStrategies(spark: SparkSession): Unit = {
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.graft.jaccardPrefix.dfOrder")
+    val prior = Option(prePinValues.remove(spark))
+      .getOrElse(PinnedConfs.map { case (k, _) => k -> None })
+    prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   def run(spark: SparkSession, baseDir: String, scaledDir: Option[String],

@@ -87,6 +87,21 @@ class OpsSpec extends SparkSuite {
       assert(dfOrdered == exact,
         s"t=$t df-ordered: missed ${(exact -- dfOrdered).size}, " +
           s"extra ${(dfOrdered -- exact).size}")
+      // Both verify phases forced (r21 — the adaptive phase switch, like
+      // the order switch, must be a pure cost decision): the two-phase
+      // 32-bit truncated attach + exact settle and the single-phase
+      // direct 64-bit attach must agree with the exact join at every
+      // threshold. At this corpus size the priced default picks
+      // single-phase, so the forced two-phase leg is what keeps the
+      // truncation/settle path exercised.
+      for (phase <- Seq(true, false)) {
+        val phased = DedupOps.jaccardPairsPrefix(docs, threshold = t,
+            twoPhaseVerify = Some(phase))
+          .select("doc_a", "doc_b", "jaccard").collect().toSet
+        assert(phased == exact,
+          s"t=$t twoPhase=$phase: missed ${(exact -- phased).size}, " +
+            s"extra ${(phased -- exact).size}")
+      }
     }
   }
 
@@ -1306,6 +1321,13 @@ class OpsSpec extends SparkSuite {
     val again = StatsOps.cmsSketch(docs, depth, width).collect()
     assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
       again.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    // The pre-aggregated build (r21 — the stats_cms_freq single-tokenize
+    // path) is counter-identical to the occurrence build: summing exact
+    // per-token counts into buckets IS counting occurrences per bucket.
+    val fromCounts = StatsOps.cmsSketchFromCounts(truth, depth, width,
+      countCol = "n_true").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      fromCounts.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
   }
 
   test("every registered query runs at sf0.001 and is non-degenerate") {
