@@ -18,8 +18,10 @@ object MqBrokerServerMain {
     println(s"GRAFT_MQ_PORT=${server.port}")
     Console.out.flush()
     // Server threads are daemons; park the main thread until the parent
-    // destroys the process.
+    // destroys the process. The wait sits in a loop (ADVICE r20 #4): a
+    // spurious wakeup returning from main would exit the fixture process
+    // mid-suite, failing the forked spec nondeterministically.
     val lock = new Object
-    lock.synchronized { lock.wait() }
+    lock.synchronized { while (true) lock.wait() }
   }
 }

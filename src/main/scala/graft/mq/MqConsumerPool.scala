@@ -265,6 +265,14 @@ object MqConsumerPool extends Logging {
 
   /** Return a healthy consumer (buffer retained) to the idle set. */
   def release(c: MqConsumer): Unit = synchronized {
+    // Cancel any armed prefetch at release (ADVICE r20 #3): the buffer
+    // is already materialized and the prefetch only benefits the NEXT
+    // borrow (which re-arms on its first mid-buffer crossing), but a
+    // broker that hangs after the fetch was issued would otherwise pin
+    // a capped fetch-pool thread for as long as the consumer sits idle
+    // — pollTimeoutMs only applies at harvest, which an idle consumer
+    // never reaches.
+    c.cancelPrefetch()
     val key = Key(c.topic, c.partition)
     val q = idle.getOrElseUpdate(key, mutable.ArrayDeque.empty)
     q.append(c)

@@ -94,10 +94,18 @@ object MqSocketBroker {
   private val StatusError = 2
   private val StatusNoTopic = 3
 
-  private def checkCount(n: Int, cap: Int, what: String): Int = {
-    if (n < -1 || n > cap)
+  /** `allowNull` admits the −1 null sentinel — legal ONLY for byte
+    * blobs ([[readBytes]]). Counts (READ/APPEND_N batches, offset maps,
+    * headers) must be ≥ 0: a desynced stream yielding −1 for a batch
+    * count would decode as an EMPTY fetch, which the cursor treats as
+    * range exhaustion — silent row truncation instead of the typed
+    * error this framing exists to raise (ADVICE r20 #2). */
+  private def checkCount(n: Int, cap: Int, what: String,
+      allowNull: Boolean = false): Int = {
+    val floor = if (allowNull) -1 else 0
+    if (n < floor || n > cap)
       throw new MqProtocolException(
-        s"graft-mq: $what length $n off the wire exceeds cap $cap (or < -1) — " +
+        s"graft-mq: $what length $n off the wire exceeds cap $cap (or < $floor) — " +
           "desynced or foreign stream")
     n
   }
@@ -286,7 +294,8 @@ object MqSocketBroker {
     else { out.writeInt(b.length); out.write(b) }
 
   private def readBytes(in: DataInputStream): Array[Byte] = {
-    val n = checkCount(in.readInt(), MaxMessageBytes, "byte blob")
+    val n = checkCount(in.readInt(), MaxMessageBytes, "byte blob",
+      allowNull = true)
     if (n < 0) null
     else { val b = new Array[Byte](n); in.readFully(b); b }
   }
@@ -306,7 +315,12 @@ object MqSocketBroker {
     val key = readBytes(in)
     val value = readBytes(in)
     val ts = in.readLong()
-    val nh = checkCount(in.readInt(), MaxHeaderCount, "header count")
+    // Headers share the byte-blob null sentinel: writeMessage encodes a
+    // null headers array as −1 (distinct from an EMPTY array at 0), so
+    // the −1 floor stays legal here — unlike the batch/offset-map
+    // counts, where −1 can only be desync.
+    val nh = checkCount(in.readInt(), MaxHeaderCount, "header count",
+      allowNull = true)
     val headers =
       if (nh < 0) null
       else Array.fill(nh) { val k = in.readUTF(); (k, readBytes(in)) }

@@ -487,7 +487,7 @@ object DedupOps {
     * partitions to data volume on a real cluster. Capped at 4096 so a
     * pathological count can't plan a million tasks.
     */
-  private def explodedJoinPartitions(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def explodedJoinPartitions(spark: org.apache.spark.sql.SparkSession,
       inputRows: Long, rowsPerTask: Long = 1L << 19): Option[Int] = {
     // The RAW conf value, not SQLConf.numShufflePartitions: with AQE
     // coalescing on, the latter reports initialPartitionNum (Sessions
@@ -504,7 +504,7 @@ object DedupOps {
   /** Σ rows the frame's `n` column counts — the posting total that sizes
     * [[explodedJoinPartitions]]; one tiny aggregate over an (already
     * cached) per-doc frame. */
-  private def totalOf(sized: DataFrame, n: String): Long =
+  private[ops] def totalOf(sized: DataFrame, n: String): Long =
     sized.agg(coalesce(sum(col(n)), lit(0L))).head().getLong(0)
 
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,

@@ -796,17 +796,86 @@ object TextOps {
         .as(Seq("pos0", "gram")))
       .select(id, (col("pos0") + 1).as("pos"), md5(col("gram")).as("fp"))
     Caching.withCached(tk, grams) {
+      // ONE 1-row pricing read over the cached per-doc token frame
+      // (r21) feeding two plan decisions below: the gram volume (sizes
+      // the per-doc aggregation's parallelism) and, when the id column
+      // is integral, the (max grams/doc, min id, max id) bounds that
+      // license the PACKED keep-first key.
+      val idIntegral = tk.schema.find(_.name == idCol).map(_.dataType).exists {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      val gramsPerDoc = greatest(size(col("tk")) - (n - 1), lit(0)).cast("long")
+      val statsAggs = Seq(coalesce(sum(gramsPerDoc), lit(0L)).as("_vol"),
+        coalesce(max(gramsPerDoc), lit(0L)).as("_mxpos")) ++
+        (if (idIntegral) Seq(min(id.cast("long")).as("_mnid"),
+          max(id.cast("long")).as("_mxid")) else Nil)
+      val stats = tk.agg(statsAggs.head, statsAggs.tail: _*).head()
+      val gramVol = stats.getLong(0)
+      val maxPos = stats.getLong(1)
+      // PACKED KEEP-FIRST KEY (r21 — VERDICT r20 #5: the keep-first
+      // min(struct(id, pos)) was the registry's largest remaining
+      // spill, ~2 GB per Sort at sf10 ×2 aggregates): a struct-typed
+      // aggregation buffer is not hash-aggregable, so Spark planned
+      // Sort + SortAggregate over the full gram stream at BOTH the
+      // partial and final levels. When the priced bounds allow —
+      // non-negative integral ids with id ≤ Long.Max >> posBits —
+      // the winner key packs into ONE LONG (id << posBits | pos),
+      // whose numeric order IS the (id, pos) lexicographic order, and
+      // the aggregate runs as a spill-free hash aggregate. Fallback:
+      // the exact struct min, unchanged, for exotic id ranges.
+      val posBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxPos))
+      val usePacked = idIntegral && !stats.isNullAt(2) &&
+        stats.getLong(2) >= 0L && posBits < 62 &&
+        stats.getLong(3) <= (Long.MaxValue >> posBits)
+      val firstKey: Column =
+        if (usePacked)
+          shiftleft(id.cast("long"), posBits).bitwiseOR(col("pos").cast("long"))
+        else struct(id, col("pos"))
+      // VOLUME-SIZED fingerprint partitioning, established ONCE (r21):
+      // the dup-set aggregate AND the occurrence⋈dup-set join both key
+      // on fp, so one explicit repartition of the cached gram frame at
+      // gram-volume-sized parallelism serves both (the aggregate's and
+      // the join's distribution are then already satisfied — within one
+      // execution the exchange is planned once and REUSED), bounding
+      // the final aggregate's hash map per task as the corpus grows
+      // (PlanMetrics at sf10: the AQE-reducer-count final aggregate
+      // spilled 2.8 GB).
+      val gramsByFp = DedupOps.explodedJoinPartitions(docs.sparkSession, gramVol)
+        .map(p => grams.repartition(p, col("fp"))).getOrElse(grams)
       // Dup-set membership AND the keep-first winner in one aggregation
-      // pass over the cached gram frame (min over all occurrences of a
+      // pass over the gram frame (min over all occurrences of a
       // fingerprint equals min over its dup occurrences — same rows).
-      val dupFirsts = grams.groupBy("fp")
-        .agg(countDistinct(id).as("nd"),
-          min(struct(id, col("pos"))).as("_first"))
+      val dupFirsts = gramsByFp.groupBy("fp")
+        .agg(countDistinct(id).as("nd"), min(firstKey).as("_first"))
         .filter(col("nd") >= minDocs)
         .select("fp", "_first")
-      val occ = grams.join(dupFirsts, "fp")
-        .withColumn("kept", struct(id, col("pos")) === col("_first"))
-      val perDoc = occ.groupBy(id).agg(
+      // SHUFFLED-HASH attach (the jaccard verify rationale): the default
+      // SMJ SORTS the full gram stream by its md5 fingerprint to attach
+      // two small columns (PlanMetrics at sf10: 2.3 GB of sort spill);
+      // the dup-set build side is duplicated-fingerprint-sized and
+      // co-partitioned with the probe, so the hash attach adds no
+      // exchange and no sort.
+      val occ = gramsByFp.join(dupFirsts.hint("shuffle_hash"), "fp")
+        .withColumn("kept", firstKey === col("_first"))
+        .select(id, col("pos"), col("kept"))
+      // VOLUME-SIZED per-doc aggregation (r21 — the other half of the
+      // spill fix): the collect_list object-hash aggregate falls back
+      // to sort-based past its per-partition group budget, so its
+      // spill scales with bytes per task; repartitioning the
+      // occurrence stream by the DOC key at gram-volume-sized
+      // parallelism (the jaccard incidence-agg treatment — the
+      // aggregate's distribution is then already satisfied, so no
+      // exchange is added, only the reducer count changes) bounds
+      // every task's run by construction as the corpus grows. The
+      // volume is an upper bound (occurrences ≤ grams): only ever too
+      // many partitions, never too few.
+      val occSized = DedupOps.explodedJoinPartitions(docs.sparkSession, gramVol)
+        .map(p => occ.repartition(p, id)).getOrElse(occ)
+      val perDoc = occSized.groupBy(id).agg(
         sort_array(collect_list(col("pos"))).as("dstarts"),
         sort_array(collect_list(when(col("kept"), col("pos")))).as("kstarts"))
       val empty = array().cast("array<int>")

@@ -10,7 +10,9 @@ import graft.queries.GraftQueries
   * per leg).
   *
   * Usage: runMain graft.tools.ConfAB <sfDir> <query> <confKey> <valA> <valB> [rounds]
-  * An empty string for a value means "conf unset" (the adaptive default).
+  * The literal value `unset` (or an empty string) means "conf unset"
+  * (the adaptive default) — sbt's runMain passes quoted empties through
+  * verbatim, so a plain word is the reliable sentinel.
   * Env: SPARK_GRAFT_CPUS (default 32, matching Bench).
   */
 object ConfAB {
@@ -25,7 +27,8 @@ object ConfAB {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     def leg(v: String): Double = {
-      if (v.isEmpty) spark.conf.unset(key) else spark.conf.set(key, v)
+      if (v.isEmpty || v == "unset" || v == "''") spark.conf.unset(key)
+      else spark.conf.set(key, v)
       val t0 = System.nanoTime()
       GraftQueries.queries(query)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

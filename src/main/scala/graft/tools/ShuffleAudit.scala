@@ -220,12 +220,23 @@ object ShuffleAudit {
       * linear; Some(false) = a real exchange breached; None = shapes
       * differ, no claim.
       */
+    /** Floor exemption bounded on BOTH sides (ADVICE r20 #1): a base
+      * exchange under the floor is only exempt while its SCALED side
+      * stays under floor × factor × slack — the most a
+      * just-under-floor exchange could legitimately reach growing
+      * linearly. Without the scaled-side cap, a genuinely super-linear
+      * exchange starting at floor−1 records (e.g. a quadratic pair
+      * fan-out) could grow factor²× and still launder an aggregate
+      * breach as PASS — exactly the class the audit exists to catch.
+      */
     def compositionRowsOk: Option[Boolean] = matchedExchanges.map(_.forall {
-      case (b, s) => b.records < ExchangeRecordFloor ||
+      case (b, s) => (b.records < ExchangeRecordFloor &&
+          s.records < ExchangeRecordFloor * factor * RowSlack) ||
         s.records <= b.records * factor * RowSlack
     })
     def compositionBytesOk: Option[Boolean] = matchedExchanges.map(_.forall {
-      case (b, s) => b.bytes < ExchangeByteFloor ||
+      case (b, s) => (b.bytes < ExchangeByteFloor &&
+          s.bytes < ExchangeByteFloor * factor * Slack) ||
         s.bytes <= b.bytes * factor * Slack
     })
 

@@ -41,9 +41,14 @@ class CollectLintSpec extends AnyFunSuite {
                                           // min(vec_id) on the FAILURE path
                                           // only, over the bounded shortlist
     "graft/ops/LayoutOps.scala" -> 1, // packByTokenBudgetKeys: P-row partition totals
-    "graft/ops/TextOps.scala" -> 1,  // trainBpeMerges: 1-row argmax per
+    "graft/ops/TextOps.scala" -> 2,  // trainBpeMerges: 1-row argmax per
                                      // merge step — the model fit, like
-                                     // the IVF centroid loop
+                                     // the IVF centroid loop;
+                                     // dedupSubstringsAcrossDocs: 1-row
+                                     // pricing read (gram volume + packed
+                                     // keep-first bounds) over the cached
+                                     // per-doc frame — the volume-sized
+                                     // partitioning guard (r21)
     "graft/ops/DedupOps.scala" -> 2, // maxLongOf: the one 1-row max read
                                      // behind every plan switch (dup-class
                                      // size, hot-bucket counts) — bounded

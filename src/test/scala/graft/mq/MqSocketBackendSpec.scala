@@ -377,6 +377,43 @@ class MqSocketBackendSpec extends SparkSuite {
     } finally ss.close()
   }
 
+  test("a negative READ batch count is refused typed, not decoded as an empty fetch") {
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.{InetAddress, ServerSocket}
+    // Scripted fake broker (ADVICE r20 #2): answers META correctly, then
+    // a READ with count −1 — legal on the wire only for null byte BLOBS.
+    // Decoded as a count it would mean an empty fetch, which the cursor
+    // treats as range exhaustion: silent row truncation instead of the
+    // typed desync error the hardened framing promises.
+    val ss = new ServerSocket(0, 4, InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val c = ss.accept()
+        val in = new DataInputStream(c.getInputStream)
+        val out = new DataOutputStream(c.getOutputStream)
+        while (true) {
+          in.readByte() // magic
+          val op = in.readByte()
+          in.readUTF() // topic
+          if (op == 3) { in.readInt(); in.readLong(); in.readLong() }
+          out.writeByte(MqSocketBroker.Magic.toInt); out.writeByte(0)
+          out.writeLong(1L) // generation
+          if (op == 2) out.writeInt(1) // META: numPartitions
+          else out.writeInt(-1) // READ: the null sentinel where a count belongs
+          out.flush()
+        }
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val addr = s"${InetAddress.getLoopbackAddress.getHostAddress}:${ss.getLocalPort}"
+    try {
+      val sess = MqSocketBroker.connect(addr, "fake-topic")
+      val err = intercept[MqProtocolException] { sess.read(0, 0, 5) }
+      assert(err.getMessage.contains("< 0"), err.getMessage)
+      assert(!sess.transportAlive, "a protocol error must break the session")
+    } finally ss.close()
+  }
+
   test("a recreate between borrow and fetch fails typed via the piggybacked generation") {
     val topic = "sock-genpin"
     fill(topic, 1, 5)

@@ -569,6 +569,34 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(6L) == ((6L, 3L, "z z z")))
   }
 
+  test("dedupSubstringsAcrossDocs: packed and struct keep-first keys agree (string/negative ids force the fallback)") {
+    // The r21 packed keep-first key (id << posBits | pos, hash-aggregable)
+    // must be indistinguishable from the struct-min fallback. String ids
+    // and negative ids fail the packing bounds and take the fallback;
+    // the same corpus under long ids takes the packed path — identical
+    // rewrites either way.
+    val base = Seq(
+      (1L, "a b c d e"), (2L, "x a b c y"), (3L, "p q r s"), (4L, "p q r s"),
+      (5L, "m n o m n o"), (6L, "m n o z z z"))
+    val longIds = TextOps.dedupSubstringsAcrossDocs(
+        base.toDF("doc_id", "text"), n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id").toString, r.getAs[Long]("n_removed"),
+        r.getAs[String]("text_dedup"))).toSet
+    val stringIds = TextOps.dedupSubstringsAcrossDocs(
+        base.map { case (i, t) => (i.toString, t) }.toDF("doc_id", "text"),
+        n = 3).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("text_dedup"))).toSet
+    assert(stringIds == longIds)
+    // Negative long ids: keep-first still orders by (id, pos) exactly.
+    val negIds = TextOps.dedupSubstringsAcrossDocs(
+        base.map { case (i, t) => (i - 3L, t) }.toDF("doc_id", "text"),
+        n = 3).collect()
+      .map(r => ((r.getAs[Long]("doc_id") + 3L).toString,
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_dedup"))).toSet
+    assert(negIds == longIds)
+  }
+
   test("dedupSubstringsAcrossDocs: repartition-stable; no dup grams → identity rewrite") {
     val docs = Seq((1L, "u v w"), (2L, "h i j k")).toDF("doc_id", "text")
     Seq(docs, docs.repartition(5)).foreach { d =>

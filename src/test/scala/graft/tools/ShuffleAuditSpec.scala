@@ -87,14 +87,16 @@ class ShuffleAuditSpec extends SparkSuite {
     import ShuffleAudit._
     def m(bytes: Long, rows: Long) = Metrics(bytes, 0, 0, 0, rows)
     val f = 10
-    // Synthetic composition artifact (VERDICT r19 #5's fixture): one big
-    // exchange growing exactly x10 plus a floor-exempt tail growing x300
-    // pushes the AGGREGATE row ratio past the 13.5 gate — the descent
-    // must attribute and PASS it.
+    // Synthetic composition artifact (VERDICT r19 #5's fixture, tail
+    // bounded per ADVICE r20 #1): one big exchange growing 13.4x plus a
+    // floor-exempt tail growing 26x — but staying under the exemption's
+    // scaled-side cap floor×factor×RowSlack — pushes the AGGREGATE row
+    // ratio past the 13.5 gate; the descent must attribute and PASS it.
     val bigB = ExchangeStat("Exchange", 100L << 20, 100000)
     val tinyB = ExchangeStat("Exchange", 1L << 20, 5000)
-    val bigS = ExchangeStat("Exchange", (1000L << 20), 1000000)
-    val tinyS = ExchangeStat("Exchange", 3L << 20, 500000)
+    val bigS = ExchangeStat("Exchange", (1000L << 20), 1340000)
+    val tinyS = ExchangeStat("Exchange", 3L << 20, 130000)
+    assert(tinyS.records < ExchangeRecordFloor * f * RowSlack)
     val aggRows = (bigS.records + tinyS.records).toDouble / (bigB.records + tinyB.records)
     assert(aggRows > f * RowSlack, s"fixture must cross the aggregate gate, got $aggRows")
     val artifact = Audit("q",
@@ -108,6 +110,13 @@ class ShuffleAuditSpec extends SparkSuite {
     val breach = artifact.copy(scaledEx = Some(Seq(
       bigS.copy(records = bigB.records * 20), tinyS)))
     assert(breach.compositionRowsOk.contains(false))
+    // A just-under-floor exchange growing SUPER-linearly past the
+    // exemption's scaled-side cap is a breach, not an exempt tail
+    // (ADVICE r20 #1: the unbounded exemption let a quadratic fan-out
+    // starting at floor−1 launder a gate crossing as PASS).
+    val overrunTail = artifact.copy(scaledEx = Some(Seq(
+      bigS, tinyS.copy(records = 500000))))
+    assert(overrunTail.compositionRowsOk.contains(false) && !overrunTail.ok)
     // Mismatched executed shapes make no per-exchange claim: the
     // aggregate verdict stands.
     val mismatched = artifact.copy(scaledEx = Some(Seq(bigS)))
