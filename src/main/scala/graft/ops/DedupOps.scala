@@ -272,6 +272,34 @@ object DedupOps {
     * (emitted only for non-empty sets, matching the oracle's exclusion
     * of sub-`shingleN`-token docs — and only when `threshold ≤ 1`).
     */
+  /** One row per `fp`: the class's min id, THAT member's `payload`
+    * column, and the summed `cntExpr` — the ONE rep-frame definition
+    * every collapse wrapper and ref-index builder shares (the append
+    * merge passes the stored class counts as `cntExpr`; raw members
+    * pass lit(1L) — sum(1) ≡ the old count(1)).
+    *
+    * Shape note (r21, measured and DELIBERATELY kept): min_by's
+    * payload-typed buffer is not hash-aggregable, so this plans
+    * Sort + SortAggregate — but the sorts are per-task, in-memory, and
+    * corpus-LINEAR (the collapse input is one row per document, never
+    * the exploded posting/pair streams), and they have never spilled
+    * at any audited scale. The "ideal" hash-aggregate alternative
+    * (narrow min+count agg, payload re-attached by a co-partitioned
+    * shuffled-hash join) was built and interleave-A/B'd this round: it
+    * LOST at both sf0.1 (2.68 vs 2.77 s winnow; 3.72 vs 5.21 s exact,
+    * 3/3 rounds) and the ×100 dir (32.6 vs 43.8 s exact, 2/2 rounds) —
+    * the extra join stage and narrow exchange cost more than two
+    * bounded in-memory sorts save. Guide §1.1's loop: first-principles
+    * said "remove the sorts", measurement said no.
+    */
+  private[ops] def repsByMinId(keyed: DataFrame, idName: String,
+      payload: String, cntExpr: Column): DataFrame =
+    keyed.groupBy("fp")
+      .agg(min(col(idName)).as(idName),
+        min_by(col(payload), col(idName)).as(payload),
+        sum(cntExpr).as("cnt"))
+      .select(col("fp"), col(idName), col(payload), col("cnt"))
+
   private def withSetCollapse(base: DataFrame, threshold: Double,
       scoreCol: String = "jaccard")(
       run: DataFrame => DataFrame): DataFrame = {
@@ -281,9 +309,7 @@ object DedupOps {
     // chunks do. Two different sets colliding now needs an md5 collision.
     val keyed = base.withColumn("fp",
       md5(concat_ws("", array_sort(transform(col("sh"), s => md5(s))))))
-    val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
-        count(lit(1)).as("cnt"))
+    val reps = repsByMinId(keyed, "id", "sh", lit(1L))
     // Persist the NARROW (fp, id) projection for the fan-out joins, not
     // the keyed frame with its shingle arrays — reps (canonical-sized)
     // carries the only array payload that must stay cached.
@@ -418,9 +444,7 @@ object DedupOps {
       run: DataFrame => DataFrame): DataFrame = {
     val keyed = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("fp", md5(col("text")))
-    val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("text"), col("id")).as("text"),
-        count(lit(1)).as("cnt"))
+    val reps = repsByMinId(keyed, "id", "text", lit(1L))
     // As in [[withSetCollapse]]: cache the narrow (fp, id) projection and
     // the canonical-sized reps — never the full corpus text payload.
     val members = keyed.select(col("fp"), col("id"))
@@ -739,9 +763,8 @@ object DedupOps {
     shingleSets(docs, shingleN, idCol, textCol).withColumn("fp",
       md5(concat_ws("", array_sort(transform(col("sh"), x => md5(x))))))
 
-  private def setRepsOf(k: DataFrame): DataFrame = k.groupBy("fp")
-    .agg(min(col("id")).as("id"), min_by(col("sh"), col("id")).as("sh"),
-      count(lit(1)).as("cnt"))
+  private def setRepsOf(k: DataFrame): DataFrame =
+    repsByMinId(k, "id", "sh", lit(1L))
 
   /** EPOCH APPEND — fold a new batch into an existing [[DedupRefIndex]],
     * result-identical to rebuilding the index from the union of both
@@ -807,14 +830,11 @@ object DedupOps {
     // Merge reps: the old rep row rides the union AS a member carrying
     // its class count, so min/min_by/sum over the union reproduces the
     // from-scratch groupBy exactly (the old rep id IS its class's min).
-    val mergedReps = index.reps
+    val mergedReps = repsByMinId(index.reps
       .select(col("fp"), col("id"), col(payload), col("cnt"))
       .unionByName(keyed.select(col("fp"), col("id"), col(payload))
-        .withColumn("cnt", lit(1L)))
-      .groupBy("fp")
-      .agg(min(col("id")).as("id"),
-        min_by(col(payload), col("id")).as(payload),
-        sum(col("cnt")).as("cnt"))
+        .withColumn("cnt", lit(1L))),
+      "id", payload, col("cnt"))
     val mergedMembers = index.members.select(col("fp"), col("id"))
       .unionByName(keyed.select(col("fp"), col("id")))
     val mergedMax = index.maxClass.map { m =>
@@ -1442,9 +1462,7 @@ object DedupOps {
     // non-zero norm (null/zero-norm cosine is NULL and never pairs).
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
-    val reps = keyed.groupBy("fp")
-      .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
-        count(lit(1)).as("cnt"))
+    val reps = repsByMinId(keyed, "id", "v", lit(1L))
     val members = keyed.select(col("fp"), col("id"))
     Caching.withCached(members, reps) {
     val repVecs = reps.select(col("id"), col("v"))
@@ -1677,9 +1695,8 @@ object DedupOps {
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fp", md5(GraftFunctions.vector_bytes(col("v"))))
 
-  private def vectorRepsOf(k: DataFrame): DataFrame = k.groupBy("fp")
-    .agg(min(col("id")).as("id"), min_by(col("v"), col("id")).as("v"),
-      count(lit(1)).as("cnt"))
+  private def vectorRepsOf(k: DataFrame): DataFrame =
+    repsByMinId(k, "id", "v", lit(1L))
 
   /** [[embeddingPairsAgainstRef]] served from a prebuilt (typically
     * loaded) [[DedupRefIndex]] — result-identical to the convenience

@@ -844,9 +844,7 @@ object SimilarityOps {
     // keep — preserved by the norm guard below.
     val keyed = corpus.withColumn("fp",
       md5(GraftFunctions.vector_bytes(col("cv"))))
-    val reps = keyed.groupBy("fp")
-      .agg(min(col("vec_id")).as("vec_id"),
-        min_by(col("cv"), col("vec_id")).as("cv"), count(lit(1)).as("cnt"))
+    val reps = DedupOps.repsByMinId(keyed, "vec_id", "cv", lit(1L))
     val members = keyed.select(col("fp"), col("vec_id"))
     Caching.withCached(members, reps) {
       val assigned = reps.select(col("vec_id"), col("cv"))

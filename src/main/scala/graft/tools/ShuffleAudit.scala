@@ -420,10 +420,18 @@ object ShuffleAudit {
               pairs.foreach { case (b, s) =>
                 val br = if (b.bytes > 0) s.bytes.toDouble / b.bytes else 0.0
                 val rr = if (b.records > 0) s.records.toDouble / b.records else 0.0
+                // Label matches the ENFORCEMENT semantics (ADVICE r20
+                // #1): exempt only when the scaled side also sits under
+                // floor × factor × slack; a small base growing past that
+                // cap is marked as outgrown so the line never claims an
+                // exemption compositionRows/BytesOk would not grant.
                 val exempt =
-                  if (b.bytes < ExchangeByteFloor && b.records < ExchangeRecordFloor)
-                    " (below floor, exempt)"
-                  else ""
+                  if (b.bytes < ExchangeByteFloor && b.records < ExchangeRecordFloor) {
+                    if (s.bytes < ExchangeByteFloor * factor * Slack &&
+                        s.records < ExchangeRecordFloor * factor * RowSlack)
+                      " (below floor, exempt)"
+                    else " (below floor, but OUTGREW the exemption cap)"
+                  } else ""
                 println(f"[shuffle]        ${b.node}%-24s bytes ${mb(b.bytes)} -> ${mb(s.bytes)} (x$br%5.2f)  rows ${b.records}%10d -> ${s.records}%12d (x$rr%5.2f)$exempt")
               }
           }
