@@ -228,7 +228,7 @@ object DedupOps {
     // No inner persist: `base` is a pure projection of the collapse
     // wrapper's already-persisted reps frame, so its repeated consumers
     // (signature build + both verify sides) hit that cache directly.
-    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { (base, _) =>
     // Shingle-less docs (< shingleN tokens) are excluded BEFORE banding:
     // minhash of an empty set is the constant all-MaxValue signature, so
     // E empty docs would share every band key and enumerate O(E²)
@@ -301,8 +301,8 @@ object DedupOps {
       .select(col("fp"), col(idName), col(payload), col("cnt"))
 
   private def withSetCollapse(base: DataFrame, threshold: Double,
-      scoreCol: String = "jaccard")(
-      run: DataFrame => DataFrame): DataFrame = {
+      scoreCol: String = "jaccard", priceExpr: Column = lit(0L))(
+      run: (DataFrame, Long) => DataFrame): DataFrame = {
     // Per-shingle md5 BEFORE concatenation: shingles are arbitrary
     // strings (crawl text can contain any separator byte), so no in-band
     // delimiter makes the serialization unambiguous - fixed-width hash
@@ -315,8 +315,15 @@ object DedupOps {
     // carries the only array payload that must stay cached.
     val members = keyed.select(col("fp"), col("id"))
     Caching.withCached(members, reps) {
-      val repPairs = run(reps.select(col("id"), col("sh")))
-      if (maxClassSize(reps) <= 1L) repPairs
+      // ONE pricing job (r21): the caller's Σ price expression (posting /
+      // prefix volume — the volume-sized partitioning input) and the
+      // expansion switch's class-size max ride the same 1-row aggregate
+      // over the cached reps frame, instead of one driver job each. The
+      // job also populates the reps cache, so the op's main pass starts
+      // from cached canonical sets exactly as before.
+      val (priced, maxCnt) = sumAndMax(reps, priceExpr, col("cnt"))
+      val repPairs = run(reps.select(col("id"), col("sh")), priced)
+      if (math.max(1L, maxCnt) <= 1L) repPairs
       else {
         val withinFps = reps
           .filter(size(col("sh")) > 0 && lit(threshold) <= 1.0)
@@ -358,6 +365,18 @@ object DedupOps {
   private def longAgg(df: DataFrame, a: Column): Long = {
     val row = df.agg(a).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Job-fold of [[totalOf]] + [[maxLongOf]] for sites that need BOTH a
+    * Σ price and a max over one already-cached frame: a single 1-row
+    * aggregate instead of two driver jobs (r21 — pricing jobs are the
+    * fixed per-call latency of every collapse wrapper and serve path,
+    * a full scheduler round-trip each on a real cluster). Bounded like
+    * its parents — always a 1-row read (CollectLintSpec).
+    */
+  private def sumAndMax(df: DataFrame, priceExpr: Column, m: Column): (Long, Long) = {
+    val row = df.agg(coalesce(sum(priceExpr), lit(0L)).cast("long"), max(m)).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** Is the tier-1 bound worth computing for this frame? The
@@ -534,8 +553,10 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5, shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
-      jaccardFromCounts(pairIntersectionCounts(base, maxShingleDf), threshold)
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold,
+        priceExpr = size(col("sh")).cast("long")) { (base, postings) =>
+      jaccardFromCounts(pairIntersectionCounts(base, maxShingleDf, postings),
+        threshold)
     }
 
   /** Overlap-coefficient near-dup pairs: |∩| / min(|A|, |B|) ≥ threshold
@@ -559,8 +580,9 @@ object DedupOps {
       maxShingleDf: Int = Int.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold,
-        scoreCol = "overlap") { base =>
-      pairIntersectionCounts(base, maxShingleDf)
+        scoreCol = "overlap",
+        priceExpr = size(col("sh")).cast("long")) { (base, postings) =>
+      pairIntersectionCounts(base, maxShingleDf, postings)
         .withColumn("overlap", round(col("n_inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 6))
         .filter(col("overlap") >= threshold)
@@ -578,8 +600,13 @@ object DedupOps {
     * bounds every agg map by construction) — so every scoring tail
     * (jaccard, overlap coefficient) inherits them identically.
     */
-  private def pairIntersectionCounts(base: DataFrame, maxShingleDf: Int): DataFrame = {
-    val sizes = base.select(col("id"), size(col("sh")).as("n"))
+  /** @param postings Σ set sizes over `base` (the posting-row total that
+    *                  sizes the exploding join) — priced by the caller's
+    *                  collapse wrapper in the same 1-row job as the
+    *                  expansion switch (r21), so no sizing job runs here.
+    */
+  private def pairIntersectionCounts(base: DataFrame, maxShingleDf: Int,
+      postings: Long): DataFrame = {
     // The inverted index joins on fnv64(shingle) — an 8-byte key instead
     // of a ~20-byte string roughly halves the heaviest shuffle. Distinct
     // shingles colliding would miscount an intersection; at 64 bits the
@@ -613,7 +640,6 @@ object DedupOps {
     // [[explodedJoinPartitions]]); filter/alias preserve the hash
     // partitioning, so both join sides stay co-partitioned and the join
     // itself adds no exchange.
-    val postings = totalOf(sizes, "n")
     val sized = explodedJoinPartitions(base.sparkSession, postings)
       .map(p => filtered.repartition(p, col("shingle"))).getOrElse(filtered)
     val a = sized.as("a"); val b = sized.as("b")
@@ -719,9 +745,17 @@ object DedupOps {
     * axis's set-only state has the same lifecycle via
     * [[graft.ops.TextOps.appendParagraphFingerprints]]).
     */
+  /** @param postings build-time Σ set sizes over `reps` (lexical axis
+    *                  only — the posting-row total that sizes the serve
+    *                  join's partitioning): priced once at build/save,
+    *                  maintained by [[appendToRefIndex]], so a batch
+    *                  serve never re-scans the corpus-sized reps table
+    *                  just to size its exchanges (r21). None (unpriced)
+    *                  keeps the serve's one-job union pricing.
+    */
   final case class DedupRefIndex(reps: DataFrame, members: DataFrame,
       axis: String, shingleN: Option[Int] = None,
-      maxClass: Option[Long] = None) {
+      maxClass: Option[Long] = None, postings: Option[Long] = None) {
     private[graft] def requireAxis(expected: String, op: String): Unit =
       require(axis == expected,
         s"$op: reference index has axis '$axis', expected '$expected' — " +
@@ -756,7 +790,13 @@ object DedupOps {
     * the tables or the build lineage recomputes here and at serve.
     */
   def priceRefIndex(index: DedupRefIndex): DedupRefIndex =
-    index.copy(maxClass = Some(math.max(1L, maxClassSize(index.reps))))
+    if (index.axis == "lexical") {
+      // One job prices BOTH serve-path constants (r21): the expansion
+      // switch's class max and the posting total that sizes the serve
+      // join — each serve then runs batch-sized pricing only.
+      val (p, m) = sumAndMax(index.reps, size(col("sh")).cast("long"), col("cnt"))
+      index.copy(maxClass = Some(math.max(1L, m)), postings = Some(p))
+    } else index.copy(maxClass = Some(math.max(1L, maxClassSize(index.reps))))
 
   private def shingleKeyed(docs: DataFrame, shingleN: Int,
       idCol: String, textCol: String): DataFrame =
@@ -837,19 +877,32 @@ object DedupOps {
       "id", payload, col("cnt"))
     val mergedMembers = index.members.select(col("fp"), col("id"))
       .unionByName(keyed.select(col("fp"), col("id")))
-    val mergedMax = index.maxClass.map { m =>
+    // One probe job maintains BOTH priced constants (r21): the touched-
+    // class max (as before) and — when the index carries a priced posting
+    // total — the Σ set sizes of the batch's NEW fingerprint classes (a
+    // left-join null against the gated ref counts ⇔ the class is new; the
+    // Bloom gate has no false negatives, so no new class is missed, and
+    // min(size) per fp is exact — every member of one fp holds the same
+    // set). Existing classes keep their rep's set, so the merged posting
+    // total is exactly old + Σ new-class sizes (spec-pinned against the
+    // from-scratch rebuild).
+    val mergedPriced = index.maxClass.map { m =>
       // The gate drops corpus reps whose fingerprint the batch cannot
       // hold BEFORE the join shuffles anything.
       val refCounts = bloomGateAgainst(
         index.reps.select(col("fp"), col("cnt")), fp60(col("fp")),
         keyed.select(col("fp")), fp60(col("fp")), 1 << 22)
-      val touched = keyed.groupBy("fp").agg(count(lit(1)).as("bc"))
+      val touched = keyed.groupBy("fp")
+        .agg(count(lit(1)).as("bc"), min(size(col(payload))).as("ps"))
         .join(refCounts, Seq("fp"), "left")
-        .select((col("bc") + coalesce(col("cnt"), lit(0L))).as("tc"))
-      math.max(m, maxLongOf(touched, "tc"))
+        .select((col("bc") + coalesce(col("cnt"), lit(0L))).as("tc"),
+          when(col("cnt").isNull, col("ps").cast("long")).as("nps"))
+      val (newPostings, touchedMax) = sumAndMax(touched, col("nps"), col("tc"))
+      (math.max(m, touchedMax), newPostings)
     }
     DedupRefIndex(mergedReps, mergedMembers, index.axis, index.shingleN,
-      mergedMax)
+      mergedPriced.map(_._1),
+      index.postings.flatMap(p => mergedPriced.map(p + _._2)))
   }
 
   /** [[jaccardPairsAgainstRef]] served from a prebuilt (typically
@@ -900,14 +953,26 @@ object DedupOps {
         }
       // Corpus-sized partitioning for the exploding cross-side posting
       // join (see [[explodedJoinPartitions]]; sized from the cached
-      // reps' shingle totals — an upper bound on the gated index). ONE
-      // union aggregate over both cached sides (r21): the serve path's
-      // driver jobs are its fixed per-batch latency, and two 1-row
-      // reads over frames that are both already cached fold into one
-      // job for free.
-      val postings = totalOf(
-        nReps.select(size(col("sh")).as("n"))
-          .unionAll(rReps.select(size(col("sh")).as("n"))), "n")
+      // reps' shingle totals — an upper bound on the gated index).
+      // Serve-path pricing in ONE batch-sized job (r21): the batch
+      // side's Σ sizes and class max ride one 1-row aggregate; the ref
+      // side's constants come from the index when it is PRICED
+      // (priceRefIndex / a loaded index / a maintained append) — so a
+      // priced serve never scans the corpus-sized reps table just to
+      // size its exchanges. An unpriced in-session index folds both
+      // sides into one union aggregate instead of two driver jobs.
+      val (postings, bothMax) = (refIndex.maxClass, refIndex.postings) match {
+        case (Some(refMax), Some(refPostings)) =>
+          val (bp, bm) = sumAndMax(nReps, size(col("sh")).cast("long"), col("cnt"))
+          (bp + refPostings, math.max(math.max(1L, bm), refMax))
+        case _ =>
+          val (p, m) = sumAndMax(
+            nReps.select(col("cnt"), col("sh"))
+              .unionAll(rReps.select(col("cnt"), col("sh"))),
+            size(col("sh")).cast("long"), col("cnt"))
+          (p, math.max(1L, math.max(m,
+            refIndex.maxClass.getOrElse(0L))))
+      }
       val (nJ, rJ) = explodedJoinPartitions(newDocs.sparkSession, postings)
         .map(p => (nIdx.repartition(p, col("shingle")),
           rIdx.repartition(p, col("shingle")))).getOrElse((nIdx, rIdx))
@@ -928,16 +993,9 @@ object DedupOps {
             col("a.n").as("n_a"), col("b.n").as("n_b"))
           .agg(count(lit(1)).as("n_inter")),
         threshold, "new_id", "ref_id")
-      // The ref side's class-size max is a build-time constant of the
-      // index — a LOADED index carries it, so a daily batch never pays a
-      // corpus-sized aggregate just to learn the expansion is a no-op.
-      // When it DOESN'T (in-session unsaved index), both sides' maxima
-      // fold into one union aggregate instead of two driver jobs (r21).
-      val bothMax = refIndex.maxClass match {
-        case Some(refMax) => math.max(maxClassSize(nReps), refMax)
-        case None => math.max(1L, maxLongOf(
-          nReps.select(col("cnt")).unionAll(rReps.select(col("cnt"))), "cnt"))
-      }
+      // The expansion switch reads `bothMax` from the combined pricing
+      // above — a build-time constant for a priced index, one union
+      // aggregate otherwise; never a separate driver job (r21).
       if (bothMax <= 1L) repPairs
       else
         repPairs
@@ -1020,7 +1078,13 @@ object DedupOps {
     require(threshold > 0 && threshold <= 1)
     val t = threshold - 1e-6 // round(·,6)-verify slack; see scaladoc
     val midFrac = 2 * t / (1 + t)
-    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold) { base =>
+    // Priced by the wrapper's combined 1-row job (r21): Σ prefLen over
+    // the reps frame — see the PRICING note below; prefLen depends only
+    // on the set size, so the wrapper's `sh` column is all it needs.
+    val prefPrice = (size(col("sh")) -
+      ceil(size(col("sh")) * t - lit(1e-9)) + 1).cast("long")
+    withSetCollapse(shingleSets(docs, shingleN, idCol, textCol), threshold,
+        priceExpr = prefPrice) { (base, prefixRows) =>
     val hashed = base.select(col("id"), size(col("sh")).as("n"),
       array_sort(transform(col("sh"), s => GraftFunctions.fnv64(s))).as("hs"))
     Caching.withCached(hashed) {
@@ -1055,15 +1119,15 @@ object DedupOps {
     // bounds are positions in the chosen order on both sides, and the
     // verify runs on the hash-SORTED arrays either way (the merge needs
     // its own order, not the prefix's).
-    // PRICING (r19: one mandatory job, not four): Σ prefLen over the
-    // cached PER-DOC frame is simultaneously (a) the volume gate, (b) the
+    // PRICING (r19: one mandatory job, not four; r21: zero — folded into
+    // the collapse wrapper's combined 1-row job): Σ prefLen over the
+    // per-doc reps frame is simultaneously (a) the volume gate, (b) the
     // exact row count of the prefix frame under EITHER order (prefLen
     // depends only on n, not on which shingles the order picks) — so no
     // prefixes.count() job exists — and (c) the sizing input for the
     // exploding-join repartition. The df·(df−1)/2 match-volume aggregate
     // runs only above the gate, and its hash-order value is REUSED for
     // the downstream agg guard (repartitioning doesn't change df counts).
-    val prefixRows = totalOf(hashed.select(prefLen.cast("long").as("n")), "n")
     val prefixVolGate = prefixRows >= (1L << 19)
     lazy val hashMatchVol = if (!prefixVolGate) 0L
       else totalOf(hashPrefixes.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -126,27 +126,38 @@ object ModelIO {
     index.members.write.mode("overwrite").parquet(s"$path/members")
     // One-row metadata: the build parameters a serve call must match
     // (axis, shingleN — a 5-gram index served at 3-gram silently matches
-    // nothing) and the build-time class-size max, so loaded indexes skip
-    // the per-batch corpus aggregate in the expansion switch. Computed
-    // from the WRITTEN reps table so it prices the persisted artifact,
-    // not a recomputation of the build lineage.
-    val maxClass = spark.read.parquet(s"$path/reps")
-      .agg(coalesce(max(col("cnt")), lit(1L)).cast("long")).head().getLong(0)
-    Seq((index.axis, index.shingleN.map(_.toLong).getOrElse(-1L), maxClass))
-      .toDF("axis", "shingle_n", "max_class")
+    // nothing) and the build-time priced constants — the class-size max
+    // (expansion switch) and, on the lexical axis, the posting total
+    // (serve-join sizing) — so loaded indexes pay NO per-batch corpus
+    // aggregate at serve (r21). Computed from the WRITTEN reps table in
+    // one job, so they price the persisted artifact, not a recomputation
+    // of the build lineage. Semantic postings is the −1 "absent" marker.
+    val pricedRow = spark.read.parquet(s"$path/reps")
+      .agg(coalesce(max(col("cnt")), lit(1L)).cast("long"),
+        (if (index.axis == "lexical")
+           coalesce(sum(size(col("sh"))), lit(0L)) else lit(-1L))
+          .cast("long")).head()
+    Seq((index.axis, index.shingleN.map(_.toLong).getOrElse(-1L),
+        pricedRow.getLong(0), pricedRow.getLong(1)))
+      .toDF("axis", "shingle_n", "max_class", "postings")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadRefIndex(spark: SparkSession, path: String): DedupOps.DedupRefIndex = {
-    val m = spark.read.parquet(s"$path/meta")
-      .select(col("axis"), col("shingle_n").cast("long"),
-        col("max_class").cast("long")).head()
+    val meta = spark.read.parquet(s"$path/meta")
+    // Pre-r21 saves carry no postings column; load them as unpriced
+    // (the serve then runs its one-job union pricing).
+    val withPostings = meta.columns.contains("postings")
+    val m = meta.select(col("axis"), col("shingle_n").cast("long"),
+      col("max_class").cast("long"),
+      (if (withPostings) col("postings") else lit(-1L)).cast("long")).head()
     DedupOps.DedupRefIndex(
       spark.read.parquet(s"$path/reps"),
       spark.read.parquet(s"$path/members").select(col("fp"), col("id")),
       axis = m.getString(0),
       shingleN = Some(m.getLong(1)).filter(_ >= 0).map(_.toInt),
-      maxClass = Some(m.getLong(2)))
+      maxClass = Some(m.getLong(2)),
+      postings = Some(m.getLong(3)).filter(_ >= 0))
   }
 
   /** Persist a [[SimilarityOps.PqIndex]] — the encode-once/serve-many

@@ -77,6 +77,32 @@ object GraftQueries {
     if (sys.props.contains("graft.verify.dump"))
       df.write.mode("overwrite").parquet(path)
 
+  /** Run INDEPENDENT DataFrame constructions concurrently (guide §2.6 —
+    * overlap independent jobs): each thunk may launch its own Spark jobs
+    * (the ops' eager intermediate materializations), and Spark's
+    * scheduler happily runs them at once, so one pipeline's straggler
+    * tail backfills with the next pipeline's stages instead of leaving
+    * the session idle. Safe here by construction: [[Caching]] scopes are
+    * thread-local (each thunk's withCached lifecycle stays private to
+    * its thread), the shared input frames are immutable, and results
+    * return in INPUT ORDER so downstream unions are deterministic. The
+    * first failure rethrows as itself. Used only where the branches are
+    * genuinely independent — a dependent chain gains nothing.
+    */
+  private def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futs = thunks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          override def call(): A = t()
+        }))
+      try futs.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    } finally pool.shutdown()
+  }
+
   private val AnnDumpPath = "/tmp/graft_sim_ann_dump"
   private val SemDedupDumpPath = "/tmp/graft_semdedup_dump"
   private val MqDumpPath = "/tmp/graft_mq_wordcount_dump"
@@ -3194,17 +3220,32 @@ object GraftQueries {
       val (q, c) = queriesAndCorpus(s, dir)
       // The session-shared quantizer fit (training is deterministic, so
       // results are identical to each path fitting its own) — the same
-      // model the registered sim_topk_* rows serve from.
+      // model the registered sim_topk_* rows serve from. Built (or
+      // memo-served) BEFORE the concurrent fan-out below so the thunks
+      // never race a model build.
       val cents = registeredIvfCentroids(s, dir)
-      val ann = Seq(
-        "lsh" -> SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8),
-        "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
+      val pqIdx = registeredPqIndex(s, dir)
+      // The four ANN paths and the brute-force reference are INDEPENDENT
+      // pipelines over the same inputs, each materializing its own
+      // bounded intermediates (shortlists, signatures) eagerly during
+      // construction — built sequentially they serialize ~six sub-second
+      // jobs; [[concurrently]] overlaps them (guide §2.6) for the same
+      // frames in the same order. Brute force joins the pool as an
+      // explicit materialization: its result is consumed twice below
+      // (hits join + expected count), and the checkpoint both overlaps
+      // its compute with the ANN paths and replaces the old persist.
+      val frames = concurrently[(String, DataFrame)](Seq(
+        () => "lsh" -> SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8),
+        () => "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
           trainFraction = 0.25, trainIters = 5, centroids = Some(cents)),
-        "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8, nprobe = 2,
-          trainFraction = 0.25, trainIters = 5, rerank = 4,
+        () => "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8,
+          nprobe = 2, trainFraction = 0.25, trainIters = 5, rerank = 4,
           centroids = Some(cents)),
-        "ivf_pq" -> SimilarityOps.ivfTopKPqIndexed(q,
-          registeredPqIndex(s, dir), c, k = 5, nprobe = 2, rerank = 4))
+        () => "ivf_pq" -> SimilarityOps.ivfTopKPqIndexed(q,
+          pqIdx, c, k = 5, nprobe = 2, rerank = 4),
+        () => "brute" -> SimilarityOps.bruteForceTopK(q, c, k = 5)
+          .select("query_id", "neighbor_id").localCheckpoint(true)))
+      val ann = frames.filter(_._1 != "brute")
         .map { case (p, df) =>
           df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
         }
@@ -3213,20 +3254,18 @@ object GraftQueries {
         // joins below; without it each action re-runs all three ANN
         // pipelines.
         .localCheckpoint(true)
+      val brute = frames.collectFirst { case ("brute", df) => df }.get
       verifyDump(ann, AnnDumpPath)
-      val brute = SimilarityOps.bruteForceTopK(q, c, k = 5)
-        .select("query_id", "neighbor_id")
-      Caching.withCached(brute) {
-        val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
-          .groupBy("path").agg(count(lit(1)).as("n_hits"))
-        ann.select("path").distinct()
-          .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_expected"))))
-          .join(hits, Seq("path"), "left")
-          .select(col("path"), col("n_expected"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            round(coalesce(col("n_hits"), lit(0L)).cast("double")
-              / col("n_expected"), 6).as("recall"))
-      }.orderBy("path")
+      val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy("path").agg(count(lit(1)).as("n_hits"))
+      ann.select("path").distinct()
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_expected"))))
+        .join(hits, Seq("path"), "left")
+        .select(col("path"), col("n_expected"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_expected"), 6).as("recall"))
+        .orderBy("path")
     },
     Some(s"""
       WITH ann AS (SELECT path, query_id, neighbor_id

@@ -14,7 +14,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * duration plus its root node line, warm (second run) after a cold one.
   *
   * Usage: runMain graft.tools.JobProfile <sfDir> <query> [query...]
-  * Env: SPARK_GRAFT_CPUS (default 32, matching Bench).
+  * Env: SPARK_GRAFT_CPUS (default 32, matching Bench);
+  * SPARK_GRAFT_PROFILE_KEEP=1 keeps session run artifacts between the
+  * cold and profiled passes — the profiled pass then measures the same
+  * memoized-serving path Bench's WARM sweeps time, instead of the
+  * artifact-rebuild (cold) path.
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
@@ -28,9 +32,10 @@ object JobProfile {
     try spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    val keepArtifacts = sys.env.get("SPARK_GRAFT_PROFILE_KEEP").contains("1")
     for (q <- queries) {
       // Cold pass (untimed detail): codegen + IO init land here.
-      GraftQueries.clearRunArtifacts()
+      if (!keepArtifacts) GraftQueries.clearRunArtifacts()
       GraftQueries.queries(q)(spark, dir).count()
       // Warm pass with per-execution attribution.
       val captured = new java.util.concurrent.ConcurrentLinkedQueue[(QueryExecution, Long)]()
@@ -41,7 +46,7 @@ object JobProfile {
       }
       spark.listenerManager.register(l)
       try {
-        GraftQueries.clearRunArtifacts()
+        if (!keepArtifacts) GraftQueries.clearRunArtifacts()
         val t0 = System.nanoTime()
         GraftQueries.queries(q)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -49,13 +49,16 @@ class CollectLintSpec extends AnyFunSuite {
                                      // keep-first bounds) over the cached
                                      // per-doc frame — the volume-sized
                                      // partitioning guard (r21)
-    "graft/ops/DedupOps.scala" -> 2, // maxLongOf: the one 1-row max read
+    "graft/ops/DedupOps.scala" -> 3, // maxLongOf: the one 1-row max read
                                      // behind every plan switch (dup-class
                                      // size, hot-bucket counts) — bounded
                                      // by agg at every call site; totalOf
                                      // (r18): the 1-row sum aggregate
                                      // pricing posting/pair volume for the
-                                     // volume-sized partitioning guards
+                                     // volume-sized partitioning guards;
+                                     // sumAndMax (r21): the job-fold of
+                                     // the two — one 1-row read where a
+                                     // site needs both a Σ price and a max
     "graft/ops/ClassifierOps.scala" -> 1, // trainPerceptron: the
                                      // (numBuckets+1)-row per-step
                                      // gradient — the model fit

@@ -153,6 +153,31 @@ class DedupRefIndexAppendSpec extends SparkSuite {
       docsDf(10L -> tA, 11L -> tB))).maxClass.contains(1L))
   }
 
+  test("append maintains the priced posting total exactly (r21)") {
+    // postings = Σ set sizes over reps: one entry per distinct shingle
+    // SET. The append adds tC (new class) and more tA members (existing
+    // class — contributes nothing); the maintained constant must equal
+    // the from-scratch price of the merged index AND the save/load
+    // round-trip's meta.
+    val base = DedupOps.priceRefIndex(
+      DedupOps.buildJaccardRefIndex(docsDf(10L -> tA, 11L -> tB)))
+    assert(base.postings.exists(_ > 0L))
+    val appended = DedupOps.appendToRefIndex(base,
+      docsDf(20L -> tA, 21L -> tC))
+    val rebuilt = DedupOps.priceRefIndex(DedupOps.buildJaccardRefIndex(
+      docsDf(10L -> tA, 11L -> tB, 20L -> tA, 21L -> tC)))
+    assert(appended.postings == rebuilt.postings,
+      s"maintained ${appended.postings} != rebuilt ${rebuilt.postings}")
+    val p = tmpDir("refidx-postings-rt")
+    ModelIO.saveRefIndex(p, DedupOps.appendToRefIndex(base,
+      docsDf(20L -> tA, 21L -> tC), materialized = true))
+    assert(ModelIO.loadRefIndex(spark, p).postings == rebuilt.postings,
+      "save/load meta postings diverges from the maintained constant")
+    // The semantic axis stays unpriced on postings (None end to end).
+    assert(DedupOps.priceRefIndex(DedupOps.buildEmbeddingRefIndex(
+      embDf(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f)))).postings.isEmpty)
+  }
+
   test("paragraph-axis epoch append equals union-distinct at gated cost") {
     import spark.implicits._
     def paras(rows: (Long, Seq[String])*): DataFrame =
