@@ -16,6 +16,13 @@ Test / fork := true
 // parallelism flip cannot make them racy silently.
 Test / testForkedParallel := false
 run / fork := true
+// The bench harness parses ONE bare JSON line from the stdout tail; sbt's
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] ", which broke the driver's parse in r20/r21 (VERDICT r21 #2:
+// BENCH_r2{0,1}.json both carry "parsed": null against a valid line).
+// StdoutOutput hands the forked JVM sbt's own stdout, so println lines
+// reach the tail unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
