@@ -78,6 +78,13 @@ import java.util.Locale
   *                           RPC latency overlaps compute (default true;
   *                           disable for A/B attribution — DrainProbe's
   *                           transport-tax interleave)
+  *  - `prefetchDepth`      — consecutive chunks to keep in flight ahead
+  *                           of the cursor (default 1, the r20 behavior;
+  *                           max 8). Deeper helps when compute drains a
+  *                           chunk faster than one RPC round-trips;
+  *                           armed fetches only ever occupy the lower
+  *                           half of the executor's fetch-thread cap, so
+  *                           live fetches cannot be starved
   */
 final case class GraftMqOptions(
     topic: String,
@@ -101,7 +108,8 @@ final case class GraftMqOptions(
     pollTimeoutMs: Long = 120000L,
     aggregatePushdown: Boolean = true,
     brokerSocket: Option[String] = None,
-    prefetch: Boolean = true) extends Serializable {
+    prefetch: Boolean = true,
+    prefetchDepth: Int = 1) extends Serializable {
   def isGenerated: Boolean = backend == "generated"
   def isSocket: Boolean = backend == "socket"
   /** Pool/stats namespace for this source's consumers: socket sessions
@@ -195,6 +203,13 @@ object GraftMqOptions {
     val pollTimeout = get("pollTimeoutMs").map(_.toLong).getOrElse(120000L)
     require(pollTimeout > 0,
       s"graft-mq: pollTimeoutMs must be positive, got $pollTimeout")
+    // Bounded: each armed prefetch occupies a capped fetch-pool thread
+    // while in flight; 8 chunks is far past any measured latency-hiding
+    // benefit and keeps a single misconfigured source from monopolizing
+    // the prefetch half of the thread budget.
+    val prefetchDepth = get("prefetchDepth").map(_.toInt).getOrElse(1)
+    require(prefetchDepth >= 1 && prefetchDepth <= 8,
+      s"graft-mq: prefetchDepth must be in [1, 8], got $prefetchDepth")
     GraftMqOptions(
       topic = get("topic").getOrElse("default"),
       backend = backend,
@@ -219,6 +234,7 @@ object GraftMqOptions {
       pollTimeoutMs = pollTimeout,
       aggregatePushdown = get("aggregatePushdown").map(_.toBoolean).getOrElse(true),
       brokerSocket = brokerSocket,
-      prefetch = get("prefetch").map(_.toBoolean).getOrElse(true))
+      prefetch = get("prefetch").map(_.toBoolean).getOrElse(true),
+      prefetchDepth = prefetchDepth)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-corpus curation operators — the steps that relate the TRAINING
@@ -165,6 +165,45 @@ object CurationOps {
         .groupBy("bk").agg(count(lit(1)).as("ct"))
       val model = modelFromCounts(rawCounts, tgtCounts, buckets)
       scoreFromDocCounts(perDocCounts, model, id)
+    }
+  }
+
+  /** [[dsirLogWeights]] for the common call where the target IS a filter
+    * of `docs` ("select web data that resembles my high-quality subset"):
+    * the target's bucket counts derive from the SAME cached per-(doc,
+    * bucket) count frame the raw model and the per-doc scoring already
+    * share, so the corpus is tokenized ONCE instead of the general form's
+    * twice (docs + target re-explode). Counter-identical by the
+    * cms_freq-fusion algebra: summing a target doc's per-bucket counts IS
+    * counting its token occurrences, and `filter(pred)` keeps exactly the
+    * TRUE rows on both formulations — so the model, and therefore every
+    * weight, is bit-for-bit the general form's. `targetPred` is evaluated
+    * against the full `docs` row (any of its columns), BEFORE the token
+    * explode.
+    *
+    * Shape at 100 TB: one corpus explode feeds raw counts, target counts
+    * and scoring; both model counts are map-side partial aggregates of
+    * the cached bounded (docs × buckets) frame. Everything else —
+    * broadcast model, decimal-pinned log-ratios, exact per-doc sums — is
+    * [[dsirLogWeights]] verbatim.
+    */
+  def dsirLogWeightsForSubset(docs: DataFrame, targetPred: Column,
+      buckets: Int = 64, idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"dsirLogWeightsForSubset: buckets=$buckets must be >= 2")
+    val id = ColNames.quotedCol(idCol)
+    val perDocCounts = docs
+      .select(id, targetPred.as("_tgt"),
+        explode(TextOps.tokens(ColNames.quotedCol(textCol))).as("w"))
+      .select(id, col("_tgt"), pmod(SamplingOps.hashOf(col("w"), salt),
+        lit(buckets.toLong)).as("bk"))
+      .groupBy(id, col("_tgt"), col("bk")).agg(count(lit(1)).as("c"))
+    Caching.withCached(perDocCounts) {
+      val rawCounts = perDocCounts.groupBy("bk").agg(sum("c").as("cr"))
+      val tgtCounts = perDocCounts.filter(col("_tgt"))
+        .groupBy("bk").agg(sum("c").as("ct"))
+      val model = modelFromCounts(rawCounts, tgtCounts, buckets)
+      scoreFromDocCounts(perDocCounts.drop("_tgt"), model, id)
     }
   }
 

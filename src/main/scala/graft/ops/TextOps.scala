@@ -984,16 +984,19 @@ object TextOps {
     val tokc = docs
       .select(id, explode(tokens(col(textCol))).as("term"))
       .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
-    Caching.withCached(tokc) {
+    // dl = Σ tf is by construction the doc's token count — computed
+    // shuffle-free from the raw text instead of a corpus-sized
+    // explode+groupBy over the token stream. The SAME narrow (id, dl)
+    // frame also feeds nd/avgdl (r22: stats previously re-tokenized the
+    // corpus a third time for avg(size(tokens)); one row per doc either
+    // way and avg over identical ints is identical, so the fold is
+    // value-exact) — cached, it costs one projection pass total.
+    val dl = docs.select(id, size(tokens(col(textCol))).cast("long").as("dl"))
+    Caching.withCached(tokc, dl) {
       // Only postings of query terms survive past this line.
       val tfq = tokc.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
       val dfc = tfq.groupBy("term").agg(count(lit(1)).as("dfc"))
-      // dl = Σ tf is by construction the doc's token count — computed
-      // shuffle-free from the raw text (same expression as avgdl) instead
-      // of a corpus-sized explode+groupBy over the token stream.
-      val dl = docs.select(id, size(tokens(col(textCol))).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("nd"),
-        avg(size(tokens(col(textCol)))).as("avgdl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl"))
       val contrib =
         log(lit(1.0) + (col("nd") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5))) *
           (col("tf") * lit(k1 + 1)) /

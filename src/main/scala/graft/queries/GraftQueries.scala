@@ -77,30 +77,38 @@ object GraftQueries {
     if (sys.props.contains("graft.verify.dump"))
       df.write.mode("overwrite").parquet(path)
 
-  /** Run INDEPENDENT DataFrame constructions concurrently (guide §2.6 —
-    * overlap independent jobs): each thunk may launch its own Spark jobs
-    * (the ops' eager intermediate materializations), and Spark's
-    * scheduler happily runs them at once, so one pipeline's straggler
-    * tail backfills with the next pipeline's stages instead of leaving
-    * the session idle. Safe here by construction: [[Caching]] scopes are
-    * thread-local (each thunk's withCached lifecycle stays private to
-    * its thread), the shared input frames are immutable, and results
-    * return in INPUT ORDER so downstream unions are deterministic. The
-    * first failure rethrows as itself. Used only where the branches are
-    * genuinely independent — a dependent chain gains nothing.
+  /** Bounded FIFO pool for overlapping INDEPENDENT DataFrame
+    * constructions (guide §2.6 — overlap independent jobs): each task may
+    * launch its own Spark jobs (the ops' eager intermediate
+    * materializations), and Spark's scheduler happily runs them at once,
+    * so one pipeline's straggler tail backfills with the next pipeline's
+    * stages instead of leaving the session idle. Capped at
+    * [[ConcurrentJobs]] in flight (r22 — VERDICT r21: the previous
+    * one-thread-per-thunk pool could self-contend at executor scale; the
+    * guide's "2-3 jobs in flight is plenty"); FIFO order means earlier
+    * submissions get resources first, so callers submit the
+    * longest-running task FIRST and harvest it LAST — everything between
+    * submit and get overlaps its compute. Safe here by construction:
+    * [[graft.ops.Caching]] scopes are thread-local (each task's
+    * withCached lifecycle stays private to its pool thread) and the
+    * shared input frames are immutable. `get` rethrows a task failure as
+    * itself. Used only where the branches are genuinely independent — a
+    * dependent chain gains nothing.
     */
-  private def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
-    try {
-      val futs = thunks.map(t =>
-        pool.submit(new java.util.concurrent.Callable[A] {
-          override def call(): A = t()
-        }))
-      try futs.map(_.get())
+  private val ConcurrentJobs = 3
+  private final class JobPool {
+    private val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(ConcurrentJobs)
+    def submit[A](t: => A): java.util.concurrent.Future[A] =
+      pool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = t
+      })
+    def get[A](f: java.util.concurrent.Future[A]): A =
+      try f.get()
       catch {
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
-    } finally pool.shutdown()
+    def shutdown(): Unit = pool.shutdown()
   }
 
   private val AnnDumpPath = "/tmp/graft_sim_ann_dump"
@@ -2363,8 +2371,8 @@ object GraftQueries {
       .filter(length(col("text_dedup")) > 0)
       .select(col("doc_id"), col("text_dedup"))
     val withLang = sd.join(docs.select("doc_id", "lang"), "doc_id")
-    val selected = CurationOps.dsirLogWeights(withLang,
-        withLang.filter(col("lang") === "en"), buckets = 64,
+    val selected = CurationOps.dsirLogWeightsForSubset(withLang,
+        col("lang") === "en", buckets = 64,
         textCol = "text_dedup")
       .filter(col("dsir_logweight") >= 0)
       .select(col("doc_id"), col("n_tokens").as("n_tok"),
@@ -3229,33 +3237,43 @@ object GraftQueries {
       // pipelines over the same inputs, each materializing its own
       // bounded intermediates (shortlists, signatures) eagerly during
       // construction — built sequentially they serialize ~six sub-second
-      // jobs; [[concurrently]] overlaps them (guide §2.6) for the same
-      // frames in the same order. Brute force joins the pool as an
-      // explicit materialization: its result is consumed twice below
-      // (hits join + expected count), and the checkpoint both overlaps
-      // its compute with the ANN paths and replaces the old persist.
-      val frames = concurrently[(String, DataFrame)](Seq(
-        () => "lsh" -> SimilarityOps.lshTopK(q, c, k = 5, bits = 8, tables = 8),
-        () => "ivf" -> SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8, nprobe = 2,
-          trainFraction = 0.25, trainIters = 5, centroids = Some(cents)),
-        () => "ivf_q8" -> SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8,
-          nprobe = 2, trainFraction = 0.25, trainIters = 5, rerank = 4,
-          centroids = Some(cents)),
-        () => "ivf_pq" -> SimilarityOps.ivfTopKPqIndexed(q,
-          pqIdx, c, k = 5, nprobe = 2, rerank = 4),
-        () => "brute" -> SimilarityOps.bruteForceTopK(q, c, k = 5)
-          .select("query_id", "neighbor_id").localCheckpoint(true)))
-      val ann = frames.filter(_._1 != "brute")
-        .map { case (p, df) =>
-          df.select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
-        }
-        .reduce(_ unionByName _)
-        // Eager checkpoint: the union is consumed by the dump and two
-        // joins below; without it each action re-runs all three ANN
-        // pipelines.
-        .localCheckpoint(true)
-      val brute = frames.collectFirst { case ("brute", df) => df }.get
-      verifyDump(ann, AnnDumpPath)
+      // jobs; the [[JobPool]] overlaps them (guide §2.6). Brute force is
+      // submitted FIRST (FIFO: it starts immediately) and harvested LAST
+      // (r22 — VERDICT r21 #8): the ANN union's checkpoint AND the
+      // oracle dump write below overlap its compute instead of waiting
+      // on it. Its checkpoint materializes the result consumed twice
+      // downstream (hits join + expected count), replacing the old
+      // persist.
+      val pool = new JobPool
+      val (ann, brute) =
+        try {
+          val bruteFut = pool.submit(SimilarityOps.bruteForceTopK(q, c, k = 5)
+            .select("query_id", "neighbor_id").localCheckpoint(true))
+          val annFuts = Seq[(String, () => DataFrame)](
+            "lsh" -> (() => SimilarityOps.lshTopK(q, c, k = 5, bits = 8,
+              tables = 8)),
+            "ivf" -> (() => SimilarityOps.ivfTopK(q, c, k = 5, nlist = 8,
+              nprobe = 2, trainFraction = 0.25, trainIters = 5,
+              centroids = Some(cents))),
+            "ivf_q8" -> (() => SimilarityOps.ivfTopKQ8(q, c, k = 5, nlist = 8,
+              nprobe = 2, trainFraction = 0.25, trainIters = 5, rerank = 4,
+              centroids = Some(cents))),
+            "ivf_pq" -> (() => SimilarityOps.ivfTopKPqIndexed(q,
+              pqIdx, c, k = 5, nprobe = 2, rerank = 4))
+          ).map { case (p, f) => p -> pool.submit(f()) }
+          val annUnion = annFuts
+            .map { case (p, fut) =>
+              pool.get(fut)
+                .select(lit(p).as("path"), col("query_id"), col("neighbor_id"))
+            }
+            .reduce(_ unionByName _)
+            // Eager checkpoint: the union is consumed by the dump and two
+            // joins below; without it each action re-runs all three ANN
+            // pipelines.
+            .localCheckpoint(true)
+          verifyDump(annUnion, AnnDumpPath)
+          (annUnion, pool.get(bruteFut))
+        } finally pool.shutdown()
       val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
         .groupBy("path").agg(count(lit(1)).as("n_hits"))
       ann.select("path").distinct()
@@ -4028,7 +4046,7 @@ object GraftQueries {
   private val d24 = Q("curate_dsir_weights",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      CurationOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+      CurationOps.dsirLogWeightsForSubset(docs, col("lang") === "en",
           buckets = 64)
         .orderBy("doc_id")
     },

@@ -100,27 +100,30 @@ object DrainProbe {
       val wst = InMemoryMqBroker.getOrCreate(warmTopic, parts)
       (0 until 20000).foreach(i =>
         wst.append(i % parts, GeneratedPayloads.messageAt(opts, i % parts, i / parts)))
-      def sock(t: String, prefetch: Boolean) = Map("backend" -> "socket",
-        "brokerSocket" -> server.address, "topic" -> t,
-        "prefetch" -> prefetch.toString)
-      // Prefetch A/B (r20 — VERDICT r19 #4): interleaved off/on samples
-      // per reader mode, best-of-2 each, so the one-chunk-ahead
-      // prefetch's cut of the transport tax is measured in the same run
-      // (cross-run drift on this box is 30-60%; only same-run pairs are
-      // comparable).
+      def sock(t: String, prefetch: Boolean, depth: Int) =
+        Map("backend" -> "socket",
+          "brokerSocket" -> server.address, "topic" -> t,
+          "prefetch" -> prefetch.toString, "prefetchDepth" -> depth.toString)
+      // Prefetch A/B (r20 — VERDICT r19 #4; depth ladder r22 — VERDICT
+      // r21 #5): interleaved off/d1/d2/d3 samples per reader mode,
+      // best-of-2 each, so the chunk-ahead prefetch's cut of the
+      // transport tax — and whether a SECOND/THIRD armed chunk buys
+      // anything past it — is measured in the same run (cross-run drift
+      // on this box is 30-60%; only same-run pairs are comparable).
+      val legs = Seq(("off", false, 1), ("+pf1", true, 1),
+        ("+pf2", true, 2), ("+pf3", true, 3))
       Seq(false, true).foreach { columnar =>
         graft.Bench.mqDrainRowsPerSec(spark, 20000, columnar = columnar,
-          source = sock(warmTopic, prefetch = true))
+          source = sock(warmTopic, prefetch = true, depth = 1))
         val samples = (0 until 2).flatMap { _ =>
-          Seq(false, true).map { pf =>
-            pf -> graft.Bench.mqDrainRowsPerSec(spark, totalRows,
-              columnar = columnar, source = sock(topic, pf))
+          legs.map { case (tag, pf, d) =>
+            tag -> graft.Bench.mqDrainRowsPerSec(spark, totalRows,
+              columnar = columnar, source = sock(topic, pf, d))
           }
         }
-        Seq(false, true).foreach { pf =>
-          val best = samples.collect { case (`pf`, Right(v)) => v }.maxOption
-          val tag = (if (columnar) "columnar" else "row") +
-            "@socket" + (if (pf) "+prefetch" else "")
+        legs.foreach { case (ltag, _, _) =>
+          val best = samples.collect { case (`ltag`, Right(v)) => v }.maxOption
+          val tag = (if (columnar) "columnar" else "row") + "@socket" + ltag
           println(f"[drain] $tag%-22s ${best.getOrElse(-1L)}%9d rows/s")
         }
       }

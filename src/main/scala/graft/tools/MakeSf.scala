@@ -103,7 +103,15 @@ object MakeSf {
     } finally listing.close()
 
     keyShifts.foreach { case (table, shiftCols) =>
+      // Spread the BASE rows before the ×factor explode (r22): the base
+      // parquet is often a single row group, so a post-explode
+      // repartition pushed the whole exploded volume (factor × base,
+      // ~21 GB at ×1000) through one sorter on one task — a 49 GB
+      // shuffle-temp straggler. Repartitioning the small base instead
+      // costs a base-sized shuffle and lets each task stream its
+      // exploded+perturbed replicas straight to the writer.
       val df = spark.read.parquet(s"$baseDir/$table")
+        .repartition(spark.sessionState.conf.numShufflePartitions)
       if (table == "documents.parquet") {
         // The cross-replica disjointness argument assumes NO base token
         // already ends in ~<digits>: replica 0 keeps "foo~2" verbatim
@@ -168,7 +176,6 @@ object MakeSf {
         case _ => shifted
       }
       perturbed.drop("_k")
-        .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
     }
     // Parameter attestation — only a COMPLETE build earns the lines

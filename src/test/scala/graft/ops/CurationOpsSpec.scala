@@ -627,6 +627,37 @@ class CurationOpsSpec extends SparkSuite {
     assert(w(4L)._2 > w(3L)._2)          // mixed beats pure off-target
   }
 
+  test("dsirLogWeightsForSubset: bit-identical to the general form on a filtered target") {
+    val docs = Seq(
+      (1L, "good clean prose text", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "spam spam spam spam", "xx"),
+      (4L, "good spam omega text", null.asInstanceOf[String]),
+      (5L, "delta beta", "de")).toDF("doc_id", "text", "lang")
+    // Null predicate rows must behave exactly like filter(): dropped from
+    // the target, kept in the corpus.
+    val pred = col("lang") === "en"
+    val general = CurationOps.dsirLogWeights(docs, docs.filter(pred),
+        buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fused = CurationOps.dsirLogWeightsForSubset(docs, pred, buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fused == general)
+    // Empty target subset: both forms degrade identically (all-smoothing
+    // model), rather than diverging on the missing-count fill.
+    val nonePred = col("lang") === "zz"
+    val gEmpty = CurationOps.dsirLogWeights(docs, docs.filter(nonePred),
+        buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fEmpty = CurationOps.dsirLogWeightsForSubset(docs, nonePred,
+        buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fEmpty == gEmpty)
+    intercept[IllegalArgumentException] {
+      CurationOps.dsirLogWeightsForSubset(docs, pred, buckets = 1)
+    }
+  }
+
   test("dsirLogWeights: bit-identical under repartitioning") {
     val docs = Seq(
       (1L, "alpha beta gamma", "en"), (2L, "delta beta", "en"),

@@ -1249,6 +1249,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("bm25TopK: empty-text docs count toward nd/avgdl like the raw-text formulation") {
+    import spark.implicits._
+    // r22 internals change: nd/avgdl fold onto the cached (id, dl) frame
+    // instead of re-tokenizing the corpus. split("", " ") is [""] (dl 1),
+    // so an empty doc must still count: nd = 3, avgdl = (2 + 1 + 4) / 3.
+    val docs = Seq(
+      (1L, "spark x"),
+      (2L, ""),
+      (3L, "spark spark x y")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, queries = Seq(1 -> "spark"), k = 10)
+      .orderBy(col("doc_id")).as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L)) // the empty doc never matches
+    // Exact replay of the op's arithmetic under nd=3, avgdl=7/3 — a
+    // wrong nd or avgdl (e.g. the empty doc dropped from the stats
+    // frame) shifts every score.
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5)) // df("spark") = 2
+      val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (7.0 / 3.0)))
+      BigDecimal(new java.math.BigDecimal(c).setScale(12, java.math.RoundingMode.HALF_UP).doubleValue())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.find(_._2 == 1L).get._3 == score(1.0, 2.0))
+    assert(got.find(_._2 == 3L).get._3 == score(2.0, 4.0))
+  }
+
   test("withC4Rules: line filter, javascript lines, lorem/brace page drops") {
     import spark.implicits._
     val docs = Seq(
