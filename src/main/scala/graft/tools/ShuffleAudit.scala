@@ -350,6 +350,15 @@ object ShuffleAudit {
         // per-execution so the near-gate composition descent can read
         // each exchange's write volume (r20 — VERDICT r19 #5).
         GraftQueries.queries(name)(spark, dir).count()
+        // Reap the warmup run's (and the previous query's) shuffle files
+        // before measuring: ContextCleaner only deletes them when the
+        // dead ShuffleDependencies are GC'd, and at a ×1000 dir one
+        // query's leftovers (~40 GB) can exhaust the scratch disk under
+        // the NEXT run — the r22 prefix audit died of exactly this
+        // accumulation, not its own footprint. Dev-tool-only; no query
+        // path runs this.
+        System.gc()
+        Thread.sleep(500)
         val before = settled(tally)
         val captured = new java.util.concurrent.ConcurrentLinkedQueue[
           org.apache.spark.sql.execution.QueryExecution]()
